@@ -1,0 +1,556 @@
+package graft.batch
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.PlcFunctions._
+
+/** The relational operator inventory (SURVEY.md §2) as named DataFrame
+  * queries over the driver testdata, each paired with a DuckDB oracle in
+  * [[Relational.oracle]].
+  *
+  * Numeric policy for oracle parity: double sums are computed over
+  * per-row `DECIMAL` casts (exact, order-independent) and converted to
+  * double at the end — both engines then produce bit-identical values
+  * regardless of partitioning / accumulation order. Every query ends in
+  * a stable ORDER BY on key columns.
+  *
+  * Scale notes: dimension joins are broadcast; windowed queries shuffle
+  * once on their partition keys; all scans are parquet with projection
+  * pushdown (verified via `.explain("formatted")` in BenchNotes).
+  */
+object Relational {
+
+  /** Exact, order-independent sum of a money-like double: decimal(18,2). */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+  /** Same, 6 decimal places for products of doubles. */
+  private def dsum6(c: Column): Column = sum(c.cast("decimal(18,6)")).cast("double")
+
+  // ---------------------------------------------------------------- q1
+  /** A1/A7: pricing summary — hash aggregate with partial/final split
+    * (TPC-H Q1 shape; reference analog: combinar_listas group-sum,
+    * Prensas.py:399-440). */
+  def q1_agg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // ---------------------------------------------------------------- q2
+  /** W1+F7: per-(station, plan_date, shift) top producing part — the
+    * reference's TOP(1) active-record lookup (Prensas.py:285-302)
+    * re-expressed as a ranking window over shift-classified events. */
+  def q2_top1_shift(s: SparkSession, d: String): DataFrame = {
+    val agg = Tables.events(s, d)
+      .select(col("user_id").as("station"), col("event_type").as("part"),
+        planDateOf(col("ts")).as("plan_date"), shiftOf(col("ts")).as("shift"),
+        col("value"))
+      .groupBy(col("station"), col("plan_date"), col("shift"), col("part"))
+      .agg(dsum(col("value")).as("produced"), count(lit(1)).as("n_obs"))
+    val w = Window.partitionBy("station", "plan_date", "shift")
+      .orderBy(col("produced").desc, col("part").asc)
+    agg.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .orderBy("station", "plan_date", "shift")
+  }
+
+  // ---------------------------------------------------------------- q3
+  /** J1/P1: 3-way dimension join with aliased projection (the config
+    * join, Prensas.py:155-169) — broadcast both dims. */
+  def q3_join3(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d); val n = Tables.nation(s, d); val r = Tables.region(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .filter(col("c_acctbal") > 1000)
+      .select(col("c_custkey").as("customer_key"), col("c_name").as("customer_name"),
+        col("n_name").as("nation_name"), col("r_name").as("region_name"),
+        col("c_acctbal").as("acctbal"))
+      .orderBy("customer_key")
+  }
+
+  // ---------------------------------------------------------------- q4
+  /** J9 semi: orders having any high-quantity lineitem (EXISTS). */
+  def q4_semi(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val hi = Tables.lineitem(s, d).filter(col("l_quantity") > 49).select("l_orderkey")
+    o.join(hi, o("o_orderkey") === hi("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+  }
+
+  // ---------------------------------------------------------------- q5
+  /** J9 anti: customers with no orders, counted per nation (NOT EXISTS;
+    * reference analog: part-not-found CSV, Prensas.py:343-353). */
+  def q5_anti(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_no_order"))
+      .orderBy("c_nationkey")
+  }
+
+  // ---------------------------------------------------------------- q6
+  /** J9 outer: nation left join customer with null-safe aggregation. */
+  def q6_outer(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.nation(s, d); val c = Tables.customer(s, d)
+    n.join(c, n("n_nationkey") === c("c_nationkey"), "left")
+      .groupBy(col("n_name"))
+      .agg(count(col("c_custkey")).as("n_customers"),
+        coalesce(sum(col("c_acctbal").cast("decimal(18,2)")), lit(0)).cast("double").as("total_bal"))
+      .orderBy("n_name")
+  }
+
+  // ---------------------------------------------------------------- q7
+  /** J9 theta/range: equi key + inequality residual (l_quantity > p_size). */
+  def q7_theta(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d); val p = Tables.part(s, d)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey") && l("l_quantity") > p("p_size"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("p_brand")
+  }
+
+  // ---------------------------------------------------------------- q8
+  /** J9 as-of join: for each purchase, the latest click of the same user
+    * at or before it. Implemented the scale-friendly way — one shuffle by
+    * user, a running `last(ignoreNulls)` over the unioned stream — not a
+    * per-row lookup (DuckDB oracle uses native ASOF JOIN). */
+  def q8_asof(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts")).agg(max("event_id").as("click_event_id"))
+      .select(col("user_id"), col("ts").as("ets"), lit(0).as("tag"),
+        col("click_event_id"), lit(null).cast("long").as("purchase_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("ets"), lit(1).as("tag"),
+        lit(null).cast("long").as("click_event_id"), col("event_id").as("purchase_id"))
+    val w = Window.partitionBy("user_id").orderBy(col("ets").asc, col("tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click_ts", last(when(col("tag") === 0, col("ets")), ignoreNulls = true).over(w))
+      .withColumn("last_click_id", last(when(col("tag") === 0, col("click_event_id")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("purchase_id"), col("user_id"), col("last_click_ts"), col("last_click_id"))
+      .orderBy("purchase_id")
+  }
+
+  // ---------------------------------------------------------------- q9/q10
+  /** A7: ROLLUP over region/nation. */
+  def q9_rollup(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d); val n = Tables.nation(s, d); val r = Tables.region(s, d)
+    // coalescing rollup grouping columns post-agg trips Spark's
+    // ambiguous-attribute check after a join (Expand duplicates the
+    // attrs), so this one goes through the SQL surface instead
+    c.as("c")
+      .join(broadcast(n).as("n"), col("c.c_nationkey") === col("n.n_nationkey"))
+      .join(broadcast(r).as("r"), col("n.n_regionkey") === col("r.r_regionkey"))
+      .select(col("r.r_name").as("rname"), col("n.n_name").as("nname"), col("c.c_acctbal").as("bal"))
+      .createOrReplaceTempView("q9_base")
+    s.sql(
+      """SELECT COALESCE(rname,'ALL') AS region_name, COALESCE(nname,'ALL') AS nation_name,
+        | COUNT(*) AS n_cust,
+        | CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM q9_base GROUP BY ROLLUP(rname, nname)
+        |ORDER BY region_name, nation_name""".stripMargin)
+  }
+
+  /** A7: CUBE over returnflag/linestatus. */
+  def q10_cube(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"), col("n"), col("sum_qty"))
+      .orderBy("flag", "status")
+
+  // ---------------------------------------------------------------- q11
+  /** A6/A7: exact distinct aggregation. */
+  def q11_distinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  // ---------------------------------------------------------------- q12
+  /** W3: analytic frames — running total + trailing-3 average per
+    * customer. */
+  def q12_window_frame(s: SparkSession, d: String): DataFrame = {
+    val base = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w3 = base.rowsBetween(-2, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("running_spend", sum(col("o_totalprice").cast("decimal(18,2)")).over(run).cast("double"))
+      .withColumn("last3_avg",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w3).cast("double") / count(lit(1)).over(w3))
+      .select("o_custkey", "o_orderkey", "running_spend", "last3_avg")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // ---------------------------------------------------------------- q13
+  /** W2/A4/P8: batch analog of the counter-delta state machine — lag per
+    * (station≈user, part≈event_type), keep positive deltas, sum
+    * (Prensas.py:752-792). */
+  def q13_lag_delta(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+      .filter(col("delta") > 0)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_pos"), dsum(col("delta")).as("total_delta"))
+      .orderBy("user_id", "event_type")
+  }
+
+  // ---------------------------------------------------------------- q14
+  /** O1: top-k with stable tiebreak (TakeOrderedAndProject). */
+  def q14_topk(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .limit(10)
+
+  // ---------------------------------------------------------------- q15
+  /** U1-U3: union / intersect / except over customer vs supplier
+    * nations. */
+  def q15_setops(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.nation(s, d)
+    val cn = Tables.customer(s, d).join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select("n_name").distinct()
+    val sn = Tables.supplier(s, d).join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select("n_name").distinct()
+    val both = cn.intersect(sn).withColumn("tag", lit("both"))
+    val custOnly = cn.except(sn).withColumn("tag", lit("cust_only"))
+    val any = cn.union(sn).distinct().withColumn("tag", lit("any"))
+    both.unionByName(custOnly).unionByName(any)
+      .select("tag", "n_name").orderBy("tag", "n_name")
+  }
+
+  // ---------------------------------------------------------------- q16
+  /** F4/F5/P7: string function surface. */
+  def q16_strings(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      substring(col("p_name"), 1, 12).as("name12"),
+      length(col("p_name")).cast("long").as("name_len"),
+      regexp_replace(col("p_type"), " ", "_").as("type_u"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("bt"),
+      rtrim(concat(col("p_name"), lit("   "))).as("name_rt"),
+      regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"))
+      .orderBy("p_partkey")
+
+  // ---------------------------------------------------------------- q17
+  /** F6: date/time functions + formatting. */
+  def q17_dates(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).cast("int").as("yr"),
+        month(col("o_orderdate")).cast("int").as("mo"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderdate").cast("date")).as("first_day"),
+        min(col("o_orderdate")).as("first_ts"),
+        min(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("first_fmt"),
+        min(datediff(col("o_orderdate"), lit("2024-01-01")).cast("long")).as("min_dd"))
+      .orderBy("yr", "mo")
+
+  // ---------------------------------------------------------------- q18
+  /** F9/F11: math surface with exact decimal folding. */
+  def q18_math(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        dsum6(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("charge"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        sum(col("l_linenumber").cast("long")).as("sum_ln"),
+        sum(pmod(col("l_linenumber"), lit(3)).cast("long")).as("sum_mod"),
+        floor(max(col("l_quantity"))).cast("long").as("max_qty_floor"),
+        ceil(min(col("l_quantity"))).cast("long").as("min_qty_ceil"),
+        abs(min(col("l_discount"))).as("min_disc_abs"))
+      .orderBy("l_returnflag")
+
+  // ---------------------------------------------------------------- q19
+  /** F13: JSON extraction from events.props. */
+  def q19_json(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(pmod(col("k"), lit(10)).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy("k_bucket")
+
+  // ---------------------------------------------------------------- q20
+  /** F12/J7: array primitives over the embedding column. */
+  def q20_array_ops(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"), col("label"),
+      size(col("embedding")).as("dim"),
+      element_at(col("embedding"), 1).as("first_val"),
+      element_at(col("embedding"), 64).as("last_val"),
+      slice(col("embedding"), 1, 3).as("head3"))
+      .orderBy("vec_id")
+
+  // ---------------------------------------------------------------- q21
+  /** F1/F3: PLC word decode round-trip + register block expansion,
+    * exercised on part names (decode semantics Prensas.py:450-471). */
+  def q21_plc_decode(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      decodePlcWords(encodePlcWords(substring(col("p_name"), 1, 4))).as("decoded"),
+      size(expandBlock(concat(lit("D"), (pmod(col("p_partkey"), lit(100)) * 10).cast("string")),
+        lit(1) + pmod(col("p_partkey"), lit(3)))).as("n_addr"),
+      element_at(expandBlock(concat(lit("D"), (pmod(col("p_partkey"), lit(100)) * 10).cast("string")),
+        lit(1) + pmod(col("p_partkey"), lit(3))), 1).as("first_addr"),
+      element_at(expandBlock(concat(lit("D"), (pmod(col("p_partkey"), lit(100)) * 10).cast("string")),
+        lit(1) + pmod(col("p_partkey"), lit(3))), -1).as("last_addr"))
+      .orderBy("p_partkey")
+
+  // ---------------------------------------------------------------- q22
+  /** F2/G1: `/`-alternative expansion as a generator (posexplode). */
+  def q22_alternatives(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"), col("l_linestatus").as("status")).distinct()
+      .select(col("flag"), col("status"),
+        posexplode(expandAlternatives(concat_ws("/", col("flag"), col("status"))))
+          .as(Seq("pos", "candidate")))
+      .orderBy("flag", "status", "pos")
+
+  // ---------------------------------------------------------------- q25
+  /** Scalar subquery: customers above the cheapest supplier balance —
+    * expressed as a broadcast scalar cross join (distributed-safe). */
+  def q25_subquery(s: SparkSession, d: String): DataFrame = {
+    val minBal = Tables.supplier(s, d).agg(min(col("s_acctbal")).as("min_sbal"))
+    val n = Tables.nation(s, d)
+    Tables.customer(s, d).crossJoin(broadcast(minBal))
+      .filter(col("c_acctbal") > col("min_sbal"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name")).agg(count(lit(1)).as("n_rich"))
+      .orderBy("n_name")
+  }
+
+  // ---------------------------------------------------------------- qst2
+  /** ST7 analog: sessionization via lag + cumulative flag (30 min gap);
+    * the streaming equivalent uses session_window (see stream/). */
+  def qst2_sessions(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("us"))
+    Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("new_s",
+        when(col("us") - lag(col("us"), 1).over(byUser) > 1800000000L, 1)
+          .when(lag(col("us"), 1).over(byUser).isNull, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        floor((max(col("us")) - min(col("us"))) / 1000000L).cast("long").as("dur_s"))
+      .orderBy("user_id", "session_id")
+  }
+
+  // ---------------------------------------------------------------- qst3
+  /** ST7 analog: tumbling 1-hour event-time window aggregation. */
+  def qst3_window_hourly(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total"))
+      .orderBy("ws", "event_type")
+
+  // ================================================================
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1_agg _),
+    "q2_top1_shift" -> (q2_top1_shift _),
+    "q3_join3" -> (q3_join3 _),
+    "q4_semi" -> (q4_semi _),
+    "q5_anti" -> (q5_anti _),
+    "q6_outer" -> (q6_outer _),
+    "q7_theta" -> (q7_theta _),
+    "q8_asof" -> (q8_asof _),
+    "q9_rollup" -> (q9_rollup _),
+    "q10_cube" -> (q10_cube _),
+    "q11_distinct" -> (q11_distinct _),
+    "q12_window_frame" -> (q12_window_frame _),
+    "q13_lag_delta" -> (q13_lag_delta _),
+    "q14_topk" -> (q14_topk _),
+    "q15_setops" -> (q15_setops _),
+    "q16_strings" -> (q16_strings _),
+    "q17_dates" -> (q17_dates _),
+    "q18_math" -> (q18_math _),
+    "q19_json" -> (q19_json _),
+    "q20_array_ops" -> (q20_array_ops _),
+    "q21_plc_decode" -> (q21_plc_decode _),
+    "q22_alternatives" -> (q22_alternatives _),
+    "q25_subquery" -> (q25_subquery _),
+    "qst2_sessions" -> (qst2_sessions _),
+    "qst3_window_hourly" -> (qst3_window_hourly _))
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        | COUNT(*) AS count_order,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_qty
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q2_top1_shift" ->
+      """WITH agg AS (
+        | SELECT user_id AS station,
+        |  CASE WHEN hour(ts) >= 8 THEN CAST(ts AS DATE) ELSE CAST(ts AS DATE) - 1 END AS plan_date,
+        |  CASE WHEN hour(ts) BETWEEN 8 AND 15 THEN 1 ELSE 2 END AS shift,
+        |  event_type AS part,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS produced,
+        |  COUNT(*) AS n_obs
+        | FROM events GROUP BY 1,2,3,4)
+        |SELECT station, plan_date, shift, part, produced, n_obs FROM (
+        | SELECT *, ROW_NUMBER() OVER (PARTITION BY station, plan_date, shift
+        |   ORDER BY produced DESC, part ASC) AS rn FROM agg) t
+        |WHERE rn = 1 ORDER BY station, plan_date, shift""".stripMargin,
+    "q3_join3" ->
+      """SELECT c_custkey AS customer_key, c_name AS customer_name, n_name AS nation_name,
+        | r_name AS region_name, c_acctbal AS acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_acctbal > 1000 ORDER BY customer_key""".stripMargin,
+    "q4_semi" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 49)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q5_anti" ->
+      """SELECT c_nationkey, COUNT(*) AS n_no_order FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q6_outer" ->
+      """SELECT n_name, COUNT(c_custkey) AS n_customers,
+        | CAST(COALESCE(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_bal
+        |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q7_theta" ->
+      """SELECT p_brand, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity > p_size
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q8_asof" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, MAX(event_id) AS click_event_id FROM events
+        |  WHERE event_type = 'click' GROUP BY 1,2),
+        |purchases AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+        |  c.ts AS last_click_ts, c.click_event_id AS last_click_id
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin,
+    "q9_rollup" ->
+      """SELECT COALESCE(r_name,'ALL') AS region_name, COALESCE(n_name,'ALL') AS nation_name,
+        | COUNT(*) AS n_cust, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name) ORDER BY 1,2""".stripMargin,
+    "q10_cube" ->
+      """SELECT COALESCE(l_returnflag,'ALL') AS flag, COALESCE(l_linestatus,'ALL') AS status,
+        | COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY 1,2""".stripMargin,
+    "q11_distinct" ->
+      """SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        | CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps, COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_window_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS last3_avg
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q13_lag_delta" ->
+      """WITH dd AS (
+        | SELECT user_id, event_type,
+        |  value - LAG(value) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS delta
+        | FROM events)
+        |SELECT user_id, event_type, COUNT(*) AS n_pos,
+        | CAST(SUM(CAST(delta AS DECIMAL(18,2))) AS DOUBLE) AS total_delta
+        |FROM dd WHERE delta > 0 GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q14_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q15_setops" ->
+      """WITH cn AS (SELECT DISTINCT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        | sn AS (SELECT DISTINCT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT 'both' AS tag, n_name FROM (SELECT n_name FROM cn INTERSECT SELECT n_name FROM sn)
+        |UNION ALL SELECT 'cust_only' AS tag, n_name FROM (SELECT n_name FROM cn EXCEPT SELECT n_name FROM sn)
+        |UNION ALL SELECT 'any' AS tag, n_name FROM (SELECT n_name FROM cn UNION SELECT n_name FROM sn)
+        |ORDER BY tag, n_name""".stripMargin,
+    "q16_strings" ->
+      """SELECT p_partkey, UPPER(p_brand) AS brand_u, SUBSTRING(p_name, 1, 12) AS name12,
+        | CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+        | REGEXP_REPLACE(p_type, ' ', '_', 'g') AS type_u,
+        | CONCAT_WS('|', p_brand, p_type) AS bt,
+        | RTRIM(CONCAT(p_name, '   ')) AS name_rt,
+        | REGEXP_EXTRACT(p_name, '^([a-z]+)', 1) AS first_word
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q17_dates" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+        | COUNT(*) AS n, MIN(CAST(o_orderdate AS DATE)) AS first_day,
+        | MIN(o_orderdate) AS first_ts,
+        | MIN(strftime(o_orderdate, '%Y-%m-%d')) AS first_fmt,
+        | CAST(MIN(datediff('day', DATE '2024-01-01', o_orderdate)) AS BIGINT) AS min_dd
+        |FROM orders GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q18_math" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS charge,
+        | MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        | CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sum_ln,
+        | CAST(SUM(l_linenumber % 3) AS BIGINT) AS sum_mod,
+        | CAST(FLOOR(MAX(l_quantity)) AS BIGINT) AS max_qty_floor,
+        | CAST(CEIL(MIN(l_quantity)) AS BIGINT) AS min_qty_ceil,
+        | ABS(MIN(l_discount)) AS min_disc_abs
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q19_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        | COUNT(*) AS n, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q20_array_ops" ->
+      """SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim,
+        | embedding[1] AS first_val, embedding[64] AS last_val,
+        | embedding[1:3] AS head3
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q21_plc_decode" ->
+      """SELECT p_partkey, SUBSTRING(p_name, 1, 4) AS decoded,
+        | CAST(1 + p_partkey % 3 AS INT) AS n_addr,
+        | 'D' || CAST((p_partkey % 100) * 10 AS VARCHAR) AS first_addr,
+        | 'D' || CAST((p_partkey % 100) * 10 + p_partkey % 3 AS VARCHAR) AS last_addr
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q22_alternatives" ->
+      """SELECT flag, status, CAST(t.i AS INT) AS pos,
+        | CASE WHEN t.i = 0 THEN flag ELSE status END AS candidate
+        |FROM (SELECT DISTINCT l_returnflag AS flag, l_linestatus AS status FROM lineitem),
+        | range(2) t(i)
+        |ORDER BY flag, status, pos""".stripMargin,
+    "q25_subquery" ->
+      """SELECT n_name, COUNT(*) AS n_rich
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > (SELECT MIN(s_acctbal) FROM supplier)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "qst2_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        | m AS (SELECT user_id, us,
+        |   CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL THEN 1
+        |        WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000 THEN 1
+        |        ELSE 0 END AS new_s FROM e),
+        | s AS (SELECT user_id, us, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |   ROWS UNBOUNDED PRECEDING) AS session_id FROM m)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+        | CAST(FLOOR((MAX(us) - MIN(us)) / 1000000) AS BIGINT) AS dur_s
+        |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "qst3_window_hourly" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin)
+}
