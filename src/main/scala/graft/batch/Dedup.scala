@@ -1,0 +1,187 @@
+package graft.batch
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Large-scale training-data deduplication operators over `documents`.
+  *
+  * All hashing uses md5-hex so the DuckDB oracle computes bit-identical
+  * values; min-hash is the lexicographic min of salted md5 hex strings —
+  * a valid minwise hash family that needs no engine-specific integer
+  * hashing.
+  *
+  * Scale design: every operator is shuffle-by-key (doc_id / shingle /
+  * band key) with no driver-side collection; candidate generation is
+  * LSH-bucketed so the pair space never goes quadratic in the corpus.
+  */
+object Dedup {
+
+  private val ShingleChars = 120  // shingling window per doc (bounds cost)
+  private val NumHashes = 6
+  private val BandSize = 3        // 2 bands of 3 → candidate P = J^3
+
+  /** Distinct word-3-gram shingles per doc over the first
+    * [[ShingleChars]] chars, lowercased. */
+  private def wordShingles(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(substring(col("text"), 1, ShingleChars)), " ").as("toks"))
+    toks.select(col("doc_id"),
+        explode(expr("transform(sequence(0, greatest(size(toks) - 3, 0)), " +
+          "i -> concat_ws(' ', slice(toks, i + 1, 3)))")).as("shingle"))
+      .filter(length(col("shingle")) > 0)
+      .distinct()
+  }
+
+  /** qd1: exact dedup — hash-groupBy on content (md5), per source. */
+  def qd1_exact_dedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_unique"),
+        countDistinct(md5(col("text").cast("binary"))).as("n_unique_md5"))
+      .orderBy("source")
+
+  /** qd2: MinHash + LSH near-dup candidates:
+    * shingle → 6 salted-md5 min-hashes → 2 bands of 3 → bucket
+    * self-join → candidate pairs with estimated Jaccard. */
+  def qd2_minhash_lsh(s: SparkSession, d: String): DataFrame = {
+    val sh = wordShingles(s, d)
+    val minhashAggs = (0 until NumHashes).map(j =>
+      min(md5(concat(lit(s"$j|"), col("shingle")))).as(s"h$j"))
+    val sigs = sh.groupBy(col("doc_id")).agg(minhashAggs.head, minhashAggs.tail: _*)
+    val bands = sigs.select(col("doc_id"),
+      explode(array(
+        struct(lit(0).as("band"), md5(concat(col("h0"), col("h1"), col("h2"))).as("key")),
+        struct(lit(1).as("band"), md5(concat(col("h3"), col("h4"), col("h5"))).as("key")))).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+    val a = bands.as("a"); val b = bands.as("b")
+    val pairs = a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
+    val sa = sigs.as("sa"); val sb = sigs.as("sb")
+    pairs.join(sa, col("id_a") === col("sa.doc_id"))
+      .join(sb, col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        (0 until NumHashes).map(j =>
+          when(col(s"sa.h$j") === col(s"sb.h$j"), 1).otherwise(0))
+          .reduce(_ + _).as("n_match"))
+      .withColumn("est_jaccard", col("n_match").cast("double") / NumHashes)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** qd3: 16-bit SimHash over distinct word tokens — per-bit ±1 votes
+    * from the token's md5, bit set when the vote sum is positive. */
+  def qd3_simhash(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(lower(substring(col("text"), 1, 200)), " ")).as("tok"))
+      .filter(length(col("tok")) > 0).distinct()
+      .withColumn("hv", expr("CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS INT)"))
+    toks.select(col("doc_id"), col("hv"),
+        explode(sequence(lit(0), lit(15))).as("b"))
+      .withColumn("bit", pmod(floor(col("hv") / pow(lit(2), col("b"))).cast("long"), lit(2)))
+      .withColumn("vote", col("bit") * 2 - 1)
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("vote")).as("votes"))
+      .withColumn("bit_set", when(col("votes") > 0, 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bit_set") * pow(lit(2), col("b")).cast("long")).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** qd4: exact n-gram Jaccard on a doc_id-sampled subset — shingle
+    * inverted-index self-join, |∩| via pair counts, |∪| = na + nb − |∩|. */
+  def qd4_ngram_jaccard(s: SparkSession, d: String): DataFrame = {
+    val sub = wordShingles(s, d).filter(pmod(col("doc_id"), lit(50)) === 0)
+    val counts = sub.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sub.as("a"); val b = sub.as("b")
+    val inter = a.join(b, col("a.shingle") === col("b.shingle")
+        && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter.join(counts.as("ca"), col("id_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("id_b") === col("cb.doc_id"))
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        (col("ca.n_sh") + col("cb.n_sh") - col("n_inter")).as("n_union"))
+      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+      .filter(col("jaccard") >= 0.2)
+      .orderBy("id_a", "id_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qd1_exact_dedup" -> (qd1_exact_dedup _),
+    "qd2_minhash_lsh" -> (qd2_minhash_lsh _),
+    "qd3_simhash" -> (qd3_simhash _),
+    "qd4_ngram_jaccard" -> (qd4_ngram_jaccard _))
+
+  private val shingleSql =
+    s"""shingles AS (
+       | SELECT DISTINCT doc_id, concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]) AS shingle
+       | FROM (
+       |  SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 3, 0) + 1)) AS i
+       |  FROM (SELECT doc_id, string_split(lower(substr(text, 1, $ShingleChars)), ' ') AS toks
+       |        FROM documents))
+       | WHERE length(concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])) > 0)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "qd1_exact_dedup" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        | CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique,
+        | CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_md5
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "qd2_minhash_lsh" ->
+      s"""WITH $shingleSql,
+         |sigs AS (
+         | SELECT doc_id,
+         |  MIN(md5('0|' || shingle)) AS h0, MIN(md5('1|' || shingle)) AS h1,
+         |  MIN(md5('2|' || shingle)) AS h2, MIN(md5('3|' || shingle)) AS h3,
+         |  MIN(md5('4|' || shingle)) AS h4, MIN(md5('5|' || shingle)) AS h5
+         | FROM shingles GROUP BY 1),
+         |bands AS (
+         | SELECT doc_id, 0 AS band, md5(h0 || h1 || h2) AS key FROM sigs
+         | UNION ALL
+         | SELECT doc_id, 1 AS band, md5(h3 || h4 || h5) AS key FROM sigs),
+         |pairs AS (
+         | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         | FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+         |  AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         | (CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END + CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END
+         |  + CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END + CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END
+         |  + CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END + CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END) AS n_match,
+         | CAST((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END + CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END
+         |  + CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END + CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END
+         |  + CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END + CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END) AS DOUBLE) / 6 AS est_jaccard
+         |FROM pairs JOIN sigs sa ON id_a = sa.doc_id JOIN sigs sb ON id_b = sb.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+    "qd3_simhash" ->
+      """WITH toks AS (
+        | SELECT DISTINCT doc_id, t.tok FROM (
+        |  SELECT doc_id, unnest(string_split(lower(substr(text, 1, 200)), ' ')) AS tok
+        |  FROM documents) t
+        | WHERE length(t.tok) > 0),
+        |hv AS (SELECT doc_id, tok, ('0x' || substr(md5(tok), 1, 4))::INT AS hv FROM toks),
+        |votes AS (
+        | SELECT doc_id, b.b,
+        |  SUM(CAST(floor(hv / pow(2, b.b)) AS BIGINT) % 2 * 2 - 1) AS votes
+        | FROM hv, range(16) b(b) GROUP BY 1, 2)
+        |SELECT doc_id,
+        | CAST(SUM(CASE WHEN votes > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM votes GROUP BY 1 ORDER BY 1""".stripMargin,
+    "qd4_ngram_jaccard" ->
+      s"""WITH $shingleSql,
+         |sub AS (SELECT * FROM shingles WHERE doc_id % 50 = 0),
+         |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sub GROUP BY 1),
+         |inter AS (
+         | SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+         | FROM sub a JOIN sub b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_inter, ca.n_sh + cb.n_sh - n_inter AS n_union,
+         | CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) AS jaccard
+         |FROM inter JOIN counts ca ON id_a = ca.doc_id JOIN counts cb ON id_b = cb.doc_id
+         |WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin)
+}

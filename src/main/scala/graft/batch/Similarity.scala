@@ -1,0 +1,160 @@
+package graft.batch
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors).
+  *
+  * - qs1: brute-force cosine top-k — the exactness baseline. The query
+  *   set is broadcast so candidate scoring is a map-side operation over
+  *   the (huge) candidate side: no shuffle of the corpus at 100 TB,
+  *   only of the tiny per-query top-k heaps.
+  * - qs2: LSH-bucketed ANN — 8 deterministic ±1 random-hyperplane
+  *   signs → 256 buckets; candidates share the query's bucket, so the
+  *   pair space is ~1/256 of brute force. Bucketing is a plain
+  *   shuffle-by-bucket join: the 1000-executor scale path.
+  *
+  * Numeric policy: dot products fold left-to-right over the array in
+  * DOUBLE (deterministic); cosines are rounded to 6 dp BEFORE ranking
+  * so Spark and the DuckDB oracle rank identical values.
+  */
+object Similarity {
+
+  private val Dim = 64
+  private val Planes = 8
+
+  /** ±1 hyperplane weights from md5 parity — reproducible in SQL:
+    * weight(p, i) = +1 iff first hex digit of md5("p|i") is even. */
+  private[batch] def weight(p: Int, i: Int): Double = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s"$p|$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if ((Character.digit(hex.charAt(0), 16) % 2) == 0) 1.0 else -1.0
+  }
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm2(a: Column): Column =
+    aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", sqrt(norm2(col("embedding"))))
+
+  /** qs1: brute-force cosine top-3 for sampled query vectors. */
+  def qs1_knn_bruteforce(s: SparkSession, d: String): DataFrame = {
+    val emb = withNorm(Tables.embeddings(s, d))
+    val q = emb.filter(pmod(col("vec_id"), lit(500)) === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val joined = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("rcos", round(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+    val w = Window.partitionBy("qid").orderBy(col("rcos").desc, col("vec_id").asc)
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("rcos"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Sign bits for all hyperplanes → bucket id column (0..255). */
+  private def bucketCol: Column = {
+    val bits = (0 until Planes).map { p =>
+      val ws = typedLit((0 until Dim).map(i => weight(p, i)))
+      val proj = round(aggregate(
+        zip_with(col("embedding"), ws, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v), 6)
+      when(proj >= 0, lit(1L) * (1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** qs2: ANN via random-hyperplane LSH buckets; top-1 in-bucket
+    * neighbor per query (left join keeps queries with empty buckets). */
+  def qs2_ann_lsh(s: SparkSession, d: String): DataFrame = {
+    val emb = withNorm(Tables.embeddings(s, d)).withColumn("bucket", bucketCol)
+    val q = emb.filter(pmod(col("vec_id"), lit(500)) === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("bucket").as("qbucket"))
+    val cand = q.join(emb, col("qbucket") === col("bucket") && col("vec_id") =!= col("qid"))
+      .withColumn("rcos", round(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+    val w = Window.partitionBy("qid").orderBy(col("rcos").desc, col("vec_id").asc)
+    val best = cand.withColumn("rank", row_number().over(w)).filter(col("rank") === 1)
+      .groupBy(col("qid")).agg(first(col("vec_id")).as("best_id"), first(col("rcos")).as("best_rcos"))
+    val nc = cand.groupBy(col("qid")).agg(count(lit(1)).as("n_candidates"))
+    q.select(col("qid"), col("qbucket").cast("long").as("bucket"))
+      .join(nc, Seq("qid"), "left").join(best, Seq("qid"), "left")
+      .select(col("qid"), col("bucket"), coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("best_id"), col("best_rcos"))
+      .orderBy("qid")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qs1_knn_bruteforce" -> (qs1_knn_bruteforce _),
+    "qs2_ann_lsh" -> (qs2_ann_lsh _))
+
+  /** SQL fragment: dot product of two 64-dim list columns in double. */
+  private def sqlDot(a: String, b: String): String =
+    s"""(SELECT SUM(CAST($a[i.i + 1] AS DOUBLE) * CAST($b[i.i + 1] AS DOUBLE))
+       |  FROM range($Dim) i(i))""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "qs1_knn_bruteforce" ->
+      s"""WITH nm AS (
+         | SELECT vec_id, embedding,
+         |  sqrt((SELECT SUM(CAST(embedding[i.i + 1] AS DOUBLE) * CAST(embedding[i.i + 1] AS DOUBLE))
+         |        FROM range($Dim) i(i))) AS nrm
+         | FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM nm WHERE vec_id % 500 = 0),
+         |scored AS (
+         | SELECT q.qid, c.vec_id,
+         |  round(${sqlDot("q.qe", "c.embedding")} / (q.qn * c.nrm), 6) AS rcos
+         | FROM q JOIN nm c ON c.vec_id <> q.qid)
+         |SELECT qid, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, rcos FROM (
+         | SELECT qid, vec_id, rcos,
+         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rcos DESC, vec_id ASC) AS rank
+         | FROM scored) t
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "qs2_ann_lsh" ->
+      s"""WITH w(p, i, wt) AS (
+         | SELECT p.p, i.i,
+         |  CASE WHEN ('0x' || substr(md5(p.p || '|' || i.i), 1, 1))::INT % 2 = 0
+         |       THEN 1.0 ELSE -1.0 END
+         | FROM range($Planes) p(p), range($Dim) i(i)),
+         |nm AS (
+         | SELECT vec_id, embedding,
+         |  sqrt((SELECT SUM(CAST(embedding[i.i + 1] AS DOUBLE) * CAST(embedding[i.i + 1] AS DOUBLE))
+         |        FROM range($Dim) i(i))) AS nrm
+         | FROM embeddings),
+         |proj AS (
+         | SELECT e.vec_id, w.p,
+         |  round(SUM(CAST(e.embedding[w.i + 1] AS DOUBLE) * w.wt), 6) AS pr
+         | FROM nm e, w GROUP BY 1, 2),
+         |bk AS (
+         | SELECT vec_id,
+         |  CAST(SUM(CASE WHEN pr >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+         | FROM proj GROUP BY 1),
+         |e AS (SELECT nm.vec_id, nm.embedding, nm.nrm, bk.bucket
+         |      FROM nm JOIN bk ON nm.vec_id = bk.vec_id),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn, bucket AS qbucket
+         |      FROM e WHERE vec_id % 500 = 0),
+         |cand AS (
+         | SELECT q.qid, q.qbucket, c.vec_id,
+         |  round(${sqlDot("q.qe", "c.embedding")} / (q.qn * c.nrm), 6) AS rcos
+         | FROM q JOIN e c ON q.qbucket = c.bucket AND c.vec_id <> q.qid),
+         |best AS (
+         | SELECT qid, vec_id AS best_id, rcos AS best_rcos FROM (
+         |  SELECT qid, vec_id, rcos, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY rcos DESC, vec_id ASC) AS rn FROM cand) t WHERE rn = 1),
+         |nc AS (SELECT qid, COUNT(*) AS n_candidates FROM cand GROUP BY 1)
+         |SELECT q.qid, q.qbucket AS bucket, COALESCE(nc.n_candidates, 0) AS n_candidates,
+         | best.best_id, best.best_rcos
+         |FROM q LEFT JOIN nc ON q.qid = nc.qid LEFT JOIN best ON q.qid = best.qid
+         |ORDER BY q.qid""".stripMargin)
+}

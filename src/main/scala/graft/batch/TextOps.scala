@@ -1,0 +1,142 @@
+package graft.batch
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline: language ID
+  * (stopword-profile heuristic), quality scoring, token counting, and
+  * document fingerprinting — all as declarative plans (broadcast join
+  * against a tiny profile table; no UDFs).
+  */
+object TextOps {
+
+  /** (lang, stopword) profiles for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny + deterministic. */
+  val profiles: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "and", "en" -> "of", "en" -> "to", "en" -> "is",
+    "es" -> "el", "es" -> "la", "es" -> "de", "es" -> "que", "es" -> "y",
+    "de" -> "der", "de" -> "die", "de" -> "und", "de" -> "das", "de" -> "ist",
+    "fr" -> "le", "fr" -> "la", "fr" -> "et", "fr" -> "les", "fr" -> "des",
+    "zh" -> "de0", "zh" -> "shi0", "zh" -> "le0", "zh" -> "bu0", "zh" -> "wo0")
+
+  private def profileDf(s: SparkSession): DataFrame =
+    s.createDataFrame(
+      s.sparkContext.parallelize(profiles.map { case (l, w) => Row(l, w) }, 1),
+      StructType(Seq(StructField("plang", StringType), StructField("word", StringType))))
+
+  /** qt1: language ID — score each doc against every profile via a
+    * broadcast join on tokens, argmax with deterministic tiebreak,
+    * reported as a (actual, predicted) confusion count. */
+  def qt1_langid(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("tok"))
+    val scores = toks.join(broadcast(profileDf(s)), col("tok") === col("word"))
+      .groupBy(col("doc_id"), col("plang")).agg(count(lit(1)).as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("plang").asc)
+    val best = scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("plang").as("predicted"))
+    docs.select(col("doc_id"), col("lang")).join(best, Seq("doc_id"), "left")
+      .select(col("lang"), coalesce(col("predicted"), lit("unknown")).as("predicted"))
+      .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** qt2: quality scoring — integer-exact metrics (token count,
+    * stopword count, mean token length), bucketed. */
+  def qt2_quality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(lower(col("text")), " "))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => t.isin("the", "and", "of", "a", "to"))).cast("long"))
+      .withColumn("score", floor(col("n_stop") * 100 / col("n_tok")))
+      .withColumn("bucket", least(floor(col("score") / 5), lit(9L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("double").as("sum_chars"),
+        (sum(col("n_stop")).cast("double") / sum(col("n_tok"))).as("stop_ratio"))
+      .orderBy("bucket")
+
+  /** qt3: token counting per source — whitespace tokens plus a
+    * BPE-ish regex segmentation ([a-z]+ | digits | other). */
+  def qt3_tokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("ws_toks", size(split(col("text"), " ")).cast("long"))
+      .withColumn("re_toks", size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).cast("long"))
+      .withColumn("max_tok_len",
+        array_max(transform(split(col("text"), " "), t => length(t))).cast("long"))
+      .groupBy(col("source"))
+      .agg(sum(col("ws_toks")).as("total_ws"), sum(col("re_toks")).as("total_re"),
+        max(col("max_tok_len")).as("max_tok_len"), count(lit(1)).as("n_docs"))
+      .orderBy("source")
+
+  /** qt4: document fingerprint — positional 31-polynomial hash of the
+    * first 12 chars (exact int64 math; collision-grouped per source). */
+  def qt4_fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("fp", expr(
+        "aggregate(sequence(0, 11), 0L, (acc, i) -> " +
+          "acc + ascii(substr(substr(text, 1, 12), i + 1, 1)) * CAST(pow(31, i) AS LONG))"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("fp")).as("n_fp"), count(lit(1)).as("n_docs"),
+        min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
+      .orderBy("source")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt1_langid" -> (qt1_langid _),
+    "qt2_quality" -> (qt2_quality _),
+    "qt3_tokens" -> (qt3_tokens _),
+    "qt4_fingerprint" -> (qt4_fingerprint _))
+
+  private val profileValues = profiles
+    .map { case (l, w) => s"('$l','$w')" }.mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "qt1_langid" ->
+      s"""WITH prof(plang, word) AS (VALUES $profileValues),
+         |toks AS (
+         | SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+         |scores AS (
+         | SELECT doc_id, plang, COUNT(*) AS score
+         | FROM toks JOIN prof ON tok = word GROUP BY 1, 2),
+         |best AS (
+         | SELECT doc_id, plang AS predicted FROM (
+         |  SELECT doc_id, plang, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, plang ASC) AS rn FROM scores) t WHERE rn = 1)
+         |SELECT d.lang, COALESCE(b.predicted, 'unknown') AS predicted, COUNT(*) AS n
+         |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "qt2_quality" ->
+      """WITH m AS (
+        | SELECT doc_id, n_chars,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |    t -> t IN ('the','and','of','a','to'))) AS BIGINT) AS n_stop
+        | FROM documents),
+        |b AS (SELECT *, least(CAST(floor(floor(n_stop * 100 / n_tok) / 5) AS BIGINT), 9) AS bucket FROM m)
+        |SELECT bucket, COUNT(*) AS n_docs,
+        | CAST(SUM(n_chars) AS DOUBLE) AS sum_chars,
+        | CAST(SUM(n_stop) AS DOUBLE) / SUM(n_tok) AS stop_ratio
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "qt3_tokens" ->
+      """SELECT source,
+        | CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_ws,
+        | CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT) AS total_re,
+        | CAST(MAX(list_max(list_transform(string_split(text, ' '), t -> length(t)))) AS BIGINT) AS max_tok_len,
+        | COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "qt4_fingerprint" ->
+      """WITH fp AS (
+        | SELECT source, doc_id,
+        |  (SELECT CAST(SUM(ascii(substr(substr(text, 1, 12), i.i + 1, 1))
+        |     * CAST(pow(31, i.i) AS BIGINT)) AS BIGINT) FROM range(12) i(i)) AS fp
+        | FROM documents)
+        |SELECT source, CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fp, COUNT(*) AS n_docs,
+        | MIN(fp) AS min_fp, MAX(fp) AS max_fp
+        |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin)
+}
