@@ -86,7 +86,7 @@ object PlcFunctions {
   /** Cycle-time decode: raw register value in ms → |seconds|, 0.0 when
     * the value is not castable (Prensas.py:546-551). */
   def msToSeconds(raw: Column): Column =
-    abs(coalesce(raw.cast("double"), lit(0.0)) / 1000.0)
+    abs(coalesce(raw.try_cast("double"), lit(0.0)) / 1000.0)
 
   /** Config-change fingerprint (Prensas.py:849): md5 of a canonical JSON
     * rendering of the given struct column. */
