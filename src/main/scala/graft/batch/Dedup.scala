@@ -80,15 +80,14 @@ object Dedup {
         explode(split(lower(substring(col("text"), 1, 200)), " ")).as("tok"))
       .filter(length(col("tok")) > 0).distinct()
       .withColumn("hv", expr("CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS INT)"))
-    toks.select(col("doc_id"), col("hv"),
-        explode(sequence(lit(0), lit(15))).as("b"))
-      .withColumn("bit", pmod(floor(col("hv") / pow(lit(2), col("b"))).cast("long"), lit(2)))
-      .withColumn("vote", col("bit") * 2 - 1)
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("vote")).as("votes"))
-      .withColumn("bit_set", when(col("votes") > 0, 1L).otherwise(0L))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("bit_set") * pow(lit(2), col("b")).cast("long")).as("simhash"))
+    // one aggregation with 16 pivoted vote sums — no 16× row explosion,
+    // single shuffle (vs explode(0..15) + two groupBys)
+    val voteCols = (0 until 16).map(b =>
+      sum(pmod(floor(col("hv") / lit(1 << b)).cast("long"), lit(2)) * 2 - 1).as(s"v$b"))
+    toks.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
       .orderBy("doc_id")
   }
 

@@ -278,7 +278,8 @@ object Relational {
   /** F13: JSON extraction from events.props. */
   def q19_json(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
-      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      // one typed from_json parse beats per-path get_json_object
+      .select(from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k LONG")).getField("k").as("k"))
       .groupBy(pmod(col("k"), lit(10)).as("k_bucket"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
       .orderBy("k_bucket")
