@@ -333,6 +333,20 @@ object Relational {
       .orderBy("n_name")
   }
 
+  // ---------------------------------------------------------------- q26
+  /** §2.11 UDAF: typed Aggregator (weighted qty sum, the reference's
+    * qty × multiplier math) registered via functions.udaf. */
+  def q26_udaf(s: SparkSession, d: String): DataFrame = {
+    val wsum = udaf(graft.functions.WeightedSum)
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity"),
+        (lit(1) + pmod(col("l_partkey"), lit(3))).as("w"))
+      .groupBy(col("l_returnflag"))
+      .agg(wsum(col("l_quantity"), col("w")).as("weighted_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   // ---------------------------------------------------------------- qst2
   /** ST7 analog: sessionization via lag + cumulative flag (30 min gap);
     * the streaming equivalent uses session_window (see stream/). */
@@ -385,6 +399,7 @@ object Relational {
     "q21_plc_decode" -> (q21_plc_decode _),
     "q22_alternatives" -> (q22_alternatives _),
     "q25_subquery" -> (q25_subquery _),
+    "q26_udaf" -> (q26_udaf _),
     "qst2_sessions" -> (qst2_sessions _),
     "qst3_window_hourly" -> (qst3_window_hourly _))
 
@@ -539,6 +554,12 @@ object Relational {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE c_acctbal > (SELECT MIN(s_acctbal) FROM supplier)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q26_udaf" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT) * (1 + l_partkey % 3)) AS DOUBLE) / 100
+        |  AS weighted_qty,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "qst2_sessions" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
         | m AS (SELECT user_id, us,

@@ -142,6 +142,30 @@ class StateMachine(
 }
 
 object StateMachine {
+
+  /** Build a machine from dimension DataFrames — the J6/W1 lookups
+    * (AS400 multipliers, part catalog, prior records) resolved ONCE as
+    * small broadcast snapshots instead of the reference's per-part ODBC
+    * round trips (Prensas.py:117-149, 281-313). These tables are tiny
+    * relative to the stream (one row per part / record), so collecting
+    * them to driver maps IS the broadcast; refresh on supervisor
+    * reconcile when the config changes. Column contracts:
+    * parts(station, parte, part_id), multipliers(parte, multiplier),
+    * records(record_id, produced, status_id, planned). */
+  def fromTables(parts: org.apache.spark.sql.DataFrame,
+      multipliers: org.apache.spark.sql.DataFrame,
+      records: org.apache.spark.sql.DataFrame,
+      timeoutMs: Long = 30000L): StateMachine = {
+    val known = parts.select("station", "parte", "part_id").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val mult = multipliers.select("parte", "multiplier").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val prior = records.select("record_id", "produced", "status_id", "planned").collect()
+      .map(r => (r.getString(0),
+        RecordSnapshot(r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))).toMap
+    new StateMachine(known, mult, prior, timeoutMs)
+  }
+
   val StatusCreated = 3   // Prensas.py:324
   val StatusProducing = 7 // Prensas.py:794
   val StatusPaused = 8    // Prensas.py:668,724
