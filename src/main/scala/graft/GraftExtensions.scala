@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.DecodePlcWordsExpr
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * functions at session build time —
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  * (For an existing session use [[functions.GraftFunctions.register]].)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("decode_plc_words"),
+      new ExpressionInfo(classOf[DecodePlcWordsExpr].getName, "decode_plc_words"),
+      (exprs: Seq[Expression]) => DecodePlcWordsExpr(exprs.head)))
+  }
+}

@@ -347,6 +347,17 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  // ---------------------------------------------------------------- q27
+  /** A7 approx: HLL approx_count_distinct (no DuckDB oracle — sketch
+    * implementations differ across engines; driver does the rows-only
+    * check). The exact column shows the estimate lands near truth. */
+  def q27_approx_distinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+
   // ---------------------------------------------------------------- qst2
   /** ST7 analog: sessionization via lag + cumulative flag (30 min gap);
     * the streaming equivalent uses session_window (see stream/). */
@@ -400,6 +411,7 @@ object Relational {
     "q22_alternatives" -> (q22_alternatives _),
     "q25_subquery" -> (q25_subquery _),
     "q26_udaf" -> (q26_udaf _),
+    "q27_approx_distinct" -> (q27_approx_distinct _),
     "qst2_sessions" -> (qst2_sessions _),
     "qst3_window_hourly" -> (qst3_window_hourly _))
 

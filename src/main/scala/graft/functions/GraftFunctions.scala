@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.UnresolvedNamedLambdaVariable
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
+
+/** SQL-surface registration for the engine's custom functions, so
+  * `spark.sql("SELECT decode_plc_words(words) ...")` works alongside
+  * the Scala Column API.
+  *
+  * `decode_plc_words` binds to the native codegen expression
+  * ([[DecodePlcWordsExpr]]); the others are SQL expression macros —
+  * templates parsed once by the session parser with `__aN`
+  * placeholders substituted by the call arguments, so they expand into
+  * ordinary built-in expression trees Catalyst optimizes like any
+  * other (no UDF boundary).
+  */
+object GraftFunctions {
+
+  /** Column API for the native decode expression. */
+  def decode_plc_words(c: Column): Column = column(DecodePlcWordsExpr(expression(c)))
+
+  private def sqlMacro(spark: SparkSession, template: String): Seq[Expression] => Expression = {
+    val parsed = spark.sessionState.sqlParser.parseExpression(template)
+    exprs =>
+      parsed.transformUp {
+        case a: UnresolvedAttribute
+            if a.nameParts.length == 1 && a.nameParts.head.startsWith("__a") =>
+          exprs(a.nameParts.head.drop(3).toInt)
+        // identifiers inside lambda bodies parse as lambda variables
+        case v: UnresolvedNamedLambdaVariable
+            if v.nameParts.length == 1 && v.nameParts.head.startsWith("__a") =>
+          exprs(v.nameParts.head.drop(3).toInt)
+      }
+  }
+
+  /** The padded-string fragment of encode (odd length → NUL pad). */
+  private val Padded =
+    "concat(__a0, if(pmod(length(__a0), 2) = 1, char(0), ''))"
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def macroFn(template: String) = sqlMacro(spark, template)
+
+    reg.createOrReplaceTempFunction("decode_plc_words",
+      exprs => DecodePlcWordsExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("encode_plc_words", macroFn(
+      s"""transform(sequence(0, cast(length($Padded) / 2 as int) - 1),
+         |  i -> cast(ascii(substr($Padded, 1 + i * 2, 1))
+         |          + ascii(substr($Padded, 2 + i * 2, 1)) * 256 as int))""".stripMargin),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("expand_alternatives", macroFn(
+      """aggregate(split(__a0, ' '), array(''),
+        |  (acc, t) -> flatten(transform(acc,
+        |    a -> transform(split(t, '/'), alt -> concat(a, alt)))))""".stripMargin),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("expand_block", macroFn(
+      """transform(sequence(0, cast(__a1 as int) - 1),
+        |  i -> concat(regexp_replace(__a0, '[0-9]', ''),
+        |    cast(cast(regexp_replace(__a0, '[^0-9]', '') as bigint) + i as string)))""".stripMargin),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("shift_of",
+      macroFn("if(hour(__a0) between 8 and 15, 1, 2)"), "scala_udf")
+    reg.createOrReplaceTempFunction("plan_date_of",
+      macroFn("if(hour(__a0) >= 8, to_date(__a0), date_sub(to_date(__a0), 1))"), "scala_udf")
+  }
+}

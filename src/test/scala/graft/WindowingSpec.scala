@@ -65,6 +65,24 @@ class WindowingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dropDuplicates with watermark (K4/A6 analog)") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[PartObservation]
+    val dedup = in.toDS()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("station", "parte", "ts")
+    val q = dedup.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_t").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(obs("A", "2024-03-05 09:00:00", 1), obs("A", "2024-03-05 09:00:00", 1),
+        obs("B", "2024-03-05 09:00:00", 2))
+      q.processAllAvailable()
+      in.addData(obs("A", "2024-03-05 09:00:00", 1)) // dup across batches
+      q.processAllAvailable()
+      assert(spark.table("dedup_t").count() == 2)
+    } finally q.stop()
+  }
+
   test("K7 latest-value view tracks newest observation per key") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[PartObservation]
