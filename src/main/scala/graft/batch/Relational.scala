@@ -358,6 +358,24 @@ object Relational {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
 
+  // ---------------------------------------------------------------- q28
+  /** J9 range/interval join: for each purchase, count the same user's
+    * views in the preceding 5 minutes (equi key + time-range band —
+    * partitions by the equi key, so the band never goes cartesian). */
+  def q28_range_time(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("vts"))
+    p.join(v, col("user_id") === col("v_user")
+        && col("vts") >= col("pts") - expr("INTERVAL 5 MINUTES")
+        && col("vts") <= col("pts"), "left")
+      .groupBy(col("purchase_id"), col("user_id"))
+      .agg(count(col("vts")).as("n_recent_views"))
+      .orderBy("purchase_id")
+  }
+
   // ---------------------------------------------------------------- qst2
   /** ST7 analog: sessionization via lag + cumulative flag (30 min gap);
     * the streaming equivalent uses session_window (see stream/). */
@@ -412,6 +430,7 @@ object Relational {
     "q25_subquery" -> (q25_subquery _),
     "q26_udaf" -> (q26_udaf _),
     "q27_approx_distinct" -> (q27_approx_distinct _),
+    "q28_range_time" -> (q28_range_time _),
     "qst2_sessions" -> (qst2_sessions _),
     "qst3_window_hourly" -> (qst3_window_hourly _))
 
@@ -572,6 +591,14 @@ object Relational {
         |  AS weighted_qty,
         | COUNT(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q28_range_time" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS pts FROM events
+        |           WHERE event_type = 'purchase'),
+        | v AS (SELECT user_id AS v_user, ts AS vts FROM events WHERE event_type = 'view')
+        |SELECT purchase_id, user_id, COUNT(vts) AS n_recent_views
+        |FROM p LEFT JOIN v ON user_id = v_user
+        |  AND vts >= pts - INTERVAL 5 MINUTE AND vts <= pts
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "qst2_sessions" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
         | m AS (SELECT user_id, us,
