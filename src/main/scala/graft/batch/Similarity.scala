@@ -52,7 +52,7 @@ object Similarity {
   /** qs1: brute-force cosine top-3 for sampled query vectors. */
   def qs1_knn_bruteforce(s: SparkSession, d: String): DataFrame = {
     val emb = withNorm(Tables.embeddings(s, d))
-    val q = emb.filter(pmod(col("vec_id"), lit(500)) === 0)
+    val q = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
     val joined = emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
@@ -79,7 +79,7 @@ object Similarity {
     * neighbor per query (left join keeps queries with empty buckets). */
   def qs2_ann_lsh(s: SparkSession, d: String): DataFrame = {
     val emb = withNorm(Tables.embeddings(s, d)).withColumn("bucket", bucketCol)
-    val q = emb.filter(pmod(col("vec_id"), lit(500)) === 0)
+    val q = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("bucket").as("qbucket"))
     val cand = q.join(emb, col("qbucket") === col("bucket") && col("vec_id") =!= col("qid"))
@@ -95,9 +95,42 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** qs3: IVF-style ANN — a deterministic centroid subset (every 100th
+    * vector) acts as the coarse quantizer; every vector is assigned to
+    * its nearest centroid (rounded cosine, centroid-id tiebreak) and a
+    * query probes only its own cell. At 100 TB the assignment is a
+    * broadcast map-side pass and the probe is a shuffle on cell id —
+    * candidates shrink by ~1/centroids vs brute force. */
+  def qs3_ivf_ann(s: SparkSession, d: String): DataFrame = {
+    val emb = withNorm(Tables.embeddings(s, d))
+    val cents = emb.filter(pmod(col("vec_id"), lit(100)) === 7)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    // assign every vector to its nearest centroid (broadcast pass)
+    val scored = emb.crossJoin(broadcast(cents))
+      .withColumn("crcos", round(dot(col("ce"), col("embedding")) / (col("cn") * col("nrm")), 6))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("crcos").desc, col("cid").asc)
+    val assigned = scored.withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell"))
+    val q = assigned.filter(pmod(col("vec_id"), lit(100)) === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cell").as("qcell"))
+    val cand = q.join(assigned, col("qcell") === col("cell") && col("vec_id") =!= col("qid"))
+      .withColumn("rcos", round(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+    val wBest = Window.partitionBy("qid").orderBy(col("rcos").desc, col("vec_id").asc)
+    val best = cand.withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+      .groupBy(col("qid")).agg(first(col("vec_id")).as("best_id"), first(col("rcos")).as("best_rcos"))
+    val nc = cand.groupBy(col("qid")).agg(count(lit(1)).as("n_candidates"))
+    q.select(col("qid"), col("qcell").as("cell"))
+      .join(nc, Seq("qid"), "left").join(best, Seq("qid"), "left")
+      .select(col("qid"), col("cell"), coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("best_id"), col("best_rcos"))
+      .orderBy("qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qs1_knn_bruteforce" -> (qs1_knn_bruteforce _),
-    "qs2_ann_lsh" -> (qs2_ann_lsh _))
+    "qs2_ann_lsh" -> (qs2_ann_lsh _),
+    "qs3_ivf_ann" -> (qs3_ivf_ann _))
 
   /** SQL fragment: dot product of two 64-dim list columns in double. */
   private def sqlDot(a: String, b: String): String =
@@ -105,13 +138,46 @@ object Similarity {
        |  FROM range($Dim) i(i))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "qs3_ivf_ann" ->
+      s"""WITH nm AS (
+         | SELECT vec_id, embedding,
+         |  sqrt((SELECT SUM(CAST(embedding[i.i + 1] AS DOUBLE) * CAST(embedding[i.i + 1] AS DOUBLE))
+         |        FROM range($Dim) i(i))) AS nrm
+         | FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM nm
+         |          WHERE vec_id % 100 = 7),
+         |scored AS (
+         | SELECT nm.vec_id, cents.cid,
+         |  round(${sqlDot("cents.ce", "nm.embedding")} / (cents.cn * nm.nrm), 6) AS crcos
+         | FROM nm, cents),
+         |assigned AS (
+         | SELECT vec_id, cid AS cell FROM (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY crcos DESC, cid ASC) AS rn FROM scored) t WHERE rn = 1),
+         |av AS (SELECT nm.vec_id, nm.embedding, nm.nrm, assigned.cell
+         |       FROM nm JOIN assigned ON nm.vec_id = assigned.vec_id),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn, cell AS qcell
+         |      FROM av WHERE vec_id % 100 = 0),
+         |cand AS (
+         | SELECT q.qid, q.qcell, c.vec_id,
+         |  round(${sqlDot("q.qe", "c.embedding")} / (q.qn * c.nrm), 6) AS rcos
+         | FROM q JOIN av c ON q.qcell = c.cell AND c.vec_id <> q.qid),
+         |best AS (
+         | SELECT qid, vec_id AS best_id, rcos AS best_rcos FROM (
+         |  SELECT qid, vec_id, rcos, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY rcos DESC, vec_id ASC) AS rn FROM cand) t WHERE rn = 1),
+         |nc AS (SELECT qid, COUNT(*) AS n_candidates FROM cand GROUP BY 1)
+         |SELECT q.qid, q.qcell AS cell, COALESCE(nc.n_candidates, 0) AS n_candidates,
+         | best.best_id, best.best_rcos
+         |FROM q LEFT JOIN nc ON q.qid = nc.qid LEFT JOIN best ON q.qid = best.qid
+         |ORDER BY q.qid""".stripMargin,
     "qs1_knn_bruteforce" ->
       s"""WITH nm AS (
          | SELECT vec_id, embedding,
          |  sqrt((SELECT SUM(CAST(embedding[i.i + 1] AS DOUBLE) * CAST(embedding[i.i + 1] AS DOUBLE))
          |        FROM range($Dim) i(i))) AS nrm
          | FROM embeddings),
-         |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM nm WHERE vec_id % 500 = 0),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM nm WHERE vec_id % 100 = 0),
          |scored AS (
          | SELECT q.qid, c.vec_id,
          |  round(${sqlDot("q.qe", "c.embedding")} / (q.qn * c.nrm), 6) AS rcos
@@ -143,7 +209,7 @@ object Similarity {
          |e AS (SELECT nm.vec_id, nm.embedding, nm.nrm, bk.bucket
          |      FROM nm JOIN bk ON nm.vec_id = bk.vec_id),
          |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn, bucket AS qbucket
-         |      FROM e WHERE vec_id % 500 = 0),
+         |      FROM e WHERE vec_id % 100 = 0),
          |cand AS (
          | SELECT q.qid, q.qbucket, c.vec_id,
          |  round(${sqlDot("q.qe", "c.embedding")} / (q.qn * c.nrm), 6) AS rcos
