@@ -47,9 +47,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("decode_plc_words",
       exprs => DecodePlcWordsExpr(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("encode_plc_words", macroFn(
-      s"""transform(sequence(0, cast(length($Padded) / 2 as int) - 1),
+      s"""if(length(__a0) = 0, cast(array() as array<int>),
+         | transform(sequence(0, cast(length($Padded) / 2 as int) - 1),
          |  i -> cast(ascii(substr($Padded, 1 + i * 2, 1))
-         |          + ascii(substr($Padded, 2 + i * 2, 1)) * 256 as int))""".stripMargin),
+         |          + ascii(substr($Padded, 2 + i * 2, 1)) * 256 as int)))""".stripMargin),
       "scala_udf")
     reg.createOrReplaceTempFunction("expand_alternatives", macroFn(
       """aggregate(split(__a0, ' '), array(''),

@@ -36,10 +36,12 @@ object PlcFunctions {
     * (pads odd-length input with a NUL high byte). */
   def encodePlcWords(s: Column): Column = {
     val padded = concat(s, when(length(s) % 2 === 1, lit("\u0000")).otherwise(lit("")))
-    transform(
-      sequence(lit(0), (length(padded) / 2).cast("int") - 1),
-      i => (ascii(substring(padded, lit(1) + i * 2, lit(1))) +
-            ascii(substring(padded, lit(2) + i * 2, lit(1))) * 256).cast("int"))
+    // empty-input guard: sequence(0, -1) would auto-step DOWN to [0, -1]
+    when(length(s) === 0, array().cast("array<int>")).otherwise(
+      transform(
+        sequence(lit(0), (length(padded) / 2).cast("int") - 1),
+        i => (ascii(substring(padded, lit(1) + i * 2, lit(1))) +
+              ascii(substring(padded, lit(2) + i * 2, lit(1))) * 256).cast("int")))
   }
 
   /** Expand a decoded part string with `/`-alternatives into all

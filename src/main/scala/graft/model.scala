@@ -40,17 +40,17 @@ object model {
   /** Keyed mutable state per (station, parte)
     * (active_records, Prensas.py:730-739). */
   case class ActiveRecord(
-      recordId: String,       // deterministic key (station|parte|date|shift)
-      planDate: String,       // yyyy-MM-dd
+      recordId: String,         // deterministic key (station|parte|date|shift)
+      planDate: String,         // yyyy-MM-dd
       shiftId: Int,
-      baseCount: Long,        // contador_registro: counter baseline
-      corridaPrevia: Long,    // resumed production carried into this run
-      contadorCt: Long,       // counter snapshot at last shift change
+      contadorRegistro: Long,   // gate baseline `prev` (Prensas.py:731,811)
+      baseCt: Long,             // contador_ct snapshot, 0 until rollover (Prensas.py:734,762)
+      corridaPrevia: Long,      // resumed production carried into this run
       multiplier: Long,
       plannedQty: Long,
-      lastCount: Long,
-      lastSec: Int,           // seconds-of-day of last observation
-      produced: Long)
+      lastUpdSec: Int,          // hora_cambio: seconds-of-day of last UPDATE (Prensas.py:812)
+      produced: Long,
+      lastTsMs: Long)           // event time of last update (close stamping)
 
   /** Prior production-record snapshot used for state admission
     * (W1 top-1 lookup, Prensas.py:285-302). Status: 3=created,

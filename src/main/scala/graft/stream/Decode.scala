@@ -76,12 +76,13 @@ object Decode {
       .filter(col("parte").isNotNull && col("parte") =!= "")
 
     // A1 combinar_listas: per (station, ts, parte) — sum counters,
-    // deterministic side-ordered tiempo/original
+    // deterministic max tiempo / min original BY VALUE (identical to
+    // StateMachine.combine, so batch backfills match streaming runs)
     candidates
       .groupBy(col("station"), col("ts"), col("parte"))
       .agg(sum(col("contador")).as("contador"),
-        max_by(col("tiempo"), col("side")).as("tiempo"),
-        min_by(col("original"), col("side")).as("original"))
+        max(col("tiempo")).as("tiempo"),
+        min(col("original")).as("original"))
       .select(col("station"), col("parte"), col("original"),
         col("contador"), col("tiempo"), col("ts"))
       .as[PartObservation]

@@ -26,14 +26,22 @@ object Sinks {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = new Path(path)
     val tmp = new Path(path + "._tmp")
+    val old = new Path(path + "._old")
+    // crash recovery: a previous run may have died between the two
+    // renames below — the displaced table is still at `old`
+    if (!fs.exists(cur) && fs.exists(old)) fs.rename(old, cur)
     val merged =
       if (fs.exists(cur)) spark.read.parquet(path).unionByName(batch, allowMissingColumns = true)
       else batch
     val w = Window.partitionBy(keys.map(col): _*).orderBy(version.map(c => col(c).desc): _*)
     merged.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (fs.exists(cur)) fs.delete(cur, true)
+    // two renames instead of delete+rename: at no point is the only
+    // copy of the table deleted (single-writer; foreachBatch serializes)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(cur)) fs.rename(cur, old)
     fs.rename(tmp, cur)
+    fs.delete(old, true)
   }
 
   /** K4: dedup-append CSV — append only rows whose logical key

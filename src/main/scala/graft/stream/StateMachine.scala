@@ -1,7 +1,7 @@
 package graft.stream
 
 import java.sql.Timestamp
-import java.time.{LocalDate, LocalDateTime, ZoneOffset}
+import java.time.ZoneOffset
 
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -12,26 +12,38 @@ import graft.model._
   * `plc_processor` loop (Prensas.py:616-831) re-expressed as a
   * `flatMapGroupsWithState` function emitting typed [[ActionRow]]s.
   *
-  * Semantics preserved (SURVEY ST2-ST5):
-  *  - admission: unseen key resolves a prior record (resume with
-  *    corrida_previa when status 8, Prensas.py:722-724) or creates one
-  *    (status 3, Prensas.py:315-331); unknown parts go to the
-  *    parts-not-found sink (Prensas.py:343-353)
-  *  - counter-delta gate: `cnt > prev or (shift_changed and cnt >= prev)`
-  *    (Prensas.py:756); qty = (cnt − base + corrida) × multiplier
-  *    (Prensas.py:787-792)
-  *  - shift rollover: snapshot contador_ct, open a record for the new
-  *    shift, carry corrida (Prensas.py:757-785)
+  * Semantics mirrored from the reference (SURVEY ST2-ST5):
+  *  - admission (Prensas.py:703-741): resolve the prior record for
+  *    (station, date, shift, part) or create one (status 3); the gate
+  *    baseline `contador_registro` starts at the record's produced
+  *    quantity (zeroed on a paused record, whose produced becomes
+  *    corrida_previa — Prensas.py:723-724); base_ct starts at 0, so
+  *    produced := counter + corrida until the first shift change
+  *    (Prensas.py:788-792)
+  *  - counter gate (Prensas.py:756): `cnt > prev or (cambio and
+  *    cnt >= prev)`; when the gate fails NOTHING updates — prev and
+  *    hora_cambio only move on successful updates (Prensas.py:811-812)
+  *  - shift rollover happens INSIDE the gate (Prensas.py:757-785):
+  *    base_ct snapshots prev, the new shift's record is resolved or
+  *    created, and corrida_previa comes from THAT record when paused,
+  *    else 0 (Prensas.py:783)
+  *  - history rows carry the RAW counter as quantity (Prensas.py:802)
   *  - silence: ProcessingTimeTimeout closes the run 7→8 once and clears
-  *    state (limpieza_ejecutada edge-trigger, Prensas.py:663-685)
+  *    state (limpieza edge-trigger, Prensas.py:663-685); the close is
+  *    stamped after the last update so a newest-wins upsert applies it
   *
   * Departures from the reference (SURVEY §7.5, deliberate):
   *  - record ids are deterministic keys `station|parte|date|shift`
   *    (no SQL-Server OUTPUT clause; distributed-safe)
   *  - the per-part AS400/records lookups become pre-resolved broadcast
   *    maps instead of per-key round trips
-  *  - event time comes from the observation's own timestamp, never the
-  *    wall clock — the whole machine is deterministic and testable.
+  *  - cambio also fires when the observation's (planDate, shift)
+  *    differs from the state's — equal to the reference's time-of-day
+  *    predicate under continuous 1 Hz ticks, but correct across
+  *    multi-day stream gaps where the reference silently reuses the
+  *    old record
+  *  - event time comes from the observation's own timestamp (UTC),
+  *    never the wall clock — deterministic and testable.
   */
 class StateMachine(
     knownParts: Map[(String, String), Long],        // (station, parte) → part id
@@ -51,54 +63,67 @@ class StateMachine(
 
     if (!state.exists && !rows.hasNext && state.hasTimedOut) return Iterator.empty
     if (state.hasTimedOut) {
-      // ST4: silence → close the run once (status 7→8) + clear state
+      // ST4: silence → close the run once (status 7→8) + clear state.
+      // Stamped after the last update so the newest-wins upsert applies
+      // it (close rank also beats update at equal ts).
       val ar = state.get
       state.remove()
       return Iterator.single(ActionRow.closeShift(station, parte, ar.recordId,
-        ar.planDate, ar.shiftId, Timestamp.valueOf(s"${ar.planDate} 00:00:00"))
+        ar.planDate, ar.shiftId, new Timestamp(ar.lastTsMs + math.max(timeoutMs, 1L)))
         .copy(produced = ar.produced, plannedQty = ar.plannedQty))
     }
 
     val out = Vector.newBuilder[ActionRow]
-    val sorted = combine(rows.toVector)
 
-    for (obs <- sorted) {
+    for (obs <- combine(rows.toVector)) {
       val (shiftId, planDate) = shiftAndDate(obs.ts)
       val sec = secondsOfDay(obs.ts)
 
       if (!state.exists) {
-        admit(station, parte, obs, shiftId, planDate, out) match {
-          case Some(ar) => state.update(ar)
-          case None     => // unknown part: no state
-        }
-      } else {
+        admit(station, parte, obs, shiftId, planDate, out).foreach(state.update)
+      }
+      // the admission observation flows through the gate in the same
+      // tick (the reference iterates `datos` twice, Prensas.py:703,744)
+      if (state.exists) {
         var ar = state.get
-        val changed = shiftChanged(ar.lastSec, sec) || ar.planDate != planDate || ar.shiftId != shiftId
-        if (changed) {
-          // ST5: rollover — snapshot counter, open record for new shift
-          val rid = recordId(station, parte, planDate, shiftId)
-          out += ActionRow.create(station, parte, rid, planDate, shiftId, ar.plannedQty, obs.ts)
-          ar = ar.copy(recordId = rid, planDate = planDate, shiftId = shiftId,
-            contadorCt = ar.lastCount, baseCount = ar.lastCount,
-            corridaPrevia = ar.produced)
-        }
-        // P8 gate (Prensas.py:756)
-        if (obs.contador > ar.lastCount || (changed && obs.contador >= ar.lastCount)) {
-          val qty = (obs.contador - ar.baseCount + ar.corridaPrevia) * ar.multiplier
+        val cambio = shiftChanged(ar.lastUpdSec, sec) ||
+          ar.planDate != planDate || ar.shiftId != shiftId
+        val prev = ar.contadorRegistro
+        // P8 gate (Prensas.py:756); on failure nothing moves
+        if (obs.contador > prev || (cambio && obs.contador >= prev)) {
+          if (cambio) {
+            // ST5 rollover (Prensas.py:757-785): snapshot base, resolve
+            // or create the NEW shift's record; corrida only from a
+            // paused record of that new shift
+            val rid = recordId(station, parte, planDate, shiftId)
+            val (corrida, qPlan) = priorRecords.get(rid) match {
+              case Some(snap) =>
+                (if (snap.statusId == StatusPaused) snap.produced else 0L, snap.plannedQty)
+              case None =>
+                out += ActionRow.create(station, parte, rid, planDate, shiftId,
+                  ar.plannedQty, obs.ts)
+                (0L, ar.plannedQty)
+            }
+            ar = ar.copy(recordId = rid, planDate = planDate, shiftId = shiftId,
+              baseCt = prev, corridaPrevia = corrida, plannedQty = qPlan)
+          }
+          val qty = (obs.contador - ar.baseCt + ar.corridaPrevia) * ar.multiplier
+          // history carries the raw counter (Prensas.py:802)
           out += ActionRow.appendHistory(station, parte, ar.recordId,
-            (obs.contador - ar.lastCount) * ar.multiplier, obs.tiempo, obs.ts)
+            obs.contador, obs.tiempo, obs.ts)
           out += ActionRow.updateQty(station, parte, ar.recordId, qty, StatusProducing, obs.ts)
             .copy(planDate = ar.planDate, shiftId = ar.shiftId, plannedQty = ar.plannedQty)
-          ar = ar.copy(produced = qty)
+          ar = ar.copy(contadorRegistro = obs.contador, lastUpdSec = sec,
+            produced = qty, lastTsMs = obs.ts.getTime)
+          state.update(ar)
         }
-        state.update(ar.copy(lastCount = obs.contador, lastSec = sec))
       }
     }
     if (timeoutMs > 0 && state.exists) state.setTimeoutDuration(timeoutMs)
     out.result().iterator
   }
 
-  /** ST3 admission for an unseen key. */
+  /** ST3 admission for an unseen key (Prensas.py:703-741). */
   private def admit(station: String, parte: String, obs: PartObservation,
       shiftId: Int, planDate: String,
       out: collection.mutable.Builder[ActionRow, Vector[ActionRow]]): Option[ActiveRecord] = {
@@ -109,26 +134,21 @@ class StateMachine(
     }
     val rid = recordId(station, parte, planDate, shiftId)
     val mult = multiplierOf(parte)
-    priorRecords.get(rid) match {
-      case Some(snap) if snap.statusId == StatusPaused =>
-        // resume: corrida_previa = produced, counter base = current
-        // (Prensas.py:722-724)
-        Some(ActiveRecord(rid, planDate, shiftId, baseCount = obs.contador,
-          corridaPrevia = snap.produced, contadorCt = obs.contador, multiplier = mult,
-          plannedQty = snap.plannedQty, lastCount = obs.contador,
-          lastSec = secondsOfDay(obs.ts), produced = snap.produced))
-      case Some(snap) =>
-        Some(ActiveRecord(rid, planDate, shiftId, baseCount = obs.contador,
-          corridaPrevia = 0L, contadorCt = obs.contador, multiplier = mult,
-          plannedQty = snap.plannedQty, lastCount = obs.contador,
-          lastSec = secondsOfDay(obs.ts), produced = snap.produced))
+    val (qProd, status, qPlan) = priorRecords.get(rid) match {
+      case Some(snap) => (snap.produced, snap.statusId, snap.plannedQty)
       case None =>
-        out += ActionRow.create(station, parte, rid, planDate, shiftId, DefaultPlannedQty, obs.ts)
-        Some(ActiveRecord(rid, planDate, shiftId, baseCount = obs.contador,
-          corridaPrevia = 0L, contadorCt = obs.contador, multiplier = mult,
-          plannedQty = DefaultPlannedQty, lastCount = obs.contador,
-          lastSec = secondsOfDay(obs.ts), produced = 0L))
+        out += ActionRow.create(station, parte, rid, planDate, shiftId,
+          DefaultPlannedQty, obs.ts)
+        (0L, StatusCreated, DefaultPlannedQty)
     }
+    // paused record: its produced becomes corrida, the gate baseline
+    // restarts at 0 (Prensas.py:723-724, 731)
+    val corrida = if (status == StatusPaused) qProd else 0L
+    val prevEff = if (status == StatusPaused) 0L else qProd
+    Some(ActiveRecord(rid, planDate, shiftId,
+      contadorRegistro = prevEff, baseCt = 0L, corridaPrevia = corrida,
+      multiplier = mult, plannedQty = qPlan, lastUpdSec = secondsOfDay(obs.ts),
+      produced = prevEff, lastTsMs = obs.ts.getTime))
   }
 
   /** Wire the machine onto a typed observation stream. */
@@ -187,15 +207,18 @@ object StateMachine {
         original = group.map(_.original).min)
     }
 
+  /** Seconds-of-day in UTC — explicitly NOT the executor JVM's default
+    * timezone, so classification matches the batch-side shiftOf /
+    * planDateOf under `spark.sql.session.timeZone=UTC`. */
   def secondsOfDay(ts: Timestamp): Int = {
-    val t = ts.toLocalDateTime
+    val t = ts.toInstant.atZone(ZoneOffset.UTC).toLocalDateTime
     t.getHour * 3600 + t.getMinute * 60 + t.getSecond
   }
 
   /** F7 (Prensas.py:653-659): shift 1 = 08:00-15:59 on today's date;
-    * shift 2 otherwise, attributed to yesterday before 08:00. */
+    * shift 2 otherwise, attributed to yesterday before 08:00. UTC. */
   def shiftAndDate(ts: Timestamp): (Int, String) = {
-    val t = ts.toLocalDateTime
+    val t = ts.toInstant.atZone(ZoneOffset.UTC).toLocalDateTime
     val shift = if (t.getHour >= 8 && t.getHour < 16) 1 else 2
     val date = if (t.getHour >= 8) t.toLocalDate else t.toLocalDate.minusDays(1)
     (shift, date.toString)

@@ -53,8 +53,9 @@ class PlcSimSourceSpec extends SparkSpec {
     assert(q.awaitTermination(120000))
     val rec = spark.read.parquet(s"$outDir/production_records").collect()
     assert(rec.length == 1)
-    // counter rose 4 over 5 ticks from its base → produced 4 (mult 1)
-    assert(rec.head.getAs[Long]("produced") == 4L)
+    // produced := final raw counter (base + 4 after 5 ticks), base_ct 0
+    val base = graft.sources.PlcSim.base("10.0.0.1", "D3100")
+    assert(rec.head.getAs[Long]("produced") == base + 4L)
     assert(rec.head.getAs[String]("parte") == "AB12")
   }
 }

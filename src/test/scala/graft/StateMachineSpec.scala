@@ -40,12 +40,12 @@ class StateMachineSpec extends SparkSpec {
     val rid = StateMachine.recordId(station, parte, "2024-03-05", 1)
     assert(out.count(_.action == ActionRow.Create) == 1)
     val updates = out.filter(_.action == ActionRow.Update)
-    // baseline = 10 at admission; qty = cnt - base (mult 1): 2 then 5
-    assert(updates.map(_.produced) == Vector(2L, 5L))
+    // base_ct = 0 until rollover: produced := raw counter (Prensas.py:788)
+    assert(updates.map(_.produced) == Vector(10L, 12L, 15L))
     assert(updates.forall(_.recordId == rid))
     val hist = out.filter(_.action == ActionRow.History)
-    assert(hist.map(_.quantity) == Vector(2L, 3L)) // per-tick deltas
-    assert(st.get.lastCount == 15 && st.get.produced == 5)
+    assert(hist.map(_.quantity) == Vector(10L, 12L, 15L)) // raw counters (Prensas.py:802)
+    assert(st.get.contadorRegistro == 15 && st.get.produced == 15)
   }
 
   test("multiplier scales quantities (AS400 J6, default 1 when absent)") {
@@ -53,13 +53,13 @@ class StateMachineSpec extends SparkSpec {
     val st = freshState
     val out = m.process((station, parte),
       Seq(obs("2024-03-05 09:00:00", 10), obs("2024-03-05 09:00:05", 13)).iterator, st).toVector
-    assert(out.filter(_.action == ActionRow.Update).map(_.produced) == Vector(12L))
+    assert(out.filter(_.action == ActionRow.Update).map(_.produced) == Vector(40L, 52L))
   }
 
   test("scenario 2: shift boundary crossing 16:00 → new record, corrida carried") {
     val m = machine()
     val st = freshState
-    // shift 1: base 10 → produce 5
+    // shift 1: counter reaches 15 → produced 15
     m.process((station, parte),
       Seq(obs("2024-03-05 15:59:00", 10), obs("2024-03-05 15:59:30", 15)).iterator, st)
       .toVector
@@ -69,9 +69,10 @@ class StateMachineSpec extends SparkSpec {
     val ridShift2 = StateMachine.recordId(station, parte, "2024-03-05", 2)
     val creates = out2.filter(_.action == ActionRow.Create)
     assert(creates.map(_.recordId) == Vector(ridShift2))
-    // new base = last count 15, corrida = produced 5 → qty = (18-15)+5 = 8
-    assert(out2.filter(_.action == ActionRow.Update).map(_.produced) == Vector(8L))
-    assert(st.get.contadorCt == 15 && st.get.corridaPrevia == 5)
+    // base_ct snapshots prev (15); corrida only from a PAUSED new-shift
+    // record (none here) → qty = 18 - 15 + 0 = 3 (Prensas.py:762,783)
+    assert(out2.filter(_.action == ActionRow.Update).map(_.produced) == Vector(3L))
+    assert(st.get.baseCt == 15 && st.get.corridaPrevia == 0)
   }
 
   test("scenario 3: silence timeout → one-shot close 7→8 + state cleared") {
@@ -85,6 +86,9 @@ class StateMachineSpec extends SparkSpec {
     val out = m.process((station, parte), Iterator.empty, timedOut).toVector
     assert(out.map(_.action) == Vector(ActionRow.Close))
     assert(out.head.statusId == StateMachine.StatusPaused)
+    assert(out.head.produced == 10L) // close keeps produced (K5 flips status only)
+    // stamped AFTER the last update so the newest-wins upsert applies it
+    assert(out.head.ts.getTime > ts("2024-03-05 09:00:00").getTime)
     assert(!timedOut.exists) // edge-trigger: state cleared, fires once
   }
 
@@ -95,10 +99,24 @@ class StateMachineSpec extends SparkSpec {
     val st = freshState
     val out = m.process((station, parte),
       Seq(obs("2024-03-05 09:00:00", 10), obs("2024-03-05 09:00:05", 12)).iterator, st).toVector
-    // no create (record exists); qty = (12-10) + 40 = 42
+    // no create (record exists); gate baseline restarts at 0 and the
+    // paused produced becomes corrida: qty = cnt + 40 (Prensas.py:723-731)
     assert(out.count(_.action == ActionRow.Create) == 0)
-    assert(out.filter(_.action == ActionRow.Update).map(_.produced) == Vector(42L))
+    assert(out.filter(_.action == ActionRow.Update).map(_.produced) == Vector(50L, 52L))
     assert(st.get.plannedQty == 100L)
+  }
+
+  test("reconnect onto a producing record never regresses produced") {
+    val rid = StateMachine.recordId(station, parte, "2024-03-05", 1)
+    val m = machine(prior = Map(rid ->
+      RecordSnapshot(rid, produced = 500L, statusId = StateMachine.StatusProducing,
+        plannedQty = 0L)))
+    val st = freshState
+    val out = m.process((station, parte),
+      Seq(obs("2024-03-05 09:00:00", 120)).iterator, st).toVector
+    // gate baseline = prior produced 500; 120 < 500 → no update emitted
+    assert(out.isEmpty)
+    assert(st.get.produced == 500L)
   }
 
   test("scenario 5: unknown part → parts-not-found action, no state") {
@@ -116,8 +134,9 @@ class StateMachineSpec extends SparkSpec {
     val st = freshState
     val out = m.process((station, parte),
       Seq(obs("2024-03-05 09:00:00", 10), obs("2024-03-05 09:00:05", 3)).iterator, st).toVector
-    assert(out.count(_.action == ActionRow.Update) == 0)
-    assert(st.get.lastCount == 3) // baseline tracks the reset
+    // the admission tick itself updates (10 > 0); the reset does not
+    assert(out.count(_.action == ActionRow.Update) == 1)
+    assert(st.get.contadorRegistro == 10) // prev frozen until counter recovers (Prensas.py:811)
   }
 
   test("night shift spans midnight on one record (F7 date attribution)") {

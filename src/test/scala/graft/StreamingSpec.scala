@@ -52,12 +52,13 @@ class StreamingSpec extends SparkSpec {
     val rid = StateMachine.recordId(station, "AAA", "2024-03-05", 1)
     val rec = records.filter(col("record_id") === rid).collect()
     assert(rec.length == 1, s"one row per record key, got ${records.count()}")
-    // produced = (14 - 10) * mult 2 = 8; status producing
-    assert(rec.head.getAs[Long]("produced") == 8L)
+    // produced := counter × mult from base 0 = 14 * 2 = 28; status producing
+    assert(rec.head.getAs[Long]("produced") == 28L)
     assert(rec.head.getAs[Int]("status_id") == StateMachine.StatusProducing)
 
     val hist = spark.read.parquet(s"$outDir/histories")
-    assert(hist.agg(sum("quantity")).as[Long].collect().head == 8L)
+    // history rows carry the raw counter (10 + 14)
+    assert(hist.agg(sum("quantity")).as[Long].collect().head == 24L)
 
     val nf = spark.read.option("header", "true").csv(s"$outDir/parts_not_found")
     assert(nf.count() == 1)
