@@ -81,9 +81,10 @@ object Dedup {
       .filter(length(col("tok")) > 0).distinct()
       .withColumn("hv", expr("CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS INT)"))
     // one aggregation with 16 pivoted vote sums — no 16× row explosion,
-    // single shuffle (vs explode(0..15) + two groupBys)
+    // single shuffle (vs explode(0..15) + two groupBys); bits via
+    // integer shift/mask, not floor/pow double math
     val voteCols = (0 until 16).map(b =>
-      sum(pmod(floor(col("hv") / lit(1 << b)).cast("long"), lit(2)) * 2 - 1).as(s"v$b"))
+      sum(expr(s"(shiftright(hv, $b) & 1) * 2 - 1").cast("long")).as(s"v$b"))
     toks.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
       .select(col("doc_id"),
         (0 until 16).map(b =>

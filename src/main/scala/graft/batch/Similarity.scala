@@ -23,6 +23,14 @@ import graft.Tables
   * Numeric policy: dot products fold left-to-right over the array in
   * DOUBLE (deterministic); cosines are rounded to 6 dp BEFORE ranking
   * so Spark and the DuckDB oracle rank identical values.
+  *
+  * Calibration: bucket counts are corpus-density decisions. 8
+  * hyperplanes (256 buckets) targets ≥ millions of vectors; over the
+  * 500-2000-vector fixtures it deliberately over-partitions (low
+  * global recall, maximal pruning), which the oracle still checks
+  * exactly. On a real corpus tune planes ≈ log2(n / desired bucket
+  * size) and add multi-probe for recall; same for the IVF centroid
+  * sampling rate.
   */
 object Similarity {
 
