@@ -5,12 +5,14 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.DecodePlcWordsExpr
+import graft.plans.{AsOfJoinStrategy, PushProbeFilterThroughAsOfJoin}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
-  * functions at session build time —
-  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * functions, planner strategies, and optimizer rules at session build
+  * time — `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.GraftExtensions`.
-  * (For an existing session use [[functions.GraftFunctions.register]].)
+  * (For an existing session use [[functions.GraftFunctions.register]] and
+  * [[plans.AsOf.ensureRegistered]].)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -18,5 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("decode_plc_words"),
       new ExpressionInfo(classOf[DecodePlcWordsExpr].getName, "decode_plc_words"),
       (exprs: Seq[Expression]) => DecodePlcWordsExpr(exprs.head)))
+    e.injectPlannerStrategy(_ => new AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => PushProbeFilterThroughAsOfJoin)
   }
 }

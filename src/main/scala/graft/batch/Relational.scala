@@ -139,6 +139,27 @@ object Relational {
       .orderBy("purchase_id")
   }
 
+  /** J9 as-of, native tier: the same semantics as [[q8_asof]] through the
+    * custom Catalyst operator ([[graft.plans.AsOfJoinPlan]] →
+    * `AsOfJoinExec` co-partitioned merge) instead of union+window. The
+    * post-join purchase filter is probe-side, so
+    * [[graft.plans.PushProbeFilterThroughAsOfJoin]] moves it below the
+    * join — i.e. before the shuffle. Both formulations are oracle-checked
+    * against DuckDB's native ASOF JOIN. */
+  def q29_asof_native(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts")).agg(max("event_id").as("click_event_id"))
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("click_event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+    graft.plans.AsOf.join(purchases, clicks, "user_id", "c_user", "p_ts", "c_ts")
+      .filter(col("purchase_id") % 2 === 0)
+      .select(col("purchase_id"), col("user_id"),
+        col("c_ts").as("last_click_ts"), col("click_event_id").as("last_click_id"))
+      .orderBy("purchase_id")
+  }
+
   // ---------------------------------------------------------------- q9/q10
   /** A7: ROLLUP over region/nation. */
   def q9_rollup(s: SparkSession, d: String): DataFrame = {
@@ -413,6 +434,7 @@ object Relational {
     "q6_outer" -> (q6_outer _),
     "q7_theta" -> (q7_theta _),
     "q8_asof" -> (q8_asof _),
+    "q29_asof_native" -> (q29_asof_native _),
     "q9_rollup" -> (q9_rollup _),
     "q10_cube" -> (q10_cube _),
     "q11_distinct" -> (q11_distinct _),
@@ -490,6 +512,18 @@ object Relational {
         |  c.ts AS last_click_ts, c.click_event_id AS last_click_id
         |FROM purchases p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin,
+    "q29_asof_native" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, MAX(event_id) AS click_event_id FROM events
+        |  WHERE event_type = 'click' GROUP BY 1,2),
+        |purchases AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+        |  c.ts AS last_click_ts, c.click_event_id AS last_click_id
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |WHERE p.event_id % 2 = 0
         |ORDER BY purchase_id""".stripMargin,
     "q9_rollup" ->
       """SELECT COALESCE(r_name,'ALL') AS region_name, COALESCE(n_name,'ALL') AS nation_name,

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+
+import graft.batch.Relational
+import graft.plans.{AsOf, AsOfJoinExec, AsOfJoinPlan}
+
+/** The native as-of join (logical plan + strategy + merge exec) —
+  * semantics vs the window-based formulation, outer-null behavior,
+  * and the probe-filter pushdown rule. */
+class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("unit semantics: latest-at-or-before per key, nulls when none") {
+    import spark.implicits._
+    val probe = Seq(("a", 10L, "p1"), ("a", 20L, "p2"), ("b", 5L, "p3"), ("c", 9L, "p4"))
+      .toDF("k", "t", "pid")
+    val ref = Seq(("a", 8L, "r1"), ("a", 15L, "r2"), ("a", 20L, "r3"), ("b", 6L, "r4"))
+      .toDF("rk", "rt", "rid")
+    val out = AsOf.join(probe, ref, "k", "rk", "t", "rt")
+      .select("pid", "rid").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out === Map("p1" -> "r1", "p2" -> "r3", "p3" -> null, "p4" -> null))
+  }
+
+  test("duplicate reference times: last one in (key,time) order wins") {
+    import spark.implicits._
+    val probe = Seq(("a", 10L, "p1")).toDF("k", "t", "pid")
+    val ref = Seq(("a", 10L, "r1"), ("a", 10L, "r2")).toDF("rk", "rt", "rid")
+    val out = AsOf.join(probe, ref, "k", "rk", "t", "rt").select("rid").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("r2"))
+  }
+
+  test("q29 native == q8 window formulation (restricted to q29's filter)") {
+    val q8 = Relational.q8_asof(spark, sf).filter(col("purchase_id") % 2 === 0).collect()
+    val q29 = Relational.q29_asof_native(spark, sf).collect()
+    assert(q29.length > 0)
+    assert(q29.toSeq === q8.toSeq)
+  }
+
+  test("plans through AsOfJoinExec; probe filter is pushed below the join") {
+    val df = Relational.q29_asof_native(spark, sf)
+    val execs = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case e: AsOfJoinExec => e
+    }
+    assert(execs.size === 1)
+    // the optimizer rule must land the purchase_id filter on the probe
+    // child of the logical as-of node (i.e. before the shuffle)
+    val pushed = df.queryExecution.optimizedPlan.collect {
+      case j: AsOfJoinPlan => j.left.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.references.map(_.name).exists(_ == "purchase_id") => f
+      }.isDefined
+    }
+    assert(pushed === Seq(true))
+    // no Filter remains above the as-of node in the optimized plan
+    val above = df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.collectFirst { case _: AsOfJoinPlan => () }.isDefined => f
+    }
+    assert(above.isEmpty)
+  }
+
+  test("probe-side partitioning/ordering pass through (no extra exchange)") {
+    import spark.implicits._
+    val probe = spark.range(0, 1000).select(
+      (col("id") % 7).as("k"), col("id").as("t"), col("id").as("pid"))
+    val ref = spark.range(0, 100).select(
+      (col("id") % 7).as("rk"), (col("id") * 3).as("rt"), col("id").as("rid"))
+    // aggregating the join output by the probe key must NOT add a second
+    // shuffle on the probe path: AsOfJoinExec preserves child partitioning
+    val agg = AsOf.join(probe, ref, "k", "rk", "t", "rt")
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    val exchanges = collectWithSubqueries(agg.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size === 2) // one per join child, none for the agg
+    assert(agg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === (0L to 6L).map(k => k -> (1000L / 7 + (if (k < 1000 % 7) 1 else 0))).toMap)
+  }
+}
