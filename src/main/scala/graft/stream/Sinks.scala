@@ -99,7 +99,14 @@ object Sinks {
     * the reference's 1 Hz cadence (ST1, Prensas.py:603-604) instead of
     * back-to-back empty batches; pass `Trigger.AvailableNow()` for
     * drain-and-stop (tests, backfills — state persists in the
-    * checkpoint across restarts). */
+    * checkpoint across restarts).
+    *
+    * At scale, set `spark.sql.streaming.stateStore.providerClass` to
+    * `...state.RocksDBStateStoreProvider` (+
+    * `spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing
+    * .enabled=true`): keyed state goes off-heap/on-disk per executor
+    * and checkpoints ship changelogs instead of full snapshots.
+    * Semantics are provider-independent (RocksDBStateSpec). */
   def startPipeline(obs: Dataset[PartObservation], machine: StateMachine,
       outDir: String, checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
