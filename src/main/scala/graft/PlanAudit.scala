@@ -13,7 +13,8 @@ object PlanAudit {
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_agg", "q3_join3", "q4_semi", "q7_theta", "q8_asof",
-        "q12_window_frame", "qd2_minhash_lsh", "qs1_knn_bruteforce", "qst2_sessions")
+        "q29_asof_native", "q12_window_frame", "qd2_minhash_lsh",
+        "qs1_knn_bruteforce", "qst2_sessions")
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("graft-plan-audit")
