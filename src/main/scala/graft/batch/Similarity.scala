@@ -71,10 +71,10 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
-  /** Sign bits for all hyperplanes → bucket id column (0..255). */
-  private def bucketCol: Column = {
-    val bits = (0 until Planes).map { p =>
-      val ws = typedLit((0 until Dim).map(i => weight(p, i)))
+  /** Sign bits for all hyperplanes → bucket id column (0..2^planes-1). */
+  private def bucketCol(dim: Int = Dim, planes: Int = Planes): Column = {
+    val bits = (0 until planes).map { p =>
+      val ws = typedLit((0 until dim).map(i => weight(p, i)))
       val proj = round(aggregate(
         zip_with(col("embedding"), ws, (x, w) => x.cast("double") * w),
         lit(0.0), (acc, v) => acc + v), 6)
@@ -83,10 +83,46 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  // ------------------------------------------------------- library API
+  // The qs* queries above are oracle-calibrated instances of these two
+  // generic entry points over any (vec_id: long, embedding: array) frame.
+
+  /** Exact top-k cosine neighbors of each query vector (queries must be
+    * broadcast-small; the corpus never shuffles). Output: (qid, rank,
+    * neighbor_id, rcos). */
+  def knnTopK(emb: DataFrame, queryIds: DataFrame, k: Int): DataFrame = {
+    val corpus = withNorm(emb)
+    val q = corpus.join(queryIds, Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val joined = corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("rcos", round(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+    val w = Window.partitionBy("qid").orderBy(col("rcos").desc, col("vec_id").asc)
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("rcos"))
+  }
+
+  /** Approximate top-k via random-hyperplane LSH: candidates are the
+    * query's bucket only, so the pair space shrinks ~2^planes-fold.
+    * Tune planes ≈ log2(corpus / desired bucket size); recall depends
+    * on corpus clusteredness (SimilaritySpec measures it on a clustered
+    * synthetic corpus). Same output shape as [[knnTopK]]. */
+  def annTopK(emb: DataFrame, queryIds: DataFrame, dim: Int, planes: Int, k: Int): DataFrame = {
+    val corpus = withNorm(emb).withColumn("bucket", bucketCol(dim, planes))
+    val q = corpus.join(queryIds, Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("bucket").as("qbucket"))
+    val cand = q.join(corpus, col("qbucket") === col("bucket") && col("vec_id") =!= col("qid"))
+      .withColumn("rcos", round(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+    val w = Window.partitionBy("qid").orderBy(col("rcos").desc, col("vec_id").asc)
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("rcos"))
+  }
+
   /** qs2: ANN via random-hyperplane LSH buckets; top-1 in-bucket
     * neighbor per query (left join keeps queries with empty buckets). */
   def qs2_ann_lsh(s: SparkSession, d: String): DataFrame = {
-    val emb = withNorm(Tables.embeddings(s, d)).withColumn("bucket", bucketCol)
+    val emb = withNorm(Tables.embeddings(s, d)).withColumn("bucket", bucketCol())
     val q = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("bucket").as("qbucket"))

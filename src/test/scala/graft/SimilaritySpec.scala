@@ -44,4 +44,38 @@ class SimilaritySpec extends SparkSpec {
     // cells partition the corpus: a probe never scans everything
     assert(rows.forall(_._2 < corpus))
   }
+
+  test("calibrated LSH recall: clustered corpus, planes sized to density") {
+    // 40 well-separated direction clusters × 50 points, dim 16. When
+    // planes ≈ log2(n / bucket) is sized for the corpus (4 planes → 16
+    // buckets → ~125 vectors/bucket), near neighbors share sign bits
+    // and recall@5 is high — this is the calibration claim in
+    // Similarity's scaladoc, measured.
+    val rnd = new scala.util.Random(42)
+    val dim = 16
+    val centers = Array.fill(40)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val points = for (c <- centers.indices; p <- 0 until 50) yield {
+      val e = centers(c).map(v => v + (rnd.nextDouble() * 2 - 1) * 0.1)
+      (c.toLong * 50 + p, e.toSeq)
+    }
+    val emb = points.toDF("vec_id", "embedding")
+    val queryIds = points.indices.by(101).map(i => points(i)._1).toDF("vec_id")
+
+    val k = 5
+    val exact = Similarity.knnTopK(emb, queryIds, k)
+      .select($"qid", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Similarity.annTopK(emb, queryIds, dim, planes = 4, k)
+      .select($"qid", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    val recalls = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean recall@$k over ${recalls.size} queries: $mean%.3f")
+    assert(mean >= 0.6, f"calibrated LSH recall@$k too low: $mean%.3f")
+    // sanity: approximate neighbors are never better-than-exact
+    assert(approx.keySet.subsetOf(exact.keySet))
+  }
 }
