@@ -24,12 +24,18 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(out === Map("p1" -> "r1", "p2" -> "r3", "p3" -> null, "p4" -> null))
   }
 
-  test("duplicate reference times: last one in (key,time) order wins") {
+  test("duplicate reference times: one of the tied rows wins") {
+    // which of two equal-(key,time) rows wins depends on shuffle arrival
+    // order; the guarantee is only that SOME max-time row matches
     import spark.implicits._
     val probe = Seq(("a", 10L, "p1")).toDF("k", "t", "pid")
-    val ref = Seq(("a", 10L, "r1"), ("a", 10L, "r2")).toDF("rk", "rt", "rid")
-    val out = AsOf.join(probe, ref, "k", "rk", "t", "rt").select("rid").collect()
-    assert(out.map(_.getString(0)).toSeq === Seq("r2"))
+    val ref = Seq(("a", 10L, "r1"), ("a", 10L, "r2"), ("a", 5L, "r0"))
+      .toDF("rk", "rt", "rid")
+    val out = AsOf.join(probe, ref, "k", "rk", "t", "rt")
+      .select("rid", "rt").collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(1) === 10L)
+    assert(Set("r1", "r2").contains(out.head.getString(0)))
   }
 
   test("q29 native == q8 window formulation (restricted to q29's filter)") {
@@ -60,6 +66,39 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         if f.collectFirst { case _: AsOfJoinPlan => () }.isDefined => f
     }
     assert(above.isEmpty)
+  }
+
+  test("randomized: merge exec == window-formulation reference, 20 rounds") {
+    // the merge iterator carries cross-row state (lookahead, matched,
+    // matchedKey); randomized keys/times with heavy duplication probe the
+    // key-boundary and equal-time paths a fixture won't
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 20) {
+      val nKeys = 1 + rnd.nextInt(5)
+      val probe = Seq.fill(30 + rnd.nextInt(40))(
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(20).toLong)).zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong) }
+      // distinct (key,time) pairs: with duplicates the winner depends on
+      // shuffle arrival order (not a semantic the exec guarantees — see
+      // the duplicate-times unit test)
+      val ref = Seq.fill(rnd.nextInt(60))(
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(20).toLong))
+        .distinct.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val probeDf = probe.toDF("k", "t", "pid")
+      val refDf = ref.toDF("rk", "rt", "rid")
+
+      val got = AsOf.join(probeDf, refDf, "k", "rk", "t", "rt")
+        .select($"pid", $"rid").as[(Long, Option[Long])].collect().toMap
+
+      // reference semantics, computed directly: latest (rt, rid) <= t
+      val byKey = ref.groupBy(_._1)
+      val want = probe.map { case (k, t, pid) =>
+        val cands = byKey.getOrElse(k, Nil).filter(_._2 <= t)
+        pid -> cands.sortBy(_._2).lastOption.map(_._3)
+      }.toMap
+      assert(got === want, s"round $round mismatch (nKeys=$nKeys)")
+    }
   }
 
   test("probe-side partitioning/ordering pass through (no extra exchange)") {
