@@ -111,11 +111,32 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** qd5: embedding-cosine near-dup — pairs of a vec_id-sampled subset
+    * whose rounded cosine clears a fixture-calibrated threshold, plus
+    * the canonical keep/dup assignment (min id survives). Sampling makes
+    * the exact all-pairs oracle tractable, like [[qd4_ngram_jaccard]];
+    * at corpus scale the pair space comes from LSH buckets
+    * ([[Similarity.annTopK]]'s machinery) or IVF cells first, and this
+    * exact cosine pass runs per bucket. */
+  def qd5_embedding_neardup(s: SparkSession, d: String): DataFrame = {
+    val nm = Tables.embeddings(s, d)
+      .filter(pmod(col("vec_id"), lit(2)) === 1)
+      .withColumn("nrm", sqrt(Similarity.norm2(col("embedding"))))
+    val a = nm.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = nm.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("rcos", round(Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .filter(col("rcos") >= 0.4)
+      .select(col("id_a").as("keep_id"), col("id_b").as("dup_id"), col("rcos"))
+      .orderBy("keep_id", "dup_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qd1_exact_dedup" -> (qd1_exact_dedup _),
     "qd2_minhash_lsh" -> (qd2_minhash_lsh _),
     "qd3_simhash" -> (qd3_simhash _),
-    "qd4_ngram_jaccard" -> (qd4_ngram_jaccard _))
+    "qd4_ngram_jaccard" -> (qd4_ngram_jaccard _),
+    "qd5_embedding_neardup" -> (qd5_embedding_neardup _))
 
   private val shingleSql =
     s"""shingles AS (
@@ -183,5 +204,18 @@ object Dedup {
          | CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) AS jaccard
          |FROM inter JOIN counts ca ON id_a = ca.doc_id JOIN counts cb ON id_b = cb.doc_id
          |WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.2
-         |ORDER BY id_a, id_b""".stripMargin)
+         |ORDER BY id_a, id_b""".stripMargin,
+    "qd5_embedding_neardup" ->
+      """WITH nm AS (
+        | SELECT vec_id, embedding,
+        |  sqrt((SELECT SUM(CAST(embedding[i.i + 1] AS DOUBLE) * CAST(embedding[i.i + 1] AS DOUBLE))
+        |        FROM range(64) i(i))) AS nrm
+        | FROM embeddings WHERE vec_id % 2 = 1)
+        |SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+        | round((SELECT SUM(CAST(a.embedding[i.i + 1] AS DOUBLE) * CAST(b.embedding[i.i + 1] AS DOUBLE))
+        |        FROM range(64) i(i)) / (a.nrm * b.nrm), 6) AS rcos
+        |FROM nm a JOIN nm b ON a.vec_id < b.vec_id
+        |WHERE round((SELECT SUM(CAST(a.embedding[i.i + 1] AS DOUBLE) * CAST(b.embedding[i.i + 1] AS DOUBLE))
+        |       FROM range(64) i(i)) / (a.nrm * b.nrm), 6) >= 0.4
+        |ORDER BY keep_id, dup_id""".stripMargin)
 }

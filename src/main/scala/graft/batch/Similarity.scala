@@ -46,11 +46,11 @@ object Similarity {
     if ((Character.digit(hex.charAt(0), 16) % 2) == 0) 1.0 else -1.0
   }
 
-  private def dot(a: Column, b: Column): Column =
+  private[batch] def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  private def norm2(a: Column): Column =
+  private[batch] def norm2(a: Column): Column =
     aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
