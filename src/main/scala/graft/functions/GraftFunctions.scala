@@ -22,6 +22,9 @@ object GraftFunctions {
   /** Column API for the native decode expression. */
   def decode_plc_words(c: Column): Column = column(DecodePlcWordsExpr(expression(c)))
 
+  /** Column API for the native dot product ([[VectorDotExpr]]). */
+  def vec_dot(a: Column, b: Column): Column = column(VectorDotExpr(expression(a), expression(b)))
+
   private def sqlMacro(spark: SparkSession, template: String): Seq[Expression] => Expression = {
     val parsed = spark.sessionState.sqlParser.parseExpression(template)
     exprs =>
@@ -46,6 +49,8 @@ object GraftFunctions {
 
     reg.createOrReplaceTempFunction("decode_plc_words",
       exprs => DecodePlcWordsExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_dot",
+      exprs => VectorDotExpr(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("encode_plc_words", macroFn(
       s"""if(length(__a0) = 0, cast(array() as array<int>),
          | transform(sequence(0, cast(length($Padded) / 2 as int) - 1),

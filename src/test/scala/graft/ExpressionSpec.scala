@@ -56,4 +56,33 @@ class ExpressionSpec extends SparkSpec {
     val bad = decoded.filter(col("d") =!= concat(lit("P"), col("id").cast("string"))).count()
     assert(bad == 0)
   }
+
+  test("vec_dot == aggregate(zip_with(...)) composition, bit-identical") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.fill(200)((
+      Seq.fill(64)(rnd.nextFloat() * 2 - 1),
+      Seq.fill(64)(rnd.nextFloat() * 2 - 1))) :+
+      (Seq.empty[Float], Seq.empty[Float])           // empty → 0.0
+    val df = rows.toDF("a", "b")
+    val composed = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val diffs = df.select(
+        GraftFunctions.vec_dot(col("a"), col("b")).as("native"), composed.as("ref"))
+      .filter(col("native") =!= col("ref")).count()
+    assert(diffs == 0, "native dot must be bit-identical to the composition")
+    // null semantics: length mismatch and null element both → null
+    val edge = Seq(
+      (Seq(Some(1.0f), Some(2.0f)), Seq(Some(1.0f))),
+      (Seq(Some(1.0f), None), Seq(Some(1.0f), Some(2.0f))))
+      .toDF("a", "b")
+      .select(GraftFunctions.vec_dot(col("a"), col("b")).as("d")).collect()
+    assert(edge.forall(_.isNullAt(0)))
+    // SQL surface
+    GraftFunctions.register(spark)
+    val s = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))").collect().head.getDouble(0)
+    assert(s == 11.0)
+  }
 }
