@@ -75,20 +75,21 @@ object Dedup {
   /** qd3: 16-bit SimHash over distinct word tokens — per-bit ±1 votes
     * from the token's md5, bit set when the vote sum is positive. */
   def qd3_simhash(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"),
-        explode(split(lower(substring(col("text"), 1, 200)), " ")).as("tok"))
-      .filter(length(col("tok")) > 0).distinct()
-      .withColumn("hv", expr("CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS INT)"))
-    // one aggregation with 16 pivoted vote sums — no 16× row explosion,
-    // single shuffle (vs explode(0..15) + two groupBys); bits via
-    // integer shift/mask, not floor/pow double math
-    val voteCols = (0 until 16).map(b =>
-      sum(expr(s"(shiftright(hv, $b) & 1) * 2 - 1").cast("long")).as(s"v$b"))
-    toks.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
-      .select(col("doc_id"),
-        (0 until 16).map(b =>
-          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+    // the per-doc token SET is row-local (doc_id is the PK), so the
+    // whole fingerprint is a pure map pass: distinct tokens inside the
+    // array, one md5 per token, 16 shift/mask vote folds — ZERO data
+    // shuffles; the only exchange left is the presentation sort. (The
+    // earlier explode → distinct → groupBy formulation paid two
+    // shuffles of the 2M-row token stream for the same answer.)
+    val hvs = expr(
+      "transform(array_distinct(filter(split(lower(substring(text, 1, 200)), ' '), " +
+        "t -> length(t) > 0)), t -> CAST(conv(substring(md5(t), 1, 4), 16, 10) AS INT))")
+    val simhash = (0 until 16).map(b =>
+      when(expr(s"aggregate(hvs, 0L, (acc, hv) -> acc + (shiftright(hv, $b) & 1) * 2 - 1)") > 0,
+        lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    Tables.documents(s, d).select(col("doc_id"), hvs.as("hvs"))
+      .filter(size(col("hvs")) > 0) // all-empty docs vanish, as before
+      .select(col("doc_id"), simhash.as("simhash"))
       .orderBy("doc_id")
   }
 
