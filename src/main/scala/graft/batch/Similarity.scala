@@ -77,9 +77,7 @@ object Similarity {
   private def bucketCol(dim: Int = Dim, planes: Int = Planes): Column = {
     val bits = (0 until planes).map { p =>
       val ws = typedLit((0 until dim).map(i => weight(p, i)))
-      val proj = round(aggregate(
-        zip_with(col("embedding"), ws, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v), 6)
+      val proj = round(graft.functions.GraftFunctions.vec_dot(col("embedding"), ws), 6)
       when(proj >= 0, lit(1L) * (1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -104,16 +102,28 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("rcos"))
   }
 
-  /** Approximate top-k via random-hyperplane LSH: candidates are the
-    * query's bucket only, so the pair space shrinks ~2^planes-fold.
-    * Tune planes ≈ log2(corpus / desired bucket size); recall depends
-    * on corpus clusteredness (SimilaritySpec measures it on a clustered
-    * synthetic corpus). Same output shape as [[knnTopK]]. */
-  def annTopK(emb: DataFrame, queryIds: DataFrame, dim: Int, planes: Int, k: Int): DataFrame = {
+  /** Approximate top-k via random-hyperplane LSH: candidates come from
+    * the query's bucket, so the pair space shrinks ~2^planes-fold. Tune
+    * planes ≈ log2(corpus / desired bucket size); recall depends on
+    * corpus clusteredness (SimilaritySpec measures it on a clustered
+    * synthetic corpus).
+    *
+    * `multiProbe = true` additionally probes every bucket at Hamming
+    * distance 1 from the query's (single-bit flips): planes+1 buckets
+    * instead of 1, recovering neighbors that fell just across one
+    * hyperplane. Candidate volume grows ×(planes+1) but stays
+    * ~(planes+1)/2^planes of brute force — the standard
+    * recall-vs-probe-cost dial. The corpus side is untouched (still one
+    * bucket per vector, one shuffle by bucket); only the query side
+    * explodes. Same output shape as [[knnTopK]]. */
+  def annTopK(emb: DataFrame, queryIds: DataFrame, dim: Int, planes: Int, k: Int,
+      multiProbe: Boolean = false): DataFrame = {
     val corpus = withNorm(emb).withColumn("bucket", bucketCol(dim, planes))
-    val q = corpus.join(queryIds, Seq("vec_id"), "left_semi")
+    val q0 = corpus.join(queryIds, Seq("vec_id"), "left_semi")
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("bucket").as("qbucket"))
+    val q = if (!multiProbe) q0 else q0.withColumn("qbucket", explode(expr(
+      s"concat(array(qbucket), transform(sequence(0, ${planes - 1}), p -> qbucket ^ shiftleft(1L, p)))")))
     val cand = q.join(corpus, col("qbucket") === col("bucket") && col("vec_id") =!= col("qid"))
       .withColumn("rcos", round(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
     val w = Window.partitionBy("qid").orderBy(col("rcos").desc, col("vec_id").asc)

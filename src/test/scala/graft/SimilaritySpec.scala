@@ -77,5 +77,21 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.6, f"calibrated LSH recall@$k too low: $mean%.3f")
     // sanity: approximate neighbors are never better-than-exact
     assert(approx.keySet.subsetOf(exact.keySet))
+
+    // over-partitioned regime (6 planes → 64 buckets for 2000 vectors):
+    // Hamming-1 multi-probe must recover recall lost to bucket splits
+    def recallOf(multiProbe: Boolean): Double = {
+      val got = Similarity.annTopK(emb, queryIds, dim, planes = 6, k, multiProbe)
+        .select($"qid", $"neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.map { case (q, truth) =>
+        got.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }.sum / exact.size
+    }
+    val single = recallOf(multiProbe = false)
+    val multi = recallOf(multiProbe = true)
+    info(f"6-plane recall@$k: single-probe $single%.3f, multi-probe $multi%.3f")
+    assert(multi > single, f"multi-probe ($multi%.3f) should beat single ($single%.3f)")
+    assert(multi >= 0.6, f"multi-probe recall too low: $multi%.3f")
   }
 }
