@@ -83,6 +83,34 @@ class WindowingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: purchase joined to clicks within 10 min") {
+    // two independent watermarked streams joined on key + event-time
+    // range — the Structured Streaming as-of analog (state is bounded
+    // by the watermark + interval, so it runs forever at scale)
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    def ts(s: String) = Timestamp.valueOf(s)
+    val c = clicks.toDF().toDF("c_user", "c_ts").withWatermark("c_ts", "1 minute")
+    val b = buys.toDF().toDF("b_user", "b_ts").withWatermark("b_ts", "1 minute")
+    val joined = b.join(c,
+      expr("b_user = c_user AND c_ts BETWEEN b_ts - INTERVAL 10 MINUTES AND b_ts"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssjoin").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      clicks.addData((1L, ts("2024-03-05 09:00:00")), (1L, ts("2024-03-05 09:04:00")),
+        (2L, ts("2024-03-05 08:40:00")))
+      buys.addData((1L, ts("2024-03-05 09:05:00")), (2L, ts("2024-03-05 09:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin")
+        .select($"b_user", $"c_ts".cast("string")).as[(Long, String)].collect().toSet
+      // user 1: both clicks are within [08:55, 09:05]; user 2's click
+      // at 08:40 is outside the 10-minute window of its 09:00 purchase
+      assert(rows == Set(
+        (1L, "2024-03-05 09:00:00"), (1L, "2024-03-05 09:04:00")), s"got $rows")
+    } finally q.stop()
+  }
+
   test("K7 latest-value view tracks newest observation per key") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[PartObservation]
