@@ -34,7 +34,10 @@ class AsOfJoinStrategy extends SparkStrategy {
   *
   * Null times follow the natural ascending ordering (nulls first), so a
   * null-time reference row matches every probe of its key unless a
-  * real-timed one supersedes it; filter nulls upstream if undesired.
+  * real-timed one supersedes it; and null KEYS compare equal to each
+  * other (sort semantics), unlike SQL `=`. Filter nulls upstream when
+  * SQL-equality parity matters (q29's sides are non-null by
+  * construction).
   */
 case class AsOfJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
