@@ -68,6 +68,31 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(above.isEmpty)
   }
 
+  test("reference-side predicates are NOT pushed (they'd change 'latest')") {
+    import spark.implicits._
+    val probe = Seq(("a", 10L, "p1")).toDF("k", "t", "pid")
+    val ref = Seq(("a", 5L, 1L), ("a", 8L, 99L)).toDF("rk", "rt", "rid")
+    // rid=99 is the latest-at-or-before; filtering rid < 50 AFTER the
+    // join must drop the row entirely, NOT fall back to rid=1 (which is
+    // what pre-join filtering of the reference side would produce)
+    val out = AsOf.join(probe, ref, "k", "rk", "t", "rt").filter($"rid" < 50)
+    assert(out.collect().isEmpty)
+    // and the optimizer left that filter above the as-of node
+    val refFilterBelow = out.queryExecution.optimizedPlan.collect {
+      case j: AsOfJoinPlan => j.right.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+      }.isDefined
+    }
+    assert(refFilterBelow === Seq(false))
+  }
+
+  test("ensureRegistered is idempotent") {
+    AsOf.ensureRegistered(spark); AsOf.ensureRegistered(spark)
+    val em = org.apache.spark.sql.graftshim.PlanBridge.experimental(spark)
+    assert(em.extraStrategies.count(_.isInstanceOf[graft.plans.AsOfJoinStrategy]) === 1)
+    assert(em.extraOptimizations.count(_ == graft.plans.PushProbeFilterThroughAsOfJoin) === 1)
+  }
+
   test("randomized: merge exec == window-formulation reference, 20 rounds") {
     // the merge iterator carries cross-row state (lookahead, matched,
     // matchedKey); randomized keys/times with heavy duplication probe the
