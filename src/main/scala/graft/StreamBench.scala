@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.model.PartObservation
+import graft.stream.{Sinks, StateMachine}
+
+/** Streaming throughput benchmark: synthetic observations through the
+  * FULL pipeline — groupByKey shuffle → `flatMapGroupsWithState` state
+  * machine → foreachBatch sinks (record upsert + histories append) —
+  * and reports observations/second.
+  *
+  * Context for the number: the reference's ingest ceiling is its read
+  * cadence — 1 batch/second/PLC with ≤2 sides each (Prensas.py:603-604),
+  * i.e. ~2 obs/s per station, serialized on one asyncio loop. This
+  * main measures how many such observations the Spark pipeline absorbs
+  * per second on one node; divide by 2 for the equivalent number of
+  * stations served at the reference's own cadence.
+  *
+  * `sbt "runMain graft.StreamBench [nObs] [nStations]"` — prints one
+  * JSON line.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toInt else 200000
+    val stations = if (args.length > 1) args(1).toInt else 200
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      String.valueOf(Runtime.getRuntime.availableProcessors())).toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    // deterministic synthetic load: `stations` stations, one part each,
+    // strictly rising counters — every observation hits the state path
+    val base = Timestamp.valueOf("2024-03-05 09:00:00").getTime
+    val obs = (0 until n).map { i =>
+      PartObservation(s"ST${i % stations}", "AAA", "AAA",
+        (i / stations).toLong, 1.0,
+        new Timestamp(base + (i / stations) * 1000L))
+    }
+    val machine = new StateMachine(
+      knownParts = (0 until stations).map(s => (s"ST$s", "AAA") -> (s + 1L)).toMap,
+      multipliers = Map("AAA" -> 2L),
+      priorRecords = Map.empty,
+      timeoutMs = 0)
+    val outDir = Files.createTempDirectory("graft_sbench_out").toString
+    val ckpt = Files.createTempDirectory("graft_sbench_ckpt").toString
+
+    val input = MemoryStream[PartObservation]
+    input.addData(obs)
+    val t0 = System.nanoTime()
+    val q = Sinks.startPipeline(input.toDS(), machine, outDir, ckpt, Trigger.AvailableNow())
+    q.awaitTermination()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val rate = n / sec
+    val records = spark.read.parquet(s"$outDir/production_records").count()
+    println(f"""{"metric":"stream_obs_per_sec","value":$rate%.0f,"unit":"obs/sec","n_obs":$n,"stations":$stations,"wall_sec":$sec%.2f,"records":$records,"equiv_stations_at_reference_cadence":${(rate / 2).toLong}}""")
+    spark.stop()
+  }
+}
