@@ -16,14 +16,15 @@ import graft.plans.{AsOfJoinStrategy, PushProbeFilterThroughAsOfJoin}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    import graft.functions.GraftFunctions.arity
     e.injectFunction((
       FunctionIdentifier("decode_plc_words"),
       new ExpressionInfo(classOf[DecodePlcWordsExpr].getName, "decode_plc_words"),
-      (exprs: Seq[Expression]) => DecodePlcWordsExpr(exprs.head)))
+      (exprs: Seq[Expression]) => DecodePlcWordsExpr(arity("decode_plc_words", 1, exprs).head)))
     e.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorDotExpr].getName, "vec_dot"),
-      (exprs: Seq[Expression]) => VectorDotExpr(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => { val a = arity("vec_dot", 2, exprs); VectorDotExpr(a(0), a(1)) }))
     e.injectPlannerStrategy(_ => new AsOfJoinStrategy)
     e.injectOptimizerRule(_ => PushProbeFilterThroughAsOfJoin)
   }

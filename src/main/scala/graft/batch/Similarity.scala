@@ -87,9 +87,45 @@ object Similarity {
   // The qs* queries above are oracle-calibrated instances of these two
   // generic entry points over any (vec_id: long, embedding: array) frame.
 
+  /** Per-partition pre-reduction for global top-k ranking: keep only the
+    * best k (score desc, id asc) triples per qid within each input
+    * partition, so the ranking window's shuffle carries ≤ k rows per
+    * (partition, qid) of 24-byte triples instead of every scored
+    * candidate. Exact: any global top-k member is a partition-local
+    * top-k member of its partition. */
+  private def localTopK(cand: DataFrame, k: Int): DataFrame = {
+    val s = cand.sparkSession
+    import s.implicits._
+    // worst-first ordering so the queue head is the row to evict
+    val worstFirst = Ordering.by[(Double, Long), (Double, Long)] { case (r, id) => (-r, id) }
+    cand.select(col("qid").cast("long"), col("vec_id").cast("long"), col("rcos").cast("double"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        val best = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        it.foreach { case (qid, id, r) =>
+          val pq = best.getOrElseUpdate(qid, scala.collection.mutable.PriorityQueue.empty(worstFirst))
+          pq.enqueue((r, id))
+          if (pq.size > k) pq.dequeue()
+        }
+        best.iterator.flatMap { case (qid, pq) => pq.iterator.map { case (r, id) => (qid, id, r) } }
+      }
+      .toDF("qid", "vec_id", "rcos")
+  }
+
+  /** Global top-k after the pre-reduction (same tiebreak everywhere). */
+  private def rankTopK(cand: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("rcos").desc, col("vec_id").asc)
+    localTopK(cand, k)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("rcos"))
+  }
+
   /** Exact top-k cosine neighbors of each query vector (queries must be
-    * broadcast-small; the corpus never shuffles). Output: (qid, rank,
-    * neighbor_id, rcos). */
+    * broadcast-small). The corpus VECTORS never move: scoring is a
+    * map-side pass over the corpus scan, and only per-candidate
+    * (qid, id, score) triples — pre-reduced to ≤ k per partition per
+    * query by [[localTopK]] — reach the ranking shuffle. Output:
+    * (qid, rank, neighbor_id, rcos). */
   def knnTopK(emb: DataFrame, queryIds: DataFrame, k: Int): DataFrame = {
     val corpus = withNorm(emb)
     val q = corpus.join(queryIds, Seq("vec_id"), "left_semi")
@@ -97,9 +133,7 @@ object Similarity {
     val joined = corpus.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("rcos", round(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
-    val w = Window.partitionBy("qid").orderBy(col("rcos").desc, col("vec_id").asc)
-    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("rcos"))
+    rankTopK(joined, k)
   }
 
   /** Approximate top-k via random-hyperplane LSH: candidates come from
@@ -118,7 +152,13 @@ object Similarity {
     * explodes. Same output shape as [[knnTopK]]. */
   def annTopK(emb: DataFrame, queryIds: DataFrame, dim: Int, planes: Int, k: Int,
       multiProbe: Boolean = false): DataFrame = {
-    val corpus = withNorm(emb).withColumn("bucket", bucketCol(dim, planes))
+    // a wrong `dim` would null every projection and silently collapse
+    // all vectors into bucket 0 (quadratic in-bucket join) — fail loudly
+    val checkedBucket = when(size(col("embedding")) === dim, bucketCol(dim, planes))
+      .otherwise(raise_error(concat(
+        lit(s"annTopK: dim=$dim but embedding has "), size(col("embedding")),
+        lit(" elements"))).cast("long"))
+    val corpus = withNorm(emb).withColumn("bucket", checkedBucket)
     val q0 = corpus.join(queryIds, Seq("vec_id"), "left_semi")
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("bucket").as("qbucket"))
@@ -126,9 +166,7 @@ object Similarity {
       s"concat(array(qbucket), transform(sequence(0, ${planes - 1}), p -> qbucket ^ shiftleft(1L, p)))")))
     val cand = q.join(corpus, col("qbucket") === col("bucket") && col("vec_id") =!= col("qid"))
       .withColumn("rcos", round(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
-    val w = Window.partitionBy("qid").orderBy(col("rcos").desc, col("vec_id").asc)
-    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("rcos"))
+    rankTopK(cand, k)
   }
 
   /** qs2: ANN via random-hyperplane LSH buckets; top-1 in-bucket

@@ -43,14 +43,22 @@ object GraftFunctions {
   private val Padded =
     "concat(__a0, if(pmod(length(__a0), 2) = 1, char(0), ''))"
 
+  /** Arity guard: a clear message instead of an IndexOutOfBounds from
+    * the builder lambda when SQL passes the wrong argument count. */
+  private[graft] def arity(name: String, n: Int, exprs: Seq[Expression]): Seq[Expression] = {
+    require(exprs.length == n,
+      s"$name requires exactly $n argument(s), got ${exprs.length}")
+    exprs
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     def macroFn(template: String) = sqlMacro(spark, template)
 
     reg.createOrReplaceTempFunction("decode_plc_words",
-      exprs => DecodePlcWordsExpr(exprs.head), "scala_udf")
+      exprs => DecodePlcWordsExpr(arity("decode_plc_words", 1, exprs).head), "scala_udf")
     reg.createOrReplaceTempFunction("vec_dot",
-      exprs => VectorDotExpr(exprs(0), exprs(1)), "scala_udf")
+      exprs => { val e = arity("vec_dot", 2, exprs); VectorDotExpr(e(0), e(1)) }, "scala_udf")
     reg.createOrReplaceTempFunction("encode_plc_words", macroFn(
       s"""if(length(__a0) = 0, cast(array() as array<int>),
          | transform(sequence(0, cast(length($Padded) / 2 as int) - 1),

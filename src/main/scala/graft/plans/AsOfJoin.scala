@@ -87,8 +87,18 @@ object AsOf {
         s"asof: no column '$n' among ${p.output.map(_.name).mkString(", ")}"))
     val l = freshen(probe)
     val r = freshen(reference)
-    PlanBridge.ofRows(spark, AsOfJoinPlan(l, r,
-      Seq(attr(l, probeKey)), Seq(attr(r, refKey)),
-      attr(l, probeTime), attr(r, refTime)))
+    val (lk, rk) = (attr(l, probeKey), attr(r, refKey))
+    val (lt, rt) = (attr(l, probeTime), attr(r, refTime))
+    // this plan bypasses the analyzer (it is constructed resolved), so
+    // the implicit-cast safety net is gone: mismatched types would hash
+    // keys into different partitions / compare raw bytes wrongly and
+    // return silently wrong rows. Fail loudly instead.
+    def sameType(what: String, a: Attribute, b: Attribute): Unit =
+      require(a.dataType == b.dataType,
+        s"asof: $what types must match exactly, got ${a.name}: ${a.dataType.sql} vs " +
+          s"${b.name}: ${b.dataType.sql} — cast one side before joining")
+    sameType("key", lk, rk)
+    sameType("time", lt, rt)
+    PlanBridge.ofRows(spark, AsOfJoinPlan(l, r, Seq(lk), Seq(rk), lt, rt))
   }
 }

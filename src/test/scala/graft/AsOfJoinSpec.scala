@@ -86,6 +86,21 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(refFilterBelow === Seq(false))
   }
 
+  test("mismatched key/time types fail loudly (no analyzer cast net)") {
+    import spark.implicits._
+    val probe = Seq((1, 10L, "p1")).toDF("k", "t", "pid")       // int key
+    val ref = Seq((1L, 5L, "r1")).toDF("rk", "rt", "rid")       // long key
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(probe, ref, "k", "rk", "t", "rt")
+    }
+    assert(e.getMessage.contains("key types must match"))
+    val probe2 = Seq((1L, 10, "p1")).toDF("k", "t", "pid")      // int time
+    val e2 = intercept[IllegalArgumentException] {
+      AsOf.join(probe2, ref, "k", "rk", "t", "rt")
+    }
+    assert(e2.getMessage.contains("time types must match"))
+  }
+
   test("ensureRegistered is idempotent") {
     AsOf.ensureRegistered(spark); AsOf.ensureRegistered(spark)
     val em = org.apache.spark.sql.graftshim.PlanBridge.experimental(spark)

@@ -93,5 +93,12 @@ class SimilaritySpec extends SparkSpec {
     info(f"6-plane recall@$k: single-probe $single%.3f, multi-probe $multi%.3f")
     assert(multi > single, f"multi-probe ($multi%.3f) should beat single ($single%.3f)")
     assert(multi >= 0.6, f"multi-probe recall too low: $multi%.3f")
+
+    // a wrong dim must fail loudly, not collapse everything to bucket 0
+    val err = intercept[Exception] {
+      Similarity.annTopK(emb, queryIds, dim = 32, planes = 4, k).collect()
+    }
+    assert(err.getMessage != null && err.toString.contains("USER_RAISED_EXCEPTION")
+      || err.getMessage.contains("dim"), s"unexpected: $err")
   }
 }
