@@ -87,11 +87,37 @@ object TextOps {
         min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
       .orderBy("source")
 
+  /** qt5: tf-idf top-3 terms for a doc_id-sampled subset. Rational idf
+    * ((N+1)/(df+1), no log) so Spark and DuckDB compute bit-identical
+    * doubles — libm vs JVM `log` differ in ulps, and monotone ranking
+    * does not need the damping. Two shuffles at scale: tf groupBy
+    * (doc, term) and the df join on term; N via scalar-subquery cross
+    * join (no driver action). */
+  def qt5_tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"),
+        explode(split(lower(substring(col("text"), 1, 200)), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.filter(pmod(col("doc_id"), lit(25)) === 0)
+      .join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf", round(
+        col("tf").cast("double") * (col("n_docs") + 1).cast("double")
+          / (col("df") + 1).cast("double"), 6))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qt1_langid" -> (qt1_langid _),
     "qt2_quality" -> (qt2_quality _),
     "qt3_tokens" -> (qt3_tokens _),
-    "qt4_fingerprint" -> (qt4_fingerprint _))
+    "qt4_fingerprint" -> (qt4_fingerprint _),
+    "qt5_tfidf" -> (qt5_tfidf _))
 
   private val profileValues = profiles
     .map { case (l, w) => s"('$l','$w')" }.mkString(", ")
@@ -138,5 +164,23 @@ object TextOps {
         | FROM documents)
         |SELECT source, CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fp, COUNT(*) AS n_docs,
         | MIN(fp) AS min_fp, MAX(fp) AS max_fp
-        |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin,
+    "qt5_tfidf" ->
+      """WITH toks AS (
+        | SELECT doc_id, t.term FROM (
+        |  SELECT doc_id, unnest(string_split(lower(substr(text, 1, 200)), ' ')) AS term
+        |  FROM documents) t WHERE length(t.term) > 0),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        | SELECT tf.doc_id, tf.term,
+        |  round(CAST(tf.tf AS DOUBLE) * CAST(n.n_docs + 1 AS DOUBLE)
+        |        / CAST(dfreq.df + 1 AS DOUBLE), 6) AS tfidf
+        | FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+        | WHERE tf.doc_id % 25 = 0)
+        |SELECT doc_id, CAST(rn AS INT) AS rank, term, tfidf FROM (
+        | SELECT doc_id, term, tfidf, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |   ORDER BY tfidf DESC, term ASC) AS rn FROM scored) t
+        |WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin)
 }
