@@ -397,6 +397,20 @@ object Relational {
       .orderBy("purchase_id")
   }
 
+  // ---------------------------------------------------------------- q30
+  /** A7 family, sort-based exact aggregation: continuous-interpolation
+    * percentiles per group (Spark `percentile` ↔ DuckDB
+    * `quantile_cont`, same type-7 interpolation). The approximate
+    * sketch path for 100 TB is `approx_percentile` (t-digest), shown in
+    * q27's HLL pattern; this is the exact baseline. */
+  def q30_percentile(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+        round(expr("percentile(l_quantity, 0.99)"), 6).as("p99"))
+      .orderBy("l_returnflag")
+
   // ---------------------------------------------------------------- qst2
   /** ST7 analog: sessionization via lag + cumulative flag (30 min gap);
     * the streaming equivalent uses session_window (see stream/). */
@@ -453,6 +467,7 @@ object Relational {
     "q26_udaf" -> (q26_udaf _),
     "q27_approx_distinct" -> (q27_approx_distinct _),
     "q28_range_time" -> (q28_range_time _),
+    "q30_percentile" -> (q30_percentile _),
     "qst2_sessions" -> (qst2_sessions _),
     "qst3_window_hourly" -> (qst3_window_hourly _))
 
@@ -633,6 +648,12 @@ object Relational {
         |FROM p LEFT JOIN v ON user_id = v_user
         |  AND vts >= pts - INTERVAL 5 MINUTE AND vts <= pts
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q30_percentile" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        | round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+        | round(quantile_cont(l_quantity, 0.99), 6) AS p99
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "qst2_sessions" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
         | m AS (SELECT user_id, us,
