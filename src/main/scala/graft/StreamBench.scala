@@ -22,13 +22,15 @@ import graft.stream.{Sinks, StateMachine}
   * per second on one node; divide by 2 for the equivalent number of
   * stations served at the reference's own cadence.
   *
-  * `sbt "runMain graft.StreamBench [nObs] [nStations]"` — prints one
-  * JSON line.
+  * `sbt "runMain graft.StreamBench [nObs] [nStations] [rocksdb]"` —
+  * prints one JSON line. The optional `rocksdb` arg runs the same load
+  * on the RocksDB state store (the large-state production config).
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toInt else 200000
     val stations = if (args.length > 1) args(1).toInt else 200
+    val rocksdb = args.contains("rocksdb")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       String.valueOf(Runtime.getRuntime.availableProcessors())).toInt
     val spark = SparkSession.builder()
@@ -38,6 +40,8 @@ object StreamBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (rocksdb) spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import spark.implicits._
     implicit val ctx = spark.sqlContext
 
@@ -65,7 +69,7 @@ object StreamBench {
     val sec = (System.nanoTime() - t0) / 1e9
     val rate = n / sec
     val records = spark.read.parquet(s"$outDir/production_records").count()
-    println(f"""{"metric":"stream_obs_per_sec","value":$rate%.0f,"unit":"obs/sec","n_obs":$n,"stations":$stations,"wall_sec":$sec%.2f,"records":$records,"equiv_stations_at_reference_cadence":${(rate / 2).toLong}}""")
+    println(f"""{"metric":"stream_obs_per_sec","value":$rate%.0f,"unit":"obs/sec","n_obs":$n,"stations":$stations,"state_store":"${if (rocksdb) "rocksdb" else "hdfs"}","wall_sec":$sec%.2f,"records":$records,"equiv_stations_at_reference_cadence":${(rate / 2).toLong}}""")
     spark.stop()
   }
 }
