@@ -411,6 +411,45 @@ object Relational {
         round(expr("percentile(l_quantity, 0.99)"), 6).as("p99"))
       .orderBy("l_returnflag")
 
+  // ---------------------------------------------------------------- q31
+  /** A7 family: GROUPING SETS — the general form of q9's rollup / q10's
+    * cube (independent slices in one pass over the join, Expand-based
+    * like rollup, so still a single shuffle). */
+  def q31_grouping_sets(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d); val n = Tables.nation(s, d)
+    c.as("c").join(broadcast(n).as("n"), col("c.c_nationkey") === col("n.n_nationkey"))
+      .select(col("n.n_name").as("nname"), col("c.c_mktsegment").as("seg"),
+        col("c.c_acctbal").as("bal"))
+      .createOrReplaceTempView("q31_base")
+    s.sql(
+      """SELECT COALESCE(nname, 'ALL') AS nation_name, COALESCE(seg, 'ALL') AS segment,
+        | COUNT(*) AS n_cust,
+        | CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM q31_base
+        |GROUP BY GROUPING SETS ((nname), (seg), ())
+        |ORDER BY nation_name, segment""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- q32
+  /** W3 family: the full ranking-function set — rank/dense_rank/
+    * percent_rank/cume_dist over a tied ordering, ntile over a unique
+    * one (ntile is position-based, so determinism requires a total
+    * order). Ranks computed over full partitions, then sampled. */
+  def q32_rank_family(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val tied = Window.partitionBy("l_returnflag").orderBy(col("l_quantity"))
+    val uniq = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    l.select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .withColumn("rnk", rank().over(tied).cast("long"))
+      .withColumn("drnk", dense_rank().over(tied).cast("long"))
+      .withColumn("prnk", round(percent_rank().over(tied), 6))
+      .withColumn("cdist", round(cume_dist().over(tied), 6))
+      .withColumn("quartile", ntile(4).over(uniq))
+      .filter(pmod(col("l_orderkey"), lit(500)) === 0)
+      .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+  }
+
   // ---------------------------------------------------------------- qst2
   /** ST7 analog: sessionization via lag + cumulative flag (30 min gap);
     * the streaming equivalent uses session_window (see stream/). */
@@ -468,6 +507,8 @@ object Relational {
     "q27_approx_distinct" -> (q27_approx_distinct _),
     "q28_range_time" -> (q28_range_time _),
     "q30_percentile" -> (q30_percentile _),
+    "q31_grouping_sets" -> (q31_grouping_sets _),
+    "q32_rank_family" -> (q32_rank_family _),
     "qst2_sessions" -> (qst2_sessions _),
     "qst3_window_hourly" -> (qst3_window_hourly _))
 
@@ -654,6 +695,25 @@ object Relational {
         | round(quantile_cont(l_quantity, 0.9), 6) AS p90,
         | round(quantile_cont(l_quantity, 0.99), 6) AS p99
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q31_grouping_sets" ->
+      """SELECT COALESCE(n_name, 'ALL') AS nation_name, COALESCE(c_mktsegment, 'ALL') AS segment,
+        | COUNT(*) AS n_cust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        |ORDER BY nation_name, segment""".stripMargin,
+    "q32_rank_family" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        | CAST(RANK() OVER w AS BIGINT) AS rnk,
+        | CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+        | round(PERCENT_RANK() OVER w, 6) AS prnk,
+        | round(CUME_DIST() OVER w, 6) AS cdist,
+        | CAST(NTILE(4) OVER (PARTITION BY l_returnflag
+        |   ORDER BY l_quantity, l_orderkey, l_linenumber) AS INT) AS quartile
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |QUALIFY l_orderkey % 500 = 0
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
     "qst2_sessions" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
         | m AS (SELECT user_id, us,
