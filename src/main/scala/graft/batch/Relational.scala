@@ -236,6 +236,20 @@ object Relational {
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .limit(10)
 
+  /** O2/W1 native tier: group-wise top-3 through the custom
+    * [[graft.plans.GroupTopKPlan]] operator — partial bounded heaps
+    * before the shuffle (≤ k rows per priority per input partition
+    * cross the wire), final heap merge after, no full sort anywhere.
+    * The window formulation this replaces shuffles and sorts every row
+    * of every group (oracle uses exactly that formulation in DuckDB). */
+  def q33_group_topk(s: SparkSession, d: String): DataFrame =
+    graft.plans.GroupTopK.topK(
+      Tables.orders(s, d).select("o_orderpriority", "o_orderkey", "o_totalprice"),
+      keys = Seq("o_orderpriority"),
+      order = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+      k = 3)
+      .orderBy("o_orderpriority", "rank")
+
   // ---------------------------------------------------------------- q15
   /** U1-U3: union / intersect / except over customer vs supplier
     * nations. */
@@ -498,6 +512,7 @@ object Relational {
     "q12_window_frame" -> (q12_window_frame _),
     "q13_lag_delta" -> (q13_lag_delta _),
     "q14_topk" -> (q14_topk _),
+    "q33_group_topk" -> (q33_group_topk _),
     "q15_setops" -> (q15_setops _),
     "q16_strings" -> (q16_strings _),
     "q17_dates" -> (q17_dates _),
@@ -693,6 +708,13 @@ object Relational {
         |FROM p LEFT JOIN v ON user_id = v_user
         |  AND vts >= pts - INTERVAL 5 MINUTE AND vts <= pts
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q33_group_topk" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INT) AS rank FROM (
+        | SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        | FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
     "q30_percentile" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_quantity, 0.5), 6) AS p50,

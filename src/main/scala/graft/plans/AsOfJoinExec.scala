@@ -8,13 +8,19 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
 
-/** Planner strategy for [[AsOfJoinPlan]] → [[AsOfJoinExec]]. Injected via
-  * `GraftExtensions` or `AsOf.ensureRegistered`.
+/** Planner strategy for graft's custom operators: [[AsOfJoinPlan]] →
+  * [[AsOfJoinExec]] and [[GroupTopKPlan]] → partial + final top-k
+  * (aggregation-style split: the partial runs before the exchange
+  * `EnsureRequirements` inserts for the final's distribution). Injected
+  * via `GraftExtensions` or `AsOf.ensureRegistered`.
   */
 class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
       AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case GroupTopKPlan(keys, order, k, rankAttr, child) =>
+      GroupTopKExec(keys, order, k, rankAttr,
+        PartialGroupTopKExec(keys, order, k, planLater(child))) :: Nil
     case _ => Nil
   }
 }

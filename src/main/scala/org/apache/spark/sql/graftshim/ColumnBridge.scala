@@ -13,4 +13,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager ColumnNode → catalyst conversion. `expression` wraps the
+    * column-node tree lazily (resolved during analysis); plans built
+    * OUTSIDE the analyzer (graft.plans.*) need the catalyst tree now —
+    * e.g. to see a `.desc` Column's SortOrder and resolve its
+    * attributes by hand. */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }
