@@ -468,6 +468,34 @@ object Relational {
       .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
   }
 
+  // ---------------------------------------------------------------- q34
+  /** Pivot: per-user event counts spread across fixed event-type
+    * columns (explicit value list keeps the schema static — the
+    * scale-safe form; Catalyst compiles it to conditional partial
+    * aggregation, one shuffle). */
+  def q34_pivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "purchase", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  // ---------------------------------------------------------------- q35
+  /** Unpivot/melt: wide lineitem measures → long (metric, value) rows,
+    * re-aggregated per returnflag — the inverse reshaping (Spark
+    * compiles to Expand: rows × metrics, still one shuffle for the
+    * final agg). */
+  def q35_unpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_discount"), col("l_tax"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .groupBy(col("l_returnflag"), col("metric"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .orderBy("l_returnflag", "metric")
+
   // ---------------------------------------------------------------- qst2
   /** ST7 analog: sessionization via lag + cumulative flag (30 min gap);
     * the streaming equivalent uses session_window (see stream/). */
@@ -528,6 +556,8 @@ object Relational {
     "q30_percentile" -> (q30_percentile _),
     "q31_grouping_sets" -> (q31_grouping_sets _),
     "q32_rank_family" -> (q32_rank_family _),
+    "q34_pivot" -> (q34_pivot _),
+    "q35_unpivot" -> (q35_unpivot _),
     "qst2_sessions" -> (qst2_sessions _),
     "qst3_window_hourly" -> (qst3_window_hourly _))
 
@@ -708,6 +738,22 @@ object Relational {
         |FROM p LEFT JOIN v ON user_id = v_user
         |  AND vts >= pts - INTERVAL 5 MINUTE AND vts <= pts
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q34_pivot" ->
+      """SELECT user_id,
+        | COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        | COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        | COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q35_unpivot" ->
+      """WITH long AS (
+        | SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        | UNION ALL
+        | SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        | UNION ALL
+        | SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+        |SELECT l_returnflag, metric, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM long GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q33_group_topk" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INT) AS rank FROM (
         | SELECT o_orderpriority, o_orderkey, o_totalprice,
