@@ -87,38 +87,18 @@ object Similarity {
   // The qs* queries above are oracle-calibrated instances of these two
   // generic entry points over any (vec_id: long, embedding: array) frame.
 
-  /** Per-partition pre-reduction for global top-k ranking: keep only the
-    * best k (score desc, id asc) triples per qid within each input
-    * partition, so the ranking window's shuffle carries ≤ k rows per
-    * (partition, qid) of 24-byte triples instead of every scored
-    * candidate. Exact: any global top-k member is a partition-local
-    * top-k member of its partition. */
-  private def localTopK(cand: DataFrame, k: Int): DataFrame = {
-    val s = cand.sparkSession
-    import s.implicits._
-    // worst-first ordering so the queue head is the row to evict
-    val worstFirst = Ordering.by[(Double, Long), (Double, Long)] { case (r, id) => (-r, id) }
-    cand.select(col("qid").cast("long"), col("vec_id").cast("long"), col("rcos").cast("double"))
-      .as[(Long, Long, Double)]
-      .mapPartitions { it =>
-        val best = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
-        it.foreach { case (qid, id, r) =>
-          val pq = best.getOrElseUpdate(qid, scala.collection.mutable.PriorityQueue.empty(worstFirst))
-          pq.enqueue((r, id))
-          if (pq.size > k) pq.dequeue()
-        }
-        best.iterator.flatMap { case (qid, pq) => pq.iterator.map { case (r, id) => (qid, id, r) } }
-      }
-      .toDF("qid", "vec_id", "rcos")
-  }
-
-  /** Global top-k after the pre-reduction (same tiebreak everywhere). */
-  private def rankTopK(cand: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("qid").orderBy(col("rcos").desc, col("vec_id").asc)
-    localTopK(cand, k)
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  /** Global top-k per query through the native
+    * [[graft.plans.GroupTopKPlan]] operator: a map-side bounded-heap
+    * partial before the shuffle (≤ k narrow triples per partition per
+    * query cross the wire), heap merge + rank after — no sort, no full
+    * candidate shuffle. */
+  private def rankTopK(cand: DataFrame, k: Int): DataFrame =
+    graft.plans.GroupTopK.topK(
+      cand.select(col("qid").cast("long"), col("vec_id").cast("long"),
+        col("rcos").cast("double")),
+      keys = Seq("qid"),
+      order = Seq(col("rcos").desc, col("vec_id").asc), k = k)
       .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("rcos"))
-  }
 
   /** Exact top-k cosine neighbors of each query vector (queries must be
     * broadcast-small). The corpus VECTORS never move: scoring is a
