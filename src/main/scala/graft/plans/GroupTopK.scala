@@ -9,14 +9,14 @@ import org.apache.spark.sql.types.IntegerType
 /** Logical group-wise top-k: for each distinct value of `keys`, the `k`
   * best child rows under `order`, plus a 1-based `rank` column.
   *
-  * The composed formulation (`row_number().over(window) <= k`) shuffles
-  * and fully sorts EVERY row of every group; this operator plans like
-  * an aggregation instead — a partial bounded-heap pass before the
-  * exchange (≤ k rows per key per input partition cross the wire) and a
-  * final heap merge after it, with no full sort anywhere
-  * ([[PartialGroupTopKExec]] / [[GroupTopKExec]]). At 100 TB the
-  * shuffle shrinks from |rows| to ≤ k·|keys|·|partitions| — the
-  * map-side-combine argument, applied to ranking.
+  * The composed formulation (`row_number().over(window) <= k`) sorts
+  * every partition (Spark 4's `WindowGroupLimit` bounds its wire volume
+  * too, but by sorting, O(n log n) + external-sorter memory); this
+  * operator plans like an aggregation instead — a partial bounded-heap
+  * pass before the exchange (≤ k rows per key per input partition
+  * cross the wire, O(n log k) time, O(k·keys) state) and a final heap
+  * merge after it, with no sort anywhere ([[PartialGroupTopKExec]] /
+  * [[GroupTopKExec]]).
   *
   * Ties under `order` are broken arbitrarily; pass a total order (add a
   * unique tiebreak column) for deterministic output.
