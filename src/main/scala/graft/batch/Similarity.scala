@@ -201,10 +201,21 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** qs4: the [[annTopK]] multi-probe path as an oracle query — top-3
+    * per query over the home bucket plus all Hamming-1 buckets, checked
+    * against the same probe expansion computed in DuckDB. */
+  def qs4_ann_multiprobe(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queryIds = emb.filter(pmod(col("vec_id"), lit(100)) === 0).select("vec_id")
+    annTopK(emb, queryIds, Dim, Planes, k = 3, multiProbe = true)
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qs1_knn_bruteforce" -> (qs1_knn_bruteforce _),
     "qs2_ann_lsh" -> (qs2_ann_lsh _),
-    "qs3_ivf_ann" -> (qs3_ivf_ann _))
+    "qs3_ivf_ann" -> (qs3_ivf_ann _),
+    "qs4_ann_multiprobe" -> (qs4_ann_multiprobe _))
 
   /** SQL fragment: dot product of two 64-dim list columns in double. */
   private def sqlDot(a: String, b: String): String =
@@ -296,5 +307,41 @@ object Similarity {
          |SELECT q.qid, q.qbucket AS bucket, COALESCE(nc.n_candidates, 0) AS n_candidates,
          | best.best_id, best.best_rcos
          |FROM q LEFT JOIN nc ON q.qid = nc.qid LEFT JOIN best ON q.qid = best.qid
-         |ORDER BY q.qid""".stripMargin)
+         |ORDER BY q.qid""".stripMargin,
+    "qs4_ann_multiprobe" ->
+      s"""WITH w(p, i, wt) AS (
+         | SELECT p.p, i.i,
+         |  CASE WHEN ('0x' || substr(md5(p.p || '|' || i.i), 1, 1))::INT % 2 = 0
+         |       THEN 1.0 ELSE -1.0 END
+         | FROM range($Planes) p(p), range($Dim) i(i)),
+         |nm AS (
+         | SELECT vec_id, embedding,
+         |  sqrt((SELECT SUM(CAST(embedding[i.i + 1] AS DOUBLE) * CAST(embedding[i.i + 1] AS DOUBLE))
+         |        FROM range($Dim) i(i))) AS nrm
+         | FROM embeddings),
+         |proj AS (
+         | SELECT e.vec_id, w.p,
+         |  round(SUM(CAST(e.embedding[w.i + 1] AS DOUBLE) * w.wt), 6) AS pr
+         | FROM nm e, w GROUP BY 1, 2),
+         |bk AS (
+         | SELECT vec_id,
+         |  CAST(SUM(CASE WHEN pr >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+         | FROM proj GROUP BY 1),
+         |e AS (SELECT nm.vec_id, nm.embedding, nm.nrm, bk.bucket
+         |      FROM nm JOIN bk ON nm.vec_id = bk.vec_id),
+         |q0 AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn, bucket AS qbucket
+         |       FROM e WHERE vec_id % 100 = 0),
+         |probelists AS (
+         | SELECT qid, qe, qn, list_prepend(qbucket,
+         |   list_transform(range(0, $Planes), p -> xor(qbucket, CAST(pow(2, p) AS BIGINT)))) AS pbs
+         | FROM q0),
+         |probes AS (SELECT qid, qe, qn, unnest(pbs) AS pb FROM probelists),
+         |cand AS (
+         | SELECT p.qid, c.vec_id,
+         |  round(${sqlDot("p.qe", "c.embedding")} / (p.qn * c.nrm), 6) AS rcos
+         | FROM probes p JOIN e c ON p.pb = c.bucket AND c.vec_id <> p.qid)
+         |SELECT qid, CAST(rn AS INT) AS rank, vec_id AS neighbor_id, rcos FROM (
+         | SELECT qid, vec_id, rcos, ROW_NUMBER() OVER (PARTITION BY qid
+         |   ORDER BY rcos DESC, vec_id ASC) AS rn FROM cand) t
+         |WHERE rn <= 3 ORDER BY qid, rank""".stripMargin)
 }
