@@ -96,7 +96,11 @@ object Dedup {
   /** qd4: exact n-gram Jaccard on a doc_id-sampled subset — shingle
     * inverted-index self-join, |∩| via pair counts, |∪| = na + nb − |∩|. */
   def qd4_ngram_jaccard(s: SparkSession, d: String): DataFrame = {
-    val sub = wordShingles(s, d).filter(pmod(col("doc_id"), lit(50)) === 0)
+    // %10 sampling + any-overlap threshold: the fixtures are random
+    // text, so high-jaccard pairs don't exist — a 0.2 threshold made
+    // this a vacuous 0-row check; 0.01 keeps every pair that shares a
+    // shingle, with its exact jaccard
+    val sub = wordShingles(s, d).filter(pmod(col("doc_id"), lit(10)) === 0)
     val counts = sub.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sub.as("a"); val b = sub.as("b")
     val inter = a.join(b, col("a.shingle") === col("b.shingle")
@@ -108,7 +112,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_inter"),
         (col("ca.n_sh") + col("cb.n_sh") - col("n_inter")).as("n_union"))
       .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
-      .filter(col("jaccard") >= 0.2)
+      .filter(col("jaccard") >= 0.01)
       .orderBy("id_a", "id_b")
   }
 
@@ -195,7 +199,7 @@ object Dedup {
         |FROM votes GROUP BY 1 ORDER BY 1""".stripMargin,
     "qd4_ngram_jaccard" ->
       s"""WITH $shingleSql,
-         |sub AS (SELECT * FROM shingles WHERE doc_id % 50 = 0),
+         |sub AS (SELECT * FROM shingles WHERE doc_id % 10 = 0),
          |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sub GROUP BY 1),
          |inter AS (
          | SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
@@ -204,7 +208,7 @@ object Dedup {
          |SELECT id_a, id_b, n_inter, ca.n_sh + cb.n_sh - n_inter AS n_union,
          | CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) AS jaccard
          |FROM inter JOIN counts ca ON id_a = ca.doc_id JOIN counts cb ON id_b = cb.doc_id
-         |WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.2
+         |WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.01
          |ORDER BY id_a, id_b""".stripMargin,
     "qd5_embedding_neardup" ->
       """WITH nm AS (

@@ -84,11 +84,15 @@ object Relational {
   }
 
   // ---------------------------------------------------------------- q5
-  /** J9 anti: customers with no orders, counted per nation (NOT EXISTS;
-    * reference analog: part-not-found CSV, Prensas.py:343-353). */
+  /** J9 anti: customers with no URGENT order, counted per nation (NOT
+    * EXISTS; reference analog: part-not-found CSV, Prensas.py:343-353).
+    * The urgent filter keeps the anti-set non-empty in the fixtures —
+    * every customer has SOME order, which made the unfiltered variant a
+    * vacuous 0-row check. */
   def q5_anti(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
-    val o = Tables.orders(s, d).select("o_custkey")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_no_order"))
       .orderBy("c_nationkey")
@@ -595,7 +599,8 @@ object Relational {
         |ORDER BY o_orderkey""".stripMargin,
     "q5_anti" ->
       """SELECT c_nationkey, COUNT(*) AS n_no_order FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderpriority = '1-URGENT')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q6_outer" ->
       """SELECT n_name, COUNT(c_custkey) AS n_customers,
