@@ -96,10 +96,10 @@ object Dedup {
   /** qd4: exact n-gram Jaccard on a doc_id-sampled subset — shingle
     * inverted-index self-join, |∩| via pair counts, |∪| = na + nb − |∩|. */
   def qd4_ngram_jaccard(s: SparkSession, d: String): DataFrame = {
-    // %10 sampling + any-overlap threshold: the fixtures are random
-    // text, so high-jaccard pairs don't exist — a 0.2 threshold made
-    // this a vacuous 0-row check; 0.01 keeps every pair that shares a
-    // shingle, with its exact jaccard
+    // %10 sampling + low threshold: the fixtures are random text, so
+    // high-jaccard pairs don't exist — a 0.2 threshold made this a
+    // vacuous 0-row check; 0.01 keeps sharing pairs whose union stays
+    // under 100 shingles (all of them, in these fixtures)
     val sub = wordShingles(s, d).filter(pmod(col("doc_id"), lit(10)) === 0)
     val counts = sub.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sub.as("a"); val b = sub.as("b")

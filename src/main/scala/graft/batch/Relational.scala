@@ -598,9 +598,10 @@ object Relational {
         |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 49)
         |ORDER BY o_orderkey""".stripMargin,
     "q5_anti" ->
-      """SELECT c_nationkey, COUNT(*) AS n_no_order FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
-        |                        WHERE o_orderpriority = '1-URGENT')
+      """SELECT c_nationkey, COUNT(*) AS n_no_order FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q6_outer" ->
       """SELECT n_name, COUNT(c_custkey) AS n_customers,

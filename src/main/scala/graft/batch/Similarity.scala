@@ -104,8 +104,8 @@ object Similarity {
     * broadcast-small). The corpus VECTORS never move: scoring is a
     * map-side pass over the corpus scan, and only per-candidate
     * (qid, id, score) triples — pre-reduced to ≤ k per partition per
-    * query by [[localTopK]] — reach the ranking shuffle. Output:
-    * (qid, rank, neighbor_id, rcos). */
+    * query by [[rankTopK]]'s native GroupTopK — reach the ranking
+    * shuffle. Output: (qid, rank, neighbor_id, rcos). */
   def knnTopK(emb: DataFrame, queryIds: DataFrame, k: Int): DataFrame = {
     val corpus = withNorm(emb)
     val q = corpus.join(queryIds, Seq("vec_id"), "left_semi")
@@ -222,6 +222,31 @@ object Similarity {
     s"""(SELECT SUM(CAST($a[i.i + 1] AS DOUBLE) * CAST($b[i.i + 1] AS DOUBLE))
        |  FROM range($Dim) i(i))""".stripMargin
 
+  /** Shared LSH-bucket prologue for the qs2/qs4 oracles (weights →
+    * norms → projections → buckets → bucketed corpus `e`) — one
+    * fragment so a calibration change cannot desynchronize them. */
+  private val bucketSql =
+    s"""w(p, i, wt) AS (
+       | SELECT p.p, i.i,
+       |  CASE WHEN ('0x' || substr(md5(p.p || '|' || i.i), 1, 1))::INT % 2 = 0
+       |       THEN 1.0 ELSE -1.0 END
+       | FROM range($Planes) p(p), range($Dim) i(i)),
+       |nm AS (
+       | SELECT vec_id, embedding,
+       |  sqrt((SELECT SUM(CAST(embedding[i.i + 1] AS DOUBLE) * CAST(embedding[i.i + 1] AS DOUBLE))
+       |        FROM range($Dim) i(i))) AS nrm
+       | FROM embeddings),
+       |proj AS (
+       | SELECT e.vec_id, w.p,
+       |  round(SUM(CAST(e.embedding[w.i + 1] AS DOUBLE) * w.wt), 6) AS pr
+       | FROM nm e, w GROUP BY 1, 2),
+       |bk AS (
+       | SELECT vec_id,
+       |  CAST(SUM(CASE WHEN pr >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+       | FROM proj GROUP BY 1),
+       |e AS (SELECT nm.vec_id, nm.embedding, nm.nrm, bk.bucket
+       |      FROM nm JOIN bk ON nm.vec_id = bk.vec_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "qs3_ivf_ann" ->
       s"""WITH nm AS (
@@ -273,26 +298,7 @@ object Similarity {
          | FROM scored) t
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "qs2_ann_lsh" ->
-      s"""WITH w(p, i, wt) AS (
-         | SELECT p.p, i.i,
-         |  CASE WHEN ('0x' || substr(md5(p.p || '|' || i.i), 1, 1))::INT % 2 = 0
-         |       THEN 1.0 ELSE -1.0 END
-         | FROM range($Planes) p(p), range($Dim) i(i)),
-         |nm AS (
-         | SELECT vec_id, embedding,
-         |  sqrt((SELECT SUM(CAST(embedding[i.i + 1] AS DOUBLE) * CAST(embedding[i.i + 1] AS DOUBLE))
-         |        FROM range($Dim) i(i))) AS nrm
-         | FROM embeddings),
-         |proj AS (
-         | SELECT e.vec_id, w.p,
-         |  round(SUM(CAST(e.embedding[w.i + 1] AS DOUBLE) * w.wt), 6) AS pr
-         | FROM nm e, w GROUP BY 1, 2),
-         |bk AS (
-         | SELECT vec_id,
-         |  CAST(SUM(CASE WHEN pr >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-         | FROM proj GROUP BY 1),
-         |e AS (SELECT nm.vec_id, nm.embedding, nm.nrm, bk.bucket
-         |      FROM nm JOIN bk ON nm.vec_id = bk.vec_id),
+      s"""WITH $bucketSql,
          |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn, bucket AS qbucket
          |      FROM e WHERE vec_id % 100 = 0),
          |cand AS (
@@ -309,26 +315,7 @@ object Similarity {
          |FROM q LEFT JOIN nc ON q.qid = nc.qid LEFT JOIN best ON q.qid = best.qid
          |ORDER BY q.qid""".stripMargin,
     "qs4_ann_multiprobe" ->
-      s"""WITH w(p, i, wt) AS (
-         | SELECT p.p, i.i,
-         |  CASE WHEN ('0x' || substr(md5(p.p || '|' || i.i), 1, 1))::INT % 2 = 0
-         |       THEN 1.0 ELSE -1.0 END
-         | FROM range($Planes) p(p), range($Dim) i(i)),
-         |nm AS (
-         | SELECT vec_id, embedding,
-         |  sqrt((SELECT SUM(CAST(embedding[i.i + 1] AS DOUBLE) * CAST(embedding[i.i + 1] AS DOUBLE))
-         |        FROM range($Dim) i(i))) AS nrm
-         | FROM embeddings),
-         |proj AS (
-         | SELECT e.vec_id, w.p,
-         |  round(SUM(CAST(e.embedding[w.i + 1] AS DOUBLE) * w.wt), 6) AS pr
-         | FROM nm e, w GROUP BY 1, 2),
-         |bk AS (
-         | SELECT vec_id,
-         |  CAST(SUM(CASE WHEN pr >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-         | FROM proj GROUP BY 1),
-         |e AS (SELECT nm.vec_id, nm.embedding, nm.nrm, bk.bucket
-         |      FROM nm JOIN bk ON nm.vec_id = bk.vec_id),
+      s"""WITH $bucketSql,
          |q0 AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn, bucket AS qbucket
          |       FROM e WHERE vec_id % 100 = 0),
          |probelists AS (
