@@ -85,4 +85,12 @@ class ExpressionSpec extends SparkSpec {
       "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))").collect().head.getDouble(0)
     assert(s == 11.0)
   }
+
+  test("GraftExtensions wires functions, strategy, and optimizer rule") {
+    val (strategies, rules, functions) =
+      org.apache.spark.sql.graftshim.ExtensionsProbe.probe(new GraftExtensions, spark)
+    assert(strategies.contains("AsOfJoinStrategy"), s"strategies: $strategies")
+    assert(rules.exists(_.contains("PushProbeFilterThroughAsOfJoin")), s"rules: $rules")
+    assert(functions.contains("decode_plc_words") && functions.contains("vec_dot"))
+  }
 }
