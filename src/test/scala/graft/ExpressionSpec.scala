@@ -93,4 +93,23 @@ class ExpressionSpec extends SparkSpec {
     assert(rules.exists(_.contains("PushProbeFilterThroughAsOfJoin")), s"rules: $rules")
     assert(functions.contains("decode_plc_words") && functions.contains("vec_dot"))
   }
+
+  test("vec_dot interpreted evaluation == codegen evaluation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = Seq.fill(50)((
+      Seq.fill(16)(rnd.nextFloat() * 2 - 1), Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val expr = GraftFunctions.vec_dot(col("a"), col("b")).as("d")
+    val codegen = df.select(expr).collect().map(_.getDouble(0))
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = df.select(expr).collect().map(_.getDouble(0))
+      assert(interpreted.toSeq === codegen.toSeq)
+    } finally prevFactory match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
 }
