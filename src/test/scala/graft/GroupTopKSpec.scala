@@ -66,4 +66,15 @@ class GroupTopKSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
     assert(e.getMessage.contains("rank"))
   }
+
+  test("null keys form one group; null order values sort per SortOrder") {
+    val df = Seq[(Option[Long], Option[Long], Long)](
+      (None, Some(5L), 1L), (None, Some(9L), 2L), (None, None, 3L),
+      (Some(1L), Some(2L), 4L)).toDF("key", "v", "id")
+    val out = GroupTopK.topK(df, Seq("key"), Seq($"v".desc, $"id".asc), 2)
+      .select($"id", $"rank").as[(Long, Int)].collect().toSet
+    // null-key group: v desc ranks 9 (id=2) first, then 5 (id=1);
+    // the null-v row (id=3) sorts last under DESC (nulls last) and is cut
+    assert(out === Set((2L, 1), (1L, 2), (4L, 1)))
+  }
 }
