@@ -44,23 +44,35 @@ object Dedup {
         countDistinct(md5(col("text").cast("binary"))).as("n_unique_md5"))
       .orderBy("source")
 
-  /** qd2: MinHash + LSH near-dup candidates:
-    * shingle → 6 salted-md5 min-hashes → 2 bands of 3 → bucket
-    * self-join → candidate pairs with estimated Jaccard. */
-  def qd2_minhash_lsh(s: SparkSession, d: String): DataFrame = {
+  /** MinHash signatures per doc: 6 salted-md5 min-hashes. */
+  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
     val sh = wordShingles(s, d)
     val minhashAggs = (0 until NumHashes).map(j =>
       min(md5(concat(lit(s"$j|"), col("shingle")))).as(s"h$j"))
-    val sigs = sh.groupBy(col("doc_id")).agg(minhashAggs.head, minhashAggs.tail: _*)
+    sh.groupBy(col("doc_id")).agg(minhashAggs.head, minhashAggs.tail: _*)
+  }
+
+  /** LSH candidate pairs (id_a < id_b) from 2 bands of 3 hashes:
+    * docs collide when any full band matches — bucket-local self-join,
+    * so the pair space never goes all-pairs. */
+  private def lshCandidatePairs(sigs: DataFrame): DataFrame = {
     val bands = sigs.select(col("doc_id"),
       explode(array(
         struct(lit(0).as("band"), md5(concat(col("h0"), col("h1"), col("h2"))).as("key")),
         struct(lit(1).as("band"), md5(concat(col("h3"), col("h4"), col("h5"))).as("key")))).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
     val a = bands.as("a"); val b = bands.as("b")
-    val pairs = a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
+  }
+
+  /** qd2: MinHash + LSH near-dup candidates:
+    * shingle → 6 salted-md5 min-hashes → 2 bands of 3 → bucket
+    * self-join → candidate pairs with estimated Jaccard. */
+  def qd2_minhash_lsh(s: SparkSession, d: String): DataFrame = {
+    val sigs = minhashSigs(s, d)
+    val pairs = lshCandidatePairs(sigs)
     val sa = sigs.as("sa"); val sb = sigs.as("sb")
     pairs.join(sa, col("id_a") === col("sa.doc_id"))
       .join(sb, col("id_b") === col("sb.doc_id"))
@@ -136,12 +148,62 @@ object Dedup {
       .orderBy("keep_id", "dup_id")
   }
 
+  /** qd6: duplicate-cluster resolution — the step after candidate
+    * generation that an actual dedup pipeline needs: group the LSH
+    * candidate pairs ([[qd2_minhash_lsh]]'s output) into connected
+    * components and keep one canonical representative (min doc_id) per
+    * cluster.
+    *
+    * Algorithm: min-label propagation to a fixpoint — each round every
+    * node takes the min label among itself and its neighbours; rounds =
+    * O(component diameter). Each round is one shuffle-by-id join +
+    * aggregation, with `localCheckpoint()` cutting the growing lineage
+    * (the standard Spark iterative-graph pattern). Only docs that
+    * appear in a candidate pair enter the graph, so the iteration input
+    * is pair-space-sized, not corpus-sized. At 100 TB with adversarial
+    * long-chain graphs, swap the loop body for the large-star/small-star
+    * rewrite (Kiveris et al., "Connected Components in MapReduce"); the
+    * contract of this operator is unchanged.
+    */
+  def qd6_dup_clusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = lshCandidatePairs(minhashSigs(s, d))
+    // undirected: propagate labels both ways
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 16) {
+      val next = edges.join(labels, edges("dst") === labels("id"))
+        .select(col("src").as("id"), col("label"))
+        .union(labels)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      // labels only ever decrease, so "no change" == fixpoint
+      converged = next.withColumnRenamed("label", "next_label")
+        .join(labels, "id")
+        .filter(col("next_label") =!= col("label"))
+        .isEmpty
+      labels = next
+      rounds += 1
+    }
+    require(converged, s"qd6 label propagation did not converge in $rounds rounds")
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        (col("id") === col("label")).as("is_canonical"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qd1_exact_dedup" -> (qd1_exact_dedup _),
     "qd2_minhash_lsh" -> (qd2_minhash_lsh _),
     "qd3_simhash" -> (qd3_simhash _),
     "qd4_ngram_jaccard" -> (qd4_ngram_jaccard _),
-    "qd5_embedding_neardup" -> (qd5_embedding_neardup _))
+    "qd5_embedding_neardup" -> (qd5_embedding_neardup _),
+    "qd6_dup_clusters" -> (qd6_dup_clusters _))
 
   private val shingleSql =
     s"""shingles AS (
@@ -210,6 +272,36 @@ object Dedup {
          |FROM inter JOIN counts ca ON id_a = ca.doc_id JOIN counts cb ON id_b = cb.doc_id
          |WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.01
          |ORDER BY id_a, id_b""".stripMargin,
+    "qd6_dup_clusters" ->
+      s"""WITH RECURSIVE $shingleSql,
+         |sigs AS (
+         | SELECT doc_id,
+         |  MIN(md5('0|' || shingle)) AS h0, MIN(md5('1|' || shingle)) AS h1,
+         |  MIN(md5('2|' || shingle)) AS h2, MIN(md5('3|' || shingle)) AS h3,
+         |  MIN(md5('4|' || shingle)) AS h4, MIN(md5('5|' || shingle)) AS h5
+         | FROM shingles GROUP BY 1),
+         |bands AS (
+         | SELECT doc_id, 0 AS band, md5(h0 || h1 || h2) AS key FROM sigs
+         | UNION ALL
+         | SELECT doc_id, 1 AS band, md5(h3 || h4 || h5) AS key FROM sigs),
+         |pairs AS (
+         | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         | FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+         |  AND a.doc_id < b.doc_id),
+         |edges AS (
+         | SELECT id_a AS src, id_b AS dst FROM pairs
+         | UNION ALL SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, lbl) AS (
+         | SELECT id, id FROM nodes
+         | UNION
+         | SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.lbl),
+         |labels AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1),
+         |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY 1)
+         |SELECT l.id AS doc_id, l.cluster_id, l.id = l.cluster_id AS is_canonical,
+         | s.cluster_size
+         |FROM labels l JOIN sizes s ON l.cluster_id = s.cluster_id
+         |ORDER BY doc_id""".stripMargin,
     "qd5_embedding_neardup" ->
       """WITH nm AS (
         | SELECT vec_id, embedding,

@@ -500,6 +500,30 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
       .orderBy("l_returnflag", "metric")
 
+  // ---------------------------------------------------------------- q36
+  /** Deterministic stratified sampling — the training-data-pipeline
+    * primitive for rebalancing a corpus (e.g. downsample the dominant
+    * source, keep the rare ones). `sampleBy` uses an RNG, which no
+    * cross-engine oracle can reproduce; here the admission test is a
+    * content hash — `md5(primary key) mod 100 < rate(stratum)` — which
+    * is (a) exactly reproducible on any engine, (b) stable under
+    * re-partitioning and re-runs (a row's fate depends only on its key,
+    * so incremental pipeline re-runs sample identically), and (c) a
+    * pure map-side filter: the only shuffle is the verification agg.
+    * Per-stratum rates: A→25%, N→5%, R→50%. */
+  def q36_stratified_sample(s: SparkSession, d: String): DataFrame = {
+    val rate = when(col("l_returnflag") === "A", 25)
+      .when(col("l_returnflag") === "N", 5).otherwise(50)
+    val bucket = pmod(
+      conv(substring(md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"))
+        .cast("binary")), 1, 4), 16, 10).cast("long"), lit(100))
+    Tables.lineitem(s, d)
+      .filter(bucket < rate)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_sampled"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   // ---------------------------------------------------------------- qst2
   /** ST7 analog: sessionization via lag + cumulative flag (30 min gap);
     * the streaming equivalent uses session_window (see stream/). */
@@ -562,6 +586,7 @@ object Relational {
     "q32_rank_family" -> (q32_rank_family _),
     "q34_pivot" -> (q34_pivot _),
     "q35_unpivot" -> (q35_unpivot _),
+    "q36_stratified_sample" -> (q36_stratified_sample _),
     "qst2_sessions" -> (qst2_sessions _),
     "qst3_window_hourly" -> (qst3_window_hourly _))
 
@@ -760,6 +785,13 @@ object Relational {
         |SELECT l_returnflag, metric, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM long GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q36_stratified_sample" ->
+      """SELECT l_returnflag, COUNT(*) AS n_sampled,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)), 1, 4))::BIGINT % 100
+        |      < CASE l_returnflag WHEN 'A' THEN 25 WHEN 'N' THEN 5 ELSE 50 END
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q33_group_topk" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INT) AS rank FROM (
         | SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.batch.Dedup
+
+/** qd6 duplicate-cluster resolution: structural invariants of the
+  * connected-components output (the oracle pins exact values; these pin
+  * the graph semantics independent of the fixture).
+  */
+class DedupClusterSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("clusters are consistent: canonical = min member, sizes add up") {
+    val out = Dedup.qd6_dup_clusters(spark, sf).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty, "fixture LSH produces at least one candidate pair")
+
+    // cluster_id is the min doc_id of the cluster (canonical representative)
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_.getAs[Long]("doc_id")).min == cid,
+        s"cluster $cid: representative must be the min member id")
+      val sizes = members.map(_.getAs[Long]("cluster_size")).distinct.toSeq
+      assert(sizes == Seq(members.length.toLong),
+        s"cluster $cid: cluster_size column must equal the member count")
+      assert(members.count(_.getAs[Boolean]("is_canonical")) == 1,
+        s"cluster $cid: exactly one canonical row")
+    }
+
+    // every doc appears exactly once
+    val ids = rows.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == ids.length)
+    out.unpersist()
+  }
+
+  test("labels respect the candidate edges: pair endpoints share a cluster") {
+    val labels = Dedup.qd6_dup_clusters(spark, sf)
+      .select(col("doc_id"), col("cluster_id"))
+    // rebuild the same candidate pairs qd6 consumed via qd2's output
+    val pairs = Dedup.qd2_minhash_lsh(spark, sf).select(col("id_a"), col("id_b"))
+    val violated = pairs
+      .join(labels.withColumnRenamed("doc_id", "id_a").withColumnRenamed("cluster_id", "ca"), "id_a")
+      .join(labels.withColumnRenamed("doc_id", "id_b").withColumnRenamed("cluster_id", "cb"), "id_b")
+      .filter(col("ca") =!= col("cb"))
+    assert(violated.isEmpty, "every candidate pair must land in one cluster")
+  }
+}
