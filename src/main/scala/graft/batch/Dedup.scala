@@ -44,9 +44,24 @@ object Dedup {
         countDistinct(md5(col("text").cast("binary"))).as("n_unique_md5"))
       .orderBy("source")
 
-  /** MinHash signatures per doc: 6 salted-md5 min-hashes. */
+  /** MinHash signatures per doc: 6 salted-md5 min-hashes.
+    *
+    * Unlike [[wordShingles]] this skips the shingle `distinct()` —
+    * `min` over duplicate shingles is the same value, so minhash needs
+    * no dedup shuffle. The explicit repartition spreads the CPU-bound
+    * shingle+md5 map work across cores: the fixture corpus is one
+    * parquet file (= one scan task); at 100 TB the scan itself provides
+    * the parallelism and the repartition coalesces into the groupBy
+    * shuffle for free.
+    */
   private def minhashSigs(s: SparkSession, d: String): DataFrame = {
-    val sh = wordShingles(s, d)
+    val docs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), split(lower(substring(col("text"), 1, ShingleChars)), " ").as("toks"))
+    val sh = docs.select(col("doc_id"),
+        explode(expr("transform(sequence(0, greatest(size(toks) - 3, 0)), " +
+          "i -> concat_ws(' ', slice(toks, i + 1, 3)))")).as("shingle"))
+      .filter(length(col("shingle")) > 0)
     val minhashAggs = (0 until NumHashes).map(j =>
       min(md5(concat(lit(s"$j|"), col("shingle")))).as(s"h$j"))
     sh.groupBy(col("doc_id")).agg(minhashAggs.head, minhashAggs.tail: _*)
@@ -166,7 +181,12 @@ object Dedup {
     * contract of this operator is unchanged.
     */
   def qd6_dup_clusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = lshCandidatePairs(minhashSigs(s, d))
+    // checkpoint the minhash signatures BEFORE the band self-join and
+    // the edge union: Spark does not share common subtrees, so without
+    // this the full shingle→signature pipeline (the expensive part)
+    // executes 4× — once per join side per union branch
+    val sigs = minhashSigs(s, d).localCheckpoint()
+    val pairs = lshCandidatePairs(sigs).localCheckpoint()
     // undirected: propagate labels both ways
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))

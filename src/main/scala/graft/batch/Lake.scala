@@ -1,6 +1,6 @@
 package graft.batch
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Lake-layout writers: directory partitioning for coarse pruning.
@@ -22,4 +22,34 @@ object Lake {
     * histories table would use at scale. */
   def writeEventsByDay(events: DataFrame, path: String): Unit =
     writePartitioned(events.withColumn("event_date", to_date(col("ts"))), path, "event_date")
+
+  /** Compact a parquet directory into ~`targetBytes`-sized files at
+    * `dest`, preserving hive partitioning by `cols`.
+    *
+    * A streaming append sink (K3-style) lands one small file per
+    * micro-batch per partition; after a day at 1 Hz that is thousands
+    * of footer-heavy files whose open cost dominates the scan. The
+    * 100 TB fix is a periodic compaction pass: read, re-bin to
+    * size-targeted files, rewrite — exactly what Delta's OPTIMIZE or
+    * Iceberg's rewrite_data_files does, expressed on plain parquet.
+    * Writes to a fresh directory (atomic swap is the caller's rename)
+    * rather than in place, so readers never see a half-compacted table.
+    *
+    * Returns (filesBefore, filesAfter).
+    */
+  def compactTo(spark: SparkSession, src: String, dest: String,
+                targetBytes: Long = 128L * 1024 * 1024, cols: Seq[String] = Nil): (Int, Int) = {
+    val df = spark.read.parquet(src)
+    val before = df.inputFiles.length
+    val totalBytes = df.inputFiles.map(f =>
+      new java.io.File(new java.net.URI(f).getPath).length()).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    // partitionBy + repartition(partCols) would put each hive partition
+    // in one task-file; without partition cols a plain size-based re-bin
+    val binned =
+      if (cols.isEmpty) df.repartition(nFiles)
+      else df.repartition(nFiles, cols.map(col): _*)
+    binned.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(dest)
+    (before, spark.read.parquet(dest).inputFiles.length)
+  }
 }

@@ -7,9 +7,9 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -79,16 +79,53 @@ class PlcSimTable(cfg: PlcSimConfig) extends Table with SupportsRead {
   override def schema(): StructType = PlcSim.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+
+  /** Scan builder with DSv2 pushdown (the SURVEY §4 analog of the
+    * reference reading ONLY configured registers/PLCs):
+    *  - column pruning (`SupportsPushDownRequiredColumns`): a query that
+    *    never touches `regs` skips generating the register map entirely;
+    *  - `ip` filter pushdown (`SupportsPushDownFilters`, `=`/`IN`):
+    *    prunes whole input partitions — the fleet analog of connecting
+    *    to a subset of PLCs, before any row exists.
+    */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan {
+    new ScanBuilder with Scan
+      with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+      private var required: StructType = PlcSim.schema
+      private var ipFilter: Option[Set[String]] = None
+
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        // preserve source field order regardless of projection order
+        required = StructType(PlcSim.schema.filter(f => requiredSchema.fieldNames.contains(f.name)))
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        val (pushable, rest) = filters.partition {
+          case EqualTo("ip", _: String) => true
+          case In("ip", vs) => vs.forall(_.isInstanceOf[String])
+          case _ => false
+        }
+        val accepted = pushable.flatMap {
+          case EqualTo("ip", v: String) => Seq(Set(v))
+          case In("ip", vs) => Seq(vs.map(_.asInstanceOf[String]).toSet)
+          case _ => Nil
+        }
+        if (accepted.nonEmpty) ipFilter = Some(accepted.reduce(_ intersect _))
+        rest // Spark re-evaluates nothing we claimed; rest stays post-scan
+      }
+      override def pushedFilters(): Array[Filter] =
+        ipFilter.map(ips => Array[Filter](In("ip", ips.toArray[Any]))).getOrElse(Array.empty)
+
+      private def selectedIps: Seq[String] =
+        ipFilter.map(keep => cfg.ips.filter(keep)).getOrElse(cfg.ips)
+
       override def build(): Scan = this
-      override def readSchema(): StructType = PlcSim.schema
+      override def readSchema(): StructType = required
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new PlcSimMicroBatchStream(cfg)
+        new PlcSimMicroBatchStream(cfg.copy(ips = selectedIps), required)
       override def toBatch: Batch = new Batch {
         override def planInputPartitions(): Array[InputPartition] =
-          cfg.ips.map(ip => PlcSimPartition(ip, 0L, cfg.maxTicks, cfg): InputPartition).toArray
-        override def createReaderFactory(): PartitionReaderFactory = new PlcSimReaderFactory
+          selectedIps.map(ip => PlcSimPartition(ip, 0L, cfg.maxTicks, cfg): InputPartition).toArray
+        override def createReaderFactory(): PartitionReaderFactory = PlcSimReaderFactory(required)
       }
     }
 }
@@ -97,7 +134,8 @@ case class TickOffset(tick: Long) extends Offset {
   override def json(): String = tick.toString
 }
 
-class PlcSimMicroBatchStream(cfg: PlcSimConfig) extends MicroBatchStream {
+class PlcSimMicroBatchStream(cfg: PlcSimConfig,
+    schema: StructType = PlcSim.schema) extends MicroBatchStream {
   override def initialOffset(): Offset = TickOffset(0L)
   override def latestOffset(): Offset = TickOffset(cfg.maxTicks)
   override def deserializeOffset(json: String): Offset = TickOffset(json.toLong)
@@ -110,29 +148,36 @@ class PlcSimMicroBatchStream(cfg: PlcSimConfig) extends MicroBatchStream {
     val e = end.asInstanceOf[TickOffset].tick
     cfg.ips.map(ip => PlcSimPartition(ip, s, e, cfg): InputPartition).toArray
   }
-  override def createReaderFactory(): PartitionReaderFactory = new PlcSimReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory = PlcSimReaderFactory(schema)
 }
 
 case class PlcSimPartition(ip: String, startTick: Long, endTick: Long, cfg: PlcSimConfig)
   extends InputPartition
 
-class PlcSimReaderFactory extends PartitionReaderFactory {
+case class PlcSimReaderFactory(schema: StructType = PlcSim.schema)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PlcSimPartition]
+    val fields = schema.fieldNames
     new PartitionReader[InternalRow] {
       private var tick = p.startTick
       private var row: InternalRow = _
       override def next(): Boolean =
         if (tick >= p.endTick) false
         else {
-          val addrs = p.cfg.addresses
-          val keys = new GenericArrayData(addrs.map(a => UTF8String.fromString(a)).toArray[Any])
-          val vals = new GenericArrayData(
-            addrs.map(a => PlcSim.valueAt(p.cfg, p.ip, a, tick): java.lang.Integer).toArray[Any])
-          row = new GenericInternalRow(Array[Any](
-            UTF8String.fromString(p.ip),
-            (p.cfg.startEpochSec + tick) * 1000000L, // µs
-            new ArrayBasedMapData(keys, vals)))
+          // build ONLY the pruned columns; in particular a pruned-out
+          // `regs` skips the whole register-map generation
+          val values = fields.map[Any] {
+            case "ip" => UTF8String.fromString(p.ip)
+            case "ts" => (p.cfg.startEpochSec + tick) * 1000000L // µs
+            case "regs" =>
+              val addrs = p.cfg.addresses
+              val keys = new GenericArrayData(addrs.map(a => UTF8String.fromString(a)).toArray[Any])
+              val vals = new GenericArrayData(
+                addrs.map(a => PlcSim.valueAt(p.cfg, p.ip, a, tick): java.lang.Integer).toArray[Any])
+              new ArrayBasedMapData(keys, vals)
+          }
+          row = new GenericInternalRow(values.toArray)
           tick += 1
           true
         }

@@ -41,4 +41,47 @@ class LakeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val minDay = expected.agg(min("event_date")).collect().head.getDate(0)
     assert(oneDay.count() === expected.filter(col("event_date") === minDay).count())
   }
+
+  test("dynamic partition pruning: dim-filtered join prunes fact partitions at runtime") {
+    val dir = Files.createTempDirectory("graft_dpp").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    Lake.writeEventsByDay(ev, s"$dir/fact")
+
+    // a dates dim with a non-partition attribute; only the dim filter
+    // (not any literal on the fact) selects the day — pruning must come
+    // from the join at runtime. NB the filter must be a comparison
+    // (Catalyst's isLikelySelective), not a bare boolean attribute.
+    val minDay = spark.read.parquet(s"$dir/fact")
+      .agg(min("event_date")).collect().head.getDate(0)
+    spark.read.parquet(s"$dir/fact").select("event_date").distinct()
+      .withColumn("kind",
+        when(col("event_date") === lit(minDay), "special").otherwise("normal"))
+      .write.parquet(s"$dir/dim")
+
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = spark.read.parquet(s"$dir/dim").filter(col("kind") === "special")
+    val joined = fact.join(dim, "event_date").groupBy("event_type").count()
+    joined.collect() // execute so AQE finalizes the plan
+
+    val scans = collectWithSubqueries(joined.queryExecution.executedPlan) {
+      case s: FileSourceScanExec if s.relation.location.rootPaths.head.toString.contains("fact") => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.partitionFilters.exists(_.toString.contains("dynamicpruning")),
+      s"expected a runtime DPP filter on the fact scan, got: ${scans.head.partitionFilters}")
+    assert(joined.agg(sum("count")).collect().head.getLong(0)
+      === fact.filter(col("event_date") === lit(minDay)).count())
+  }
+
+  test("compaction re-bins many small files into few") {
+    val dir = Files.createTempDirectory("graft_compact").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    // simulate a streaming sink's small-file debris: 64 appends
+    ev.repartition(64).write.parquet(s"$dir/src")
+    val (before, after) = Lake.compactTo(spark, s"$dir/src", s"$dir/dst")
+    assert(before >= 64, s"precondition: many small files, got $before")
+    assert(after < before / 8, s"expected compaction, got $before -> $after")
+    // content preserved
+    assert(spark.read.parquet(s"$dir/dst").count() === ev.count())
+  }
 }

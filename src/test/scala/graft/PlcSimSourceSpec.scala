@@ -41,6 +41,28 @@ class PlcSimSourceSpec extends SparkSpec {
     assert(batch.count() == 3)
   }
 
+  test("pushdown: column pruning reaches the scan, ip filter prunes partitions") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val df = spark.read.format("plc-sim")
+      .option("ips", "10.0.0.1,10.0.0.2,10.0.0.3").option("addresses", "D3100")
+      .option("counters", "D3100").option("maxTicks", "4").load()
+
+    // projection without `regs` → pruned readSchema at the scan
+    val slim = df.filter($"ip" === "10.0.0.2").select($"ip", $"ts")
+    val scan = slim.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }.get
+    assert(scan.scan.readSchema().fieldNames.toSeq == Seq("ip", "ts"),
+      s"expected pruned schema, got ${scan.scan.readSchema()}")
+    // = filter became partition pruning: 1 of 3 ip partitions planned
+    assert(slim.queryExecution.toRdd.getNumPartitions == 1)
+    assert(slim.count() == 4)
+
+    // IN-list pushdown keeps 2 partitions; results unchanged
+    val two = df.filter($"ip".isin("10.0.0.1", "10.0.0.3"))
+    assert(two.queryExecution.toRdd.getNumPartitions == 2)
+    assert(two.count() == 8)
+    assert(two.select(element_at($"regs", "D3100")).count() == 8) // regs still readable
+  }
+
   test("full integration: plc-sim → decode → state machine → records") {
     val outDir = Files.createTempDirectory("graft_sim").toString
     val layout = Seq(StationSideConfig("10.0.0.1", "PRENSA1", "LH",
