@@ -19,14 +19,40 @@ import graft.Tables
   */
 object Dedup {
 
-  private val ShingleChars = 120  // shingling window per doc (bounds cost)
-  private val NumHashes = 6
-  private val BandSize = 3        // 2 bands of 3 → candidate P = J^3
+  private[graft] val ShingleChars = 120  // shingling window per doc (bounds cost)
+  private[graft] val NumHashes = 6
+  private[graft] val BandSize = 3        // 2 bands of 3 → candidate P = J^3
+
+  /** Row-local LSH band keys for one document text: the same 2 bands of
+    * 3 salted-md5 min-hashes as [[minhashSigs]], but computed entirely
+    * inside the row (the shingle set is row-local, so no explode /
+    * groupBy is needed — `min` over duplicates equals `min` over the
+    * distinct set). This is what lets a STREAM compute signatures
+    * per-row and probe a static bucket index without any streaming
+    * aggregation ([[graft.stream.IngestDedup]]).
+    * Returns `array<struct<band:int, key:string>>`.
+    */
+  private[graft] def bandKeys(text: Column): Column = {
+    val toks = split(lower(substring(text, 1, ShingleChars)), " ")
+    val shingles = filter(
+      transform(sequence(lit(0), greatest(size(toks) - 3, lit(0))),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(3)))),
+      sh => length(sh) > 0)
+    def minh(j: Int): Column =
+      array_min(transform(shingles, sh => md5(concat(lit(s"$j|"), sh))))
+    array(
+      struct(lit(0).as("band"), md5(concat(minh(0), minh(1), minh(2))).as("key")),
+      struct(lit(1).as("band"), md5(concat(minh(3), minh(4), minh(5))).as("key")))
+  }
 
   /** Distinct word-3-gram shingles per doc over the first
     * [[ShingleChars]] chars, lowercased. */
   private def wordShingles(s: SparkSession, d: String): DataFrame = {
+    // the fixture corpus is one parquet file = one scan task; spread the
+    // CPU-bound shingle explode across cores (at 100 TB the scan itself
+    // parallelizes and this coalesces into the next shuffle)
     val toks = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(lower(substring(col("text"), 1, ShingleChars)), " ").as("toks"))
     toks.select(col("doc_id"),
         explode(expr("transform(sequence(0, greatest(size(toks) - 3, 0)), " +

@@ -33,8 +33,10 @@ object TextOps {
     * reported as a (actual, predicted) confusion count. */
   def qt1_langid(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val toks = docs.select(col("doc_id"),
-      explode(split(lower(col("text")), " ")).as("tok"))
+    // full-text explode is CPU-bound and the fixture is a single-file
+    // scan (one task); spread it across cores before the broadcast join
+    val toks = docs.repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
     val scores = toks.join(broadcast(profileDf(s)), col("tok") === col("word"))
       .groupBy(col("doc_id"), col("plang")).agg(count(lit(1)).as("score"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("plang").asc)

@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.stream.IngestDedup
+
+/** Dedup-at-ingest: exact + near-dup filtering of arriving batches
+  * against the accumulating corpus index (the streaming qd1/qd2).
+  */
+class IngestDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 30 distinct 3-char tokens ≈ 119 chars — fills the 120-char shingle
+  // window, so any text sharing this prefix has the identical shingle
+  // set (→ identical minhash signature) regardless of its tail
+  private val prefix = (0 until 30).map(i => f"w$i%02d").mkString(" ")
+  private val base = prefix + " tail one"
+  private val exactDup = prefix + " tail one"        // same md5
+  private val nearDup = prefix + " tail two differs" // same shingles, new md5
+  private val other = (0 until 30).map(i => f"z$i%02d").mkString(" ")
+
+  test("batch 1 in-batch dedup; batch 2 deduped against the corpus index") {
+    val dir = Files.createTempDirectory("graft_ingest").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    input.addData((1L, base), (2L, exactDup), (3L, nearDup), (4L, other))
+    val q = IngestDedup.start(docs, s"$dir/out", s"$dir/ckpt", Trigger.AvailableNow())
+    assert(q.awaitTermination(120000))
+
+    def corpusIds = spark.read.parquet(s"$dir/out/corpus")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(corpusIds == Seq(1L, 4L),
+      "in-batch: exact dup (2) and near dup (3) lose to min doc_id 1")
+
+    // second batch: everything dups against the CORPUS except the new doc
+    input.addData((5L, base), (6L, nearDup),
+      (7L, (0 until 30).map(i => f"y$i%02d").mkString(" ")))
+    val q2 = IngestDedup.start(docs, s"$dir/out", s"$dir/ckpt", Trigger.AvailableNow())
+    assert(q2.awaitTermination(120000))
+    assert(corpusIds == Seq(1L, 4L, 7L),
+      "cross-batch: 5 exact-dups and 6 near-dups the indexed corpus; 7 is new")
+
+    // indexes grew only by the survivors
+    assert(spark.read.parquet(s"$dir/out/exact_idx").count() == 3)
+    assert(spark.read.parquet(s"$dir/out/band_idx").count() == 6) // 2 bands × 3 docs
+  }
+
+  test("ingestBatch is the same code path for batch backfill") {
+    val dir = Files.createTempDirectory("graft_ingest_b").toString
+    IngestDedup.ingestBatch(
+      Seq((10L, base), (11L, nearDup)).toDF("doc_id", "text"), s"$dir/out")
+    IngestDedup.ingestBatch(
+      Seq((12L, base)).toDF("doc_id", "text"), s"$dir/out")
+    assert(spark.read.parquet(s"$dir/out/corpus")
+      .select("doc_id").as[Long].collect().toSeq == Seq(10L))
+  }
+}
