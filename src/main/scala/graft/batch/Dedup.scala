@@ -80,7 +80,7 @@ object Dedup {
     * the parallelism and the repartition coalesces into the groupBy
     * shuffle for free.
     */
-  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def minhashSigs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(lower(substring(col("text"), 1, ShingleChars)), " ").as("toks"))

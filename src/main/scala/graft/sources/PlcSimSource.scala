@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -59,7 +59,8 @@ object PlcSim {
 }
 
 case class PlcSimConfig(ips: Seq[String], addresses: Seq[String], counters: Set[String],
-    words: Map[String, Int], startEpochSec: Long, maxTicks: Long)
+    words: Map[String, Int], startEpochSec: Long, maxTicks: Long,
+    maxTicksPerTrigger: Option[Long] = None)
 
 object PlcSimConfig {
   def apply(props: util.Map[String, String]): PlcSimConfig = {
@@ -70,7 +71,8 @@ object PlcSimConfig {
     }.toMap).getOrElse(Map.empty[String, Int])
     PlcSimConfig(csv("ips"), csv("addresses"), csv("counters").toSet, words,
       Option(props.get("startEpochSec")).map(_.toLong).getOrElse(1709625600L), // 2024-03-05 08:00 UTC
-      Option(props.get("maxTicks")).map(_.toLong).getOrElse(10L))
+      Option(props.get("maxTicks")).map(_.toLong).getOrElse(10L),
+      Option(props.get("maxTicksPerTrigger")).map(_.toLong))
   }
 }
 
@@ -135,12 +137,29 @@ case class TickOffset(tick: Long) extends Offset {
 }
 
 class PlcSimMicroBatchStream(cfg: PlcSimConfig,
-    schema: StructType = PlcSim.schema) extends MicroBatchStream {
+    schema: StructType = PlcSim.schema)
+  extends MicroBatchStream with SupportsAdmissionControl {
   override def initialOffset(): Offset = TickOffset(0L)
   override def latestOffset(): Offset = TickOffset(cfg.maxTicks)
   override def deserializeOffset(json: String): Offset = TickOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+
+  /** Admission control (`maxTicksPerTrigger`): bounds how many ticks one
+    * micro-batch admits — the `maxOffsetsPerTrigger` analog. Without it,
+    * a restart after downtime would emit ONE catch-up batch spanning the
+    * whole gap (shuffle/state spikes sized by the outage, not the
+    * steady state). */
+  override def getDefaultReadLimit: ReadLimit =
+    cfg.maxTicksPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[TickOffset].tick
+    limit match {
+      case m: ReadMaxRows => TickOffset(math.min(s + m.maxRows(), cfg.maxTicks))
+      case _ => TickOffset(cfg.maxTicks)
+    }
+  }
 
   /** One partition per IP — the per-IP reader of the reference. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

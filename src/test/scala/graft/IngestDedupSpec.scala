@@ -49,6 +49,25 @@ class IngestDedupSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out/band_idx").count() == 6) // 2 bands × 3 docs
   }
 
+  test("row-local bandKeys ≡ aggregate minhash bands on the fixture corpus") {
+    // the ingest index probe is only sound if the streaming (row-local)
+    // and batch (explode+groupBy) signature paths agree exactly
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val viaAgg = graft.batch.Dedup.minhashSigs(spark, d)
+      .select(col("doc_id"),
+        md5(concat(col("h0"), col("h1"), col("h2"))).as("b0"),
+        md5(concat(col("h3"), col("h4"), col("h5"))).as("b1"))
+    val viaRow = Tables.documents(spark, d)
+      .select(col("doc_id"), graft.batch.Dedup.bandKeys(col("text")).as("bands"))
+      .select(col("doc_id"),
+        col("bands")(0).getField("key").as("b0"),
+        col("bands")(1).getField("key").as("b1"))
+      .filter(col("b0").isNotNull) // all-empty docs have no aggregate row
+    assert(viaRow.exceptAll(viaAgg).isEmpty && viaAgg.exceptAll(viaRow).isEmpty,
+      "row-local and aggregate band keys must be identical")
+  }
+
   test("ingestBatch is the same code path for batch backfill") {
     val dir = Files.createTempDirectory("graft_ingest_b").toString
     IngestDedup.ingestBatch(

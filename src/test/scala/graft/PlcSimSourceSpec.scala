@@ -63,6 +63,25 @@ class PlcSimSourceSpec extends SparkSpec {
     assert(two.select(element_at($"regs", "D3100")).count() == 8) // regs still readable
   }
 
+  test("maxTicksPerTrigger bounds micro-batch size (admission control)") {
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("plc-sim")
+      .option("ips", "10.0.0.1").option("addresses", "D3100")
+      .option("counters", "D3100").option("maxTicks", "6")
+      .option("maxTicksPerTrigger", "2").load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        sizes.synchronized { sizes += b.count() }; ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val observed = sizes.synchronized(sizes.filter(_ > 0).toSeq)
+    assert(observed.sum == 6, s"all 6 ticks eventually admitted: $observed")
+    assert(observed.forall(_ <= 2), s"each batch bounded to 2 ticks: $observed")
+    assert(observed.length >= 3, s"catch-up split across batches: $observed")
+  }
+
   test("full integration: plc-sim → decode → state machine → records") {
     val outDir = Files.createTempDirectory("graft_sim").toString
     val layout = Seq(StationSideConfig("10.0.0.1", "PRENSA1", "LH",
