@@ -524,6 +524,34 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  // ---------------------------------------------------------------- q37
+  /** Spark 4 recursive CTE (engine surface the reference's per-key SQL
+    * loops could never express): walk each sampled customer's order
+    * chain hop by hop via a linked next-order view. The DuckDB oracle
+    * computes the same result with ROW_NUMBER — two independent
+    * formulations cross-validating. (Cyclic recursion — e.g. the qd6
+    * connected-components closure — still needs the iterative operator:
+    * Spark recursive CTEs are UNION ALL-only, which cannot terminate on
+    * cycles; qd6's min-label loop is the scalable form anyway.) */
+  def q37_recursive_chain(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    Tables.orders(s, d).filter(pmod(col("o_custkey"), lit(50)) === 0)
+      .select(col("o_custkey"), col("o_orderkey"))
+      .withColumn("k_next", lead(col("o_orderkey"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+      .createOrReplaceTempView("q37_edges")
+    s.sql(
+      """WITH RECURSIVE chain AS (
+        |  SELECT o_custkey AS custkey, o_orderkey, k_next, 1 AS hop
+        |  FROM q37_edges WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.o_custkey, e.o_orderkey, e.k_next, c.hop + 1
+        |  FROM chain c JOIN q37_edges e
+        |    ON e.o_custkey = c.custkey AND e.o_orderkey = c.k_next)
+        |SELECT custkey, o_orderkey, hop FROM chain
+        |ORDER BY custkey, hop""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- qst2
   /** ST7 analog: sessionization via lag + cumulative flag (30 min gap);
     * the streaming equivalent uses session_window (see stream/). */
@@ -587,6 +615,7 @@ object Relational {
     "q34_pivot" -> (q34_pivot _),
     "q35_unpivot" -> (q35_unpivot _),
     "q36_stratified_sample" -> (q36_stratified_sample _),
+    "q37_recursive_chain" -> (q37_recursive_chain _),
     "qst2_sessions" -> (qst2_sessions _),
     "qst3_window_hourly" -> (qst3_window_hourly _))
 
@@ -792,6 +821,12 @@ object Relational {
         |WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)), 1, 4))::BIGINT % 100
         |      < CASE l_returnflag WHEN 'A' THEN 25 WHEN 'N' THEN 5 ELSE 50 END
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q37_recursive_chain" ->
+      """SELECT o_custkey AS custkey, o_orderkey, CAST(rn AS INT) AS hop FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+        | FROM orders WHERE o_custkey % 50 = 0) t
+        |ORDER BY custkey, hop""".stripMargin,
     "q33_group_topk" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INT) AS rank FROM (
         | SELECT o_orderpriority, o_orderkey, o_totalprice,
