@@ -535,10 +535,13 @@ object Relational {
     * cycles; qd6's min-label loop is the scalable form anyway.) */
   def q37_recursive_chain(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    // materialize the linked view once: every recursion level re-reads
+    // it, and 20 levels x (scan + window) would dominate the walk
     Tables.orders(s, d).filter(pmod(col("o_custkey"), lit(50)) === 0)
       .select(col("o_custkey"), col("o_orderkey"))
       .withColumn("k_next", lead(col("o_orderkey"), 1).over(w))
       .withColumn("rn", row_number().over(w))
+      .localCheckpoint()
       .createOrReplaceTempView("q37_edges")
     s.sql(
       """WITH RECURSIVE chain AS (

@@ -90,6 +90,7 @@ object IngestDedup {
       .write.mode(SaveMode.Append).parquet(s"$dir/exact_idx")
     keep.select(explode(col("bands")).as("bk"))
       .select(col("bk.band").as("band"), col("bk.key").as("key"))
+      .filter(col("key").isNotNull) // shingle-less docs have no signature
       .write.mode(SaveMode.Append).parquet(s"$dir/band_idx")
   }
 }
