@@ -555,6 +555,20 @@ object Relational {
         |ORDER BY custkey, hop""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q38
+  /** Z-order key math (see [[ZOrder]]): per-row Morton interleave of
+    * two 8-bit-normalized keys, cross-checked bit-for-bit against the
+    * same shift/mask/or formulation in DuckDB. The layout pass built on
+    * this key ([[ZOrder.clusterTo]]) is pinned by ZOrderSpec, which
+    * measures the min/max-stats skip benefit directly. */
+  def q38_zorder_key(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(pmod(col("l_orderkey"), lit(997)) === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        ZOrder.zkey(Seq(pmod(col("l_partkey"), lit(256)),
+                        pmod(col("l_suppkey"), lit(256))), 8).as("zkey"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   // ---------------------------------------------------------------- qst2
   /** ST7 analog: sessionization via lag + cumulative flag (30 min gap);
     * the streaming equivalent uses session_window (see stream/). */
@@ -619,6 +633,7 @@ object Relational {
     "q35_unpivot" -> (q35_unpivot _),
     "q36_stratified_sample" -> (q36_stratified_sample _),
     "q37_recursive_chain" -> (q37_recursive_chain _),
+    "q38_zorder_key" -> (q38_zorder_key _),
     "qst2_sessions" -> (qst2_sessions _),
     "qst3_window_hourly" -> (qst3_window_hourly _))
 
@@ -830,6 +845,17 @@ object Relational {
         |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
         | FROM orders WHERE o_custkey % 50 = 0) t
         |ORDER BY custkey, hop""".stripMargin,
+    "q38_zorder_key" -> {
+      // same interleave as ZOrder.zkey(bits=8, n=2), generated so the
+      // two engines share one definition of the bit layout
+      val terms = (0 until 8).flatMap(i => Seq(
+        s"((((l_partkey % 256) >> $i) & 1) << ${2 * i})",
+        s"((((l_suppkey % 256) >> $i) & 1) << ${2 * i + 1})"))
+      s"""SELECT l_orderkey, l_linenumber,
+         | CAST(${terms.mkString(" | ")} AS BIGINT) AS zkey
+         |FROM lineitem WHERE l_orderkey % 997 = 0
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
     "q33_group_topk" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INT) AS rank FROM (
         | SELECT o_orderpriority, o_orderkey, o_totalprice,
