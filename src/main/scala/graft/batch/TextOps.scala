@@ -114,12 +114,63 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** qt6: sequence packing — assign documents to fixed token-capacity
+    * training bins (the packing step before writing LLM pretraining
+    * shards). This is the deterministic sequential-fill form: documents
+    * in (tokens desc, doc_id) order, each doc's bin = the 2048-token
+    * block its start offset falls in — pure window math, identical on
+    * any engine. The capacity-EXACT variant (no straddling) is
+    * [[packFirstFit]], which packs partition-locally and needs no
+    * global order. */
+  def qt6_seq_pack(s: SparkSession, d: String): DataFrame = {
+    val cap = 2048L
+    val w = Window.orderBy(col("tok").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
+      .withColumn("bin", floor((sum(col("tok")).over(w) - col("tok")) / cap))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("bin_toks"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("bin")
+  }
+
+  /** Distributed first-fit-decreasing packing: (doc_id, tok) →
+    * (doc_id, tok, bin) with every bin ≤ `capacity` tokens (oversized
+    * docs get a singleton bin). Docs are range-partitioned by
+    * descending size so each partition packs a similar-size run
+    * locally — no global sequential pass, bins never cross partitions,
+    * and bin ids are (partitionId << 32 | localBin) so the pass is one
+    * shuffle and embarrassingly parallel at any corpus size. */
+  def packFirstFit(df: DataFrame, capacity: Long,
+                   parallelism: Int = 0): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val n = if (parallelism > 0) parallelism else s.sparkContext.defaultParallelism
+    df.select(col("doc_id").cast("long"), col("tok").cast("long")).as[(Long, Long)]
+      .repartitionByRange(n, col("tok").desc, col("doc_id").asc)
+      .sortWithinPartitions(col("tok").desc, col("doc_id").asc)
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        val free = scala.collection.mutable.ArrayBuffer.empty[Long]
+        it.map { case (id, tok) =>
+          // first-fit over open bins; sizes arrive descending so early
+          // bins fill tightly (classic FFD ≤ 11/9·OPT + 1 bound)
+          var b = free.indexWhere(_ >= tok)
+          if (b < 0) { free += capacity; b = free.length - 1 }
+          free(b) -= math.min(tok, capacity)
+          (id, tok, (pid << 32) | b.toLong)
+        }
+      }.toDF("doc_id", "tok", "bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qt1_langid" -> (qt1_langid _),
     "qt2_quality" -> (qt2_quality _),
     "qt3_tokens" -> (qt3_tokens _),
     "qt4_fingerprint" -> (qt4_fingerprint _),
-    "qt5_tfidf" -> (qt5_tfidf _))
+    "qt5_tfidf" -> (qt5_tfidf _),
+    "qt6_seq_pack" -> (qt6_seq_pack _))
 
   private val profileValues = profiles
     .map { case (l, w) => s"('$l','$w')" }.mkString(", ")
@@ -167,6 +218,18 @@ object TextOps {
         |SELECT source, CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fp, COUNT(*) AS n_docs,
         | MIN(fp) AS min_fp, MAX(fp) AS max_fp
         |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin,
+    "qt6_seq_pack" ->
+      """WITH t AS (
+        | SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, tok,
+        |  SUM(tok) OVER (ORDER BY tok DESC, doc_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS off
+        | FROM t)
+        |SELECT CAST(floor(off / 2048) AS BIGINT) AS bin, COUNT(*) AS n_docs,
+        | SUM(tok) AS bin_toks, MIN(doc_id) AS first_doc
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "qt5_tfidf" ->
       """WITH toks AS (
         | SELECT doc_id, t.term FROM (

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.batch.TextOps
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cap = 100L
+
+  test("packFirstFit: no bin exceeds capacity; oversized docs are singletons") {
+    val sizes = Seq(250L, 90L, 80L, 60L, 40L, 40L, 30L, 20L, 10L, 10L)
+    val df = sizes.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "tok")
+    val packed = TextOps.packFirstFit(df, cap, parallelism = 2)
+
+    val perBin = packed.groupBy("bin")
+      .agg(sum(least(col("tok"), lit(cap))).as("used"), count(lit(1)).as("n"),
+        max("tok").as("biggest"))
+      .collect()
+    assert(perBin.forall(_.getLong(1) <= cap), "a bin over capacity")
+    // the 250-token doc sits alone in its bin
+    val over = perBin.filter(_.getLong(3) > cap)
+    assert(over.length == 1 && over.head.getLong(2) == 1L)
+    // every doc assigned exactly once
+    assert(packed.select("doc_id").distinct().count() == sizes.length)
+  }
+
+  test("packFirstFit: bin count stays near the lower bound") {
+    // 400 docs, sizes 1..50 uniform: total 10200 → lower bound 102 bins
+    val df = spark.range(400)
+      .select(col("id").as("doc_id"), (col("id") % 50 + 1).as("tok"))
+    val packed = TextOps.packFirstFit(df, cap, parallelism = 4)
+    val bins = packed.select("bin").distinct().count()
+    val totalTok = packed.agg(sum("tok")).head().getLong(0)
+    val lower = math.ceil(totalTok.toDouble / cap).toLong
+    assert(bins >= lower, s"impossible: $bins < lower bound $lower")
+    // FFD guarantee is 11/9·OPT+1 per partition; partition-local packing
+    // adds at most one ragged bin per partition on top
+    assert(bins <= math.ceil(lower * 11.0 / 9).toLong + 4, s"too loose: $bins bins for lower bound $lower")
+    val used = packed.groupBy("bin").agg(sum("tok").as("used"))
+    assert(used.filter(col("used") > cap).count() == 0)
+  }
+}
