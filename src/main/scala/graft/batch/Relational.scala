@@ -555,6 +555,29 @@ object Relational {
         |ORDER BY custkey, hop""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q39
+  /** J9 completion: FULL OUTER join — year-over-year customer spend
+    * reconciliation (the snapshot-diff shape: customers active in only
+    * one year survive with nulls from the other side). Both inputs
+    * pre-aggregate before the join, so the join shuffle carries one row
+    * per (customer, year), not one per order; at scale this is a
+    * sort-merge join on custkey with map-side partial aggregation. */
+  def q39_full_outer(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    def spend(y: Int, sc: String, nc: String) =
+      o.filter(year(col("o_orderdate")) === y)
+        .groupBy(col("o_custkey"))
+        .agg(dsum(col("o_totalprice")).as(sc), count(lit(1)).as(nc))
+    spend(1995, "spend_a", "n_a").join(spend(1996, "spend_b", "n_b"),
+        Seq("o_custkey"), "full")
+      .select(col("o_custkey"),
+        coalesce(col("spend_a"), lit(0.0)).as("spend_a"),
+        coalesce(col("spend_b"), lit(0.0)).as("spend_b"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .orderBy("o_custkey")
+  }
+
   // ---------------------------------------------------------------- q38
   /** Z-order key math (see [[ZOrder]]): per-row Morton interleave of
     * two 8-bit-normalized keys, cross-checked bit-for-bit against the
@@ -634,6 +657,7 @@ object Relational {
     "q36_stratified_sample" -> (q36_stratified_sample _),
     "q37_recursive_chain" -> (q37_recursive_chain _),
     "q38_zorder_key" -> (q38_zorder_key _),
+    "q39_full_outer" -> (q39_full_outer _),
     "qst2_sessions" -> (qst2_sessions _),
     "qst3_window_hourly" -> (qst3_window_hourly _))
 
@@ -856,6 +880,22 @@ object Relational {
          |FROM lineitem WHERE l_orderkey % 997 = 0
          |ORDER BY l_orderkey, l_linenumber""".stripMargin
     },
+    "q39_full_outer" ->
+      """WITH a AS (
+        | SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend_a,
+        |  COUNT(*) AS n_a
+        | FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+        |b AS (
+        | SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend_b,
+        |  COUNT(*) AS n_b
+        | FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1)
+        |SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+        | CAST(COALESCE(spend_a, 0) AS DOUBLE) AS spend_a,
+        | CAST(COALESCE(spend_b, 0) AS DOUBLE) AS spend_b,
+        | CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+        | CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b
+        |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+        |ORDER BY o_custkey""".stripMargin,
     "q33_group_topk" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INT) AS rank FROM (
         | SELECT o_orderpriority, o_orderkey, o_totalprice,
