@@ -548,7 +548,7 @@ object Relational {
         |  SELECT o_custkey AS custkey, o_orderkey, k_next, 1 AS hop
         |  FROM q37_edges WHERE rn = 1
         |  UNION ALL
-        |  SELECT e.o_custkey, e.o_orderkey, e.k_next, c.hop + 1
+        |  SELECT /*+ BROADCAST(e) */ e.o_custkey, e.o_orderkey, e.k_next, c.hop + 1
         |  FROM chain c JOIN q37_edges e
         |    ON e.o_custkey = c.custkey AND e.o_orderkey = c.k_next)
         |SELECT custkey, o_orderkey, hop FROM chain
