@@ -610,6 +610,35 @@ object Relational {
       .orderBy("user_id", "session_id")
   }
 
+  // ---------------------------------------------------------------- qst4
+  /** Time-series similarity search (the streaming-motif shape from the
+    * EDBT'19 distributed-similarity line of work): slide a length-4
+    * window over each entity's value series, score it against a query
+    * pattern by squared Euclidean distance, keep each entity's best
+    * match. Distances are computed in integer space (values ×100) so
+    * the oracle compare is exact. Scale shape: the sliding window and
+    * the top-1 are both partition-local per entity — one shuffle by
+    * user_id serves collect_list, ranking, and the final pick. */
+  def qst4_pattern_match(s: SparkSession, d: String): DataFrame = {
+    val pat = Seq(100L, 400L, 900L, 1600L)
+    val byUser = Window.partitionBy("user_id").orderBy("us")
+    val sliding = byUser.rowsBetween(-3, 0)
+    Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("iv"))
+      .withColumn("vals", collect_list(col("iv")).over(sliding))
+      .withColumn("rn", row_number().over(byUser))
+      .filter(col("rn") >= 4)
+      .withColumn("dist", expr(
+        s"aggregate(zip_with(vals, array(${pat.mkString("L,")}L), " +
+          "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("best",
+        row_number().over(Window.partitionBy("user_id").orderBy(col("dist"), col("us"))))
+      .filter(col("best") === 1)
+      .select(col("user_id"), col("us").as("match_us"), col("dist"))
+      .orderBy("user_id")
+  }
+
   // ---------------------------------------------------------------- qst3
   /** ST7 analog: tumbling 1-hour event-time window aggregation. */
   def qst3_window_hourly(s: SparkSession, d: String): DataFrame =
@@ -659,7 +688,8 @@ object Relational {
     "q38_zorder_key" -> (q38_zorder_key _),
     "q39_full_outer" -> (q39_full_outer _),
     "qst2_sessions" -> (qst2_sessions _),
-    "qst3_window_hourly" -> (qst3_window_hourly _))
+    "qst3_window_hourly" -> (qst3_window_hourly _),
+    "qst4_pattern_match" -> (qst4_pattern_match _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg" ->
@@ -928,6 +958,21 @@ object Relational {
         |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
         |QUALIFY l_orderkey % 500 = 0
         |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
+    "qst4_pattern_match" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+        |  CAST(round(value * 100) AS BIGINT) AS iv FROM events),
+        |w AS (SELECT user_id, us,
+        |  list(iv) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS vals,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us) AS rn FROM e),
+        |d AS (SELECT user_id, us,
+        |  (vals[1]-100)*(vals[1]-100) + (vals[2]-400)*(vals[2]-400)
+        |  + (vals[3]-900)*(vals[3]-900) + (vals[4]-1600)*(vals[4]-1600) AS dist
+        | FROM w WHERE rn >= 4),
+        |b AS (SELECT user_id, us AS match_us, dist,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dist, us) AS best FROM d)
+        |SELECT user_id, match_us, dist FROM b WHERE best = 1
+        |ORDER BY user_id""".stripMargin,
     "qst2_sessions" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
         | m AS (SELECT user_id, us,
