@@ -243,7 +243,31 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** qd7: eval-set decontamination — the cross-set variant of
+    * [[qd4_ngram_jaccard]] that an actual pretraining pipeline runs
+    * before training: flag corpus documents sharing word shingles with
+    * a held-out eval set (here: every 25th doc plays the eval role).
+    * Scale shape: the eval side is benchmark-sized (thousands of docs,
+    * not corpus-sized), so its distinct-shingle set broadcasts and the
+    * corpus side is a map-side hash probe — no shuffle touches the
+    * corpus until the tiny per-doc aggregation. */
+  def qd7_decontaminate(s: SparkSession, d: String): DataFrame = {
+    val sh = wordShingles(s, d)
+    val ev = sh.filter(pmod(col("doc_id"), lit(25)) === 0)
+      .select(col("shingle")).distinct()
+    val corpus = sh.filter(pmod(col("doc_id"), lit(25)) =!= 0)
+    val counts = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    corpus.join(broadcast(ev), "shingle")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+      .join(counts, "doc_id")
+      .withColumn("ratio", round(col("n_contaminated").cast("double") / col("n_sh"), 6))
+      .filter(col("n_contaminated") >= 2)
+      .select(col("doc_id"), col("n_contaminated"), col("n_sh"), col("ratio"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qd7_decontaminate" -> (qd7_decontaminate _),
     "qd1_exact_dedup" -> (qd1_exact_dedup _),
     "qd2_minhash_lsh" -> (qd2_minhash_lsh _),
     "qd3_simhash" -> (qd3_simhash _),
@@ -261,6 +285,19 @@ object Dedup {
        | WHERE length(concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])) > 0)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "qd7_decontaminate" ->
+      s"""WITH $shingleSql,
+         |ev AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 25 = 0),
+         |corpus AS (SELECT * FROM shingles WHERE doc_id % 25 <> 0),
+         |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM corpus GROUP BY 1),
+         |hits AS (
+         | SELECT c.doc_id, COUNT(*) AS n_contaminated
+         | FROM corpus c JOIN ev USING (shingle) GROUP BY 1)
+         |SELECT h.doc_id, h.n_contaminated, counts.n_sh,
+         | round(CAST(h.n_contaminated AS DOUBLE) / counts.n_sh, 6) AS ratio
+         |FROM hits h JOIN counts USING (doc_id)
+         |WHERE h.n_contaminated >= 2
+         |ORDER BY doc_id""".stripMargin,
     "qd1_exact_dedup" ->
       """SELECT source, COUNT(*) AS n_docs,
         | CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique,

@@ -164,7 +164,26 @@ object TextOps {
       }.toDF("doc_id", "tok", "bin")
   }
 
+  /** qt7: BPE merge-pair statistics — the inner loop of byte-pair-
+    * encoding tokenizer training at corpus scale: count adjacent token
+    * pairs, rank the top merges. One explode + one partial/final count
+    * per round; the corpus never moves, only (pair, count) rows
+    * (vocabulary²-bounded) reach the shuffle. */
+  def qt7_bpe_pairs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(split(lower(substring(col("text"), 1, 200)), " ").as("toks"))
+      .select(explode(expr(
+        "transform(sequence(0, greatest(size(toks) - 2, 0)), " +
+          "i -> struct(toks[i] AS a, toks[i + 1] AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("b").isNotNull && length(col("a")) > 0 && length(col("b")) > 0)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("a").asc, col("b").asc)
+      .limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt7_bpe_pairs" -> (qt7_bpe_pairs _),
     "qt1_langid" -> (qt1_langid _),
     "qt2_quality" -> (qt2_quality _),
     "qt3_tokens" -> (qt3_tokens _),
@@ -176,6 +195,15 @@ object TextOps {
     .map { case (l, w) => s"('$l','$w')" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "qt7_bpe_pairs" ->
+      """WITH t AS (
+        | SELECT string_split(lower(substr(text, 1, 200)), ' ') AS toks FROM documents),
+        |pairs AS (
+        | SELECT toks[i + 1] AS a, toks[i + 2] AS b
+        | FROM (SELECT toks, unnest(range(0, greatest(len(toks) - 1, 0))) AS i FROM t))
+        |SELECT a, b, COUNT(*) AS n FROM pairs
+        |WHERE b IS NOT NULL AND length(a) > 0 AND length(b) > 0
+        |GROUP BY 1, 2 ORDER BY n DESC, a ASC, b ASC LIMIT 20""".stripMargin,
     "qt1_langid" ->
       s"""WITH prof(plang, word) AS (VALUES $profileValues),
          |toks AS (
