@@ -1,0 +1,86 @@
+package graft.batch
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Persistent IVF (inverted-file) vector index: build once, search
+  * many — the production ANN shape where the index amortizes over
+  * query batches, unlike [[Similarity.qs3_ivf_ann]] which quantizes
+  * per query run.
+  *
+  * Layout under `dir`:
+  *   - `centroids/` — (cid, ce, cn): the coarse quantizer, tiny
+  *     (≤ thousands of rows), broadcast at search time;
+  *   - `cells/` — the corpus with norms, hive-PARTITIONED BY cell, so
+  *     a probe of p cells opens p directories and the rest of the
+  *     corpus is never read (same PartitionFilters machinery LakeSpec
+  *     pins for dates; IvfIndexSpec pins it for cells).
+  *
+  * At 100 TB: centroid selection and assignment are one broadcast
+  * map-side pass over the corpus plus one partitioned write; search
+  * shuffles only (qid, id, score) triples, pre-reduced to ≤ k per
+  * partition per query by the native GroupTopK.
+  */
+object IvfIndex {
+
+  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    graft.functions.GraftFunctions.vec_dot(a, b)
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", sqrt(graft.functions.GraftFunctions.vec_dot(col("embedding"), col("embedding"))))
+
+  /** Build the index from an (vec_id, embedding) frame. Centroids are
+    * a deterministic md5-ranked sample of `nCells` corpus vectors
+    * (content-addressed like q36's sampler: rebuilds pick the same
+    * centroids, so incremental re-indexing is stable). */
+  def build(emb: DataFrame, dir: String, nCells: Int): Unit = {
+    val nm = withNorm(emb)
+    // hash-admission first (map-side, q36's sampler) so the exact-rank
+    // window below only ever sees ~4·nCells rows — a global rank over
+    // the corpus would be a single-partition sort at 100 TB
+    val n = nm.count()
+    val hash = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10).cast("long")
+    val cut = math.min(1L << 32, (nCells * 4.0 / math.max(n, 1) * (1L << 32)).toLong)
+    val admitted0 = nm.filter(hash < cut)
+    val admitted = if (admitted0.count() >= nCells) admitted0 else nm
+    val byHash = Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    val cents = admitted.withColumn("rn", row_number().over(byHash))
+      .filter(col("rn") <= nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    cents.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+
+    val centsB = broadcast(cents)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("crcos").desc, col("cid").asc)
+    nm.crossJoin(centsB)
+      .withColumn("crcos", round(dot(col("ce"), col("embedding")) / (col("cn") * col("nrm")), 6))
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$dir/cells")
+  }
+
+  /** Top-k cosine neighbors for each (vec_id, embedding) query row,
+    * probing the `nProbe` nearest cells. Probing ALL cells is exact
+    * brute force (IvfIndexSpec asserts equality with knnTopK); small
+    * `nProbe` trades recall for opening only that many cell
+    * directories. Output: (qid, rank, neighbor_id, rcos). */
+  def search(spark: SparkSession, dir: String, queries: DataFrame,
+             k: Int, nProbe: Int): DataFrame = {
+    val cents = broadcast(spark.read.parquet(s"$dir/centroids"))
+    val cells = spark.read.parquet(s"$dir/cells")
+    val q = withNorm(queries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("crcos").desc, col("cid").asc)
+    val probes = q.crossJoin(cents)
+      .withColumn("crcos", round(dot(col("ce"), col("qe")) / (col("cn") * col("qn")), 6))
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nProbe)
+      .select(col("qid"), col("qe"), col("qn"), col("cid").as("cell"))
+    val cand = cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("rcos", round(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+    graft.plans.GroupTopK.topK(
+      cand.select(col("qid").cast("long"), col("vec_id").cast("long"), col("rcos").cast("double")),
+      keys = Seq("qid"), order = Seq(col("rcos").desc, col("vec_id").asc), k = k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("rcos"))
+  }
+}
