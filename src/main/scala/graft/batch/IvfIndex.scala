@@ -59,6 +59,25 @@ object IvfIndex {
       .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$dir/cells")
   }
 
+  /** Incremental maintenance: assign a NEW batch of (vec_id, embedding)
+    * rows to the existing centroids and append into the cell layout —
+    * what a streaming corpus does per micro-batch (call from
+    * `foreachBatch`, like [[graft.stream.IngestDedup]]'s index).
+    * Centroids stay fixed between rebuilds, so appends are one
+    * broadcast map-side pass + a partitioned append; searchers see new
+    * vectors immediately and drift is handled by periodic [[build]]
+    * (content-addressed centroids make rebuilds reproducible). */
+  def appendBatch(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
+    val cents = broadcast(spark.read.parquet(s"$dir/centroids"))
+    val nm = withNorm(batch)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("crcos").desc, col("cid").asc)
+    nm.crossJoin(cents)
+      .withColumn("crcos", round(dot(col("ce"), col("embedding")) / (col("cn") * col("nrm")), 6))
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell"))
+      .write.mode(SaveMode.Append).partitionBy("cell").parquet(s"$dir/cells")
+  }
+
   /** Top-k cosine neighbors for each (vec_id, embedding) query row,
     * probing the `nProbe` nearest cells. Probing ALL cells is exact
     * brute force (IvfIndexSpec asserts equality with knnTopK); small

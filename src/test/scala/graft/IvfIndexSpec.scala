@@ -50,6 +50,21 @@ class IvfIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     res.queryExecution.toRdd.count() // executes fine end-to-end
   }
 
+  test("incremental append: half-built index + appended half ≡ full index for search") {
+    val d = Files.createTempDirectory("ivf_inc").toString
+    val first = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val rest = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    IvfIndex.build(first, d, nCells = 16)
+    IvfIndex.appendBatch(spark, d, rest)
+    // probing all cells over the appended index = brute force over the
+    // FULL corpus (appended vectors are immediately searchable)
+    val got = IvfIndex.search(spark, d, queries, k = 3, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = Similarity.knnTopK(emb, queries.select("vec_id"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == brute)
+  }
+
   test("rebuild picks identical centroids (content-addressed sampling)") {
     val d2 = Files.createTempDirectory("ivf2").toString
     IvfIndex.build(emb, d2, nCells = 16)
