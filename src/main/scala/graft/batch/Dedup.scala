@@ -252,7 +252,10 @@ object Dedup {
     * corpus side is a map-side hash probe — no shuffle touches the
     * corpus until the tiny per-doc aggregation. */
   def qd7_decontaminate(s: SparkSession, d: String): DataFrame = {
-    val sh = wordShingles(s, d)
+    // shingles feed three consumers (eval set, corpus probe, corpus
+    // counts) and Spark shares no subtrees — materialize once, as qd6
+    // does for its signatures
+    val sh = wordShingles(s, d).localCheckpoint()
     val ev = sh.filter(pmod(col("doc_id"), lit(25)) === 0)
       .select(col("shingle")).distinct()
     val corpus = sh.filter(pmod(col("doc_id"), lit(25)) =!= 0)
