@@ -24,6 +24,23 @@ class ZOrderSpec extends SparkSpec {
     assert(df.as[Long].collect().toSeq == (0L until 1000L))
   }
 
+  test("zkey is invertible: de-interleaving recovers both inputs (300 random pairs)") {
+    // bijectivity is what makes the key safe as a clustering axis — two
+    // distinct (x, y) cells can never collide into one z value
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(300)((rnd.nextInt(1 << 12).toLong, rnd.nextInt(1 << 12).toLong))
+    val got = pairs.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.zkey(Seq(col("x"), col("y")), 12).as("z"))
+      .collect()
+    got.foreach { r =>
+      val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val xBack = (0 until 12).map(i => ((z >> (2 * i)) & 1L) << i).sum
+      val yBack = (0 until 12).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+      assert(xBack == x && yBack == y, s"zkey not invertible at ($x,$y) -> $z")
+    }
+    assert(got.map(_.getLong(2)).distinct.length == pairs.distinct.length)
+  }
+
   test("normalize maps [lo,hi] onto [0, 2^bits) with clamping") {
     val df = Seq(-5.0, 0.0, 50.0, 100.0, 105.0).toDF("v")
       .select(ZOrder.normalize(col("v"), 0.0, 100.0, 4).as("b"))
