@@ -23,6 +23,30 @@ object Lake {
   def writeEventsByDay(events: DataFrame, path: String): Unit =
     writePartitioned(events.withColumn("event_date", to_date(col("ts"))), path, "event_date")
 
+  /** Incremental-batch bookkeeping: which partitions of `dataDir` has
+    * a consumer not yet processed? A daily 100 TB pipeline must re-run
+    * over only the new day, and must be safe to re-run after a crash —
+    * so the ledger is consulted with an anti join (idempotent: already
+    * processed partitions return empty) and the partition listing is a
+    * partition-column-only query, answered from directory metadata,
+    * never by reading data files. Commit protocol: process the
+    * returned partitions, THEN [[markProcessed]] — a crash in between
+    * re-processes (at-least-once over idempotent writes), never skips. */
+  def unprocessedPartitions(spark: SparkSession, dataDir: String,
+                            ledgerDir: String, partCol: String): DataFrame = {
+    val current = spark.read.parquet(dataDir).select(partCol).distinct()
+    val done =
+      try spark.read.parquet(ledgerDir).select(partCol)
+      catch { case _: Throwable => return current } // no ledger yet: all new
+    current.join(done, Seq(partCol), "left_anti")
+  }
+
+  /** Record partitions as processed (append-only ledger; duplicates are
+    * harmless because the consult side is an anti join). */
+  def markProcessed(processed: DataFrame, ledgerDir: String, partCol: String): Unit =
+    processed.select(partCol).distinct()
+      .write.mode(SaveMode.Append).parquet(ledgerDir)
+
   /** Compact a parquet directory into ~`targetBytes`-sized files at
     * `dest`, preserving hive partitioning by `cols`.
     *

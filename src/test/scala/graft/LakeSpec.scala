@@ -84,4 +84,33 @@ class LakeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // content preserved
     assert(spark.read.parquet(s"$dir/dst").count() === ev.count())
   }
+
+  test("incremental bookkeeping: only new partitions surface; re-runs are no-ops") {
+    val dir = Files.createTempDirectory("graft_incr").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("event_date", to_date(col("ts")))
+    val days = ev.select("event_date").distinct().orderBy("event_date")
+      .collect().map(_.getDate(0))
+    assert(days.length > 1)
+
+    // day 1 lands, gets processed and marked
+    ev.filter(col("event_date") === days.head)
+      .write.partitionBy("event_date").mode("append").parquet(s"$dir/data")
+    val round1 = Lake.unprocessedPartitions(spark, s"$dir/data", s"$dir/ledger", "event_date")
+    assert(round1.collect().map(_.getDate(0)).toSeq == Seq(days.head))
+    Lake.markProcessed(round1, s"$dir/ledger", "event_date")
+
+    // crash-retry between batches: nothing new → empty, not re-emitted
+    assert(Lake.unprocessedPartitions(spark, s"$dir/data", s"$dir/ledger", "event_date").isEmpty)
+
+    // the remaining days land: exactly those surface, day 1 does not
+    ev.filter(col("event_date") =!= days.head)
+      .write.partitionBy("event_date").mode("append").parquet(s"$dir/data")
+    val round2 = Lake.unprocessedPartitions(spark, s"$dir/data", s"$dir/ledger", "event_date")
+    assert(round2.collect().map(_.getDate(0)).toSet == days.tail.toSet)
+    Lake.markProcessed(round2, s"$dir/ledger", "event_date")
+    // double-mark is harmless (append-only ledger, anti-join consult)
+    Lake.markProcessed(round2, s"$dir/ledger", "event_date")
+    assert(Lake.unprocessedPartitions(spark, s"$dir/data", s"$dir/ledger", "event_date").isEmpty)
+  }
 }
