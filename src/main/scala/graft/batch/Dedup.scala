@@ -112,7 +112,10 @@ object Dedup {
     * shingle → 6 salted-md5 min-hashes → 2 bands of 3 → bucket
     * self-join → candidate pairs with estimated Jaccard. */
   def qd2_minhash_lsh(s: SparkSession, d: String): DataFrame = {
-    val sigs = minhashSigs(s, d)
+    // sigs feeds the band self-join plus both verify-join sides; Spark
+    // shares no subtrees, so without materialization the expensive
+    // shingle→md5 signature pipeline runs 3× (same fix as qd6's)
+    val sigs = minhashSigs(s, d).localCheckpoint()
     val pairs = lshCandidatePairs(sigs)
     val sa = sigs.as("sa"); val sb = sigs.as("sb")
     pairs.join(sa, col("id_a") === col("sa.doc_id"))
@@ -221,11 +224,23 @@ object Dedup {
       .withColumn("label", col("id")).localCheckpoint()
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 16) {
-      val next = edges.join(labels, edges("dst") === labels("id"))
+    // pointer-jump shortcutting below makes convergence O(log diameter),
+    // so the cap is a can't-happen safety net (48 covers diameter 2^48),
+    // not a limit real near-dup graphs can hit; still overridable.
+    val maxRounds = s.conf.getOption("graft.qd6.maxRounds").map(_.toInt).getOrElse(48)
+    while (!converged && rounds < maxRounds) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
         .select(col("src").as("id"), col("label"))
         .union(labels)
         .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint() // feeds both sides of the shortcut join
+      // shortcut: label := label(label). Every label is itself a node
+      // id, so one extra self-join halves the remaining chain depth
+      // (pointer jumping) — long chains converge in O(log d) rounds
+      // instead of O(d).
+      val propL = prop.select(col("id").as("lid"), col("label").as("llabel"))
+      val next = prop.join(propL, prop("label") === propL("lid"), "left")
+        .select(prop("id"), coalesce(col("llabel"), prop("label")).as("label"))
         .localCheckpoint()
       // labels only ever decrease, so "no change" == fixpoint
       converged = next.withColumnRenamed("label", "next_label")
@@ -235,7 +250,8 @@ object Dedup {
       labels = next
       rounds += 1
     }
-    require(converged, s"qd6 label propagation did not converge in $rounds rounds")
+    require(converged, s"qd6 label propagation did not converge in $rounds rounds" +
+      " (raise graft.qd6.maxRounds)")
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),

@@ -324,14 +324,18 @@ object Relational {
       .orderBy("k_bucket")
 
   // ---------------------------------------------------------------- q20
-  /** F12/J7: array primitives over the embedding column. */
+  /** F12/J7: array primitives over the embedding column. The slice +
+    * higher-order aggregate is projected to a scalar (double-accumulated
+    * left fold, rounded) so every output column is plainly sortable /
+    * hashable by any comparison harness — raw array columns are not. */
   def q20_array_ops(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(
       col("vec_id"), col("label"),
       size(col("embedding")).as("dim"),
       element_at(col("embedding"), 1).as("first_val"),
       element_at(col("embedding"), 64).as("last_val"),
-      slice(col("embedding"), 1, 3).as("head3"))
+      round(expr("aggregate(slice(embedding, 1, 3), 0D, (a, x) -> a + CAST(x AS DOUBLE))"), 6)
+        .as("head3_sum"))
       .orderBy("vec_id")
 
   // ---------------------------------------------------------------- q21
@@ -387,14 +391,21 @@ object Relational {
   }
 
   // ---------------------------------------------------------------- q27
-  /** A7 approx: HLL approx_count_distinct (no DuckDB oracle — sketch
-    * implementations differ across engines; driver does the rows-only
-    * check). The exact column shows the estimate lands near truth. */
+  /** A7 approx: HLL approx_count_distinct. Sketch estimates differ
+    * across engines, so the raw estimate is not oracle-comparable;
+    * instead the exact column is hash-checked and the sketch is
+    * projected to its error-bound verdict (|approx−exact|/exact ≤ 5%,
+    * the sketch's configured rsd — ApproxSpec asserts the same bound),
+    * which IS deterministic for fixed data and oracle-expressible as a
+    * constant TRUE. */
   def q27_approx_distinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")).cast("double")
+          / col("exact_parts") <= 0.05).as("approx_within_5pct"))
       .orderBy("l_returnflag")
 
   // ---------------------------------------------------------------- q28
@@ -837,7 +848,8 @@ object Relational {
     "q20_array_ops" ->
       """SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim,
         | embedding[1] AS first_val, embedding[64] AS last_val,
-        | embedding[1:3] AS head3
+        | round(CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+        |       + CAST(embedding[3] AS DOUBLE), 6) AS head3_sum
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q21_plc_decode" ->
       """SELECT p_partkey, SUBSTRING(p_name, 1, 4) AS decoded,
@@ -861,6 +873,11 @@ object Relational {
         | CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT) * (1 + l_partkey % 3)) AS DOUBLE) / 100
         |  AS weighted_qty,
         | COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q27_approx_distinct" ->
+      """SELECT l_returnflag,
+        | CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        | TRUE AS approx_within_5pct
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q28_range_time" ->
       """WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS pts FROM events

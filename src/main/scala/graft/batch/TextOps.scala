@@ -118,17 +118,44 @@ object TextOps {
     * training bins (the packing step before writing LLM pretraining
     * shards). This is the deterministic sequential-fill form: documents
     * in (tokens desc, doc_id) order, each doc's bin = the 2048-token
-    * block its start offset falls in — pure window math, identical on
-    * any engine. The capacity-EXACT variant (no straddling) is
-    * [[packFirstFit]], which packs partition-locally and needs no
-    * global order. */
+    * block its start offset falls in.
+    *
+    * The global running sum is a two-pass distributed prefix sum, NOT a
+    * partition-less window (which funnels the whole corpus through one
+    * task): range-partition on the sort key, partition-local running
+    * sums, then per-partition totals (one row per partition — bounded
+    * by cluster size, not data) become broadcast cumulative base
+    * offsets. Long addition is associative, so the bins are
+    * bit-identical to the sequential computation on any engine. The
+    * capacity-EXACT variant (no straddling) is [[packFirstFit]], which
+    * packs partition-locally and needs no global order. */
   def qt6_seq_pack(s: SparkSession, d: String): DataFrame = {
     val cap = 2048L
-    val w = Window.orderBy(col("tok").desc, col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
-      .withColumn("bin", floor((sum(col("tok")).over(w) - col("tok")) / cap))
+    import s.implicits._
+    val n = s.sparkContext.defaultParallelism
+    // pass 1: global sort order across partitions, local prefix sums
+    val local = Tables.documents(s, d)
+      .select(col("doc_id").cast("long"), size(split(col("text"), " ")).cast("long").as("tok"))
+      .as[(Long, Long)]
+      .repartitionByRange(n, col("tok").desc, col("doc_id").asc)
+      .sortWithinPartitions(col("tok").desc, col("doc_id").asc)
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var run = 0L
+        it.map { case (id, tok) => val off = run; run += tok; (pid, id, tok, off) }
+      }.toDF("pid", "doc_id", "tok", "local_off")
+      // feeds both the totals pass and the final join; materialize once
+      .localCheckpoint()
+    // pass 2: per-partition totals -> cumulative base offset per pid.
+    // One row per partition; driver-side cumulative sum over that tiny
+    // array is the scale-safe way to avoid a global-window exchange.
+    val totals = local.groupBy(col("pid")).agg(sum(col("tok")).as("ptot"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val bases = totals.map { case (pid, ptot) => val b = (pid, acc); acc += ptot; b }
+    val baseDf = s.createDataFrame(bases.toSeq).toDF("pid", "base")
+    local.join(broadcast(baseDf), "pid")
+      .withColumn("bin", floor((col("base") + col("local_off")) / cap))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("bin_toks"),
         min(col("doc_id")).as("first_doc"))
@@ -256,7 +283,7 @@ object TextOps {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS off
         | FROM t)
         |SELECT CAST(floor(off / 2048) AS BIGINT) AS bin, COUNT(*) AS n_docs,
-        | SUM(tok) AS bin_toks, MIN(doc_id) AS first_doc
+        | CAST(SUM(tok) AS BIGINT) AS bin_toks, MIN(doc_id) AS first_doc
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "qt5_tfidf" ->
       """WITH toks AS (

@@ -2,10 +2,11 @@ package graft
 
 import graft.batch.Relational
 
-/** q27 is the one rows-only query (HLL++ sketches can't hash-match a
-  * different engine's sketch); this spec supplies the missing exactness
-  * bound: the sketch must land within its advertised relative error of
-  * the exact distinct count it is computed alongside. */
+/** HLL++ sketches can't hash-match a different engine's sketch, so q27
+  * oracle-checks the exact column plus the sketch's error-bound verdict;
+  * this spec supplies the underlying exactness bound: the sketch must
+  * land within its advertised relative error of the exact distinct
+  * count it is computed alongside. */
 class ApproxSpec extends SparkSpec {
   import spark.implicits._
 
@@ -34,14 +35,22 @@ class ApproxSpec extends SparkSpec {
   }
 
   test("approx_count_distinct within 5% of exact on both fixtures") {
+    import org.apache.spark.sql.functions._
     for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
-      val rows = Relational.q27_approx_distinct(spark, sf)
+      // raw sketch-vs-exact bound (q27 only exports the verdict bit)
+      val rows = Tables.lineitem(spark, sf).groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+          countDistinct($"l_partkey").as("exact_parts"))
         .select($"approx_parts", $"exact_parts").as[(Long, Long)].collect()
       assert(rows.nonEmpty)
       rows.foreach { case (approx, exact) =>
         val relErr = math.abs(approx - exact).toDouble / exact
         assert(relErr <= 0.05, s"sketch off by ${relErr * 100}% ($approx vs $exact) at $sf")
       }
+      // and the query's exported verdict agrees
+      val verdicts = Relational.q27_approx_distinct(spark, sf)
+        .select($"approx_within_5pct").as[Boolean].collect()
+      assert(verdicts.nonEmpty && verdicts.forall(identity), s"q27 verdict false at $sf")
     }
   }
 }
