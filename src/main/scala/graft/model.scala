@@ -37,6 +37,21 @@ object model {
       station: String, parte: String, original: String,
       contador: Long, tiempo: Double, ts: Timestamp)
 
+  /** [[PartObservation]] with its dimension lookups pre-resolved — the
+    * shape the state machine actually consumes. Carrying the lookups on
+    * the row lets them arrive via stream-static joins (Catalyst picks
+    * broadcast vs shuffled from dim size; nothing is collected to the
+    * driver), while the map-backed test path fills the same fields from
+    * in-memory snapshots. `rid` is the record id for the observation's
+    * own (planDate, shiftId) — the only id admission or rollover can
+    * ever need, since both fire on the current observation's shift. */
+  case class ObsEnriched(
+      station: String, parte: String, original: String,
+      contador: Long, tiempo: Double, ts: Timestamp,
+      shiftId: Int, planDate: String, rid: String,
+      partKnown: Boolean, multiplier: Long,
+      hasPrior: Boolean, priorProduced: Long, priorStatus: Int, priorPlanned: Long)
+
   /** Keyed mutable state per (station, parte)
     * (active_records, Prensas.py:730-739). */
   case class ActiveRecord(

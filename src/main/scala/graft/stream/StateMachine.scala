@@ -35,8 +35,10 @@ import graft.model._
   * Departures from the reference (SURVEY §7.5, deliberate):
   *  - record ids are deterministic keys `station|parte|date|shift`
   *    (no SQL-Server OUTPUT clause; distributed-safe)
-  *  - the per-part AS400/records lookups become pre-resolved broadcast
-  *    maps instead of per-key round trips
+  *  - the per-part AS400/records lookups become per-row pre-resolved
+  *    fields instead of per-key round trips: stream-static joins at
+  *    scale ([[StateMachine.withDimTables]]) or in-memory snapshot maps
+  *    (this class) for tests and small catalogs
   *  - cambio also fires when the observation's (planDate, shift)
   *    differs from the state's — equal to the reference's time-of-day
   *    predicate under continuous 1 Hz ticks, but correct across
@@ -54,136 +56,197 @@ class StateMachine(
 
   import StateMachine._
 
+  private val core = new Core(timeoutMs)
+
   def multiplierOf(parte: String): Long = multipliers.getOrElse(parte, 1L)
 
-  /** The flatMapGroupsWithState function. */
+  /** Resolve the dimension lookups for one observation from the
+    * in-memory snapshots. The scale path resolves the same fields with
+    * stream-static joins instead ([[StateMachine.withDimTables]]). */
+  def enrich(o: PartObservation): ObsEnriched = {
+    val (shiftId, planDate) = shiftAndDate(o.ts)
+    val rid = recordId(o.station, o.parte, planDate, shiftId)
+    val snap = priorRecords.get(rid)
+    ObsEnriched(o.station, o.parte, o.original, o.contador, o.tiempo, o.ts,
+      shiftId, planDate, rid,
+      partKnown = knownParts.contains((o.station, o.parte)),
+      multiplier = multiplierOf(o.parte),
+      hasPrior = snap.isDefined,
+      priorProduced = snap.map(_.produced).getOrElse(0L),
+      priorStatus = snap.map(_.statusId).getOrElse(0),
+      priorPlanned = snap.map(_.plannedQty).getOrElse(DefaultPlannedQty))
+  }
+
+  /** The flatMapGroupsWithState function (map-resolved lookup path). */
   def process(key: (String, String), rows: Iterator[PartObservation],
-      state: GroupState[ActiveRecord]): Iterator[ActionRow] = {
-    val (station, parte) = key
-
-    if (!state.exists && !rows.hasNext && state.hasTimedOut) return Iterator.empty
-    if (state.hasTimedOut) {
-      // ST4: silence → close the run once (status 7→8) + clear state.
-      // Stamped after the last update so the newest-wins upsert applies
-      // it (close rank also beats update at equal ts).
-      val ar = state.get
-      state.remove()
-      return Iterator.single(ActionRow.closeShift(station, parte, ar.recordId,
-        ar.planDate, ar.shiftId, new Timestamp(ar.lastTsMs + math.max(timeoutMs, 1L)))
-        .copy(produced = ar.produced, plannedQty = ar.plannedQty))
-    }
-
-    val out = Vector.newBuilder[ActionRow]
-
-    for (obs <- combine(rows.toVector)) {
-      val (shiftId, planDate) = shiftAndDate(obs.ts)
-      val sec = secondsOfDay(obs.ts)
-
-      if (!state.exists) {
-        admit(station, parte, obs, shiftId, planDate, out).foreach(state.update)
-      }
-      // the admission observation flows through the gate in the same
-      // tick (the reference iterates `datos` twice, Prensas.py:703,744)
-      if (state.exists) {
-        var ar = state.get
-        val cambio = shiftChanged(ar.lastUpdSec, sec) ||
-          ar.planDate != planDate || ar.shiftId != shiftId
-        val prev = ar.contadorRegistro
-        // P8 gate (Prensas.py:756); on failure nothing moves
-        if (obs.contador > prev || (cambio && obs.contador >= prev)) {
-          if (cambio) {
-            // ST5 rollover (Prensas.py:757-785): snapshot base, resolve
-            // or create the NEW shift's record; corrida only from a
-            // paused record of that new shift
-            val rid = recordId(station, parte, planDate, shiftId)
-            val (corrida, qPlan) = priorRecords.get(rid) match {
-              case Some(snap) =>
-                (if (snap.statusId == StatusPaused) snap.produced else 0L, snap.plannedQty)
-              case None =>
-                out += ActionRow.create(station, parte, rid, planDate, shiftId,
-                  ar.plannedQty, obs.ts)
-                (0L, ar.plannedQty)
-            }
-            ar = ar.copy(recordId = rid, planDate = planDate, shiftId = shiftId,
-              baseCt = prev, corridaPrevia = corrida, plannedQty = qPlan)
-          }
-          val qty = (obs.contador - ar.baseCt + ar.corridaPrevia) * ar.multiplier
-          // history carries the raw counter (Prensas.py:802)
-          out += ActionRow.appendHistory(station, parte, ar.recordId,
-            obs.contador, obs.tiempo, obs.ts)
-          out += ActionRow.updateQty(station, parte, ar.recordId, qty, StatusProducing, obs.ts)
-            .copy(planDate = ar.planDate, shiftId = ar.shiftId, plannedQty = ar.plannedQty)
-          ar = ar.copy(contadorRegistro = obs.contador, lastUpdSec = sec,
-            produced = qty, lastTsMs = obs.ts.getTime)
-          state.update(ar)
-        }
-      }
-    }
-    if (timeoutMs > 0 && state.exists) state.setTimeoutDuration(timeoutMs)
-    out.result().iterator
-  }
-
-  /** ST3 admission for an unseen key (Prensas.py:703-741). */
-  private def admit(station: String, parte: String, obs: PartObservation,
-      shiftId: Int, planDate: String,
-      out: collection.mutable.Builder[ActionRow, Vector[ActionRow]]): Option[ActiveRecord] = {
-    if (!knownParts.contains((station, parte))) {
-      // K4: unknown part number → dedup-append CSV sink (Prensas.py:343-353)
-      out += ActionRow.partNotFound(station, parte, obs.original, planDate, obs.ts)
-      return None
-    }
-    val rid = recordId(station, parte, planDate, shiftId)
-    val mult = multiplierOf(parte)
-    val (qProd, status, qPlan) = priorRecords.get(rid) match {
-      case Some(snap) => (snap.produced, snap.statusId, snap.plannedQty)
-      case None =>
-        out += ActionRow.create(station, parte, rid, planDate, shiftId,
-          DefaultPlannedQty, obs.ts)
-        (0L, StatusCreated, DefaultPlannedQty)
-    }
-    // paused record: its produced becomes corrida, the gate baseline
-    // restarts at 0 (Prensas.py:723-724, 731)
-    val corrida = if (status == StatusPaused) qProd else 0L
-    val prevEff = if (status == StatusPaused) 0L else qProd
-    Some(ActiveRecord(rid, planDate, shiftId,
-      contadorRegistro = prevEff, baseCt = 0L, corridaPrevia = corrida,
-      multiplier = mult, plannedQty = qPlan, lastUpdSec = secondsOfDay(obs.ts),
-      produced = prevEff, lastTsMs = obs.ts.getTime))
-  }
+      state: GroupState[ActiveRecord]): Iterator[ActionRow] =
+    core.process(key, rows.map(enrich), state)
 
   /** Wire the machine onto a typed observation stream. */
   def apply(obs: Dataset[PartObservation]): Dataset[ActionRow] = {
     import obs.sparkSession.implicits._
-    val conf = if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
-               else GroupStateTimeout.NoTimeout
-    obs.groupByKey(o => (o.station, o.parte))
-      .flatMapGroupsWithState[ActiveRecord, ActionRow](OutputMode.Append, conf)(process)
+    obs.map(enrich).groupByKey(o => (o.station, o.parte))
+      .flatMapGroupsWithState[ActiveRecord, ActionRow](
+        OutputMode.Append, timeoutConf(timeoutMs))(core.process)
   }
 }
 
 object StateMachine {
 
-  /** Build a machine from dimension DataFrames — the J6/W1 lookups
-    * (AS400 multipliers, part catalog, prior records) resolved ONCE as
-    * small broadcast snapshots instead of the reference's per-part ODBC
-    * round trips (Prensas.py:117-149, 281-313). These tables are tiny
-    * relative to the stream (one row per part / record), so collecting
-    * them to driver maps IS the broadcast; refresh on supervisor
-    * reconcile when the config changes. Column contracts:
-    * parts(station, parte, part_id), multipliers(parte, multiplier),
-    * records(record_id, produced, status_id, planned). */
-  def fromTables(parts: org.apache.spark.sql.DataFrame,
+  private[stream] def timeoutConf(timeoutMs: Long): GroupStateTimeout =
+    if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+    else GroupStateTimeout.NoTimeout
+
+  /** Wire the state machine onto an observation stream with the J6/W1
+    * lookups (part catalog, AS400 multipliers, prior records) resolved
+    * by stream-static LEFT joins instead of the reference's per-part
+    * ODBC round trips (Prensas.py:117-149, 281-313) — and instead of
+    * driver-collected maps: Catalyst broadcasts a small dim and
+    * shuffles a large one, so a 10M-row part catalog is bounded by
+    * executor memory, not driver heap. Each observation only ever
+    * needs the prior record of its OWN (planDate, shiftId) — admission
+    * and rollover both fire on the current observation's shift — so a
+    * single equi-join on the precomputed record id covers the W1
+    * lookup. Column contracts: parts(station, parte, part_id),
+    * multipliers(parte, multiplier), records(record_id, produced,
+    * status_id, planned); keys are assumed unique per catalog row.
+    * Dims are snapshots as of query start; refresh on supervisor
+    * reconcile when the config changes. */
+  def withDimTables(obs: Dataset[PartObservation],
+      parts: org.apache.spark.sql.DataFrame,
       multipliers: org.apache.spark.sql.DataFrame,
       records: org.apache.spark.sql.DataFrame,
-      timeoutMs: Long = 30000L): StateMachine = {
-    val known = parts.select("station", "parte", "part_id").collect()
-      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
-    val mult = multipliers.select("parte", "multiplier").collect()
-      .map(r => (r.getString(0), r.getLong(1))).toMap
-    val prior = records.select("record_id", "produced", "status_id", "planned").collect()
-      .map(r => (r.getString(0),
-        RecordSnapshot(r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))).toMap
-    new StateMachine(known, mult, prior, timeoutMs)
+      timeoutMs: Long = 30000L): Dataset[ActionRow] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val s = obs.sparkSession
+    import s.implicits._
+    val keyed = obs.map { o =>
+      val (shiftId, planDate) = shiftAndDate(o.ts)
+      (o.station, o.parte, o.original, o.contador, o.tiempo, o.ts,
+        shiftId, planDate, recordId(o.station, o.parte, planDate, shiftId))
+    }.toDF("station", "parte", "original", "contador", "tiempo", "ts",
+      "shiftId", "planDate", "rid")
+    val p = parts.select(col("station"), col("parte"), lit(true).as("partKnown"))
+    val m = multipliers.select(col("parte").as("m_parte"),
+      col("multiplier").cast("long").as("multiplier"))
+    val r = records.select(col("record_id").as("r_rid"),
+      col("produced").cast("long").as("priorProduced"),
+      col("status_id").cast("int").as("priorStatus"),
+      col("planned").cast("long").as("priorPlanned"))
+    keyed.join(p, Seq("station", "parte"), "left")
+      .join(m, col("parte") === col("m_parte"), "left")
+      .join(r, col("rid") === col("r_rid"), "left")
+      .select(col("station"), col("parte"), col("original"), col("contador"),
+        col("tiempo"), col("ts"), col("shiftId"), col("planDate"), col("rid"),
+        coalesce(col("partKnown"), lit(false)).as("partKnown"),
+        coalesce(col("multiplier"), lit(1L)).as("multiplier"),
+        col("r_rid").isNotNull.as("hasPrior"),
+        coalesce(col("priorProduced"), lit(0L)).as("priorProduced"),
+        coalesce(col("priorStatus"), lit(0)).as("priorStatus"),
+        coalesce(col("priorPlanned"), lit(DefaultPlannedQty)).as("priorPlanned"))
+      .as[ObsEnriched]
+      .groupByKey(o => (o.station, o.parte))
+      .flatMapGroupsWithState[ActiveRecord, ActionRow](
+        OutputMode.Append, timeoutConf(timeoutMs))(new Core(timeoutMs).process)
+  }
+
+  /** The state-transition core: operates on [[ObsEnriched]] so it is
+    * agnostic to HOW the dimension lookups were resolved (in-memory
+    * maps for tests / small catalogs, stream-static joins at scale). */
+  private[stream] class Core(timeoutMs: Long) extends Serializable {
+
+    /** The flatMapGroupsWithState function. */
+    def process(key: (String, String), rows: Iterator[ObsEnriched],
+        state: GroupState[ActiveRecord]): Iterator[ActionRow] = {
+      val (station, parte) = key
+
+      if (!state.exists && !rows.hasNext && state.hasTimedOut) return Iterator.empty
+      if (state.hasTimedOut) {
+        // ST4: silence → close the run once (status 7→8) + clear state.
+        // Stamped after the last update so the newest-wins upsert applies
+        // it (close rank also beats update at equal ts).
+        val ar = state.get
+        state.remove()
+        return Iterator.single(ActionRow.closeShift(station, parte, ar.recordId,
+          ar.planDate, ar.shiftId, new Timestamp(ar.lastTsMs + math.max(timeoutMs, 1L)))
+          .copy(produced = ar.produced, plannedQty = ar.plannedQty))
+      }
+
+      val out = Vector.newBuilder[ActionRow]
+
+      for (obs <- combineEnriched(rows.toVector)) {
+        val sec = secondsOfDay(obs.ts)
+
+        if (!state.exists) {
+          admit(station, parte, obs, out).foreach(state.update)
+        }
+        // the admission observation flows through the gate in the same
+        // tick (the reference iterates `datos` twice, Prensas.py:703,744)
+        if (state.exists) {
+          var ar = state.get
+          val cambio = shiftChanged(ar.lastUpdSec, sec) ||
+            ar.planDate != obs.planDate || ar.shiftId != obs.shiftId
+          val prev = ar.contadorRegistro
+          // P8 gate (Prensas.py:756); on failure nothing moves
+          if (obs.contador > prev || (cambio && obs.contador >= prev)) {
+            if (cambio) {
+              // ST5 rollover (Prensas.py:757-785): snapshot base, resolve
+              // or create the NEW shift's record; corrida only from a
+              // paused record of that new shift. The new shift IS the
+              // observation's shift, so its lookup rode in on the row.
+              val (corrida, qPlan) =
+                if (obs.hasPrior)
+                  (if (obs.priorStatus == StatusPaused) obs.priorProduced else 0L,
+                    obs.priorPlanned)
+                else {
+                  out += ActionRow.create(station, parte, obs.rid, obs.planDate,
+                    obs.shiftId, ar.plannedQty, obs.ts)
+                  (0L, ar.plannedQty)
+                }
+              ar = ar.copy(recordId = obs.rid, planDate = obs.planDate,
+                shiftId = obs.shiftId, baseCt = prev, corridaPrevia = corrida,
+                plannedQty = qPlan)
+            }
+            val qty = (obs.contador - ar.baseCt + ar.corridaPrevia) * ar.multiplier
+            // history carries the raw counter (Prensas.py:802)
+            out += ActionRow.appendHistory(station, parte, ar.recordId,
+              obs.contador, obs.tiempo, obs.ts)
+            out += ActionRow.updateQty(station, parte, ar.recordId, qty, StatusProducing, obs.ts)
+              .copy(planDate = ar.planDate, shiftId = ar.shiftId, plannedQty = ar.plannedQty)
+            ar = ar.copy(contadorRegistro = obs.contador, lastUpdSec = sec,
+              produced = qty, lastTsMs = obs.ts.getTime)
+            state.update(ar)
+          }
+        }
+      }
+      if (timeoutMs > 0 && state.exists) state.setTimeoutDuration(timeoutMs)
+      out.result().iterator
+    }
+
+    /** ST3 admission for an unseen key (Prensas.py:703-741). */
+    private def admit(station: String, parte: String, obs: ObsEnriched,
+        out: collection.mutable.Builder[ActionRow, Vector[ActionRow]]): Option[ActiveRecord] = {
+      if (!obs.partKnown) {
+        // K4: unknown part number → dedup-append CSV sink (Prensas.py:343-353)
+        out += ActionRow.partNotFound(station, parte, obs.original, obs.planDate, obs.ts)
+        return None
+      }
+      val (qProd, status, qPlan) =
+        if (obs.hasPrior) (obs.priorProduced, obs.priorStatus, obs.priorPlanned)
+        else {
+          out += ActionRow.create(station, parte, obs.rid, obs.planDate, obs.shiftId,
+            DefaultPlannedQty, obs.ts)
+          (0L, StatusCreated, DefaultPlannedQty)
+        }
+      // paused record: its produced becomes corrida, the gate baseline
+      // restarts at 0 (Prensas.py:723-724, 731)
+      val corrida = if (status == StatusPaused) qProd else 0L
+      val prevEff = if (status == StatusPaused) 0L else qProd
+      Some(ActiveRecord(obs.rid, obs.planDate, obs.shiftId,
+        contadorRegistro = prevEff, baseCt = 0L, corridaPrevia = corrida,
+        multiplier = obs.multiplier, plannedQty = qPlan, lastUpdSec = secondsOfDay(obs.ts),
+        produced = prevEff, lastTsMs = obs.ts.getTime))
+    }
   }
 
   val StatusCreated = 3   // Prensas.py:324
@@ -200,6 +263,17 @@ object StateMachine {
     * original replace the reference's order-dependent last/first.
     * Already-combined inputs (one row per ts) pass through unchanged. */
   def combine(rows: Vector[PartObservation]): Vector[PartObservation] =
+    rows.groupBy(_.ts).toVector.sortBy(_._1.getTime).map { case (_, group) =>
+      group.head.copy(
+        contador = group.map(_.contador).sum,
+        tiempo = group.map(_.tiempo).max,
+        original = group.map(_.original).min)
+    }
+
+  /** [[combine]] over enriched rows. Same-key same-ts observations
+    * share every lookup field (same (station, parte, ts) → same rid and
+    * dims), so the head's enrichment carries over unchanged. */
+  private[stream] def combineEnriched(rows: Vector[ObsEnriched]): Vector[ObsEnriched] =
     rows.groupBy(_.ts).toVector.sortBy(_._1.getTime).map { case (_, group) =>
       group.head.copy(
         contador = group.map(_.contador).sum,
