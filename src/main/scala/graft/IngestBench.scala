@@ -46,12 +46,14 @@ object IngestBench {
         .otherwise(toks(concat(grp, variant.cast("string")), 30, "uniq")))
       .withColumnRenamed("id", "doc_id")
 
-    val batchSize = nDocs / nBatches
+    val batchSize = math.max(1L, nDocs / nBatches)
     val t0 = System.nanoTime()
     (0 until nBatches).foreach { b =>
+      // last batch takes the division remainder so every doc ingests
+      val hi = if (b == nBatches - 1) nDocs else (b + 1) * batchSize
       stream.IngestDedup.ingestBatch(
-        docs.filter(col("doc_id") >= b * batchSize && col("doc_id") < (b + 1) * batchSize),
-        dir)
+        docs.filter(col("doc_id") >= b * batchSize && col("doc_id") < hi),
+        dir, epochId = b)
     }
     val secs = (System.nanoTime() - t0) / 1e9
     val kept = spark.read.parquet(s"$dir/corpus").count()

@@ -35,9 +35,11 @@ object Lake {
   def unprocessedPartitions(spark: SparkSession, dataDir: String,
                             ledgerDir: String, partCol: String): DataFrame = {
     val current = spark.read.parquet(dataDir).select(partCol).distinct()
-    val done =
-      try spark.read.parquet(ledgerDir).select(partCol)
-      catch { case _: Throwable => return current } // no ledger yet: all new
+    // explicit existence check — a MISSING ledger means "all new", but a
+    // corrupt or unreadable one must propagate, not silently re-emit
+    // every partition as if the pipeline had never run
+    if (!new java.io.File(ledgerDir).exists()) return current
+    val done = spark.read.parquet(ledgerDir).select(partCol)
     current.join(done, Seq(partCol), "left_anti")
   }
 

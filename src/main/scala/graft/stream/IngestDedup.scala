@@ -25,10 +25,17 @@ import graft.batch.Dedup
   * unbounded by design, which is exactly what the streaming state store
   * is wrong for. At 100 TB the two indexes become bucketed/Delta tables
   * (the anti joins then co-locate by key); the call shape is unchanged.
-  * Exactly-once: batch writes are idempotent per epoch only if the
-  * sink table is transactional — on plain parquet a replayed batch can
-  * re-append, which the content-hash anti join then filters out on the
-  * NEXT batch, so the corpus converges to no-duplicates either way.
+  *
+  * Exactly-once on plain parquet, by epoch-partitioned idempotence: all
+  * three tables are hive-partitioned by the foreachBatch epoch id, each
+  * epoch's output is written with OVERWRITE into its own `epoch=N`
+  * partition, and every index probe filters to `epoch < N`. A replayed
+  * epoch therefore (a) recomputes against exactly the pre-N index state
+  * — any half-written epoch-N keys are invisible to the probe — and
+  * (b) overwrites whatever partial epoch-N output the crash left, so
+  * re-running converges to the same corpus with no duplicate rows. (A
+  * transactional MERGE sink gets this for free; this is the same
+  * commit-by-partition idea expressed on files.)
   */
 object IngestDedup {
 
@@ -39,15 +46,17 @@ object IngestDedup {
             trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
     docs.writeStream.trigger(trigger)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) => ingestBatch(batch, dir) }
+      .foreachBatch { (batch: DataFrame, id: Long) => ingestBatch(batch, dir, id) }
       .start()
 
   private def readIfExists(s: SparkSession, path: String): Option[DataFrame] =
     if (new java.io.File(path).exists()) Some(s.read.parquet(path)) else None
 
   /** One micro-batch pass; also callable on a plain batch DataFrame
-    * (backfill and streaming share the exact code path). */
-  def ingestBatch(batch: DataFrame, dir: String): Unit = {
+    * (backfill and streaming share the exact code path). Backfill
+    * callers must supply strictly increasing `epochId`s — it is the
+    * partition the pass overwrites and the replay-idempotence key. */
+  def ingestBatch(batch: DataFrame, dir: String, epochId: Long = 0L): Unit = {
     val s = batch.sparkSession
     val keyed = batch
       .withColumn("content_key", md5(col("text").cast("binary")))
@@ -59,9 +68,11 @@ object IngestDedup {
       .agg(min(col("doc_id")).as("doc_id"))
     val exactInBatch = keyed.join(firstPerContent, Seq("content_key", "doc_id"))
 
-    // 2. exact vs corpus index
+    // 2. exact vs corpus index (epochs strictly before this one: a
+    // replayed epoch must not see its own half-committed keys)
     val exactFresh = readIfExists(s, s"$dir/exact_idx") match {
-      case Some(idx) => exactInBatch.join(idx, Seq("content_key"), "left_anti")
+      case Some(idx) =>
+        exactInBatch.join(idx.filter(col("epoch") < epochId), Seq("content_key"), "left_anti")
       case None => exactInBatch
     }
 
@@ -74,23 +85,26 @@ object IngestDedup {
         col("a.band") === col("b.band") && col("a.key") === col("b.key")
           && col("a.doc_id") > col("b.doc_id"))
       .select(col("a.doc_id").as("doc_id")).distinct()
-    // 3b. near-dup vs corpus band index
+    // 3b. near-dup vs corpus band index (same epoch < N visibility rule)
     val corpusHits = readIfExists(s, s"$dir/band_idx") match {
-      case Some(idx) => bk.join(idx, Seq("band", "key")).select("doc_id").distinct()
+      case Some(idx) => bk.join(idx.filter(col("epoch") < epochId), Seq("band", "key"))
+        .select("doc_id").distinct()
       case None => s.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
     }
     val keep = exactFresh
       .join(losers.union(corpusHits).distinct(), Seq("doc_id"), "left_anti")
       .localCheckpoint() // consumed by three writes below
 
-    // 4. append survivors + extend both indexes
+    // 4. commit survivors + index keys into this epoch's partitions.
+    // OVERWRITE of the epoch dir is the idempotence point: a replay
+    // replaces any partial output instead of appending next to it.
     keep.drop("bands", "content_key")
-      .write.mode(SaveMode.Append).parquet(s"$dir/corpus")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/corpus/epoch=$epochId")
     keep.select(col("content_key"))
-      .write.mode(SaveMode.Append).parquet(s"$dir/exact_idx")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/exact_idx/epoch=$epochId")
     keep.select(explode(col("bands")).as("bk"))
       .select(col("bk.band").as("band"), col("bk.key").as("key"))
       .filter(col("key").isNotNull) // shingle-less docs have no signature
-      .write.mode(SaveMode.Append).parquet(s"$dir/band_idx")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/band_idx/epoch=$epochId")
   }
 }

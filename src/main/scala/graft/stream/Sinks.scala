@@ -44,6 +44,54 @@ object Sinks {
     fs.delete(old, true)
   }
 
+  /** K1/K2 against a real database: newest-per-key reduction in Spark,
+    * then executor-side batched upserts over JDBC — the direct analog
+    * of the reference's per-row ODBC UPDATE/INSERT (Prensas.py:166-169,
+    * 315-341), minus the driver-side loop: each partition opens one
+    * connection and upserts its own keys (disjoint after the reduction,
+    * so no cross-partition write conflicts), committing once per
+    * partition. The UPDATE-then-INSERT-if-absent pair is used instead
+    * of MERGE because it is portable across SQL Server, DB2/AS400, and
+    * embedded engines. The table must exist with matching column names.
+    * This is the low-volume record-upsert path; bulk keyed merges stay
+    * on [[upsertParquet]] (or a transactional MERGE sink). */
+  def upsertJdbc(batch: DataFrame, url: String, table: String,
+      keys: Seq[String], version: Seq[String],
+      connProps: Map[String, String] = Map.empty): Unit = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(version.map(c => col(c).desc): _*)
+    val newest = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val cols = newest.columns.toSeq
+    val dataCols = cols.filterNot(keys.contains)
+    val updateSql = s"UPDATE $table SET " + dataCols.map(c => s"$c = ?").mkString(", ") +
+      " WHERE " + keys.map(k => s"$k = ?").mkString(" AND ")
+    val insertSql = s"INSERT INTO $table (" + cols.mkString(", ") + ") VALUES (" +
+      cols.map(_ => "?").mkString(", ") + ")"
+    newest.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.nonEmpty) {
+        val props = new java.util.Properties()
+        connProps.foreach { case (k, v) => props.setProperty(k, v) }
+        val conn = java.sql.DriverManager.getConnection(url, props)
+        try {
+          conn.setAutoCommit(false)
+          val upd = conn.prepareStatement(updateSql)
+          val ins = conn.prepareStatement(insertSql)
+          val byName = cols.zipWithIndex.toMap
+          rows.foreach { r =>
+            dataCols.zipWithIndex.foreach { case (c, i) => upd.setObject(i + 1, r.get(byName(c))) }
+            keys.zipWithIndex.foreach { case (k, i) =>
+              upd.setObject(dataCols.length + i + 1, r.get(byName(k))) }
+            if (upd.executeUpdate() == 0) {
+              cols.zipWithIndex.foreach { case (c, i) => ins.setObject(i + 1, r.get(byName(c))) }
+              ins.executeUpdate()
+            }
+          }
+          conn.commit()
+        } finally conn.close()
+      }
+    }
+  }
+
   /** K4: dedup-append CSV — append only rows whose logical key
     * (estacion, numero_parte, fecha) is absent (Prensas.py:227-279). */
   def appendCsvDedup(batch: DataFrame, path: String): Unit = {

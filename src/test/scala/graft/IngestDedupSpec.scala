@@ -71,10 +71,26 @@ class IngestDedupSpec extends SparkSpec {
   test("ingestBatch is the same code path for batch backfill") {
     val dir = Files.createTempDirectory("graft_ingest_b").toString
     IngestDedup.ingestBatch(
-      Seq((10L, base), (11L, nearDup)).toDF("doc_id", "text"), s"$dir/out")
+      Seq((10L, base), (11L, nearDup)).toDF("doc_id", "text"), s"$dir/out", epochId = 0)
     IngestDedup.ingestBatch(
-      Seq((12L, base)).toDF("doc_id", "text"), s"$dir/out")
+      Seq((12L, base)).toDF("doc_id", "text"), s"$dir/out", epochId = 1)
     assert(spark.read.parquet(s"$dir/out/corpus")
       .select("doc_id").as[Long].collect().toSeq == Seq(10L))
+  }
+
+  test("replaying an epoch is idempotent: no duplicate corpus rows") {
+    val dir = Files.createTempDirectory("graft_ingest_r").toString
+    val b0 = Seq((20L, base), (21L, exactDup)).toDF("doc_id", "text")
+    val b1 = Seq((22L, other)).toDF("doc_id", "text")
+    IngestDedup.ingestBatch(b0, s"$dir/out", epochId = 0)
+    IngestDedup.ingestBatch(b1, s"$dir/out", epochId = 1)
+    // crash-replay of BOTH epochs (e.g. restart before checkpoint
+    // commit): overwrite-into-epoch-partition + epoch<N probes converge
+    // to the identical corpus instead of re-appending survivors
+    IngestDedup.ingestBatch(b0, s"$dir/out", epochId = 0)
+    IngestDedup.ingestBatch(b1, s"$dir/out", epochId = 1)
+    assert(spark.read.parquet(s"$dir/out/corpus")
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(20L, 22L))
+    assert(spark.read.parquet(s"$dir/out/exact_idx").count() == 2)
   }
 }
