@@ -19,7 +19,20 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     try SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => () }
+    // per-query warmup fixture: the smallest SF sibling. Running each
+    // query there first compiles the SAME generated code (the codegen
+    // cache is keyed by source text) and JITs its operators, so the
+    // timed sf run measures the data path, not the compilers. Done
+    // per-query right before its timed run — not as one big pre-pass —
+    // because the codegen cache holds ~100 classes and 60 queries of
+    // stages would evict each other.
+    val warmDir = sys.env.get("SPARK_GRAFT_WARM_DIR")
+      .orElse(Some("/root/testdata/sf0.001").filter(p => new java.io.File(p).isDirectory))
     val results = SparkEntry.queries.map { case (name, fn) =>
+      warmDir.foreach { d =>
+        try { fn(spark, d).queryExecution.toRdd.count() }
+        catch { case _: Throwable => () }
+      }
       val t0 = System.nanoTime()
       // execute the FULL physical plan (a plain count() would let
       // Catalyst prune projection-only work down to a bare scan)

@@ -341,17 +341,20 @@ object Relational {
   // ---------------------------------------------------------------- q21
   /** F1/F3: PLC word decode round-trip + register block expansion,
     * exercised on part names (decode semantics Prensas.py:450-471). */
-  def q21_plc_decode(s: SparkSession, d: String): DataFrame =
+  def q21_plc_decode(s: SparkSession, d: String): DataFrame = {
+    // build the block expansion ONCE; codegen's subexpression
+    // elimination evaluates it once per row even after CollapseProject
+    // inlines it into the three consumers
+    val blk = expandBlock(concat(lit("D"), (pmod(col("p_partkey"), lit(100)) * 10).cast("string")),
+      lit(1) + pmod(col("p_partkey"), lit(3)))
     Tables.part(s, d).select(
       col("p_partkey"),
       decodePlcWords(encodePlcWords(substring(col("p_name"), 1, 4))).as("decoded"),
-      size(expandBlock(concat(lit("D"), (pmod(col("p_partkey"), lit(100)) * 10).cast("string")),
-        lit(1) + pmod(col("p_partkey"), lit(3)))).as("n_addr"),
-      element_at(expandBlock(concat(lit("D"), (pmod(col("p_partkey"), lit(100)) * 10).cast("string")),
-        lit(1) + pmod(col("p_partkey"), lit(3))), 1).as("first_addr"),
-      element_at(expandBlock(concat(lit("D"), (pmod(col("p_partkey"), lit(100)) * 10).cast("string")),
-        lit(1) + pmod(col("p_partkey"), lit(3))), -1).as("last_addr"))
+      size(blk).as("n_addr"),
+      element_at(blk, 1).as("first_addr"),
+      element_at(blk, -1).as("last_addr"))
       .orderBy("p_partkey")
+  }
 
   // ---------------------------------------------------------------- q22
   /** F2/G1: `/`-alternative expansion as a generator (posexplode). */
