@@ -26,6 +26,25 @@ class PackingSpec extends SparkSpec {
     assert(packed.select("doc_id").distinct().count() == sizes.length)
   }
 
+  test("qt6 prefix sum matches a sequential reference and plans no global window") {
+    // the two-pass distributed prefix sum must be bit-identical to the
+    // sequential computation AND must never funnel the corpus through
+    // a single-partition WindowExec (the 100 TB killer it replaced)
+    val d = "/root/testdata/sf0.001"
+    val q = TextOps.qt6_seq_pack(spark, d)
+    assert(!q.queryExecution.executedPlan.toString.contains("Window"),
+      "qt6 must not plan a window operator")
+    val seq = Tables.documents(spark, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
+      .as[(Long, Long)].collect().sortBy { case (id, tok) => (-tok, id) }
+    var off = 0L
+    val bins = seq.map { case (id, tok) => val b = off / 2048L; off += tok; (b, id, tok) }
+    val expected = bins.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, g) =>
+      (b, g.length.toLong, g.map(_._3).sum, g.map(_._2).min) }
+    val got = q.as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected, s"prefix-sum bins diverged from sequential reference")
+  }
+
   test("packFirstFit: bin count stays near the lower bound") {
     // 400 docs, sizes 1..50 uniform: total 10200 → lower bound 102 bins
     val df = spark.range(400)
