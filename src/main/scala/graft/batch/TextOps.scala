@@ -209,7 +209,46 @@ object TextOps {
       .orderBy(col("n").desc, col("a").asc, col("b").asc)
       .limit(20)
 
+  /** qt8: training-mixture sampling — the data-mixture step before
+    * pretraining: given per-source mixture weights and a token budget,
+    * derive each source's deterministic admission rate from its token
+    * inventory, then hash-admit documents (the md5-keyed admission of
+    * q36, reproducible on any engine and stable under re-partitioning
+    * and incremental re-runs — a doc's fate depends only on its key).
+    *
+    * Scale shape: the corpus scans once; only source-cardinality
+    * aggregates shuffle; the derived rate table broadcasts back onto
+    * the corpus; admission is a map-side filter. Integer-only rate
+    * math (per-mille weights, parts-per-million rates, floor division)
+    * so Spark and the SQL oracle agree bit-for-bit. Weights here are
+    * derived from the source id (cycle 10/20/30/40 per-mille) to
+    * exercise heterogeneous targets without a config table. */
+  def qt8_mixture(s: SparkSession, d: String): DataFrame = {
+    val budget = 20000L // target tokens for the mixture, fixture-scaled
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+    val rates = toks.groupBy(col("source"))
+      .agg(sum(col("tok")).as("total_toks"))
+      .withColumn("w_pm",
+        (pmod(regexp_extract(col("source"), "([0-9]+)$", 1).cast("long"), lit(4)) + 1) * 10)
+      .withColumn("rate_ppm", least(lit(1000000L),
+        expr(s"($budget * w_pm * 1000) div total_toks")))
+    val admitted = toks.join(broadcast(rates.select(col("source"), col("rate_ppm"))), "source")
+      .filter(pmod(
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 6), 16, 10)
+          .cast("long"), lit(1000000)) < col("rate_ppm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("tok")).as("toks_sampled"))
+    rates.join(admitted, Seq("source"), "left")
+      .select(col("source"), col("total_toks"), col("w_pm"), col("rate_ppm"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("toks_sampled"), lit(0L)).as("toks_sampled"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt8_mixture" -> (qt8_mixture _),
     "qt7_bpe_pairs" -> (qt7_bpe_pairs _),
     "qt1_langid" -> (qt1_langid _),
     "qt2_quality" -> (qt2_quality _),
@@ -222,6 +261,29 @@ object TextOps {
     .map { case (l, w) => s"('$l','$w')" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "qt8_mixture" ->
+      """WITH toks AS (
+        | SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents),
+        |rates AS (
+        | SELECT source, CAST(SUM(tok) AS BIGINT) AS total_toks,
+        |  (CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4 + 1) * 10 AS w_pm
+        | FROM toks GROUP BY 1),
+        |r2 AS (
+        | SELECT source, total_toks, w_pm,
+        |  least(1000000, (20000 * w_pm * 1000) // total_toks) AS rate_ppm FROM rates),
+        |adm AS (
+        | SELECT t.source, COUNT(*) AS n_sampled, CAST(SUM(t.tok) AS BIGINT) AS toks_sampled
+        | FROM toks t JOIN r2 ON t.source = r2.source
+        | WHERE ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000000
+        |       < r2.rate_ppm
+        | GROUP BY 1)
+        |SELECT r2.source, r2.total_toks, CAST(r2.w_pm AS BIGINT) AS w_pm,
+        | CAST(r2.rate_ppm AS BIGINT) AS rate_ppm,
+        | COALESCE(adm.n_sampled, 0) AS n_sampled,
+        | COALESCE(adm.toks_sampled, 0) AS toks_sampled
+        |FROM r2 LEFT JOIN adm ON r2.source = adm.source
+        |ORDER BY r2.source""".stripMargin,
     "qt7_bpe_pairs" ->
       """WITH t AS (
         | SELECT string_split(lower(substr(text, 1, 200)), ' ') AS toks FROM documents),
