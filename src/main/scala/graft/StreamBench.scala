@@ -22,15 +22,19 @@ import graft.stream.{Sinks, StateMachine}
   * per second on one node; divide by 2 for the equivalent number of
   * stations served at the reference's own cadence.
   *
-  * `sbt "runMain graft.StreamBench [nObs] [nStations] [rocksdb]"` —
-  * prints one JSON line. The optional `rocksdb` arg runs the same load
-  * on the RocksDB state store (the large-state production config).
+  * `sbt "runMain graft.StreamBench [nObs] [nStations] [rocksdb]
+  * [dimjoin]"` — prints one JSON line. The optional `rocksdb` arg runs
+  * the same load on the RocksDB state store (the large-state
+  * production config); `dimjoin` routes the dimension lookups through
+  * the stream-static-join path (`StateMachine.withDimTables`, the
+  * scale configuration) instead of the in-memory snapshot maps.
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toInt else 200000
     val stations = if (args.length > 1) args(1).toInt else 200
     val rocksdb = args.contains("rocksdb")
+    val dimjoin = args.contains("dimjoin")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       String.valueOf(Runtime.getRuntime.availableProcessors())).toInt
     val spark = SparkSession.builder()
@@ -53,23 +57,38 @@ object StreamBench {
         (i / stations).toLong, 1.0,
         new Timestamp(base + (i / stations) * 1000L))
     }
-    val machine = new StateMachine(
-      knownParts = (0 until stations).map(s => (s"ST$s", "AAA") -> (s + 1L)).toMap,
-      multipliers = Map("AAA" -> 2L),
-      priorRecords = Map.empty,
-      timeoutMs = 0)
     val outDir = Files.createTempDirectory("graft_sbench_out").toString
     val ckpt = Files.createTempDirectory("graft_sbench_ckpt").toString
 
     val input = MemoryStream[PartObservation]
     input.addData(obs)
     val t0 = System.nanoTime()
-    val q = Sinks.startPipeline(input.toDS(), machine, outDir, ckpt, Trigger.AvailableNow())
+    val q = if (dimjoin) {
+      val parts = (0 until stations).map(s => (s"ST$s", "AAA", s + 1L))
+        .toDF("station", "parte", "part_id")
+      val mults = Seq(("AAA", 2L)).toDF("parte", "multiplier")
+      val records = Seq.empty[(String, Long, Int, Long)]
+        .toDF("record_id", "produced", "status_id", "planned")
+      val actions = StateMachine.withDimTables(input.toDS(), parts, mults, records,
+        timeoutMs = 0)
+      actions.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.model.ActionRow], _: Long) =>
+          Sinks.applyActions(batch, outDir)
+        }.start()
+    } else {
+      val machine = new StateMachine(
+        knownParts = (0 until stations).map(s => (s"ST$s", "AAA") -> (s + 1L)).toMap,
+        multipliers = Map("AAA" -> 2L),
+        priorRecords = Map.empty,
+        timeoutMs = 0)
+      Sinks.startPipeline(input.toDS(), machine, outDir, ckpt, Trigger.AvailableNow())
+    }
     q.awaitTermination()
     val sec = (System.nanoTime() - t0) / 1e9
     val rate = n / sec
     val records = spark.read.parquet(s"$outDir/production_records").count()
-    println(f"""{"metric":"stream_obs_per_sec","value":$rate%.0f,"unit":"obs/sec","n_obs":$n,"stations":$stations,"state_store":"${if (rocksdb) "rocksdb" else "hdfs"}","wall_sec":$sec%.2f,"records":$records,"equiv_stations_at_reference_cadence":${(rate / 2).toLong}}""")
+    println(f"""{"metric":"stream_obs_per_sec","value":$rate%.0f,"unit":"obs/sec","n_obs":$n,"stations":$stations,"state_store":"${if (rocksdb) "rocksdb" else "hdfs"}","lookup_path":"${if (dimjoin) "dimjoin" else "map"}","wall_sec":$sec%.2f,"records":$records,"equiv_stations_at_reference_cadence":${(rate / 2).toLong}}""")
     spark.stop()
   }
 }
