@@ -48,3 +48,16 @@ class Supervisor[H](start: (String, String) => H, stop: H => Unit,
     running.clear()
   }
 }
+
+object Supervisor {
+  /** Desired-state snapshot for [[Supervisor.reconcile]]: ip →
+    * configHash, read through any [[graft.config.Connections]] ref —
+    * the parquet/csv fixture or the reference's JDBC config database
+    * (Prensas.py:93-112 → 849 hash compare). The collect is
+    * config-plane-sized (one row per PLC group), not data-sized. */
+  def desiredFromConfig(spark: org.apache.spark.sql.SparkSession,
+      ref: graft.config.TableRef): Map[String, String] =
+    graft.config.ConfigLoader.ipGroups(spark, graft.config.Connections.tags(spark, ref))
+      .select("ip", "configHash").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+}

@@ -36,4 +36,26 @@ class SupervisorSpec extends SparkSpec {
     val (_, restarted, _) = p.sup.reconcile(Map("ip1" -> "h1"))
     assert(restarted == Seq("ip1"))
   }
+
+  test("desired state reads through a Connections ref; hash reacts to config edits") {
+    import graft.config.TableRef
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sup_cfg").toString
+    def write(rows: Seq[(String, String, String, String, Int)]): Unit =
+      rows.toDF("work_center", "ip", "tag", "address", "block_len")
+        .write.mode("overwrite").parquet(s"$dir/tags")
+    val base = Seq(
+      ("PRENSA1", "10.0.0.1", "Contador LH", "D100", 1),
+      ("PRENSA2", "10.0.0.2", "Contador LH", "D300", 1))
+    write(base)
+    val ref = TableRef("parquet", s"$dir/tags")
+    val d1 = Supervisor.desiredFromConfig(spark, ref)
+    assert(d1.keySet == Set("10.0.0.1", "10.0.0.2"))
+    // an address edit on one group changes only that group's hash —
+    // exactly the diff the reconcile loop keys restarts on
+    write(base.updated(1, ("PRENSA2", "10.0.0.2", "Contador LH", "D999", 1)))
+    val d2 = Supervisor.desiredFromConfig(spark, ref)
+    assert(d2("10.0.0.1") == d1("10.0.0.1"))
+    assert(d2("10.0.0.2") != d1("10.0.0.2"))
+  }
 }
