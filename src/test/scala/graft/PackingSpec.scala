@@ -45,6 +45,29 @@ class PackingSpec extends SparkSpec {
     assert(got == expected, s"prefix-sum bins diverged from sequential reference")
   }
 
+  test("qt8 mixture: rate table broadcasts, corpus rows never shuffle") {
+    // the corpus-side exchanges must all carry source-cardinality
+    // aggregates; doc-level rows reach the admission filter map-side
+    val q = TextOps.qt8_mixture(spark, "/root/testdata/sf0.001")
+    // formatted explain lists each Exchange node with its input columns
+    // (AQE hides the physical children from a plan collect)
+    val explained = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchangeInputs = explained.linesIterator.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) Exchange.*""") => i
+    }.toSeq
+    assert(exchangeInputs.nonEmpty, "expected the source-aggregate exchanges")
+    val lines = explained.linesIterator.toVector
+    exchangeInputs.foreach { i =>
+      // the "Input" line follows the node header
+      val input = lines.drop(i).take(3).find(_.trim.startsWith("Input")).getOrElse("")
+      assert(!input.contains("doc_id"),
+        s"doc-level rows entered a shuffle: $input")
+    }
+    assert(explained.contains("BroadcastHashJoin"),
+      "rate table must broadcast back onto the corpus")
+  }
+
   test("packFirstFit: bin count stays near the lower bound") {
     // 400 docs, sizes 1..50 uniform: total 10200 → lower bound 102 bins
     val df = spark.range(400)
