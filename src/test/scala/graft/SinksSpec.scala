@@ -21,6 +21,41 @@ class SinksSpec extends SparkSpec {
     assert(got == Seq(("a", 99L), ("b", 20L), ("c", 30L)))
   }
 
+  test("upsertParquetBucketed: newest wins; untouched buckets not rewritten") {
+    val dir = Files.createTempDirectory("graft_upsertb").toString + "/t"
+    val nB = 8
+    // seed: 200 keys spread across all buckets
+    val seed = (0 until 200).map(i => (s"k$i", 1L, i.toLong))
+    Sinks.upsertParquetBucketed(seed.toDF("k", "v", "x"), dir, Seq("k"), Seq("v"), nB)
+    val before = new java.io.File(dir).listFiles().filter(_.getName.startsWith("__bucket="))
+      .map(d => d.getName -> d.listFiles().map(f => (f.getName, f.lastModified)).toSet).toMap
+    assert(before.size == nB, s"expected all $nB buckets populated")
+
+    // upsert 3 keys (newer version) + 1 new key
+    Sinks.upsertParquetBucketed(
+      Seq(("k5", 2L, 999L), ("k6", 2L, 998L), ("k7", 0L, 0L), ("kNEW", 1L, 777L))
+        .toDF("k", "v", "x"), dir, Seq("k"), Seq("v"), nB)
+
+    val got = Sinks.readUpsertedBucketed(spark, dir)
+      .select("k", "x").as[(String, Long)].collect().toMap
+    assert(got.size == 201)
+    assert(got("k5") == 999L && got("k6") == 998L)
+    assert(got("k7") == 7L, "older version must not regress the row")
+    assert(got("kNEW") == 777L && got("k0") == 0L)
+
+    // only the buckets containing the 4 batch keys were rewritten
+    val touched = Seq("k5", "k6", "k7", "kNEW").toDF("k")
+      .select(pmod(hash(col("k")), lit(nB))).as[Int].collect()
+      .map(b => s"__bucket=$b").toSet
+    val after = new java.io.File(dir).listFiles().filter(_.getName.startsWith("__bucket="))
+      .map(d => d.getName -> d.listFiles().map(f => (f.getName, f.lastModified)).toSet).toMap
+    before.foreach { case (bucket, files) =>
+      if (!touched(bucket))
+        assert(after(bucket) == files, s"untouched $bucket was rewritten")
+      else assert(after(bucket) != files, s"touched $bucket unchanged")
+    }
+  }
+
   test("appendCsvDedup: logical-PK dedup across appends (Prensas.py:252-258)") {
     val dir = Files.createTempDirectory("graft_csv").toString + "/nf"
     val r1 = Seq(("P1", "X", "X/Y", "2024-03-05", "2024-03-05 09:00:00"))
