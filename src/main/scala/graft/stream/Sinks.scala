@@ -153,8 +153,12 @@ object Sinks {
 
   /** Apply one micro-batch of [[ActionRow]]s: records upsert (create →
     * update → close precedence at equal ts), histories append,
-    * parts-not-found CSV dedup (the E3 foreachBatch sink). */
-  def applyActions(actions: Dataset[ActionRow], outDir: String): Unit = {
+    * parts-not-found CSV dedup (the E3 foreachBatch sink).
+    * `recordBuckets > 0` routes the records upsert through
+    * [[upsertParquetBucketed]] — the table-scale layout where a batch
+    * rewrites only the buckets its record ids touch. */
+  def applyActions(actions: Dataset[ActionRow], outDir: String,
+      recordBuckets: Int = 0): Unit = {
     val df = actions.toDF().cache()
     try {
       val records = df
@@ -166,9 +170,14 @@ object Sinks {
           col("planDate").as("plan_date"), col("shiftId").as("shift_id"),
           col("produced"), col("plannedQty").as("planned"),
           col("statusId").as("status_id"), col("ts"), col("rank"))
-      if (!records.isEmpty)
-        upsertParquet(records, s"$outDir/production_records",
-          Seq("record_id"), Seq("ts", "rank"))
+      if (!records.isEmpty) {
+        if (recordBuckets > 0)
+          upsertParquetBucketed(records, s"$outDir/production_records",
+            Seq("record_id"), Seq("ts", "rank"), recordBuckets)
+        else
+          upsertParquet(records, s"$outDir/production_records",
+            Seq("record_id"), Seq("ts", "rank"))
+      }
 
       val hist = df.filter(col("action") === ActionRow.History)
         .select(col("recordId").as("record_id"), col("station"), col("parte"),
@@ -201,14 +210,15 @@ object Sinks {
   def startPipeline(obs: Dataset[PartObservation], machine: StateMachine,
       outDir: String, checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
+      recordBuckets: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     machine(obs).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[ActionRow], _: Long) =>
-        applyActions(batch, outDir)
+        applyActions(batch, outDir, recordBuckets)
       }
       .start()
 }

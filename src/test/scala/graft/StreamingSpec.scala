@@ -64,4 +64,28 @@ class StreamingSpec extends SparkSpec {
     assert(nf.count() == 1)
     assert(nf.collect().head.getAs[String]("numero_parte") == "ZZZ")
   }
+
+  test("same pipeline with the bucketed records sink reaches the same state") {
+    val outDir = Files.createTempDirectory("graft_stream_b").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_b").toString
+    val station = "PRENSA1"
+    val machine = new StateMachine(
+      knownParts = Map((station, "AAA") -> 1L),
+      multipliers = Map("AAA" -> 2L),
+      priorRecords = Map.empty,
+      timeoutMs = 0)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[PartObservation]
+    input.addData(
+      PartObservation(station, "AAA", "AAA", 10, 1.5, ts("2024-03-05 09:00:00")),
+      PartObservation(station, "AAA", "AAA", 14, 1.6, ts("2024-03-05 09:00:05")))
+    val q = Sinks.startPipeline(input.toDS(), machine, outDir, ckpt,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow(), recordBuckets = 8)
+    assert(q.awaitTermination(120000), "drain timed out")
+
+    val rec = Sinks.readUpsertedBucketed(spark, s"$outDir/production_records").collect()
+    assert(rec.length == 1)
+    assert(rec.head.getAs[Long]("produced") == 28L)
+    assert(rec.head.getAs[Int]("status_id") == StateMachine.StatusProducing)
+  }
 }
