@@ -129,13 +129,25 @@ object TextOps {
     * bit-identical to the sequential computation on any engine. The
     * capacity-EXACT variant (no straddling) is [[packFirstFit]], which
     * packs partition-locally and needs no global order. */
-  def qt6_seq_pack(s: SparkSession, d: String): DataFrame = {
-    val cap = 2048L
+  def qt6_seq_pack(s: SparkSession, d: String): DataFrame =
+    prefixBins(
+      Tables.documents(s, d)
+        .select(col("doc_id").cast("long"), size(split(col("text"), " ")).cast("long").as("tok")),
+      cap = 2048L)
+
+  /** The distributed sequential-fill core of [[qt6_seq_pack]]:
+    * `(doc_id, tok)` → per-bin `(bin, n_docs, bin_toks, first_doc)`
+    * where a doc's bin is the `cap`-token block its start offset falls
+    * in under (tok desc, doc_id) order. Two-pass global prefix sum —
+    * bit-identical to the sequential computation (long addition is
+    * associative), with no corpus-wide single-partition stage. */
+  def prefixBins(docs: DataFrame, cap: Long): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     val n = s.sparkContext.defaultParallelism
     // pass 1: global sort order across partitions, local prefix sums
-    val local = Tables.documents(s, d)
-      .select(col("doc_id").cast("long"), size(split(col("text"), " ")).cast("long").as("tok"))
+    val local = docs
+      .select(col("doc_id").cast("long"), col("tok").cast("long"))
       .as[(Long, Long)]
       .repartitionByRange(n, col("tok").desc, col("doc_id").asc)
       .sortWithinPartitions(col("tok").desc, col("doc_id").asc)

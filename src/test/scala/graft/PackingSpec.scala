@@ -68,6 +68,34 @@ class PackingSpec extends SparkSpec {
       "rate table must broadcast back onto the corpus")
   }
 
+  test("prefixBins property: distributed ≡ sequential on random workloads") {
+    // random doc-size distributions, including heavy skew and ties —
+    // the distributed two-pass prefix sum must agree with a sequential
+    // fold on every one of them
+    val rng = new scala.util.Random(20260812)
+    for (trial <- 1 to 6) {
+      val nDocs = 1 + rng.nextInt(400)
+      val capT = 16L + rng.nextInt(200)
+      val sizes = (0 until nDocs).map { i =>
+        val t = rng.nextInt(4) match {
+          case 0 => rng.nextInt(5).toLong          // tiny (many ties, zeros)
+          case 1 => rng.nextInt(50).toLong
+          case 2 => rng.nextInt(500).toLong
+          case _ => 1000L + rng.nextInt(2000)      // oversized vs cap
+        }
+        (i.toLong, t)
+      }
+      val got = TextOps.prefixBins(sizes.toDF("doc_id", "tok"), capT)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      var off = 0L
+      val expected = sizes.sortBy { case (id, tok) => (-tok, id) }
+        .map { case (id, tok) => val b = off / capT; off += tok; (b, id, tok) }
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (b, g) => (b, g.length.toLong, g.map(_._3).sum, g.map(_._2).min) }
+      assert(got == expected, s"trial $trial (n=$nDocs cap=$capT) diverged")
+    }
+  }
+
   test("packFirstFit: bin count stays near the lower bound") {
     // 400 docs, sizes 1..50 uniform: total 10200 → lower bound 102 bins
     val df = spark.range(400)
