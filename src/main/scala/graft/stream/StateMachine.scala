@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import java.time.ZoneOffset
 
 import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, TimeMode}
 
 import graft.model._
 
@@ -117,6 +117,38 @@ object StateMachine {
       multipliers: org.apache.spark.sql.DataFrame,
       records: org.apache.spark.sql.DataFrame,
       timeoutMs: Long = 30000L): Dataset[ActionRow] = {
+    val s = obs.sparkSession
+    import s.implicits._
+    enrichWithDims(obs, parts, multipliers, records)
+      .groupByKey(o => (o.station, o.parte))
+      .flatMapGroupsWithState[ActiveRecord, ActionRow](
+        OutputMode.Append, timeoutConf(timeoutMs))(new Core(timeoutMs).process)
+  }
+
+  /** [[withDimTables]] on Spark 4's `transformWithState` (arbitrary
+    * stateful processing v2): the identical [[Core]] transition hosted
+    * in a [[ProductionStatefulProcessor]] with typed `ValueState` and
+    * an explicit per-key silence timer. Requires the RocksDB state
+    * store provider (a transformWithState constraint). */
+  def withDimTablesTws(obs: Dataset[PartObservation],
+      parts: org.apache.spark.sql.DataFrame,
+      multipliers: org.apache.spark.sql.DataFrame,
+      records: org.apache.spark.sql.DataFrame,
+      timeoutMs: Long = 30000L): Dataset[ActionRow] = {
+    val s = obs.sparkSession
+    import s.implicits._
+    enrichWithDims(obs, parts, multipliers, records)
+      .groupByKey(o => (o.station, o.parte))
+      .transformWithState(new ProductionStatefulProcessor(timeoutMs),
+        if (timeoutMs > 0) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** The stream-static dimension joins shared by both stateful APIs. */
+  private[stream] def enrichWithDims(obs: Dataset[PartObservation],
+      parts: org.apache.spark.sql.DataFrame,
+      multipliers: org.apache.spark.sql.DataFrame,
+      records: org.apache.spark.sql.DataFrame): Dataset[ObsEnriched] = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val s = obs.sparkSession
     import s.implicits._
@@ -145,45 +177,33 @@ object StateMachine {
         coalesce(col("priorStatus"), lit(0)).as("priorStatus"),
         coalesce(col("priorPlanned"), lit(DefaultPlannedQty)).as("priorPlanned"))
       .as[ObsEnriched]
-      .groupByKey(o => (o.station, o.parte))
-      .flatMapGroupsWithState[ActiveRecord, ActionRow](
-        OutputMode.Append, timeoutConf(timeoutMs))(new Core(timeoutMs).process)
   }
 
   /** The state-transition core: operates on [[ObsEnriched]] so it is
     * agnostic to HOW the dimension lookups were resolved (in-memory
-    * maps for tests / small catalogs, stream-static joins at scale). */
+    * maps for tests / small catalogs, stream-static joins at scale)
+    * AND to which stateful API hosts it — `advance`/`closeRow` are
+    * pure (state in, state + actions out), with thin adapters for
+    * flatMapGroupsWithState ([[process]]) and transformWithState
+    * ([[ProductionStatefulProcessor]]). */
   private[stream] class Core(timeoutMs: Long) extends Serializable {
 
-    /** The flatMapGroupsWithState function. */
-    def process(key: (String, String), rows: Iterator[ObsEnriched],
-        state: GroupState[ActiveRecord]): Iterator[ActionRow] = {
-      val (station, parte) = key
-
-      if (!state.exists && !rows.hasNext && state.hasTimedOut) return Iterator.empty
-      if (state.hasTimedOut) {
-        // ST4: silence → close the run once (status 7→8) + clear state.
-        // Stamped after the last update so the newest-wins upsert applies
-        // it (close rank also beats update at equal ts).
-        val ar = state.get
-        state.remove()
-        return Iterator.single(ActionRow.closeShift(station, parte, ar.recordId,
-          ar.planDate, ar.shiftId, new Timestamp(ar.lastTsMs + math.max(timeoutMs, 1L)))
-          .copy(produced = ar.produced, plannedQty = ar.plannedQty))
-      }
-
+    /** Pure batch transition: current state + this tick's rows →
+      * (next state, emitted actions). Never drops existing state — only
+      * the silence timeout ([[closeRow]]) clears it. */
+    def advance(station: String, parte: String, cur: Option[ActiveRecord],
+        rows: Vector[ObsEnriched]): (Option[ActiveRecord], Vector[ActionRow]) = {
+      var st = cur
       val out = Vector.newBuilder[ActionRow]
 
-      for (obs <- combineEnriched(rows.toVector)) {
+      for (obs <- combineEnriched(rows)) {
         val sec = secondsOfDay(obs.ts)
 
-        if (!state.exists) {
-          admit(station, parte, obs, out).foreach(state.update)
-        }
+        if (st.isEmpty) st = admit(station, parte, obs, out)
         // the admission observation flows through the gate in the same
         // tick (the reference iterates `datos` twice, Prensas.py:703,744)
-        if (state.exists) {
-          var ar = state.get
+        st.foreach { ar0 =>
+          var ar = ar0
           val cambio = shiftChanged(ar.lastUpdSec, sec) ||
             ar.planDate != obs.planDate || ar.shiftId != obs.shiftId
           val prev = ar.contadorRegistro
@@ -213,14 +233,39 @@ object StateMachine {
               obs.contador, obs.tiempo, obs.ts)
             out += ActionRow.updateQty(station, parte, ar.recordId, qty, StatusProducing, obs.ts)
               .copy(planDate = ar.planDate, shiftId = ar.shiftId, plannedQty = ar.plannedQty)
-            ar = ar.copy(contadorRegistro = obs.contador, lastUpdSec = sec,
-              produced = qty, lastTsMs = obs.ts.getTime)
-            state.update(ar)
+            st = Some(ar.copy(contadorRegistro = obs.contador, lastUpdSec = sec,
+              produced = qty, lastTsMs = obs.ts.getTime))
           }
         }
       }
+      (st, out.result())
+    }
+
+    /** ST4: silence → close the run once (status 7→8). Stamped after
+      * the last update so the newest-wins upsert applies it (close rank
+      * also beats update at equal ts). */
+    def closeRow(station: String, parte: String, ar: ActiveRecord): ActionRow =
+      ActionRow.closeShift(station, parte, ar.recordId,
+        ar.planDate, ar.shiftId, new Timestamp(ar.lastTsMs + math.max(timeoutMs, 1L)))
+        .copy(produced = ar.produced, plannedQty = ar.plannedQty)
+
+    /** The flatMapGroupsWithState adapter. */
+    def process(key: (String, String), rows: Iterator[ObsEnriched],
+        state: GroupState[ActiveRecord]): Iterator[ActionRow] = {
+      val (station, parte) = key
+
+      if (!state.exists && !rows.hasNext && state.hasTimedOut) return Iterator.empty
+      if (state.hasTimedOut) {
+        val ar = state.get
+        state.remove()
+        return Iterator.single(closeRow(station, parte, ar))
+      }
+
+      val (next, out) = advance(station, parte,
+        if (state.exists) Some(state.get) else None, rows.toVector)
+      next.foreach(state.update)
       if (timeoutMs > 0 && state.exists) state.setTimeoutDuration(timeoutMs)
-      out.result().iterator
+      out.iterator
     }
 
     /** ST3 admission for an unseen key (Prensas.py:703-741). */
