@@ -60,6 +60,16 @@ object Sinks {
       version: Seq[String], nBuckets: Int = 64): Unit = {
     val spark = batch.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the bucket count is part of the table's physical identity — a
+    // different count re-keys every row's bucket and would strand stale
+    // versions in old buckets. Pin it in a root marker on create.
+    val marker = new Path(path, "_graft_buckets")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val stored = try scala.io.Source.fromInputStream(in).mkString.trim.toInt finally in.close()
+      require(stored == nBuckets,
+        s"table at $path was bucketed with nBuckets=$stored, got $nBuckets")
+    }
     val b = batch.withColumn("__bucket",
       pmod(hash(keys.map(col): _*), lit(nBuckets)))
     // bucket ids of this batch: bounded by nBuckets, not by batch size
@@ -75,11 +85,19 @@ object Sinks {
     val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
+      // materialize BEFORE the overwrite: the merge reads the very
+      // partitions the write replaces, so cut the lineage first rather
+      // than lean on commit ordering for read-own-output safety
       merged.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+        .localCheckpoint()
         .write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(path)
     } finally prevMode match {
       case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    if (!fs.exists(marker)) {
+      val outS = fs.create(marker, true)
+      try outS.write(nBuckets.toString.getBytes("UTF-8")) finally outS.close()
     }
   }
 

@@ -56,6 +56,17 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("upsertParquetBucketed: changing nBuckets on an existing table is refused") {
+    val dir = Files.createTempDirectory("graft_upsertb2").toString + "/t"
+    Sinks.upsertParquetBucketed(
+      Seq(("a", 1L, 1L)).toDF("k", "v", "x"), dir, Seq("k"), Seq("v"), nBuckets = 8)
+    val e = intercept[IllegalArgumentException] {
+      Sinks.upsertParquetBucketed(
+        Seq(("b", 1L, 2L)).toDF("k", "v", "x"), dir, Seq("k"), Seq("v"), nBuckets = 16)
+    }
+    assert(e.getMessage.contains("nBuckets=8"))
+  }
+
   test("appendCsvDedup: logical-PK dedup across appends (Prensas.py:252-258)") {
     val dir = Files.createTempDirectory("graft_csv").toString + "/nf"
     val r1 = Seq(("P1", "X", "X/Y", "2024-03-05", "2024-03-05 09:00:00"))
