@@ -35,10 +35,12 @@ object Lake {
   def unprocessedPartitions(spark: SparkSession, dataDir: String,
                             ledgerDir: String, partCol: String): DataFrame = {
     val current = spark.read.parquet(dataDir).select(partCol).distinct()
-    // explicit existence check — a MISSING ledger means "all new", but a
-    // corrupt or unreadable one must propagate, not silently re-emit
-    // every partition as if the pipeline had never run
-    if (!new java.io.File(ledgerDir).exists()) return current
+    // explicit existence check (Hadoop FS, so it holds on HDFS/object
+    // stores too) — a MISSING ledger means "all new", but a corrupt or
+    // unreadable one must propagate, not silently re-emit every
+    // partition as if the pipeline had never run
+    val p = new org.apache.hadoop.fs.Path(ledgerDir)
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) return current
     val done = spark.read.parquet(ledgerDir).select(partCol)
     current.join(done, Seq(partCol), "left_anti")
   }
@@ -67,8 +69,10 @@ object Lake {
                 targetBytes: Long = 128L * 1024 * 1024, cols: Seq[String] = Nil): (Int, Int) = {
     val df = spark.read.parquet(src)
     val before = df.inputFiles.length
-    val totalBytes = df.inputFiles.map(f =>
-      new java.io.File(new java.net.URI(f).getPath).length()).sum
+    val totalBytes = df.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p).getLen
+    }.sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     // partitionBy + repartition(partCols) would put each hive partition
     // in one task-file; without partition cols a plain size-based re-bin

@@ -49,8 +49,14 @@ object IngestDedup {
       .foreachBatch { (batch: DataFrame, id: Long) => ingestBatch(batch, dir, id) }
       .start()
 
-  private def readIfExists(s: SparkSession, path: String): Option[DataFrame] =
-    if (new java.io.File(path).exists()) Some(s.read.parquet(path)) else None
+  private def readIfExists(s: SparkSession, path: String): Option[DataFrame] = {
+    // Hadoop FS, not java.io.File: the indexes live wherever the lake
+    // does (HDFS/object store on a cluster), and a local-only existence
+    // check there would silently report "no index yet" forever
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(s.read.parquet(path)) else None
+  }
 
   /** One micro-batch pass; also callable on a plain batch DataFrame
     * (backfill and streaming share the exact code path). Backfill
