@@ -36,4 +36,18 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Spread a narrow scan across cores ONLY when the source provides
+    * fewer partitions than the cluster has slots — the small-fixture
+    * case (one parquet file = one scan task) ahead of CPU-bound work
+    * like shingling or tokenizing. At scale the scan itself already
+    * yields thousands of partitions, and this is the identity: a
+    * round-robin `repartition` is its own full Exchange of the corpus
+    * payload (Catalyst does NOT merge it into a downstream hash
+    * shuffle), so it must never run unconditionally on a big input.
+    * The partition probe reads plan metadata only — no job runs. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

@@ -48,11 +48,12 @@ object Dedup {
   /** Distinct word-3-gram shingles per doc over the first
     * [[ShingleChars]] chars, lowercased. */
   private def wordShingles(s: SparkSession, d: String): DataFrame = {
-    // the fixture corpus is one parquet file = one scan task; spread the
-    // CPU-bound shingle explode across cores (at 100 TB the scan itself
-    // parallelizes and this coalesces into the next shuffle)
-    val toks = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+    // Tables.spread: the fixture corpus is one parquet file = one scan
+    // task, so fan the CPU-bound shingle explode across cores; at scale
+    // the scan already yields many partitions and spread is the
+    // identity (an unconditional round-robin repartition here would
+    // shuffle the full text payload of the corpus once per query)
+    val toks = Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"), split(lower(substring(col("text"), 1, ShingleChars)), " ").as("toks"))
     toks.select(col("doc_id"),
         explode(expr("transform(sequence(0, greatest(size(toks) - 3, 0)), " +
@@ -74,15 +75,13 @@ object Dedup {
     *
     * Unlike [[wordShingles]] this skips the shingle `distinct()` —
     * `min` over duplicate shingles is the same value, so minhash needs
-    * no dedup shuffle. The explicit repartition spreads the CPU-bound
-    * shingle+md5 map work across cores: the fixture corpus is one
-    * parquet file (= one scan task); at 100 TB the scan itself provides
-    * the parallelism and the repartition coalesces into the groupBy
-    * shuffle for free.
+    * no dedup shuffle. [[Tables.spread]] fans the CPU-bound shingle+md5
+    * map work across cores only when the source scan is narrower than
+    * the cluster (the single-file fixture); at 100 TB the scan itself
+    * provides the parallelism and no extra exchange runs.
     */
   private[graft] def minhashSigs(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+    val docs = Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"), split(lower(substring(col("text"), 1, ShingleChars)), " ").as("toks"))
     val sh = docs.select(col("doc_id"),
         explode(expr("transform(sequence(0, greatest(size(toks) - 3, 0)), " +

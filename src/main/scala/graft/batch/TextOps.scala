@@ -34,8 +34,9 @@ object TextOps {
   def qt1_langid(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     // full-text explode is CPU-bound and the fixture is a single-file
-    // scan (one task); spread it across cores before the broadcast join
-    val toks = docs.repartition(s.sparkContext.defaultParallelism)
+    // scan (one task); Tables.spread fans it across cores before the
+    // broadcast join, and is the identity on an already-wide scan
+    val toks = Tables.spread(docs)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
     val scores = toks.join(broadcast(profileDf(s)), col("tok") === col("word"))
       .groupBy(col("doc_id"), col("plang")).agg(count(lit(1)).as("score"))
@@ -209,8 +210,7 @@ object TextOps {
     * per round; the corpus never moves, only (pair, count) rows
     * (vocabulary²-bounded) reach the shuffle. */
   def qt7_bpe_pairs(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+    Tables.spread(Tables.documents(s, d))
       .select(split(lower(substring(col("text"), 1, 200)), " ").as("toks"))
       .select(explode(expr(
         "transform(sequence(0, greatest(size(toks) - 2, 0)), " +
@@ -228,9 +228,13 @@ object TextOps {
     * q36, reproducible on any engine and stable under re-partitioning
     * and incremental re-runs — a doc's fate depends only on its key).
     *
-    * Scale shape: the corpus scans once; only source-cardinality
-    * aggregates shuffle; the derived rate table broadcasts back onto
-    * the corpus; admission is a map-side filter. Integer-only rate
+    * Scale shape: the corpus scans twice — the two-pass floor of any
+    * inventory-then-admit design (pass 1 builds the per-source token
+    * inventory, pass 2 probes admission) — and only source-cardinality
+    * aggregates shuffle. The derived rate table is `localCheckpoint`ed
+    * (source-cardinality, tiny) so the admission broadcast and the
+    * final join share one materialization instead of each re-deriving
+    * it from the corpus. Admission is a map-side filter. Integer-only rate
     * math (per-mille weights, parts-per-million rates, floor division)
     * so Spark and the SQL oracle agree bit-for-bit. Weights here are
     * derived from the source id (cycle 10/20/30/40 per-mille) to
@@ -240,12 +244,17 @@ object TextOps {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("tok"))
+    // rates feeds the admission broadcast AND the final join; Spark
+    // shares no subtrees, so without materialization each consumer
+    // re-scans the corpus to rebuild this source-cardinality table
+    // (3 corpus scans instead of the two-pass floor)
     val rates = toks.groupBy(col("source"))
       .agg(sum(col("tok")).as("total_toks"))
       .withColumn("w_pm",
         (pmod(regexp_extract(col("source"), "([0-9]+)$", 1).cast("long"), lit(4)) + 1) * 10)
       .withColumn("rate_ppm", least(lit(1000000L),
         expr(s"($budget * w_pm * 1000) div total_toks")))
+      .localCheckpoint()
     val admitted = toks.join(broadcast(rates.select(col("source"), col("rate_ppm"))), "source")
       .filter(pmod(
         conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 6), 16, 10)
