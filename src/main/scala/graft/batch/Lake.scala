@@ -82,4 +82,23 @@ object Lake {
     binned.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(dest)
     (before, spark.read.parquet(dest).inputFiles.length)
   }
+
+  /** Size-binned rewrite of a SET of parquet directories into one
+    * `dest` directory (no partition columns — the caller owns
+    * directory-level layout, e.g. [[graft.stream.IngestDedup]] folding
+    * many `epoch=N` index partitions into one). `coalesce`, not
+    * `repartition`: a compaction rewrite needs no shuffle, only fewer,
+    * larger files. Returns (filesBefore, filesAfter). */
+  def compactDirs(spark: SparkSession, srcs: Seq[String], dest: String,
+                  targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val df = spark.read.parquet(srcs: _*)
+    val before = df.inputFiles.length
+    val totalBytes = df.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p).getLen
+    }.sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    df.coalesce(nFiles).write.mode(SaveMode.Overwrite).parquet(dest)
+    (before, spark.read.parquet(dest).inputFiles.length)
+  }
 }

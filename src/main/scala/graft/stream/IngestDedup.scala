@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.batch.Dedup
+import graft.batch.{Dedup, Lake}
 
 /** Dedup-at-ingest: the streaming form of qd1 (exact) + qd2 (near-dup)
   * for an incrementally built training corpus.
@@ -41,12 +41,24 @@ object IngestDedup {
 
   /** Start the ingest query. `docs` must have `doc_id` (long) and
     * `text` columns; appends survivors under `dir/corpus` and keys
-    * under `dir/exact_idx`, `dir/band_idx`. */
+    * under `dir/exact_idx`, `dir/band_idx`.
+    *
+    * Every `compactEvery` epochs the accumulated index partitions are
+    * folded into one ([[compactIndexes]]) BEFORE the batch runs — at
+    * that point every epoch `< id` is checkpoint-committed, so the fold
+    * cannot change what any replayable epoch sees. Without this, a
+    * long-lived stream accretes one `epoch=N` partition per batch and
+    * every probe opens thousands of tiny files. 0 disables. */
   def start(docs: DataFrame, dir: String, checkpoint: String,
-            trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+            trigger: Trigger = Trigger.ProcessingTime("1 second"),
+            compactEvery: Int = 64): StreamingQuery =
     docs.writeStream.trigger(trigger)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, id: Long) => ingestBatch(batch, dir, id) }
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
+          compactIndexes(batch.sparkSession, dir, upTo = id)
+        ingestBatch(batch, dir, id)
+      }
       .start()
 
   private def readIfExists(s: SparkSession, path: String): Option[DataFrame] = {
@@ -58,11 +70,21 @@ object IngestDedup {
     if (fs.exists(p)) Some(s.read.parquet(path)) else None
   }
 
+  /** Epochs strictly before `epochId`; an index written before the
+    * epoch-partitioned layout (no `epoch` column) is all-prior by
+    * definition — filtering on the missing column would throw, and
+    * skipping corpus dedup entirely would be silent data corruption. */
+  private def priorEpochs(idx: DataFrame, epochId: Long): DataFrame =
+    if (idx.columns.contains("epoch")) idx.filter(col("epoch") < epochId) else idx
+
   /** One micro-batch pass; also callable on a plain batch DataFrame
-    * (backfill and streaming share the exact code path). Backfill
-    * callers must supply strictly increasing `epochId`s — it is the
-    * partition the pass overwrites and the replay-idempotence key. */
-  def ingestBatch(batch: DataFrame, dir: String, epochId: Long = 0L): Unit = {
+    * (backfill and streaming share the exact code path). `epochId` is
+    * deliberately NOT defaulted: it is the partition the pass
+    * overwrites and the replay-idempotence key, so two backfill calls
+    * that both landed in an implicit epoch 0 would silently OVERWRITE
+    * each other (and probe `epoch < 0` = no corpus dedup at all).
+    * Backfill callers must supply strictly increasing `epochId`s. */
+  def ingestBatch(batch: DataFrame, dir: String, epochId: Long): Unit = {
     val s = batch.sparkSession
     val keyed = batch
       .withColumn("content_key", md5(col("text").cast("binary")))
@@ -78,7 +100,7 @@ object IngestDedup {
     // replayed epoch must not see its own half-committed keys)
     val exactFresh = readIfExists(s, s"$dir/exact_idx") match {
       case Some(idx) =>
-        exactInBatch.join(idx.filter(col("epoch") < epochId), Seq("content_key"), "left_anti")
+        exactInBatch.join(priorEpochs(idx, epochId), Seq("content_key"), "left_anti")
       case None => exactInBatch
     }
 
@@ -93,7 +115,7 @@ object IngestDedup {
       .select(col("a.doc_id").as("doc_id")).distinct()
     // 3b. near-dup vs corpus band index (same epoch < N visibility rule)
     val corpusHits = readIfExists(s, s"$dir/band_idx") match {
-      case Some(idx) => bk.join(idx.filter(col("epoch") < epochId), Seq("band", "key"))
+      case Some(idx) => bk.join(priorEpochs(idx, epochId), Seq("band", "key"))
         .select("doc_id").distinct()
       case None => s.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
     }
@@ -112,5 +134,47 @@ object IngestDedup {
       .select(col("bk.band").as("band"), col("bk.key").as("key"))
       .filter(col("key").isNotNull) // shingle-less docs have no signature
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/band_idx/epoch=$epochId")
+  }
+
+  /** Fold every index partition with `epoch < upTo` into ONE compacted
+    * partition labeled `epoch = upTo - 1`, for both key indexes. Probe
+    * visibility is preserved exactly: any epoch `N >= upTo` still sees
+    * all folded keys (`upTo - 1 < N`), and a replay of epoch `upTo - 1`
+    * or later sees precisely the pre-replay state it would have seen
+    * uncompacted. The caller must therefore pass `upTo` ≤ the oldest
+    * epoch that can still be replayed (for the stream: the current
+    * batch id — everything below it is checkpoint-committed).
+    *
+    * Crash-safe by commit marker: the folded snapshot is first written
+    * to a dot-prefixed temp dir (invisible to Spark's file index, so
+    * concurrent-looking probes never see it), and only once its
+    * `_SUCCESS` exists are the source partitions dropped and the temp
+    * dir renamed into place. Re-running after a crash at ANY point
+    * completes the fold instead of losing keys — lost index keys would
+    * silently re-admit duplicates, the one unacceptable failure.
+    */
+  def compactIndexes(s: SparkSession, dir: String, upTo: Long,
+                     targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    compactEpochs(s, s"$dir/exact_idx", upTo, targetBytes)
+    compactEpochs(s, s"$dir/band_idx", upTo, targetBytes)
+  }
+
+  private def compactEpochs(s: SparkSession, path: String, upTo: Long,
+                            targetBytes: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val tmp = new org.apache.hadoop.fs.Path(root, s".compact_tmp_$upTo")
+    val folded = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
+      .map(st => (st.getPath, st.getPath.getName.stripPrefix("epoch=").toLong))
+      .filter(_._2 < upTo)
+    // nothing to fold AND no interrupted fold to finish
+    if (folded.length <= 1 && !fs.exists(tmp)) return
+    if (!fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+      Lake.compactDirs(s, folded.map(_._1.toString).toSeq, tmp.toString, targetBytes)
+    // commit point: _SUCCESS exists; everything below is replay-safe
+    folded.foreach { case (p, _) => fs.delete(p, true) }
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"epoch=${upTo - 1}"))
   }
 }

@@ -93,4 +93,68 @@ class IngestDedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq == Seq(20L, 22L))
     assert(spark.read.parquet(s"$dir/out/exact_idx").count() == 2)
   }
+
+  private def uniq(tag: String) = (0 until 30).map(i => f"$tag%s$i%02d").mkString(" ")
+
+  test("index compaction preserves dedup results and bounds probe file count") {
+    val dir = Files.createTempDirectory("graft_ingest_c").toString
+    // 6 epochs: one fresh doc each + a repeat of `base` (admitted at
+    // epoch 0, rejected ever after)
+    (0 to 5).foreach { e =>
+      IngestDedup.ingestBatch(
+        Seq((100L + e, uniq(s"u${e}x")), (200L + e, base)).toDF("doc_id", "text"),
+        s"$dir/out", epochId = e)
+    }
+    def corpusIds = spark.read.parquet(s"$dir/out/corpus")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val before = corpusIds
+    assert(before == Seq(100L, 101L, 102L, 103L, 104L, 105L, 200L))
+
+    def idxFiles(name: String) = spark.read.parquet(s"$dir/out/$name").inputFiles.length
+    def idxEpochDirs(name: String) = new java.io.File(s"$dir/out/$name")
+      .listFiles().count(f => f.isDirectory && f.getName.startsWith("epoch="))
+    val filesBefore = idxFiles("exact_idx")
+    assert(idxEpochDirs("exact_idx") == 6)
+
+    IngestDedup.compactIndexes(spark, s"$dir/out", upTo = 6)
+    // fold: 6 epoch partitions -> 1, strictly fewer files to open
+    assert(idxEpochDirs("exact_idx") == 1 && idxEpochDirs("band_idx") == 1)
+    assert(idxFiles("exact_idx") < filesBefore)
+    // the folded partition carries the last committed epoch's label, so
+    // the epoch<N visibility rule still exposes every key
+    assert(spark.read.parquet(s"$dir/out/exact_idx")
+      .select("epoch").as[Long].collect().forall(_ == 5L))
+
+    // probe behavior identical after the fold: corpus dups still lose,
+    // genuinely new docs still land
+    IngestDedup.ingestBatch(
+      Seq((300L, base), (301L, nearDup), (302L, uniq("vx"))).toDF("doc_id", "text"),
+      s"$dir/out", epochId = 6)
+    assert(corpusIds == before :+ 302L,
+      "exact dup (300) and near dup (301) must still lose to the compacted index")
+
+    // and a replay of the post-compaction epoch stays idempotent
+    IngestDedup.ingestBatch(
+      Seq((300L, base), (301L, nearDup), (302L, uniq("vx"))).toDF("doc_id", "text"),
+      s"$dir/out", epochId = 6)
+    assert(corpusIds == before :+ 302L)
+    // re-running the same fold is a no-op: epoch=5 (compacted) stays,
+    // epoch=6 (the live epoch, >= upTo) is untouched
+    IngestDedup.compactIndexes(spark, s"$dir/out", upTo = 6)
+    assert(idxEpochDirs("exact_idx") == 2)
+  }
+
+  test("a legacy index without epoch partitions is treated as all-prior") {
+    val dir = Files.createTempDirectory("graft_ingest_l").toString
+    // pre-epoch layout: flat key table, no epoch column
+    Seq(base).toDF("text")
+      .select(org.apache.spark.sql.functions.md5(
+        $"text".cast("binary")).as("content_key"))
+      .write.parquet(s"$dir/out/exact_idx")
+    IngestDedup.ingestBatch(
+      Seq((1L, base), (2L, uniq("lx"))).toDF("doc_id", "text"), s"$dir/out", epochId = 0)
+    assert(spark.read.parquet(s"$dir/out/corpus")
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(2L),
+      "doc 1 must dup against the legacy flat index instead of throwing")
+  }
 }
