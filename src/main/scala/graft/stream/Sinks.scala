@@ -62,13 +62,24 @@ object Sinks {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // the bucket count is part of the table's physical identity — a
     // different count re-keys every row's bucket and would strand stale
-    // versions in old buckets. Pin it in a root marker on create.
+    // versions in old buckets. Pin it in a root marker BEFORE the first
+    // data write: a crash between a data commit and marker creation
+    // must never leave bucketed partitions whose count a later call
+    // could silently re-pin.
     val marker = new Path(path, "_graft_buckets")
     if (fs.exists(marker)) {
       val in = fs.open(marker)
       val stored = try scala.io.Source.fromInputStream(in).mkString.trim.toInt finally in.close()
       require(stored == nBuckets,
         s"table at $path was bucketed with nBuckets=$stored, got $nBuckets")
+    } else {
+      val hasBuckets = fs.exists(new Path(path)) &&
+        fs.listStatus(new Path(path)).exists(_.getPath.getName.startsWith("__bucket="))
+      require(!hasBuckets,
+        s"bucketed table at $path has no _graft_buckets marker; refusing to " +
+          "re-pin a bucket count over existing partitions (restore the marker)")
+      val outS = fs.create(marker, true)
+      try outS.write(nBuckets.toString.getBytes("UTF-8")) finally outS.close()
     }
     val b = batch.withColumn("__bucket",
       pmod(hash(keys.map(col): _*), lit(nBuckets)))
@@ -82,23 +93,17 @@ object Sinks {
           .unionByName(b, allowMissingColumns = true)
       } else b
     val w = Window.partitionBy(keys.map(col): _*).orderBy(version.map(c => col(c).desc): _*)
-    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      // materialize BEFORE the overwrite: the merge reads the very
-      // partitions the write replaces, so cut the lineage first rather
-      // than lean on commit ordering for read-own-output safety
-      merged.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
-        .localCheckpoint()
-        .write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(path)
-    } finally prevMode match {
-      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-    if (!fs.exists(marker)) {
-      val outS = fs.create(marker, true)
-      try outS.write(nBuckets.toString.getBytes("UTF-8")) finally outS.close()
-    }
+    // materialize BEFORE the overwrite: the merge reads the very
+    // partitions the write replaces, so cut the lineage first rather
+    // than lean on commit ordering for read-own-output safety.
+    // partitionOverwriteMode is a per-writer option, NOT a session conf
+    // mutation — a concurrent partitioned Overwrite on the same session
+    // must not inherit dynamic mode from this writer's window.
+    merged.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+      .localCheckpoint()
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__bucket").parquet(path)
   }
 
   /** Read a [[upsertParquetBucketed]] table without its layout column. */
@@ -115,10 +120,18 @@ object Sinks {
     * of MERGE because it is portable across SQL Server, DB2/AS400, and
     * embedded engines. The table must exist with matching column names.
     * This is the low-volume record-upsert path; bulk keyed merges stay
-    * on [[upsertParquet]] (or a transactional MERGE sink). */
+    * on [[upsertParquet]] (or a transactional MERGE sink).
+    *
+    * Statements go to the database in `jdbcBatchSize`-row batches
+    * (`addBatch`/`executeBatch`): one round trip per batch, with the
+    * 0-update-count misses collected into an INSERT batch — not one
+    * round trip per row. Drivers that report `SUCCESS_NO_INFO` instead
+    * of real counts can't distinguish a miss from a hit; those rows are
+    * re-probed one-by-one (rare, and still transactionally correct). */
   def upsertJdbc(batch: DataFrame, url: String, table: String,
       keys: Seq[String], version: Seq[String],
-      connProps: Map[String, String] = Map.empty): Unit = {
+      connProps: Map[String, String] = Map.empty,
+      jdbcBatchSize: Int = 500): Unit = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(version.map(c => col(c).desc): _*)
     val newest = batch.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
@@ -138,13 +151,28 @@ object Sinks {
           val upd = conn.prepareStatement(updateSql)
           val ins = conn.prepareStatement(insertSql)
           val byName = cols.zipWithIndex.toMap
-          rows.foreach { r =>
+          def bindUpdate(r: org.apache.spark.sql.Row): Unit = {
             dataCols.zipWithIndex.foreach { case (c, i) => upd.setObject(i + 1, r.get(byName(c))) }
             keys.zipWithIndex.foreach { case (k, i) =>
               upd.setObject(dataCols.length + i + 1, r.get(byName(k))) }
-            if (upd.executeUpdate() == 0) {
-              cols.zipWithIndex.foreach { case (c, i) => ins.setObject(i + 1, r.get(byName(c))) }
-              ins.executeUpdate()
+          }
+          def bindInsert(r: org.apache.spark.sql.Row): Unit =
+            cols.zipWithIndex.foreach { case (c, i) => ins.setObject(i + 1, r.get(byName(c))) }
+          rows.grouped(jdbcBatchSize).foreach { chunk =>
+            chunk.foreach { r => bindUpdate(r); upd.addBatch() }
+            val counts = upd.executeBatch()
+            // misses (no existing row) become one INSERT batch; a driver
+            // returning SUCCESS_NO_INFO hides the count, so re-probe
+            // those rows individually rather than guessing either way
+            val ins0 = chunk.zip(counts).collect {
+              case (r, 0) => r
+              case (r, java.sql.Statement.SUCCESS_NO_INFO) =>
+                bindUpdate(r)
+                if (upd.executeUpdate() == 0) r else null
+            }.filter(_ != null)
+            if (ins0.nonEmpty) {
+              ins0.foreach { r => bindInsert(r); ins.addBatch() }
+              ins.executeBatch()
             }
           }
           conn.commit()
@@ -172,11 +200,13 @@ object Sinks {
   /** Apply one micro-batch of [[ActionRow]]s: records upsert (create →
     * update → close precedence at equal ts), histories append,
     * parts-not-found CSV dedup (the E3 foreachBatch sink).
-    * `recordBuckets > 0` routes the records upsert through
-    * [[upsertParquetBucketed]] — the table-scale layout where a batch
-    * rewrites only the buckets its record ids touch. */
+    * `production_records` is the table that grows without bound, so the
+    * default layout is the bucketed upsert ([[upsertParquetBucketed]]):
+    * per-batch IO stays O(touched buckets), independent of table
+    * growth. `recordBuckets = 0` is the tiny-table escape hatch
+    * (whole-table rewrite per batch, no layout column). */
   def applyActions(actions: Dataset[ActionRow], outDir: String,
-      recordBuckets: Int = 0): Unit = {
+      recordBuckets: Int = 64): Unit = {
     val df = actions.toDF().cache()
     try {
       val records = df
@@ -229,7 +259,7 @@ object Sinks {
       outDir: String, checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
-      recordBuckets: Int = 0)
+      recordBuckets: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery =
     machine(obs).writeStream
       .outputMode("append")
