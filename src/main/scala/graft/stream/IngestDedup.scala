@@ -73,9 +73,40 @@ object IngestDedup {
   /** Epochs strictly before `epochId`; an index written before the
     * epoch-partitioned layout (no `epoch` column) is all-prior by
     * definition — filtering on the missing column would throw, and
-    * skipping corpus dedup entirely would be silent data corruption. */
+    * skipping corpus dedup entirely would be silent data corruption.
+    * (After [[migrateLegacyFlat]] the legacy branch is only reachable
+    * for an index read before any `ingestBatch` touched it.) */
   private def priorEpochs(idx: DataFrame, epochId: Long): DataFrame =
     if (idx.columns.contains("epoch")) idx.filter(col("epoch") < epochId) else idx
+
+  /** Move a pre-epoch-layout (flat) table's data files into an
+    * `epoch=-1` partition. Without this, the first `epoch=N` write puts
+    * partitioned dirs NEXT TO the legacy flat files and every later
+    * read dies on Spark's "Conflicting directory structures" assertion
+    * — i.e. legacy support would survive exactly one batch. `-1` sorts
+    * before every real epoch, so the `epoch < N` probe sees legacy keys
+    * as all-prior, which is the same visibility the flat read gave
+    * them. Idempotent and crash-safe: a re-run moves whatever flat
+    * files remain; a crash mid-move leaves files that the next run
+    * moves. Metadata files (`_SUCCESS`, dot-files) are left at the
+    * root, where Spark's file index already ignores them. */
+  private def migrateLegacyFlat(s: SparkSession, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val flat = fs.listStatus(root).filter { st =>
+      val n = st.getPath.getName
+      !n.startsWith(".") && !n.startsWith("_") && !n.contains("=")
+    }
+    if (flat.isEmpty) return
+    val dest = new org.apache.hadoop.fs.Path(root, "epoch=-1")
+    if (!fs.exists(dest)) require(fs.mkdirs(dest), s"cannot create $dest")
+    flat.foreach { st =>
+      require(fs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(dest, st.getPath.getName)),
+        s"cannot migrate legacy file ${st.getPath} into $dest")
+    }
+  }
 
   /** One micro-batch pass; also callable on a plain batch DataFrame
     * (backfill and streaming share the exact code path). `epochId` is
@@ -86,6 +117,9 @@ object IngestDedup {
     * Backfill callers must supply strictly increasing `epochId`s. */
   def ingestBatch(batch: DataFrame, dir: String, epochId: Long): Unit = {
     val s = batch.sparkSession
+    // adopt any pre-epoch-layout tables BEFORE this epoch's partitioned
+    // writes land beside their flat files (see migrateLegacyFlat)
+    Seq("corpus", "exact_idx", "band_idx").foreach(t => migrateLegacyFlat(s, s"$dir/$t"))
     val keyed = batch
       .withColumn("content_key", md5(col("text").cast("binary")))
       .withColumn("bands", Dedup.bandKeys(col("text")))
@@ -147,11 +181,14 @@ object IngestDedup {
     *
     * Crash-safe by commit marker: the folded snapshot is first written
     * to a dot-prefixed temp dir (invisible to Spark's file index, so
-    * concurrent-looking probes never see it), and only once its
-    * `_SUCCESS` exists are the source partitions dropped and the temp
-    * dir renamed into place. Re-running after a crash at ANY point
-    * completes the fold instead of losing keys — lost index keys would
-    * silently re-admit duplicates, the one unacceptable failure.
+    * concurrent-looking probes never see it), and only once its own
+    * `_GRAFT_COMMIT` marker exists are the source partitions dropped and
+    * the temp dir renamed into place — every post-commit FS operation is
+    * `require()`d, so a failed delete/rename aborts loudly with the fold
+    * intact rather than stranding keys. Re-running after a crash (or an
+    * abort) at ANY point completes the fold instead of losing keys —
+    * lost index keys would silently re-admit duplicates, the one
+    * unacceptable failure.
     */
   def compactIndexes(s: SparkSession, dir: String, upTo: Long,
                      targetBytes: Long = 128L * 1024 * 1024): Unit = {
@@ -165,16 +202,41 @@ object IngestDedup {
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
     val tmp = new org.apache.hadoop.fs.Path(root, s".compact_tmp_$upTo")
+    // our OWN commit marker: Spark's _SUCCESS is conf-dependent
+    // (mapreduce.fileoutputcommitter.marksuccessfuljobs=false drops it),
+    // and relying on it would make "fold committed" silently mean
+    // "fold maybe committed". _SUCCESS is still honored as evidence
+    // when finishing a fold interrupted under the old layout.
+    val commit = new org.apache.hadoop.fs.Path(tmp, "_GRAFT_COMMIT")
     val folded = fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
       .map(st => (st.getPath, st.getPath.getName.stripPrefix("epoch=").toLong))
       .filter(_._2 < upTo)
     // nothing to fold AND no interrupted fold to finish
     if (folded.length <= 1 && !fs.exists(tmp)) return
-    if (!fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+    val committed = fs.exists(commit) ||
+      fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
+    if (!committed) {
       Lake.compactDirs(s, folded.map(_._1.toString).toSeq, tmp.toString, targetBytes)
-    // commit point: _SUCCESS exists; everything below is replay-safe
-    folded.foreach { case (p, _) => fs.delete(p, true) }
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"epoch=${upTo - 1}"))
+      val o = fs.create(commit, true); o.close()
+    }
+    // commit point reached. Everything below must succeed OR stop loudly:
+    // a silently failed delete/rename here strands the only copy of the
+    // folded keys in an invisible dot-dir, and lost index keys re-admit
+    // duplicates — the one unacceptable failure. Hence require() on
+    // every FS boolean instead of trusting the calls.
+    val dest = new org.apache.hadoop.fs.Path(root, s"epoch=${upTo - 1}")
+    // dest may legitimately exist only as one of the sources about to be
+    // deleted (contiguous epochs); anything else blocking it must abort
+    // BEFORE any source is destroyed
+    require(folded.exists(_._1.getName == dest.getName) || !fs.exists(dest),
+      s"compaction: $dest exists but is not a fold source; refusing to touch " +
+        "sources (remove the blocker and re-run — the fold is preserved in " +
+        s"$tmp and this call is idempotent)")
+    folded.foreach { case (p, _) =>
+      require(fs.delete(p, true), s"compaction: could not delete fold source $p")
+    }
+    require(!fs.exists(dest), s"compaction: $dest reappeared after source deletion")
+    require(fs.rename(tmp, dest), s"compaction: could not install $dest from $tmp")
   }
 }

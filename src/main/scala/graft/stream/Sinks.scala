@@ -66,6 +66,10 @@ object Sinks {
     // data write: a crash between a data commit and marker creation
     // must never leave bucketed partitions whose count a later call
     // could silently re-pin.
+    val root = new Path(path)
+    val rootListing =
+      if (fs.exists(root)) fs.listStatus(root) else Array.empty[org.apache.hadoop.fs.FileStatus]
+    val bucketDirs = rootListing.filter(_.getPath.getName.startsWith("__bucket="))
     val marker = new Path(path, "_graft_buckets")
     if (fs.exists(marker)) {
       val in = fs.open(marker)
@@ -73,11 +77,20 @@ object Sinks {
       require(stored == nBuckets,
         s"table at $path was bucketed with nBuckets=$stored, got $nBuckets")
     } else {
-      val hasBuckets = fs.exists(new Path(path)) &&
-        fs.listStatus(new Path(path)).exists(_.getPath.getName.startsWith("__bucket="))
-      require(!hasBuckets,
+      require(bucketDirs.isEmpty,
         s"bucketed table at $path has no _graft_buckets marker; refusing to " +
           "re-pin a bucket count over existing partitions (restore the marker)")
+      // a FLAT table (plain parquet files, no __bucket= layout) must not
+      // be adopted either: pinning a marker over it would make every
+      // subsequent `filter(__bucket isin …)` read throw. Names starting
+      // with '.' or '_' (without '=') are metadata, not data.
+      val flatData = rootListing.map(_.getPath.getName)
+        .filter(n => !(n.startsWith(".") || (n.startsWith("_") && !n.contains("="))))
+      require(flatData.isEmpty,
+        s"path $path already holds a non-bucketed table " +
+          s"(e.g. ${flatData.take(3).mkString(", ")}); refusing to pin a bucket " +
+          "layout over it — run Sinks.migrateToBucketed once, or pass " +
+          "recordBuckets = 0 to keep the flat upsertParquet layout")
       val outS = fs.create(marker, true)
       try outS.write(nBuckets.toString.getBytes("UTF-8")) finally outS.close()
     }
@@ -87,7 +100,11 @@ object Sinks {
     val touched = b.select("__bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
     val merged =
-      if (fs.exists(new Path(path))) {
+      // gate the merge-read on DATA presence (any __bucket= partition),
+      // not on fs.exists(path): the marker above materializes the table
+      // directory before the first data write, and reading a dir that
+      // holds only the marker throws UNABLE_TO_INFER_SCHEMA
+      if (bucketDirs.nonEmpty) {
         // partition pruning keeps the read to the touched buckets
         spark.read.parquet(path).filter(col("__bucket").isin(touched: _*))
           .unionByName(b, allowMissingColumns = true)
@@ -109,6 +126,37 @@ object Sinks {
   /** Read a [[upsertParquetBucketed]] table without its layout column. */
   def readUpsertedBucketed(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("__bucket")
+
+  /** One-time migration of a flat [[upsertParquet]] table to the
+    * bucketed layout [[upsertParquetBucketed]] expects. The rewritten
+    * table (plus its `_graft_buckets` marker) is staged in a temp dir
+    * and swapped in with the same two-rename dance as [[upsertParquet]],
+    * so a crash at any point leaves either the old flat table or the
+    * complete bucketed one — never a half-layout the upsert path would
+    * refuse or misread. Needed because `applyActions`' default switched
+    * from the flat to the bucketed layout (recordBuckets = 64): tables
+    * written under the old default must be migrated once, explicitly. */
+  def migrateToBucketed(spark: SparkSession, path: String, keys: Seq[String],
+      nBuckets: Int = 64): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = new Path(path)
+    val tmp = new Path(path + "._tmp")
+    val old = new Path(path + "._old")
+    if (!fs.exists(cur) && fs.exists(old)) fs.rename(old, cur) // crash recovery
+    require(fs.exists(cur), s"no table at $path to migrate")
+    require(!fs.exists(new Path(path, "_graft_buckets")),
+      s"table at $path is already bucketed")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.read.parquet(path)
+      .withColumn("__bucket", pmod(hash(keys.map(col): _*), lit(nBuckets)))
+      .write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(tmp.toString)
+    val outS = fs.create(new Path(tmp, "_graft_buckets"), true)
+    try outS.write(nBuckets.toString.getBytes("UTF-8")) finally outS.close()
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(cur, old), s"could not displace $cur")
+    require(fs.rename(tmp, cur), s"could not install migrated table at $cur")
+    fs.delete(old, true)
+  }
 
   /** K1/K2 against a real database: newest-per-key reduction in Spark,
     * then executor-side batched upserts over JDBC — the direct analog
@@ -148,34 +196,52 @@ object Sinks {
         val conn = java.sql.DriverManager.getConnection(url, props)
         try {
           conn.setAutoCommit(false)
-          val upd = conn.prepareStatement(updateSql)
-          val ins = conn.prepareStatement(insertSql)
-          val byName = cols.zipWithIndex.toMap
-          def bindUpdate(r: org.apache.spark.sql.Row): Unit = {
-            dataCols.zipWithIndex.foreach { case (c, i) => upd.setObject(i + 1, r.get(byName(c))) }
-            keys.zipWithIndex.foreach { case (k, i) =>
-              upd.setObject(dataCols.length + i + 1, r.get(byName(k))) }
-          }
-          def bindInsert(r: org.apache.spark.sql.Row): Unit =
-            cols.zipWithIndex.foreach { case (c, i) => ins.setObject(i + 1, r.get(byName(c))) }
-          rows.grouped(jdbcBatchSize).foreach { chunk =>
-            chunk.foreach { r => bindUpdate(r); upd.addBatch() }
-            val counts = upd.executeBatch()
-            // misses (no existing row) become one INSERT batch; a driver
-            // returning SUCCESS_NO_INFO hides the count, so re-probe
-            // those rows individually rather than guessing either way
-            val ins0 = chunk.zip(counts).collect {
-              case (r, 0) => r
-              case (r, java.sql.Statement.SUCCESS_NO_INFO) =>
-                bindUpdate(r)
-                if (upd.executeUpdate() == 0) r else null
-            }.filter(_ != null)
-            if (ins0.nonEmpty) {
-              ins0.foreach { r => bindInsert(r); ins.addBatch() }
-              ins.executeBatch()
+          try {
+            val upd = conn.prepareStatement(updateSql)
+            val ins = conn.prepareStatement(insertSql)
+            val byName = cols.zipWithIndex.toMap
+            def bindUpdate(r: org.apache.spark.sql.Row): Unit = {
+              dataCols.zipWithIndex.foreach { case (c, i) => upd.setObject(i + 1, r.get(byName(c))) }
+              keys.zipWithIndex.foreach { case (k, i) =>
+                upd.setObject(dataCols.length + i + 1, r.get(byName(k))) }
             }
+            def bindInsert(r: org.apache.spark.sql.Row): Unit =
+              cols.zipWithIndex.foreach { case (c, i) => ins.setObject(i + 1, r.get(byName(c))) }
+            // most drivers raise BatchUpdateException themselves; one that
+            // instead reports per-row EXECUTE_FAILED without throwing must
+            // not have those rows silently dropped from the upsert
+            def requireNoFailures(counts: Array[Int], stmt: String): Unit = {
+              val failed = counts.count(_ == java.sql.Statement.EXECUTE_FAILED)
+              if (failed > 0) throw new java.sql.SQLException(
+                s"$failed of ${counts.length} rows in a batched $stmt reported EXECUTE_FAILED")
+            }
+            rows.grouped(jdbcBatchSize).foreach { chunk =>
+              chunk.foreach { r => bindUpdate(r); upd.addBatch() }
+              val counts = upd.executeBatch()
+              requireNoFailures(counts, "UPDATE")
+              // misses (no existing row) become one INSERT batch; a driver
+              // returning SUCCESS_NO_INFO hides the count, so re-probe
+              // those rows individually rather than guessing either way
+              val ins0 = chunk.zip(counts).collect {
+                case (r, 0) => r
+                case (r, java.sql.Statement.SUCCESS_NO_INFO) =>
+                  bindUpdate(r)
+                  if (upd.executeUpdate() == 0) r else null
+              }.filter(_ != null)
+              if (ins0.nonEmpty) {
+                ins0.foreach { r => bindInsert(r); ins.addBatch() }
+                requireNoFailures(ins.executeBatch(), "INSERT")
+              }
+            }
+            conn.commit()
+          } catch {
+            // roll back explicitly: driver behavior on close() with an
+            // open uncommitted transaction is implementation-defined, and
+            // a driver that commits-on-close would persist half a batch
+            case t: Throwable =>
+              try conn.rollback() catch { case s: java.sql.SQLException => t.addSuppressed(s) }
+              throw t
           }
-          conn.commit()
         } finally conn.close()
       }
     }

@@ -77,4 +77,36 @@ class DerbyJdbcSpec extends SparkSpec {
     assert(back.toSeq == Seq(("r1", 20L), ("r2", 5L), ("r3", 1L)),
       s"unexpected table state: ${back.mkString(", ")}")
   }
+
+  test("K1 upsert rolls back the whole partition batch on a constraint violation") {
+    val dir = Files.createTempDirectory("graft_derby_rb").toString
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.createStatement().executeUpdate("CREATE TABLE production_records (" +
+        "record_id VARCHAR(80), produced BIGINT CHECK (produced >= 0), " +
+        "status_id INT, ts TIMESTAMP)")
+    } finally conn.close()
+
+    def ts(s: String) = Timestamp.valueOf(s)
+    val keys = Seq("record_id"); val version = Seq("ts")
+    Sinks.upsertJdbc(Seq(("r1", 10L, 7, ts("2024-03-05 09:00:00")))
+      .toDF("record_id", "produced", "status_id", "ts"),
+      url, "production_records", keys, version)
+    // one partition carrying a valid UPDATE and a CHECK-violating INSERT:
+    // the violation must fail the call AND take the already-executed
+    // UPDATE down with it — not leave half the batch committed
+    intercept[Exception] {
+      Sinks.upsertJdbc(Seq(
+        ("r1", 99L, 7, ts("2024-03-05 09:00:05")),
+        ("r9", -5L, 3, ts("2024-03-05 09:00:06"))
+      ).toDF("record_id", "produced", "status_id", "ts").coalesce(1),
+        url, "production_records", keys, version)
+    }
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "production_records").option("driver", driver)
+      .load().select("record_id", "produced").as[(String, Long)].collect().sortBy(_._1)
+    assert(back.toSeq == Seq(("r1", 10L)),
+      s"rollback must leave the pre-batch state, got: ${back.mkString(", ")}")
+  }
 }

@@ -156,5 +156,76 @@ class IngestDedupSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out/corpus")
       .select("doc_id").as[Long].collect().sorted.toSeq == Seq(2L),
       "doc 1 must dup against the legacy flat index instead of throwing")
+    // the flat files were migrated into epoch=-1, so the mixed
+    // flat+partitioned layout that used to kill the SECOND batch with
+    // "Conflicting directory structures" never exists
+    IngestDedup.ingestBatch(
+      Seq((3L, base), (4L, uniq("mx"))).toDF("doc_id", "text"), s"$dir/out", epochId = 1)
+    assert(spark.read.parquet(s"$dir/out/corpus")
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(2L, 4L),
+      "batch 2: legacy key (epoch=-1) must still reject doc 3; doc 4 is new")
+    assert(new java.io.File(s"$dir/out/exact_idx/epoch=-1").isDirectory,
+      "legacy flat files must live in an epoch=-1 partition after first contact")
+    // and the migrated legacy partition folds away like any other epoch
+    IngestDedup.compactIndexes(spark, s"$dir/out", upTo = 2)
+    assert(new java.io.File(s"$dir/out/exact_idx")
+      .listFiles().count(f => f.isDirectory && f.getName.startsWith("epoch=")) == 1)
+    IngestDedup.ingestBatch(
+      Seq((5L, base)).toDF("doc_id", "text"), s"$dir/out", epochId = 2)
+    assert(spark.read.parquet(s"$dir/out/corpus")
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(2L, 4L))
+  }
+
+  test("compaction finishes after a crash between commit and install; no keys lost") {
+    val dir = Files.createTempDirectory("graft_ingest_cc").toString
+    (0 to 2).foreach { e =>
+      IngestDedup.ingestBatch(
+        Seq((100L + e, uniq(s"c${e}x"))).toDF("doc_id", "text"), s"$dir/out", epochId = e)
+    }
+    // replicate the crash window: fold committed to the dot-dir, sources
+    // already deleted, but the rename into epoch=2 never happened
+    val root = s"$dir/out/exact_idx"
+    val tmp = s"$root/.compact_tmp_3"
+    graft.batch.Lake.compactDirs(spark,
+      (0 to 2).map(e => s"$root/epoch=$e"), tmp)
+    new java.io.File(tmp, "_GRAFT_COMMIT").createNewFile()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0 to 2).foreach { e =>
+      assert(fs.delete(new org.apache.hadoop.fs.Path(s"$root/epoch=$e"), true))
+    }
+    IngestDedup.compactIndexes(spark, s"$dir/out", upTo = 3)
+    assert(spark.read.parquet(root).select("content_key").count() == 3,
+      "all three folded keys must survive the interrupted fold")
+    // probes still reject the previously admitted docs
+    IngestDedup.ingestBatch(
+      Seq((200L, uniq("c1x")), (201L, uniq("dxx"))).toDF("doc_id", "text"),
+      s"$dir/out", epochId = 3)
+    assert(spark.read.parquet(s"$dir/out/corpus")
+      .select("doc_id").as[Long].collect().sorted.toSeq ==
+        Seq(100L, 101L, 102L, 201L))
+  }
+
+  test("compaction aborts loudly when the destination is blocked; nothing destroyed") {
+    val dir = Files.createTempDirectory("graft_ingest_cb").toString
+    (0 to 2).foreach { e =>
+      IngestDedup.ingestBatch(
+        Seq((300L + e, uniq(s"b${e}x"))).toDF("doc_id", "text"), s"$dir/out", epochId = e)
+    }
+    val root = s"$dir/out/exact_idx"
+    // a plain FILE squatting on the destination partition name: not a
+    // fold source, so installing the fold there would clobber it
+    new java.io.File(s"$root/epoch=3").createNewFile()
+    val e = intercept[IllegalArgumentException] {
+      IngestDedup.compactIndexes(spark, s"$dir/out", upTo = 4)
+    }
+    assert(e.getMessage.contains("not a fold source"))
+    // the abort happened BEFORE any source deletion: all keys readable
+    assert((0 to 2).forall(ep => new java.io.File(s"$root/epoch=$ep").isDirectory))
+    // clear the blocker; the same call converges
+    assert(new java.io.File(s"$root/epoch=3").delete())
+    IngestDedup.compactIndexes(spark, s"$dir/out", upTo = 4)
+    assert(spark.read.parquet(root).select("content_key").count() == 3)
+    assert(spark.read.parquet(root).select("epoch").as[Long].collect().forall(_ == 3L))
   }
 }

@@ -67,6 +67,36 @@ class SinksSpec extends SparkSpec {
     assert(e.getMessage.contains("nBuckets=8"))
   }
 
+  test("upsertParquetBucketed: refuses a flat table; migrateToBucketed adopts it") {
+    val dir = Files.createTempDirectory("graft_upsertb3").toString + "/t"
+    // a round-3-era flat table written by the non-bucketed upsert
+    Sinks.upsertParquet(
+      Seq(("a", 1L, 10L), ("b", 1L, 20L)).toDF("k", "v", "x"), dir, Seq("k"), Seq("v"))
+    val e = intercept[IllegalArgumentException] {
+      Sinks.upsertParquetBucketed(
+        Seq(("c", 1L, 30L)).toDF("k", "v", "x"), dir, Seq("k"), Seq("v"), nBuckets = 8)
+    }
+    assert(e.getMessage.contains("migrateToBucketed"))
+    // the refused call must not have poisoned the table with a marker
+    assert(spark.read.parquet(dir).count() == 2)
+
+    Sinks.migrateToBucketed(spark, dir, Seq("k"), nBuckets = 8)
+    Sinks.upsertParquetBucketed(
+      Seq(("a", 2L, 99L), ("c", 1L, 30L)).toDF("k", "v", "x"), dir, Seq("k"), Seq("v"), 8)
+    val got = Sinks.readUpsertedBucketed(spark, dir)
+      .select("k", "x").as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 99L, "b" -> 20L, "c" -> 30L))
+  }
+
+  test("upsertParquetBucketed: first write to a fresh table succeeds (default path)") {
+    // regression: the marker used to materialize the dir before the first
+    // data write, and the merge-read then died on UNABLE_TO_INFER_SCHEMA
+    val dir = Files.createTempDirectory("graft_upsertb4").toString + "/t"
+    Sinks.upsertParquetBucketed(
+      Seq(("a", 1L, 1L)).toDF("k", "v", "x"), dir, Seq("k"), Seq("v"))
+    assert(Sinks.readUpsertedBucketed(spark, dir).count() == 1)
+  }
+
   test("appendCsvDedup: logical-PK dedup across appends (Prensas.py:252-258)") {
     val dir = Files.createTempDirectory("graft_csv").toString + "/nf"
     val r1 = Seq(("P1", "X", "X/Y", "2024-03-05", "2024-03-05 09:00:00"))
