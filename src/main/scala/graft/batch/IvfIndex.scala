@@ -36,17 +36,17 @@ object IvfIndex {
     * centroids, so incremental re-indexing is stable). */
   def build(emb: DataFrame, dir: String, nCells: Int): Unit = {
     val nm = withNorm(emb)
-    // hash-admission first (map-side, q36's sampler) so the exact-rank
-    // window below only ever sees ~4·nCells rows — a global rank over
-    // the corpus would be a single-partition sort at 100 TB
-    val n = nm.count()
-    val hash = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10).cast("long")
-    val cut = math.min(1L << 32, (nCells * 4.0 / math.max(n, 1) * (1L << 32)).toLong)
-    val admitted0 = nm.filter(hash < cut)
-    val admitted = if (admitted0.count() >= nCells) admitted0 else nm
-    val byHash = Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-    val cents = admitted.withColumn("rn", row_number().over(byHash))
-      .filter(col("rn") <= nCells)
+    // global orderBy + limit plans as TakeOrderedAndProject: each corpus
+    // partition keeps only its nCells best rows in a bounded heap and a
+    // single tiny merge picks the winners — the exact distributed top-k,
+    // in ONE corpus job (the previous hash-admission cut needed two
+    // corpus-wide count() actions first). nCells stays ≤ a few thousand
+    // by design (the quantizer must broadcast); beyond
+    // spark.sql.execution.topKSortFallbackThreshold Spark would fall
+    // back to a full sort — raise that conf before raising nCells.
+    val cents = nm
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nCells)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
     cents.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
 

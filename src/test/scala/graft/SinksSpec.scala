@@ -97,6 +97,72 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.readUpsertedBucketed(spark, dir).count() == 1)
   }
 
+  test("upsertDelta: generated MERGE parses to the expected plan shape") {
+    import org.apache.spark.sql.catalyst.plans.logical.{InsertAction, MergeIntoTable, UpdateAction}
+    val sql = Sinks.mergeSql("lake.production_records", "src",
+      Seq("record_id", "produced", "ts", "rank"), Seq("record_id"), Seq("ts", "rank"))
+    val m = spark.sessionState.sqlParser.parsePlan(sql).asInstanceOf[MergeIntoTable]
+    assert(m.mergeCondition.sql.toLowerCase.contains("record_id"))
+    m.matchedActions match {
+      case Seq(UpdateAction(Some(cond), assigns, _)) =>
+        assert(assigns.size == 4)
+        // strictly-newer guard, lexicographic over (ts, rank)
+        val c = cond.sql.toLowerCase
+        assert(c.contains("ts") && c.contains("rank"))
+      case other => fail(s"expected one conditional UPDATE, got $other")
+    }
+    m.notMatchedActions match {
+      case Seq(InsertAction(None, assigns)) => assert(assigns.size == 4)
+      case other => fail(s"expected one unconditional INSERT, got $other")
+    }
+    assert(m.notMatchedBySourceActions.isEmpty,
+      "MERGE must never touch target rows absent from the batch")
+  }
+
+  test("upsertDelta through a file-backed MERGE runner ≡ upsertParquet") {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable
+    import org.apache.spark.sql.expressions.Window
+    val root = Files.createTempDirectory("graft_delta").toString
+    val (dirD, dirP) = (s"$root/delta", s"$root/plain")
+    val keys = Seq("k"); val version = Seq("v")
+    // a stand-in for DeltaTable.merge: takes the GENERATED statement,
+    // resolves the source through the parsed plan (proving the temp view
+    // is live when the runner fires), applies MERGE row-level semantics
+    // to a parquet-backed target
+    def fake(sql: String): Unit = {
+      val m = spark.sessionState.sqlParser.parsePlan(sql).asInstanceOf[MergeIntoTable]
+      val srcName = m.sourceTable.collectFirst {
+        case r: UnresolvedRelation => r.multipartIdentifier.last
+      }.get
+      val src = spark.table(srcName)
+      val exists = new java.io.File(dirD).exists
+      val merged =
+        if (!exists) src.withColumn("__src", lit(1))
+        else spark.read.parquet(dirD).withColumn("__src", lit(0))
+          .unionByName(src.withColumn("__src", lit(1)))
+      // WHEN MATCHED AND strictly-newer → source; tie → target row wins
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy((version.map(c => col(c).desc) :+ col("__src").asc): _*)
+      merged.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .drop("__rn", "__src")
+        .localCheckpoint()
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dirD)
+    }
+    val batches = Seq(
+      Seq(("a", 1L, 10L), ("b", 1L, 20L)),
+      Seq(("a", 2L, 99L), ("c", 1L, 30L)),
+      Seq(("a", 1L, 0L))) // stale version: must not regress the row
+    batches.foreach { b =>
+      Sinks.upsertDelta(b.toDF("k", "v", "x"), "t", keys, version, run = fake)
+      Sinks.upsertParquet(b.toDF("k", "v", "x"), dirP, keys, version)
+    }
+    def slurp(d: String) = spark.read.parquet(d)
+      .select("k", "v", "x").as[(String, Long, Long)].collect().sorted.toSeq
+    assert(slurp(dirD) == slurp(dirP))
+    assert(slurp(dirD) == Seq(("a", 2L, 99L), ("b", 1L, 20L), ("c", 1L, 30L)))
+  }
+
   test("appendCsvDedup: logical-PK dedup across appends (Prensas.py:252-258)") {
     val dir = Files.createTempDirectory("graft_csv").toString + "/nf"
     val r1 = Seq(("P1", "X", "X/Y", "2024-03-05", "2024-03-05 09:00:00"))
