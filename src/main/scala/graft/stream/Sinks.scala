@@ -324,7 +324,12 @@ object Sinks {
     * default layout is the bucketed upsert ([[upsertParquetBucketed]]):
     * per-batch IO stays O(touched buckets), independent of table
     * growth. `recordBuckets = 0` is the tiny-table escape hatch
-    * (whole-table rewrite per batch, no layout column). */
+    * (whole-table rewrite per batch, no layout column).
+    *
+    * BREAKING DEFAULT: `recordBuckets` changed from flat (0) to 64. A
+    * `production_records` table written under the old default is
+    * refused by the bucketed path with a pointer to
+    * [[migrateToBucketed]] — run that once, or pass 0 explicitly. */
   def applyActions(actions: Dataset[ActionRow], outDir: String,
       recordBuckets: Int = 64): Unit = {
     val df = actions.toDF().cache()
