@@ -88,9 +88,14 @@ object Lake {
     * directory-level layout, e.g. [[graft.stream.IngestDedup]] folding
     * many `epoch=N` index partitions into one). `coalesce`, not
     * `repartition`: a compaction rewrite needs no shuffle, only fewer,
-    * larger files. Returns (filesBefore, filesAfter). */
+    * larger files. `sortCols` re-clusters each output file
+    * (sortWithinPartitions — still no shuffle) so parquet row-group
+    * min/max stats stay tight for point-lookup pushdown; coalescing
+    * alone concatenates sorted inputs and would destroy that. Returns
+    * (filesBefore, filesAfter). */
   def compactDirs(spark: SparkSession, srcs: Seq[String], dest: String,
-                  targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+                  targetBytes: Long = 128L * 1024 * 1024,
+                  sortCols: Seq[String] = Nil): (Int, Int) = {
     val df = spark.read.parquet(srcs: _*)
     val before = df.inputFiles.length
     val totalBytes = df.inputFiles.map { f =>
@@ -98,7 +103,11 @@ object Lake {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p).getLen
     }.sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    df.coalesce(nFiles).write.mode(SaveMode.Overwrite).parquet(dest)
+    val binned = df.coalesce(nFiles)
+    val clustered =
+      if (sortCols.isEmpty) binned
+      else binned.sortWithinPartitions(sortCols.map(col): _*)
+    clustered.write.mode(SaveMode.Overwrite).parquet(dest)
     (before, spark.read.parquet(dest).inputFiles.length)
   }
 }

@@ -120,10 +120,62 @@ object IngestDedup {
     // adopt any pre-epoch-layout tables BEFORE this epoch's partitioned
     // writes land beside their flat files (see migrateLegacyFlat)
     Seq("corpus", "exact_idx", "band_idx").foreach(t => migrateLegacyFlat(s, s"$dir/$t"))
+    val keep = survivors(batch, dir, epochId)
+      .localCheckpoint() // consumed by three writes below
+
+    // 4. commit survivors + index keys into this epoch's partitions.
+    // OVERWRITE of the epoch dir is the idempotence point: a replay
+    // replaces any partial output instead of appending next to it.
+    // Index files are written key-sorted (sortWithinPartitions — no
+    // shuffle) so their parquet row-group min/max stats are tight:
+    // the trickle probe's pushed IN filter then skips nearly every
+    // row group of every epoch file.
+    keep.drop("bands", "content_key")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/corpus/epoch=$epochId")
+    keep.select(col("content_key"))
+      .sortWithinPartitions("content_key")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/exact_idx/epoch=$epochId")
+    keep.select(explode(col("bands")).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"))
+      .filter(col("key").isNotNull) // shingle-less docs have no signature
+      .sortWithinPartitions("key")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/band_idx/epoch=$epochId")
+  }
+
+  /** Trickle regime: batches with ≤ this many docs probe the indexes
+    * through a driver-collected literal IN filter (bounded by this
+    * constant, not by data) that pushes down to the parquet scans. */
+  private[graft] val IsinKeyLimit = 8192L
+  /** Micro-batch regime: batches up to this size probe by broadcasting
+    * their key set into a map-side join against the index. Beyond it
+    * (huge backfills) the plain shuffle join takes over — at that
+    * batch size the index shuffle amortizes. */
+  private[graft] val BroadcastKeyLimit = 4000000L
+
+  /** Steps 1-3 as a pure plan: the batch's surviving docs. Split from
+    * [[ingestBatch]] so specs can pin the PLAN shape, not just results.
+    *
+    * The index sides are corpus-lifetime (unbounded); the batch side is
+    * one micro-batch (bounded). The default SMJ anti/inner joins would
+    * therefore shuffle the ENTIRE index every batch — the per-batch
+    * cost that actually matters at 100 TB. Instead the probes pick a
+    * regime by batch size:
+    *   - trickle (≤ [[IsinKeyLimit]] docs): collect the batch's keys
+    *     (driver memory bounded by the constant) and push a literal IN
+    *     filter into the index scan — with key-sorted epoch files the
+    *     row-group stats skip almost all index IO;
+    *   - micro-batch (≤ [[BroadcastKeyLimit]]): broadcast the batch's
+    *     key set, stream the index map-side (scanned, never shuffled),
+    *     and broadcast the tiny hit set back into the anti join;
+    *   - bulk backfill: plain shuffle joins — correct at any size, and
+    *     a batch that large amortizes the index shuffle it pays for. */
+  private[graft] def survivors(batch: DataFrame, dir: String, epochId: Long): DataFrame = {
+    val s = batch.sparkSession
     val keyed = batch
       .withColumn("content_key", md5(col("text").cast("binary")))
       .withColumn("bands", Dedup.bandKeys(col("text")))
       .localCheckpoint() // small (one micro-batch); read multiple times below
+    val batchRows = keyed.count() // cheap: counts the checkpoint blocks
 
     // 1. exact within batch: min doc_id per content wins (deterministic)
     val firstPerContent = keyed.groupBy(col("content_key"))
@@ -134,7 +186,25 @@ object IngestDedup {
     // replayed epoch must not see its own half-committed keys)
     val exactFresh = readIfExists(s, s"$dir/exact_idx") match {
       case Some(idx) =>
-        exactInBatch.join(priorEpochs(idx, epochId), Seq("content_key"), "left_anti")
+        val idxPrior = priorEpochs(idx, epochId)
+        if (batchRows > BroadcastKeyLimit)
+          exactInBatch.join(idxPrior, Seq("content_key"), "left_anti")
+        else {
+          val batchKeys = exactInBatch.select("content_key").distinct()
+          // no distinct on the hit set: index keys are unique
+          // corpus-wide by construction (a doc sharing a key is never
+          // admitted, so no key is written twice) — a distinct here
+          // would only add a shuffle stage per micro-batch
+          val hits =
+            if (batchRows <= IsinKeyLimit) {
+              val lits = batchKeys.collect().map(_.getString(0)).toSeq
+              idxPrior.filter(col("content_key").isin(lits: _*))
+                .select("content_key")
+            } else
+              idxPrior.join(broadcast(batchKeys), Seq("content_key"))
+                .select("content_key")
+          exactInBatch.join(broadcast(hits), Seq("content_key"), "left_anti")
+        }
       case None => exactInBatch
     }
 
@@ -147,27 +217,32 @@ object IngestDedup {
         col("a.band") === col("b.band") && col("a.key") === col("b.key")
           && col("a.doc_id") > col("b.doc_id"))
       .select(col("a.doc_id").as("doc_id")).distinct()
-    // 3b. near-dup vs corpus band index (same epoch < N visibility rule)
+    // 3b. near-dup vs corpus band index (same epoch < N visibility rule,
+    // same three probe regimes; band keys are ~2 per doc)
     val corpusHits = readIfExists(s, s"$dir/band_idx") match {
-      case Some(idx) => bk.join(priorEpochs(idx, epochId), Seq("band", "key"))
-        .select("doc_id").distinct()
+      case Some(idx) =>
+        val idxPrior = priorEpochs(idx, epochId)
+        if (2 * batchRows > BroadcastKeyLimit)
+          bk.join(idxPrior, Seq("band", "key")).select("doc_id").distinct()
+        else {
+          val probePairs = bk.select("band", "key").distinct()
+          val pre =
+            if (2 * batchRows <= IsinKeyLimit) {
+              // IN on the key alone (a superset — keys are md5s, so a
+              // cross-band collision is negligible IO); the join below
+              // keeps exactness on (band, key)
+              val lits = probePairs.select("key").collect().map(_.getString(0)).toSeq
+              idxPrior.filter(col("key").isin(lits: _*))
+            } else idxPrior
+          // band keys are unique corpus-wide too (sharing any band is
+          // rejection), so the hit set needs no distinct either
+          val bandHits = pre.join(broadcast(probePairs), Seq("band", "key"))
+            .select("band", "key")
+          bk.join(broadcast(bandHits), Seq("band", "key")).select("doc_id").distinct()
+        }
       case None => s.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
     }
-    val keep = exactFresh
-      .join(losers.union(corpusHits).distinct(), Seq("doc_id"), "left_anti")
-      .localCheckpoint() // consumed by three writes below
-
-    // 4. commit survivors + index keys into this epoch's partitions.
-    // OVERWRITE of the epoch dir is the idempotence point: a replay
-    // replaces any partial output instead of appending next to it.
-    keep.drop("bands", "content_key")
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/corpus/epoch=$epochId")
-    keep.select(col("content_key"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/exact_idx/epoch=$epochId")
-    keep.select(explode(col("bands")).as("bk"))
-      .select(col("bk.band").as("band"), col("bk.key").as("key"))
-      .filter(col("key").isNotNull) // shingle-less docs have no signature
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/band_idx/epoch=$epochId")
+    exactFresh.join(losers.union(corpusHits).distinct(), Seq("doc_id"), "left_anti")
   }
 
   /** Fold every index partition with `epoch < upTo` into ONE compacted
@@ -192,12 +267,14 @@ object IngestDedup {
     */
   def compactIndexes(s: SparkSession, dir: String, upTo: Long,
                      targetBytes: Long = 128L * 1024 * 1024): Unit = {
-    compactEpochs(s, s"$dir/exact_idx", upTo, targetBytes)
-    compactEpochs(s, s"$dir/band_idx", upTo, targetBytes)
+    // re-cluster by probe key while folding: the trickle regime's
+    // pushed IN filter lives off tight row-group stats
+    compactEpochs(s, s"$dir/exact_idx", upTo, targetBytes, Seq("content_key"))
+    compactEpochs(s, s"$dir/band_idx", upTo, targetBytes, Seq("key"))
   }
 
   private def compactEpochs(s: SparkSession, path: String, upTo: Long,
-                            targetBytes: Long): Unit = {
+                            targetBytes: Long, sortCols: Seq[String] = Nil): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
@@ -217,7 +294,7 @@ object IngestDedup {
     val committed = fs.exists(commit) ||
       fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
     if (!committed) {
-      Lake.compactDirs(s, folded.map(_._1.toString).toSeq, tmp.toString, targetBytes)
+      Lake.compactDirs(s, folded.map(_._1.toString).toSeq, tmp.toString, targetBytes, sortCols)
       val o = fs.create(commit, true); o.close()
     }
     // commit point reached. Everything below must succeed OR stop loudly:

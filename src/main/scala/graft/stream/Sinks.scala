@@ -127,6 +127,30 @@ object Sinks {
   def readUpsertedBucketed(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("__bucket")
 
+  /** Point lookup in a bucketed upsert table: the key's bucket is the
+    * same `pmod(hash(keys), n)` the writer used (n from the pinned
+    * marker), expressed as a constant-foldable filter on the partition
+    * column — so the scan opens ONE `__bucket=` directory out of n,
+    * never the table (SinksSpec pins the partition filter). This is the
+    * read-side payoff of the bucketed layout: record-by-id queries on a
+    * 10⁹-row table touch 1/n of it. */
+  def lookupBucketed(spark: SparkSession, path: String, keys: Seq[String],
+      keyValues: Seq[Any]): DataFrame = {
+    require(keys.length == keyValues.length, "one value per key column")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(path, "_graft_buckets")
+    require(fs.exists(marker), s"no _graft_buckets marker at $path")
+    val in = fs.open(marker)
+    val n = try scala.io.Source.fromInputStream(in).mkString.trim.toInt finally in.close()
+    val keyPred = keys.zip(keyValues).map { case (k, v) => col(k) === lit(v) }
+      .reduce(_ && _)
+    spark.read.parquet(path)
+      // all-literal expression: constant-folded to `__bucket = <N>` at
+      // optimization time, which partition-prunes the scan
+      .filter(col("__bucket") === pmod(hash(keyValues.map(lit): _*), lit(n)) && keyPred)
+      .drop("__bucket")
+  }
+
   /** One-time migration of a flat [[upsertParquet]] table to the
     * bucketed layout [[upsertParquetBucketed]] expects. The rewritten
     * table (plus its `_graft_buckets` marker) is staged in a temp dir

@@ -10,7 +10,8 @@ import graft.stream.IngestDedup
 /** Dedup-at-ingest: exact + near-dup filtering of arriving batches
   * against the accumulating corpus index (the streaming qd1/qd2).
   */
-class IngestDedupSpec extends SparkSpec {
+class IngestDedupSpec extends SparkSpec
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
   import spark.implicits._
 
   // 30 distinct 3-char tokens ≈ 119 chars — fills the 120-char shingle
@@ -174,6 +175,34 @@ class IngestDedupSpec extends SparkSpec {
       Seq((5L, base)).toDF("doc_id", "text"), s"$dir/out", epochId = 2)
     assert(spark.read.parquet(s"$dir/out/corpus")
       .select("doc_id").as[Long].collect().sorted.toSeq == Seq(2L, 4L))
+  }
+
+  test("trickle probe: pushed IN filter on the index scan, no index shuffle") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val dir = Files.createTempDirectory("graft_ingest_p").toString
+    IngestDedup.ingestBatch(
+      Seq((1L, base), (2L, other)).toDF("doc_id", "text"), s"$dir/out", epochId = 0)
+    IngestDedup.ingestBatch(
+      Seq((3L, uniq("px"))).toDF("doc_id", "text"), s"$dir/out", epochId = 1)
+    val plan = IngestDedup.survivors(
+        Seq((9L, base)).toDF("doc_id", "text"), s"$dir/out", epochId = 2)
+      .queryExecution.executedPlan
+    // the corpus-lifetime index must never be shuffled by a probe: every
+    // probe join in the trickle/micro-batch regimes is broadcast
+    assert(collectWithSubqueries(plan) { case j: SortMergeJoinExec => j }.isEmpty,
+      "probe joins must be broadcast, not sort-merge (index-side shuffle)")
+    // and the trickle regime's literal IN reaches the index scan itself
+    val idxScans = collectWithSubqueries(plan) {
+      case sc: FileSourceScanExec
+        if sc.relation.location.rootPaths.exists(_.toString.contains("exact_idx")) => sc
+    }
+    assert(idxScans.nonEmpty, "no exact_idx scan in the probe plan")
+    // Catalyst simplifies a 1-element IN to EqualTo; either way the
+    // membership filter must reach the parquet scan
+    assert(idxScans.exists(sc => Seq("In(content_key", "EqualTo(content_key")
+        .exists(sc.metadata("PushedFilters").contains)),
+      s"IN not pushed to the index scan: ${idxScans.map(_.metadata("PushedFilters"))}")
   }
 
   test("compaction finishes after a crash between commit and install; no keys lost") {

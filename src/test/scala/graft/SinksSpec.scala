@@ -97,6 +97,29 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.readUpsertedBucketed(spark, dir).count() == 1)
   }
 
+  test("lookupBucketed: point lookup partition-prunes to one bucket") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = Files.createTempDirectory("graft_lookup").toString + "/t"
+    val nB = 8
+    val seed = (0 until 200).map(i => (s"k$i", 1L, i.toLong))
+    Sinks.upsertParquetBucketed(seed.toDF("k", "v", "x"), dir, Seq("k"), Seq("v"), nB)
+
+    val res = Sinks.lookupBucketed(spark, dir, Seq("k"), Seq("k42"))
+    assert(res.select("x").as[Long].collect().toSeq == Seq(42L))
+    // the lookup must reach the scan as a PARTITION filter (one
+    // __bucket= dir opened), not as a data filter over the whole table
+    val qe = res.queryExecution
+    qe.toRdd.count() // execute so the scan's numFiles metric is populated
+    val scans = qe.executedPlan.collect {
+      case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "bucket predicate did not become a partition filter")
+    val filesRead = scans.map(_.metrics("numFiles").value).sum
+    val filesTotal = spark.read.parquet(dir).inputFiles.length
+    assert(filesRead < filesTotal,
+      s"lookup read $filesRead of $filesTotal files — no pruning happened")
+  }
+
   test("upsertDelta: generated MERGE parses to the expected plan shape") {
     import org.apache.spark.sql.catalyst.plans.logical.{InsertAction, MergeIntoTable, UpdateAction}
     val sql = Sinks.mergeSql("lake.production_records", "src",
