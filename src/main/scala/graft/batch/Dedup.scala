@@ -92,19 +92,43 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(minhashAggs.head, minhashAggs.tail: _*)
   }
 
-  /** LSH candidate pairs (id_a < id_b) from 2 bands of 3 hashes:
-    * docs collide when any full band matches — bucket-local self-join,
-    * so the pair space never goes all-pairs. */
-  private def lshCandidatePairs(sigs: DataFrame): DataFrame = {
-    val bands = sigs.select(col("doc_id"),
+  private def bandKeysOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
       explode(array(
         struct(lit(0).as("band"), md5(concat(col("h0"), col("h1"), col("h2"))).as("key")),
         struct(lit(1).as("band"), md5(concat(col("h3"), col("h4"), col("h5"))).as("key")))).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+
+  /** LSH candidate pairs (id_a < id_b) from 2 bands of 3 hashes:
+    * docs collide when any full band matches — bucket-local self-join,
+    * so the pair space never goes all-pairs ACROSS buckets. Within one
+    * bucket it is still quadratic — this is the REPORTING shape (qd2
+    * returns the pairs themselves); graph consumers use
+    * [[lshStarEdges]], which is linear per bucket. */
+  private def lshCandidatePairs(sigs: DataFrame): DataFrame = {
+    val bands = bandKeysOf(sigs)
     val a = bands.as("a"); val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
+  }
+
+  /** Star edges per LSH bucket: (bucket-min doc, other doc) for every
+    * other member. Connects exactly the same components as the bucket
+    * clique — any two docs in a bucket reach each other through its min
+    * — with m-1 edges per m-doc bucket instead of m(m-1)/2. The
+    * difference is THE scale property of dedup graph building: a
+    * boilerplate band key shared by 10⁶ docs (empty pages, cookie
+    * banners, license headers — the 100 TB reality) costs 10⁶ edges
+    * here and 5·10¹¹ in clique form. groupBy(min) + join, both on the
+    * same (band, key), so AQE handles residual bucket skew. */
+  private def lshStarEdges(sigs: DataFrame): DataFrame = {
+    val bands = bandKeysOf(sigs)
+    val mins = bands.groupBy(col("band"), col("key"))
+      .agg(min(col("doc_id")).as("id_a"))
+    bands.join(mins, Seq("band", "key"))
+      .filter(col("doc_id") =!= col("id_a"))
+      .select(col("id_a"), col("doc_id").as("id_b")).distinct()
   }
 
   /** qd2: MinHash + LSH near-dup candidates:
@@ -214,7 +238,10 @@ object Dedup {
     // this the full shingle→signature pipeline (the expensive part)
     // executes 4× — once per join side per union branch
     val sigs = minhashSigs(s, d).localCheckpoint()
-    val pairs = lshCandidatePairs(sigs).localCheckpoint()
+    // star edges, not the bucket clique: identical components (any two
+    // bucket members connect through the bucket min), linear — not
+    // quadratic — in hot-bucket size; see lshStarEdges
+    val pairs = lshStarEdges(sigs).localCheckpoint()
     // undirected: propagate labels both ways
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))

@@ -209,14 +209,19 @@ object IngestDedup {
     }
 
     // 3a. near-dup within batch: a doc loses iff a SMALLER doc_id in
-    // this batch shares any band (the canonical-min rule of qd6)
+    // this batch shares any band (the canonical-min rule of qd6).
+    // Computed per-bucket — doc_id > min(bucket) — which is the same
+    // set as the pairwise formulation in linear, not quadratic, work
+    // per band bucket (a crawl batch full of boilerplate puts
+    // thousands of docs in ONE bucket)
     val bk = exactFresh.select(col("doc_id"), explode(col("bands")).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
       .localCheckpoint()
-    val losers = bk.as("a").join(bk.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key")
-          && col("a.doc_id") > col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_id")).distinct()
+    val bucketMin = bk.groupBy(col("band"), col("key"))
+      .agg(min(col("doc_id")).as("min_id"))
+    val losers = bk.join(bucketMin, Seq("band", "key"))
+      .filter(col("doc_id") > col("min_id"))
+      .select(col("doc_id")).distinct()
     // 3b. near-dup vs corpus band index (same epoch < N visibility rule,
     // same three probe regimes; band keys are ~2 per doc)
     val corpusHits = readIfExists(s, s"$dir/band_idx") match {
