@@ -1,0 +1,128 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding near-dup at ingest: the streaming form of qd5 — reject
+  * arriving vectors whose cosine against the accumulated corpus (or a
+  * smaller batch-mate) reaches `tau` — over the IVF cell layout of
+  * [[graft.batch.IvfIndex]] and the epoch-partitioned exactly-once
+  * story of [[IngestDedup]].
+  *
+  * State under `dir`:
+  *   - `centroids/` — the fixed coarse quantizer (cid, ce, cn), tiny,
+  *     broadcast at every batch ([[init]] pins it once; periodic
+  *     re-quantization is a rebuild, as in IvfIndex);
+  *   - `cells/epoch=N/cell=M/` — admitted vectors, partitioned by
+  *     ingest epoch THEN cell, so a probe of p cells against k prior
+  *     epochs opens p×k directories and the rest of the corpus is
+  *     never read, while epoch-level OVERWRITE keeps replays
+  *     idempotent (same visibility rule as IngestDedup: probes see
+  *     strictly `epoch < N`).
+  *
+  * Near-dup checks are nProbe-approximate exactly like IVF search: a
+  * vector is compared against corpus/batch vectors sharing at least
+  * one of its `nProbe` nearest cells. In-batch ties break to the
+  * smaller `vec_id` (the canonical-min rule of the text path).
+  *
+  * At 100 TB: the batch side is bounded (one micro-batch), centroids
+  * broadcast, the corpus side is read partition-pruned and joined on
+  * `cell` — the corpus is never shuffled, mirroring the text indexes'
+  * probe regimes.
+  */
+object EmbedIngest {
+
+  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    graft.functions.GraftFunctions.vec_dot(a, b)
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+
+  /** Pin the coarse quantizer. `centroids` must be (cid, ce: embedding,
+    * cn: norm)-shaped — typically `IvfIndex.build`'s centroids from a
+    * seed corpus, or any deterministic subset. One-time; refuses to
+    * silently re-pin (a different quantizer re-cells every vector). */
+  def init(spark: SparkSession, dir: String, centroids: DataFrame): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/centroids")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(p), s"quantizer already pinned at $p (rebuild = new dir)")
+    centroids.coalesce(1).write.parquet(p.toString)
+  }
+
+  /** Start the streaming ingest query ([[IngestDedup.start]]'s shape):
+    * `vecs` needs (vec_id: long, embedding: array<float>) columns;
+    * survivors accumulate under `dir/cells`. [[init]] must have pinned
+    * the quantizer first. */
+  def start(vecs: DataFrame, dir: String, checkpoint: String,
+            trigger: org.apache.spark.sql.streaming.Trigger =
+              org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
+            tau: Double = 0.95, nProbe: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream.trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ingestBatch(batch, dir, id, tau, nProbe)
+      }
+      .start()
+
+  /** One micro-batch pass (callable from foreachBatch or backfill —
+    * same epoch contract as [[IngestDedup.ingestBatch]]: strictly
+    * increasing, replay-idempotent). `batch` needs (vec_id: long,
+    * embedding: array<float>). */
+  def ingestBatch(batch: DataFrame, dir: String, epochId: Long,
+                  tau: Double = 0.95, nProbe: Int = 4): Unit = {
+    val s = batch.sparkSession
+    val cents = broadcast(s.read.parquet(s"$dir/centroids"))
+    val nm = withNorm(batch).localCheckpoint() // bounded: one micro-batch
+
+    // nProbe nearest cells per vector — one broadcast map-side pass
+    val wProbe = Window.partitionBy("vec_id").orderBy(col("crcos").desc, col("cid").asc)
+    val probes = nm.crossJoin(cents)
+      .withColumn("crcos", dot(col("ce"), col("embedding")) / (col("cn") * col("nrm")))
+      .withColumn("pr", row_number().over(wProbe)).filter(col("pr") <= nProbe)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cid").as("cell"), col("pr"))
+      .localCheckpoint() // feeds in-batch pairs, corpus probe, and the write
+
+    // in-batch: a vector loses iff a SMALLER vec_id sharing any probe
+    // cell is tau-close (pair space bounded by batch × nProbe)
+    val a = probes.as("a"); val b = probes.as("b")
+    val inBatchLosers = a.join(b,
+        col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
+      .filter(dot(col("a.embedding"), col("b.embedding"))
+        / (col("a.nrm") * col("b.nrm")) >= tau)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+
+    // corpus probe: partition-pruned read of (epoch < N) × touched
+    // cells; join on cell, never a corpus shuffle. Touched cells are
+    // bounded by the centroid count, not the batch.
+    val cellsPath = new org.apache.hadoop.fs.Path(s"$dir/cells")
+    val fs = cellsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val corpusLosers =
+      if (!fs.exists(cellsPath)) s.emptyDataFrame.select(lit(0L).as("vec_id")).limit(0)
+      else {
+        val touched = probes.select("cell").distinct()
+          .collect().map(_.getLong(0)) // ≤ nCells ids — bounded literal
+        val corpus = s.read.parquet(cellsPath.toString)
+          .filter(col("epoch") < epochId && col("cell").isin(touched.toSeq: _*))
+          .select(col("cell"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+        probes.join(corpus, Seq("cell"))
+          .filter(dot(col("embedding"), col("c_emb"))
+            / (col("nrm") * col("c_nrm")) >= tau)
+          .select("vec_id").distinct()
+      }
+
+    // survivors land in THEIR nearest cell (pr = 1) for this epoch;
+    // epoch-dir OVERWRITE is the replay-idempotence point
+    probes.filter(col("pr") === 1)
+      .join(inBatchLosers.union(corpusLosers).distinct(), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(s"$dir/cells/epoch=$epochId")
+  }
+
+  /** Admitted corpus without layout columns. */
+  def corpus(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/cells").select("vec_id", "embedding")
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.stream.EmbedIngest
+
+/** Streaming embedding near-dup at ingest (the qd5 membrane): in-batch
+  * and vs-corpus cosine rejection over the epoch × cell layout. */
+class EmbedIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  // orthogonal 2-d quantizer: cell 1 ≈ x-axis, cell 2 ≈ y-axis
+  private def freshDir(): String = {
+    val dir = Files.createTempDirectory("graft_embed").toString + "/idx"
+    EmbedIngest.init(spark,
+      dir,
+      Seq((1L, Seq(1f, 0f), 1.0), (2L, Seq(0f, 1f), 1.0)).toDF("cid", "ce", "cn"))
+    dir
+  }
+
+  private def ids(dir: String) = EmbedIngest.corpus(spark, dir)
+    .select("vec_id").as[Long].collect().sorted.toSeq
+
+  test("in-batch and vs-corpus cosine dups are rejected; novel vectors admitted") {
+    val dir = freshDir()
+    EmbedIngest.ingestBatch(Seq(
+      (1L, Seq(1f, 0f)),
+      (2L, Seq(0.999f, 0.01f)), // cos vs 1 ≈ 0.99995: loses to min vec_id
+      (3L, Seq(0f, 1f))
+    ).toDF("vec_id", "embedding"), dir, epochId = 0, tau = 0.99)
+    assert(ids(dir) == Seq(1L, 3L), "in-batch near-dup 2 must lose to 1")
+
+    EmbedIngest.ingestBatch(Seq(
+      (4L, Seq(1f, 0f)),        // exact dup of corpus 1: rejected
+      (5L, Seq(0.7f, 0.714f))   // cos ≈ 0.7 to both axes: novel
+    ).toDF("vec_id", "embedding"), dir, epochId = 1, tau = 0.99)
+    assert(ids(dir) == Seq(1L, 3L, 5L), "corpus dup 4 rejected, novel 5 admitted")
+
+    // replay of epoch 1 (crash before checkpoint commit) is idempotent
+    EmbedIngest.ingestBatch(Seq(
+      (4L, Seq(1f, 0f)),
+      (5L, Seq(0.7f, 0.714f))
+    ).toDF("vec_id", "embedding"), dir, epochId = 1, tau = 0.99)
+    assert(ids(dir) == Seq(1L, 3L, 5L), "epoch replay must not duplicate or drop")
+
+    // layout: epoch dirs wrap cell dirs, so probes prune on both
+    val e0 = new java.io.File(s"$dir/cells/epoch=0")
+    assert(e0.isDirectory &&
+      e0.listFiles().exists(f => f.isDirectory && f.getName.startsWith("cell=")))
+  }
+
+  test("streaming entry: two micro-batches through start()") {
+    val root = Files.createTempDirectory("graft_embed_s").toString
+    val dir = s"$root/idx"
+    EmbedIngest.init(spark, dir,
+      Seq((1L, Seq(1f, 0f), 1.0), (2L, Seq(0f, 1f), 1.0)).toDF("cid", "ce", "cn"))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val vecs = input.toDF().toDF("vec_id", "embedding")
+    input.addData((1L, Seq(1f, 0f)), (2L, Seq(0.999f, 0.01f)), (3L, Seq(0f, 1f)))
+    val q = EmbedIngest.start(vecs, dir, s"$root/ckpt",
+      org.apache.spark.sql.streaming.Trigger.AvailableNow(), tau = 0.99)
+    assert(q.awaitTermination(120000))
+    assert(ids(dir) == Seq(1L, 3L))
+    input.addData((4L, Seq(0.01f, 0.9999f)), (5L, Seq(-1f, 0f)))
+    val q2 = EmbedIngest.start(vecs, dir, s"$root/ckpt",
+      org.apache.spark.sql.streaming.Trigger.AvailableNow(), tau = 0.99)
+    assert(q2.awaitTermination(120000))
+    assert(ids(dir) == Seq(1L, 3L, 5L),
+      "4 dups corpus vector 3 across batches; antipodal 5 is novel")
+  }
+
+  test("quantizer is pinned once") {
+    val dir = freshDir()
+    val e = intercept[IllegalArgumentException] {
+      EmbedIngest.init(spark, dir,
+        Seq((9L, Seq(1f, 1f), 1.4142)).toDF("cid", "ce", "cn"))
+    }
+    assert(e.getMessage.contains("already pinned"))
+  }
+}
