@@ -28,17 +28,24 @@ object Bench {
     // stages would evict each other.
     val warmDir = sys.env.get("SPARK_GRAFT_WARM_DIR")
       .orElse(Some("/root/testdata/sf0.001").filter(p => new java.io.File(p).isDirectory))
+    // SPARK_GRAFT_BENCH_REPS > 1 reports min-of-reps (steady state, the
+    // regression signal in BASELINE.md); unset = 1 = the driver's cold
+    // contract, untouched
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(1)
     val results = SparkEntry.queries.map { case (name, fn) =>
       warmDir.foreach { d =>
         try { fn(spark, d).queryExecution.toRdd.count() }
         catch { case _: Throwable => () }
       }
-      val t0 = System.nanoTime()
-      // execute the FULL physical plan (a plain count() would let
-      // Catalyst prune projection-only work down to a bare scan)
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to math.max(1, reps)).map { _ =>
+        val t0 = System.nanoTime()
+        // execute the FULL physical plan (a plain count() would let
+        // Catalyst prune projection-only work down to a bare scan)
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
