@@ -95,19 +95,30 @@ object Lake {
     * (filesBefore, filesAfter). */
   def compactDirs(spark: SparkSession, srcs: Seq[String], dest: String,
                   targetBytes: Long = 128L * 1024 * 1024,
-                  sortCols: Seq[String] = Nil): (Int, Int) = {
-    val df = spark.read.parquet(srcs: _*)
+                  sortCols: Seq[String] = Nil,
+                  partitionCols: Seq[String] = Nil): (Int, Int) = {
+    // with partition subdirs below each src, a multi-path read trips
+    // Spark's conflicting-directory-structures check — read each root
+    // (which then infers its own partition cols) and union
+    val df =
+      if (partitionCols.isEmpty) spark.read.parquet(srcs: _*)
+      else srcs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
     val before = df.inputFiles.length
     val totalBytes = df.inputFiles.map { f =>
       val p = new org.apache.hadoop.fs.Path(f)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p).getLen
     }.sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val binned = df.coalesce(nFiles)
+    // with partitionCols (e.g. EmbedIngest folding epoch dirs that wrap
+    // cell= subdirs): co-locate each hive partition's rows as compactTo
+    // does, so a partition's data lands in few files, not one per task
+    val binned =
+      if (partitionCols.isEmpty) df.coalesce(nFiles)
+      else df.repartition(nFiles, partitionCols.map(col): _*)
     val clustered =
       if (sortCols.isEmpty) binned
       else binned.sortWithinPartitions(sortCols.map(col): _*)
-    clustered.write.mode(SaveMode.Overwrite).parquet(dest)
+    clustered.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(dest)
     (before, spark.read.parquet(dest).inputFiles.length)
   }
 }

@@ -57,14 +57,27 @@ object EmbedIngest {
   def start(vecs: DataFrame, dir: String, checkpoint: String,
             trigger: org.apache.spark.sql.streaming.Trigger =
               org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
-            tau: Double = 0.95, nProbe: Int = 4)
+            tau: Double = 0.95, nProbe: Int = 4, compactEvery: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream.trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        // fold BEFORE the batch, when every epoch < id is
+        // checkpoint-committed (IngestDedup.start's cadence rule)
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
+          compactCells(batch.sparkSession, dir, upTo = id)
         ingestBatch(batch, dir, id, tau, nProbe)
       }
       .start()
+
+  /** Fold cell epochs `< upTo` into one (crash-safe [[EpochFold]]
+    * protocol, cell partitioning preserved) — without this a long-lived
+    * stream probes nCells × epochs directories per batch. Same `upTo`
+    * contract as [[IngestDedup.compactIndexes]]: pass only epochs that
+    * can no longer replay. */
+  def compactCells(s: SparkSession, dir: String, upTo: Long,
+                   targetBytes: Long = 128L * 1024 * 1024): Unit =
+    EpochFold.fold(s, s"$dir/cells", upTo, targetBytes, partitionCols = Seq("cell"))
 
   /** One micro-batch pass (callable from foreachBatch or backfill —
     * same epoch contract as [[IngestDedup.ingestBatch]]: strictly

@@ -1,0 +1,89 @@
+package graft.stream
+
+import org.apache.spark.sql.SparkSession
+
+import graft.batch.Lake
+
+/** The crash-safe epoch-fold protocol shared by the ingest stores:
+  * fold every `epoch=K` partition with `K < upTo` under `path` into ONE
+  * partition labeled `epoch = upTo - 1`. Probe visibility is preserved
+  * exactly — any epoch `N >= upTo` still sees all folded rows
+  * (`upTo - 1 < N`) — and the caller must pass `upTo` ≤ the oldest
+  * epoch that can still be replayed.
+  *
+  * Commit protocol: the folded snapshot is written to a dot-prefixed
+  * temp dir (invisible to Spark's file index), its own `_GRAFT_COMMIT`
+  * marker is created (Spark's `_SUCCESS` is conf-dependent and only
+  * honored as evidence for folds interrupted under the old layout),
+  * and only then are sources dropped and the temp dir renamed into
+  * place — with every post-commit FS boolean `require()`d, because a
+  * silently failed delete/rename would strand the only copy of the
+  * folded rows in an invisible dot-dir. Re-running after a crash or an
+  * abort at ANY point completes the fold; a blocked destination aborts
+  * BEFORE any source is touched.
+  *
+  * Used by [[IngestDedup]] (flat key indexes, key-sorted files) and
+  * [[EmbedIngest]] (cell-partitioned vector corpus).
+  */
+private[stream] object EpochFold {
+
+  /** Move a pre-epoch-layout (flat) table's data files into an
+    * `epoch=-1` partition. Without this, the first `epoch=N` write puts
+    * partitioned dirs NEXT TO the legacy flat files and every later
+    * read dies on Spark's "Conflicting directory structures" assertion.
+    * `-1` sorts before every real epoch, so `epoch < N` visibility
+    * treats legacy rows as all-prior. Idempotent and crash-safe: a
+    * re-run moves whatever flat files remain. Metadata files
+    * (`_SUCCESS`, dot-files) stay at the root, where Spark's file index
+    * already ignores them. */
+  def migrateLegacyFlat(s: SparkSession, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val flat = fs.listStatus(root).filter { st =>
+      val n = st.getPath.getName
+      !n.startsWith(".") && !n.startsWith("_") && !n.contains("=")
+    }
+    if (flat.isEmpty) return
+    val dest = new org.apache.hadoop.fs.Path(root, "epoch=-1")
+    if (!fs.exists(dest)) require(fs.mkdirs(dest), s"cannot create $dest")
+    flat.foreach { st =>
+      require(fs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(dest, st.getPath.getName)),
+        s"cannot migrate legacy file ${st.getPath} into $dest")
+    }
+  }
+
+  def fold(s: SparkSession, path: String, upTo: Long, targetBytes: Long,
+           sortCols: Seq[String] = Nil, partitionCols: Seq[String] = Nil): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val tmp = new org.apache.hadoop.fs.Path(root, s".compact_tmp_$upTo")
+    val commit = new org.apache.hadoop.fs.Path(tmp, "_GRAFT_COMMIT")
+    val folded = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
+      .map(st => (st.getPath, st.getPath.getName.stripPrefix("epoch=").toLong))
+      .filter(_._2 < upTo)
+    // nothing to fold AND no interrupted fold to finish
+    if (folded.length <= 1 && !fs.exists(tmp)) return
+    val committed = fs.exists(commit) ||
+      fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
+    if (!committed) {
+      Lake.compactDirs(s, folded.map(_._1.toString).toSeq, tmp.toString,
+        targetBytes, sortCols, partitionCols)
+      val o = fs.create(commit, true); o.close()
+    }
+    // commit point reached; everything below succeeds or stops loudly
+    val dest = new org.apache.hadoop.fs.Path(root, s"epoch=${upTo - 1}")
+    require(folded.exists(_._1.getName == dest.getName) || !fs.exists(dest),
+      s"compaction: $dest exists but is not a fold source; refusing to touch " +
+        "sources (remove the blocker and re-run — the fold is preserved in " +
+        s"$tmp and this call is idempotent)")
+    folded.foreach { case (p, _) =>
+      require(fs.delete(p, true), s"compaction: could not delete fold source $p")
+    }
+    require(!fs.exists(dest), s"compaction: $dest reappeared after source deletion")
+    require(fs.rename(tmp, dest), s"compaction: could not install $dest from $tmp")
+  }
+}

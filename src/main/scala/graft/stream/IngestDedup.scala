@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.batch.{Dedup, Lake}
+import graft.batch.Dedup
 
 /** Dedup-at-ingest: the streaming form of qd1 (exact) + qd2 (near-dup)
   * for an incrementally built training corpus.
@@ -74,39 +74,10 @@ object IngestDedup {
     * epoch-partitioned layout (no `epoch` column) is all-prior by
     * definition — filtering on the missing column would throw, and
     * skipping corpus dedup entirely would be silent data corruption.
-    * (After [[migrateLegacyFlat]] the legacy branch is only reachable
-    * for an index read before any `ingestBatch` touched it.) */
+    * (After [[EpochFold.migrateLegacyFlat]] the legacy branch is only
+    * reachable for an index read before any `ingestBatch` touched it.) */
   private def priorEpochs(idx: DataFrame, epochId: Long): DataFrame =
     if (idx.columns.contains("epoch")) idx.filter(col("epoch") < epochId) else idx
-
-  /** Move a pre-epoch-layout (flat) table's data files into an
-    * `epoch=-1` partition. Without this, the first `epoch=N` write puts
-    * partitioned dirs NEXT TO the legacy flat files and every later
-    * read dies on Spark's "Conflicting directory structures" assertion
-    * — i.e. legacy support would survive exactly one batch. `-1` sorts
-    * before every real epoch, so the `epoch < N` probe sees legacy keys
-    * as all-prior, which is the same visibility the flat read gave
-    * them. Idempotent and crash-safe: a re-run moves whatever flat
-    * files remain; a crash mid-move leaves files that the next run
-    * moves. Metadata files (`_SUCCESS`, dot-files) are left at the
-    * root, where Spark's file index already ignores them. */
-  private def migrateLegacyFlat(s: SparkSession, path: String): Unit = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return
-    val flat = fs.listStatus(root).filter { st =>
-      val n = st.getPath.getName
-      !n.startsWith(".") && !n.startsWith("_") && !n.contains("=")
-    }
-    if (flat.isEmpty) return
-    val dest = new org.apache.hadoop.fs.Path(root, "epoch=-1")
-    if (!fs.exists(dest)) require(fs.mkdirs(dest), s"cannot create $dest")
-    flat.foreach { st =>
-      require(fs.rename(st.getPath,
-          new org.apache.hadoop.fs.Path(dest, st.getPath.getName)),
-        s"cannot migrate legacy file ${st.getPath} into $dest")
-    }
-  }
 
   /** One micro-batch pass; also callable on a plain batch DataFrame
     * (backfill and streaming share the exact code path). `epochId` is
@@ -118,8 +89,9 @@ object IngestDedup {
   def ingestBatch(batch: DataFrame, dir: String, epochId: Long): Unit = {
     val s = batch.sparkSession
     // adopt any pre-epoch-layout tables BEFORE this epoch's partitioned
-    // writes land beside their flat files (see migrateLegacyFlat)
-    Seq("corpus", "exact_idx", "band_idx").foreach(t => migrateLegacyFlat(s, s"$dir/$t"))
+    // writes land beside their flat files (see EpochFold.migrateLegacyFlat)
+    Seq("corpus", "exact_idx", "band_idx")
+      .foreach(t => EpochFold.migrateLegacyFlat(s, s"$dir/$t"))
     val keep = survivors(batch, dir, epochId)
       .localCheckpoint() // consumed by three writes below
 
@@ -273,52 +245,9 @@ object IngestDedup {
   def compactIndexes(s: SparkSession, dir: String, upTo: Long,
                      targetBytes: Long = 128L * 1024 * 1024): Unit = {
     // re-cluster by probe key while folding: the trickle regime's
-    // pushed IN filter lives off tight row-group stats
-    compactEpochs(s, s"$dir/exact_idx", upTo, targetBytes, Seq("content_key"))
-    compactEpochs(s, s"$dir/band_idx", upTo, targetBytes, Seq("key"))
-  }
-
-  private def compactEpochs(s: SparkSession, path: String, upTo: Long,
-                            targetBytes: Long, sortCols: Seq[String] = Nil): Unit = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return
-    val tmp = new org.apache.hadoop.fs.Path(root, s".compact_tmp_$upTo")
-    // our OWN commit marker: Spark's _SUCCESS is conf-dependent
-    // (mapreduce.fileoutputcommitter.marksuccessfuljobs=false drops it),
-    // and relying on it would make "fold committed" silently mean
-    // "fold maybe committed". _SUCCESS is still honored as evidence
-    // when finishing a fold interrupted under the old layout.
-    val commit = new org.apache.hadoop.fs.Path(tmp, "_GRAFT_COMMIT")
-    val folded = fs.listStatus(root)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
-      .map(st => (st.getPath, st.getPath.getName.stripPrefix("epoch=").toLong))
-      .filter(_._2 < upTo)
-    // nothing to fold AND no interrupted fold to finish
-    if (folded.length <= 1 && !fs.exists(tmp)) return
-    val committed = fs.exists(commit) ||
-      fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
-    if (!committed) {
-      Lake.compactDirs(s, folded.map(_._1.toString).toSeq, tmp.toString, targetBytes, sortCols)
-      val o = fs.create(commit, true); o.close()
-    }
-    // commit point reached. Everything below must succeed OR stop loudly:
-    // a silently failed delete/rename here strands the only copy of the
-    // folded keys in an invisible dot-dir, and lost index keys re-admit
-    // duplicates — the one unacceptable failure. Hence require() on
-    // every FS boolean instead of trusting the calls.
-    val dest = new org.apache.hadoop.fs.Path(root, s"epoch=${upTo - 1}")
-    // dest may legitimately exist only as one of the sources about to be
-    // deleted (contiguous epochs); anything else blocking it must abort
-    // BEFORE any source is destroyed
-    require(folded.exists(_._1.getName == dest.getName) || !fs.exists(dest),
-      s"compaction: $dest exists but is not a fold source; refusing to touch " +
-        "sources (remove the blocker and re-run — the fold is preserved in " +
-        s"$tmp and this call is idempotent)")
-    folded.foreach { case (p, _) =>
-      require(fs.delete(p, true), s"compaction: could not delete fold source $p")
-    }
-    require(!fs.exists(dest), s"compaction: $dest reappeared after source deletion")
-    require(fs.rename(tmp, dest), s"compaction: could not install $dest from $tmp")
+    // pushed IN filter lives off tight row-group stats. Commit
+    // protocol (own marker, require()d FS ops) lives in EpochFold.
+    EpochFold.fold(s, s"$dir/exact_idx", upTo, targetBytes, Seq("content_key"))
+    EpochFold.fold(s, s"$dir/band_idx", upTo, targetBytes, Seq("key"))
   }
 }

@@ -353,9 +353,20 @@ object Sinks {
     * BREAKING DEFAULT: `recordBuckets` changed from flat (0) to 64. A
     * `production_records` table written under the old default is
     * refused by the bucketed path with a pointer to
-    * [[migrateToBucketed]] — run that once, or pass 0 explicitly. */
+    * [[migrateToBucketed]] — run that once, or pass 0 explicitly.
+    *
+    * Delivery guarantee: the records upsert and the CSV dedup-append
+    * are idempotent by construction (newest-per-key merge; logical-PK
+    * anti join), but a plain histories APPEND would double rows when
+    * foreachBatch replays a failed epoch. With `epochId >= 0` (wired
+    * automatically by [[startPipeline]]) histories are OVERWRITE-
+    * committed into their own `epoch=N` partition — the IngestDedup
+    * idempotence move — making the whole sink exactly-once. A legacy
+    * flat `histories` table is adopted into `epoch=-1` on first
+    * contact. `epochId = -1` keeps the at-least-once append for
+    * callers without a batch id. */
   def applyActions(actions: Dataset[ActionRow], outDir: String,
-      recordBuckets: Int = 64): Unit = {
+      recordBuckets: Int = 64, epochId: Long = -1L): Unit = {
     val df = actions.toDF().cache()
     try {
       val records = df
@@ -379,8 +390,14 @@ object Sinks {
       val hist = df.filter(col("action") === ActionRow.History)
         .select(col("recordId").as("record_id"), col("station"), col("parte"),
           col("quantity"), col("perCycle").as("per_cycle"), col("ts"))
-      if (!hist.isEmpty)
-        hist.write.mode(SaveMode.Append).parquet(s"$outDir/histories")
+      if (!hist.isEmpty) {
+        if (epochId >= 0) {
+          EpochFold.migrateLegacyFlat(df.sparkSession, s"$outDir/histories")
+          hist.write.mode(SaveMode.Overwrite)
+            .parquet(s"$outDir/histories/epoch=$epochId")
+        } else
+          hist.write.mode(SaveMode.Append).parquet(s"$outDir/histories")
+      }
 
       val nf = df.filter(col("action") === ActionRow.NotFound)
         .select(col("station").as("estacion"), col("parte").as("numero_parte"),
@@ -414,8 +431,8 @@ object Sinks {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: Dataset[ActionRow], _: Long) =>
-        applyActions(batch, outDir, recordBuckets)
+      .foreachBatch { (batch: Dataset[ActionRow], id: Long) =>
+        applyActions(batch, outDir, recordBuckets, epochId = id)
       }
       .start()
 }

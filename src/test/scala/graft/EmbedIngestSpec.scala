@@ -71,6 +71,33 @@ class EmbedIngestSpec extends SparkSpec {
       "4 dups corpus vector 3 across batches; antipodal 5 is novel")
   }
 
+  test("cell compaction folds epochs, preserves cell layout and probe results") {
+    val dir = freshDir()
+    // 4 epochs: one novel vector each, alternating cells
+    val vs = Seq(
+      (1L, Seq(1f, 0.0f)), (2L, Seq(0f, 1.0f)),
+      (3L, Seq(0.9f, 0.436f)), (4L, Seq(0.436f, 0.9f)))
+    vs.zipWithIndex.foreach { case (v, e) =>
+      EmbedIngest.ingestBatch(Seq(v).toDF("vec_id", "embedding"), dir, epochId = e,
+        tau = 0.999)
+    }
+    def epochDirs = new java.io.File(s"$dir/cells")
+      .listFiles().count(f => f.isDirectory && f.getName.startsWith("epoch="))
+    assert(epochDirs == 4)
+    EmbedIngest.compactCells(spark, dir, upTo = 4)
+    assert(epochDirs == 1, "four epochs fold into one")
+    // folded partition keeps the cell= level and the epoch<N visibility
+    val folded = spark.read.parquet(s"$dir/cells")
+    assert(folded.columns.contains("cell") && folded.columns.contains("epoch"))
+    assert(folded.select("epoch").as[Long].collect().forall(_ == 3L))
+    // probes still reject dups of pre-fold vectors and admit novelty
+    EmbedIngest.ingestBatch(Seq(
+      (10L, Seq(0.9f, 0.436f)),  // dup of folded vector 3
+      (11L, Seq(-1f, 0f))        // novel
+    ).toDF("vec_id", "embedding"), dir, epochId = 4, tau = 0.999)
+    assert(ids(dir) == Seq(1L, 2L, 3L, 4L, 11L))
+  }
+
   test("quantizer is pinned once") {
     val dir = freshDir()
     val e = intercept[IllegalArgumentException] {

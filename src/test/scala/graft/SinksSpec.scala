@@ -186,6 +186,42 @@ class SinksSpec extends SparkSpec {
     assert(slurp(dirD) == Seq(("a", 2L, 99L), ("b", 1L, 20L), ("c", 1L, 30L)))
   }
 
+  test("applyActions with epoch id: histories replay is exactly-once") {
+    import graft.model.ActionRow
+    val outDir = Files.createTempDirectory("graft_hist").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val b0 = Seq(
+      ActionRow.appendHistory("P1", "AAA", "r1", 10L, 1.5, ts("2024-03-05 09:00:00")))
+    val b1 = Seq(
+      ActionRow.appendHistory("P1", "AAA", "r1", 14L, 1.6, ts("2024-03-05 09:00:05")))
+    Sinks.applyActions(b0.toDS(), outDir, recordBuckets = 0, epochId = 0)
+    Sinks.applyActions(b1.toDS(), outDir, recordBuckets = 0, epochId = 1)
+    // crash-replay of epoch 1 (restart before checkpoint commit):
+    // epoch-dir overwrite replaces, never appends beside
+    Sinks.applyActions(b1.toDS(), outDir, recordBuckets = 0, epochId = 1)
+    val hist = spark.read.parquet(s"$outDir/histories")
+    assert(hist.count() == 2, "replayed epoch must not duplicate history rows")
+    assert(hist.agg(sum("quantity")).as[Long].collect().head == 24L)
+  }
+
+  test("applyActions adopts a legacy flat histories table before epoch writes") {
+    import graft.model.ActionRow
+    val outDir = Files.createTempDirectory("graft_hist_l").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // round-4-era layout: plain appends, no epoch dirs
+    Sinks.applyActions(Seq(
+      ActionRow.appendHistory("P1", "AAA", "r1", 5L, 1.5, ts("2024-03-05 08:00:00"))
+    ).toDS(), outDir, recordBuckets = 0) // epochId defaulted: legacy append
+    // new layout takes over mid-table; both generations stay readable
+    Sinks.applyActions(Seq(
+      ActionRow.appendHistory("P1", "AAA", "r1", 7L, 1.5, ts("2024-03-05 09:00:00"))
+    ).toDS(), outDir, recordBuckets = 0, epochId = 0)
+    val hist = spark.read.parquet(s"$outDir/histories")
+    assert(hist.count() == 2)
+    assert(hist.agg(sum("quantity")).as[Long].collect().head == 12L)
+    assert(hist.select("epoch").as[Long].collect().sorted.toSeq == Seq(-1L, 0L))
+  }
+
   test("appendCsvDedup: logical-PK dedup across appends (Prensas.py:252-258)") {
     val dir = Files.createTempDirectory("graft_csv").toString + "/nf"
     val r1 = Seq(("P1", "X", "X/Y", "2024-03-05", "2024-03-05 09:00:00"))
