@@ -110,14 +110,16 @@ object EmbedIngest {
     // corpus probe: partition-pruned read of (epoch < N) × touched
     // cells; join on cell, never a corpus shuffle. Touched cells are
     // bounded by the centroid count, not the batch.
-    val cellsPath = new org.apache.hadoop.fs.Path(s"$dir/cells")
-    val fs = cellsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // data-presence gate (not fs.exists): an empty first micro-batch
+    // leaves an epoch dir holding only _SUCCESS, which must read as
+    // "no corpus yet", not UNABLE_TO_INFER_SCHEMA on batch two
     val corpusLosers =
-      if (!fs.exists(cellsPath)) s.emptyDataFrame.select(lit(0L).as("vec_id")).limit(0)
+      if (!EpochFold.hasDataFiles(s, s"$dir/cells"))
+        s.emptyDataFrame.select(lit(0L).as("vec_id")).limit(0)
       else {
         val touched = probes.select("cell").distinct()
           .collect().map(_.getLong(0)) // ≤ nCells ids — bounded literal
-        val corpus = s.read.parquet(cellsPath.toString)
+        val corpus = s.read.parquet(s"$dir/cells")
           .filter(col("epoch") < epochId && col("cell").isin(touched.toSeq: _*))
           .select(col("cell"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
         probes.join(corpus, Seq("cell"))

@@ -54,6 +54,24 @@ private[stream] object EpochFold {
     }
   }
 
+  /** True iff `path` holds at least one DATA file (short-circuits on
+    * the first hit). `fs.exists` alone is the wrong gate for "is there
+    * a table to read": an empty micro-batch's write leaves an epoch
+    * dir holding only `_SUCCESS`, and `spark.read.parquet` over
+    * metadata-only dirs dies with UNABLE_TO_INFER_SCHEMA — the same
+    * trap as the round-4 bucketed-sink marker bug. */
+  def hasDataFiles(s: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val n = it.next().getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) return true
+    }
+    false
+  }
+
   def fold(s: SparkSession, path: String, upTo: Long, targetBytes: Long,
            sortCols: Seq[String] = Nil, partitionCols: Seq[String] = Nil): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)

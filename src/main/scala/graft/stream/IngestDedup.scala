@@ -61,14 +61,15 @@ object IngestDedup {
       }
       .start()
 
-  private def readIfExists(s: SparkSession, path: String): Option[DataFrame] = {
-    // Hadoop FS, not java.io.File: the indexes live wherever the lake
-    // does (HDFS/object store on a cluster), and a local-only existence
-    // check there would silently report "no index yet" forever
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(s.read.parquet(path)) else None
-  }
+  private def readIfExists(s: SparkSession, path: String): Option[DataFrame] =
+    // data-presence gate, not fs.exists: an EMPTY first micro-batch
+    // leaves epoch dirs holding only _SUCCESS, and reading a
+    // metadata-only tree throws UNABLE_TO_INFER_SCHEMA on the next
+    // batch (EpochFold.hasDataFiles short-circuits on the first data
+    // file, so the check is O(1) listings on a populated index; it
+    // also covers the HDFS/object-store case a java.io check would
+    // silently miss)
+    if (EpochFold.hasDataFiles(s, path)) Some(s.read.parquet(path)) else None
 
   /** Epochs strictly before `epochId`; an index written before the
     * epoch-partitioned layout (no `epoch` column) is all-prior by
@@ -249,5 +250,10 @@ object IngestDedup {
     // protocol (own marker, require()d FS ops) lives in EpochFold.
     EpochFold.fold(s, s"$dir/exact_idx", upTo, targetBytes, Seq("content_key"))
     EpochFold.fold(s, s"$dir/band_idx", upTo, targetBytes, Seq("key"))
+    // the corpus itself is never probed, but it IS what downstream
+    // training jobs scan — fold its epoch dirs too, or a year of
+    // 1 Hz micro-batches leaves consumers opening millions of
+    // footer-heavy files
+    EpochFold.fold(s, s"$dir/corpus", upTo, targetBytes)
   }
 }

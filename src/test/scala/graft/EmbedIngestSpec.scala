@@ -98,6 +98,15 @@ class EmbedIngestSpec extends SparkSpec {
     assert(ids(dir) == Seq(1L, 2L, 3L, 4L, 11L))
   }
 
+  test("an EMPTY first batch does not poison the cell store for batch two") {
+    val dir = freshDir()
+    EmbedIngest.ingestBatch(
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"), dir, epochId = 0)
+    EmbedIngest.ingestBatch(
+      Seq((1L, Seq(1f, 0f))).toDF("vec_id", "embedding"), dir, epochId = 1)
+    assert(ids(dir) == Seq(1L))
+  }
+
   test("quantizer is pinned once") {
     val dir = freshDir()
     val e = intercept[IllegalArgumentException] {

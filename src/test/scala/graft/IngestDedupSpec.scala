@@ -118,8 +118,11 @@ class IngestDedupSpec extends SparkSpec
     assert(idxEpochDirs("exact_idx") == 6)
 
     IngestDedup.compactIndexes(spark, s"$dir/out", upTo = 6)
-    // fold: 6 epoch partitions -> 1, strictly fewer files to open
+    // fold: 6 epoch partitions -> 1, strictly fewer files to open;
+    // the corpus (what training jobs scan) folds on the same cadence
     assert(idxEpochDirs("exact_idx") == 1 && idxEpochDirs("band_idx") == 1)
+    assert(idxEpochDirs("corpus") == 1)
+    assert(corpusIds == before, "corpus fold must not lose or duplicate docs")
     assert(idxFiles("exact_idx") < filesBefore)
     // the folded partition carries the last committed epoch's label, so
     // the epoch<N visibility rule still exposes every key
@@ -203,6 +206,19 @@ class IngestDedupSpec extends SparkSpec
     assert(idxScans.exists(sc => Seq("In(content_key", "EqualTo(content_key")
         .exists(sc.metadata("PushedFilters").contains)),
       s"IN not pushed to the index scan: ${idxScans.map(_.metadata("PushedFilters"))}")
+  }
+
+  test("an EMPTY first batch does not poison the index for batch two") {
+    // an idle stream's first micro-batch writes epoch dirs holding only
+    // _SUCCESS; the next batch's index read must see "no index yet",
+    // not die on UNABLE_TO_INFER_SCHEMA
+    val dir = Files.createTempDirectory("graft_ingest_e").toString
+    IngestDedup.ingestBatch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), s"$dir/out", epochId = 0)
+    IngestDedup.ingestBatch(
+      Seq((1L, base), (2L, base)).toDF("doc_id", "text"), s"$dir/out", epochId = 1)
+    assert(spark.read.parquet(s"$dir/out/corpus")
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
 
   test("compaction finishes after a crash between commit and install; no keys lost") {
