@@ -87,7 +87,19 @@ object EmbedIngest {
                   tau: Double = 0.95, nProbe: Int = 4): Unit = {
     val s = batch.sparkSession
     val cents = broadcast(s.read.parquet(s"$dir/centroids"))
-    val nm = withNorm(batch).localCheckpoint() // bounded: one micro-batch
+    val nm0 = withNorm(batch).localCheckpoint() // bounded: one micro-batch
+
+    // exact-dup collapse FIRST (linear, map-side hash): a crawl flood of
+    // byte-identical embeddings would otherwise meet the pairwise tau
+    // stage as one hot cell — m²/2 cosine pairs. Keeping min vec_id per
+    // embedding hash changes no outcome (an exact dup is tau-near its
+    // twin for any tau ≤ 1, so the pairwise rule rejected exactly the
+    // same ids) but makes the pair stage quadratic only in DISTINCT
+    // vectors.
+    val keyedV = nm0.withColumn("emb_key",
+      md5(concat_ws(",", col("embedding").cast("array<string>"))))
+    val firstPerKey = keyedV.groupBy(col("emb_key")).agg(min(col("vec_id")).as("vec_id"))
+    val nm = keyedV.join(firstPerKey, Seq("emb_key", "vec_id")).drop("emb_key")
 
     // nProbe nearest cells per vector — one broadcast map-side pass
     val wProbe = Window.partitionBy("vec_id").orderBy(col("crcos").desc, col("cid").asc)

@@ -98,6 +98,17 @@ class EmbedIngestSpec extends SparkSpec {
     assert(ids(dir) == Seq(1L, 2L, 3L, 4L, 11L))
   }
 
+  test("exact-dup flood collapses before the pairwise stage; min id survives") {
+    val dir = freshDir()
+    // 50 byte-identical vectors + 1 distinct: the exact stage reduces
+    // the tau pair space to the 2 distinct vectors
+    val flood = (10L to 59L).map(i => (i, Seq(1f, 0f))) :+ (5L, Seq(0f, 1f))
+    EmbedIngest.ingestBatch(flood.toDF("vec_id", "embedding"), dir, epochId = 0,
+      tau = 0.99)
+    assert(ids(dir) == Seq(5L, 10L),
+      "min vec_id per identical embedding plus the distinct vector survive")
+  }
+
   test("an EMPTY first batch does not poison the cell store for batch two") {
     val dir = freshDir()
     EmbedIngest.ingestBatch(
