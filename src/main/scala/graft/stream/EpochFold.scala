@@ -77,21 +77,32 @@ private[stream] object EpochFold {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
+    recoverInterrupted(fs, root)
     val tmp = new org.apache.hadoop.fs.Path(root, s".compact_tmp_$upTo")
     val commit = new org.apache.hadoop.fs.Path(tmp, "_GRAFT_COMMIT")
     val folded = fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
       .map(st => (st.getPath, st.getPath.getName.stripPrefix("epoch=").toLong))
       .filter(_._2 < upTo)
-    // nothing to fold AND no interrupted fold to finish
-    if (folded.length <= 1 && !fs.exists(tmp)) return
-    val committed = fs.exists(commit) ||
-      fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
-    if (!committed) {
-      Lake.compactDirs(s, folded.map(_._1.toString).toSeq, tmp.toString,
-        targetBytes, sortCols, partitionCols)
-      val o = fs.create(commit, true); o.close()
+    if (folded.length <= 1) return
+    // gate fold SOURCES on data presence: an empty micro-batch's write
+    // leaves an epoch dir holding only _SUCCESS, and reading a set of
+    // metadata-only dirs dies with UNABLE_TO_INFER_SCHEMA — which, since
+    // the fold runs at the start of the micro-batch, would crashloop the
+    // stream on every replay (realistic for band_idx when early epochs
+    // hold only shingle-less or all-duplicate docs)
+    val withData = folded.filter { case (p, _) => hasDataFiles(s, p.toString) }
+    if (withData.isEmpty) {
+      // no rows to preserve anywhere: just drop the empty epoch dirs
+      folded.foreach { case (p, _) =>
+        require(fs.delete(p, true),
+          s"compaction: could not delete empty fold source $p")
+      }
+      return
     }
+    Lake.compactDirs(s, withData.map(_._1.toString).toSeq, tmp.toString,
+      targetBytes, sortCols, partitionCols)
+    val o = fs.create(commit, true); o.close()
     // commit point reached; everything below succeeds or stops loudly
     val dest = new org.apache.hadoop.fs.Path(root, s"epoch=${upTo - 1}")
     require(folded.exists(_._1.getName == dest.getName) || !fs.exists(dest),
@@ -103,5 +114,55 @@ private[stream] object EpochFold {
     }
     require(!fs.exists(dest), s"compaction: $dest reappeared after source deletion")
     require(fs.rename(tmp, dest), s"compaction: could not install $dest from $tmp")
+  }
+
+  /** Finish (or discard) folds interrupted by a crash, regardless of the
+    * `upTo` they were started with. A `.compact_tmp_<N>` carrying a
+    * commit marker passed its commit point: the snapshot may be the only
+    * copy of its rows (sources partially deleted), so the install is
+    * completed here — any remaining `epoch<N` dir is a fold source whose
+    * rows the snapshot already holds. Without a marker the sources are
+    * intact and the partial snapshot is discarded. Running this on every
+    * entry (not only when re-invoked with the same `upTo`, which the tmp
+    * name embeds) closes the window where a caller whose fold cadence
+    * changed across a restart would strand a committed snapshot in an
+    * invisible dot-dir — for the ingest indexes that means silently
+    * re-admitting every duplicate whose key was in the folded epochs. */
+  private def recoverInterrupted(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    val TmpName = """\.compact_tmp_(-?\d+)""".r
+    val tmps = fs.listStatus(root).flatMap { st =>
+      st.getPath.getName match {
+        case TmpName(n) if st.isDirectory => Some((st.getPath, n.toLong))
+        case _ => None
+      }
+    }.sortBy(_._2)
+    tmps.foreach { case (tmp, n) =>
+      val committed = fs.exists(new org.apache.hadoop.fs.Path(tmp, "_GRAFT_COMMIT")) ||
+        fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
+      if (!committed) {
+        // pre-commit: sources intact, snapshot incomplete — discard it
+        require(fs.delete(tmp, true),
+          s"compaction: could not discard uncommitted fold snapshot $tmp")
+      } else {
+        val dest = new org.apache.hadoop.fs.Path(root, s"epoch=${n - 1}")
+        val sources = fs.listStatus(root)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
+          .filter(_.getPath.getName.stripPrefix("epoch=").toLong < n)
+        // same refusal as fold(): never delete sources under a blocked dest
+        require(sources.exists(_.getPath.getName == dest.getName) || !fs.exists(dest),
+          s"compaction recovery: $dest exists but is not a fold source; refusing " +
+            s"to touch sources (remove the blocker and re-run — the committed " +
+            s"fold is preserved in $tmp)")
+        sources.foreach { st =>
+          require(fs.delete(st.getPath, true),
+            s"compaction recovery: could not delete fold source ${st.getPath}")
+        }
+        require(!fs.exists(dest),
+          s"compaction recovery: $dest reappeared after source deletion")
+        require(fs.rename(tmp, dest),
+          s"compaction recovery: could not install $dest from $tmp")
+      }
+    }
   }
 }

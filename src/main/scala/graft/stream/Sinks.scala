@@ -142,12 +142,21 @@ object Sinks {
     require(fs.exists(marker), s"no _graft_buckets marker at $path")
     val in = fs.open(marker)
     val n = try scala.io.Source.fromInputStream(in).mkString.trim.toInt finally in.close()
-    val keyPred = keys.zip(keyValues).map { case (k, v) => col(k) === lit(v) }
+    val table = spark.read.parquet(path)
+    // hash() is type-sensitive: an Int literal probed against a Long key
+    // column Murmur3-hashes differently from the writer's hash(col), so
+    // the filter would prune to the WRONG __bucket= partition and the
+    // lookup would silently return empty. Cast each literal to the
+    // stored column's type so probe and writer hash identical values.
+    val typedLits = keys.zip(keyValues).map { case (k, v) =>
+      lit(v).cast(table.schema(k).dataType)
+    }
+    val keyPred = keys.zip(typedLits).map { case (k, v) => col(k) === v }
       .reduce(_ && _)
-    spark.read.parquet(path)
+    table
       // all-literal expression: constant-folded to `__bucket = <N>` at
       // optimization time, which partition-prunes the scan
-      .filter(col("__bucket") === pmod(hash(keyValues.map(lit): _*), lit(n)) && keyPred)
+      .filter(col("__bucket") === pmod(hash(typedLits: _*), lit(n)) && keyPred)
       .drop("__bucket")
   }
 
@@ -218,22 +227,32 @@ object Sinks {
   /** The MERGE statement [[upsertDelta]] executes: match on every key;
     * update only when the source is strictly newer (lexicographically
     * over the `version` columns — a tie keeps the existing row, like
-    * the parquet stand-ins); insert unmatched keys. */
+    * the parquet stand-ins); insert unmatched keys.
+    *
+    * Identifiers are backtick-quoted (the table name per dot-separated
+    * qualifier) so column or table names needing escaping can't break
+    * the statement, and an empty `keys`/`version` is refused up front —
+    * it would otherwise render an empty ON clause or a
+    * `WHEN MATCHED AND ()` that fails to parse only at run time. */
   def mergeSql(table: String, srcView: String, cols: Seq[String],
       keys: Seq[String], version: Seq[String]): String = {
-    val on = keys.map(k => s"t.$k = s.$k").mkString(" AND ")
+    require(keys.nonEmpty, "mergeSql: at least one key column required")
+    require(version.nonEmpty, "mergeSql: at least one version column required")
+    def q(id: String) = "`" + id.replace("`", "``") + "`"
+    def qt(t: String) = t.split('.').map(q).mkString(".")
+    val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
     // (s.v1, s.v2, …) > (t.v1, t.v2, …), expanded lexicographically
     val newer = version.indices.map { i =>
-      val eqs = version.take(i).map(v => s"s.$v = t.$v")
-      (eqs :+ s"s.${version(i)} > t.${version(i)}").mkString("(", " AND ", ")")
+      val eqs = version.take(i).map(v => s"s.${q(v)} = t.${q(v)}")
+      (eqs :+ s"s.${q(version(i))} > t.${q(version(i))}").mkString("(", " AND ", ")")
     }.mkString(" OR ")
-    val sets = cols.map(c => s"t.$c = s.$c").mkString(", ")
-    s"""MERGE INTO $table t
-       |USING $srcView s
+    val sets = cols.map(c => s"t.${q(c)} = s.${q(c)}").mkString(", ")
+    s"""MERGE INTO ${qt(table)} t
+       |USING ${qt(srcView)} s
        |ON $on
        |WHEN MATCHED AND ($newer) THEN UPDATE SET $sets
-       |WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
-       |VALUES (${cols.map(c => s"s.$c").mkString(", ")})""".stripMargin
+       |WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")})
+       |VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})""".stripMargin
   }
 
   /** K1/K2 against a real database: newest-per-key reduction in Spark,

@@ -120,6 +120,34 @@ class SinksSpec extends SparkSpec {
       s"lookup read $filesRead of $filesTotal files — no pruning happened")
   }
 
+  test("lookupBucketed: literal type narrower than the stored key still finds the row") {
+    val dir = Files.createTempDirectory("graft_lookup_t").toString + "/t"
+    val seed = (0 until 100).map(i => (i.toLong, 1L, i.toString))
+    Sinks.upsertParquetBucketed(seed.toDF("id", "v", "x"), dir, Seq("id"), Seq("v"), 8)
+    // probe with Int literals against the Long key column: Murmur3 over
+    // 4 bytes != over 8 bytes, so an uncast literal would prune to the
+    // WRONG __bucket= partition and silently return nothing
+    (40 to 44).foreach { i =>
+      val got = Sinks.lookupBucketed(spark, dir, Seq("id"), Seq(i)) // Int vs Long
+        .select("x").as[String].collect().toSeq
+      assert(got == Seq(i.toString), s"lookup for id=$i returned $got")
+    }
+  }
+
+  test("mergeSql: refuses empty key/version; escaped identifiers still parse") {
+    import org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable
+    val e = intercept[IllegalArgumentException] {
+      Sinks.mergeSql("t", "s", Seq("k", "v"), Seq("k"), Nil)
+    }
+    assert(e.getMessage.contains("version"))
+    // an empty version seq used to render `WHEN MATCHED AND ()` — a
+    // runtime parse failure; reserved words / spaces in identifiers
+    // used to break the statement entirely
+    val sql = Sinks.mergeSql("lake.select", "src",
+      Seq("record id", "order", "ts"), Seq("record id"), Seq("ts"))
+    assert(spark.sessionState.sqlParser.parsePlan(sql).isInstanceOf[MergeIntoTable])
+  }
+
   test("upsertDelta: generated MERGE parses to the expected plan shape") {
     import org.apache.spark.sql.catalyst.plans.logical.{InsertAction, MergeIntoTable, UpdateAction}
     val sql = Sinks.mergeSql("lake.production_records", "src",
