@@ -84,7 +84,20 @@ object EmbedIngest {
     * increasing, replay-idempotent). `batch` needs (vec_id: long,
     * embedding: array<float>). */
   def ingestBatch(batch: DataFrame, dir: String, epochId: Long,
-                  tau: Double = 0.95, nProbe: Int = 4): Unit = {
+                  tau: Double = 0.95, nProbe: Int = 4): Unit =
+    // survivors land in THEIR nearest cell (pr = 1) for this epoch;
+    // epoch-dir OVERWRITE is the replay-idempotence point
+    survivors(batch, dir, epochId, tau, nProbe)
+      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(s"$dir/cells/epoch=$epochId")
+
+  /** The batch's admitted vectors as a pure plan — (vec_id, embedding,
+    * nrm, cell) with `cell` = the vector's nearest centroid. Split from
+    * [[ingestBatch]] (IngestDedup.survivors' shape) so specs can pin
+    * plans and so [[MultimodalIngest]] can compose this membrane with
+    * the text one before any write. */
+  private[graft] def survivors(batch: DataFrame, dir: String, epochId: Long,
+                               tau: Double, nProbe: Int): DataFrame = {
     val s = batch.sparkSession
     val cents = broadcast(s.read.parquet(s"$dir/centroids"))
     val nm0 = withNorm(batch).localCheckpoint() // bounded: one micro-batch
@@ -140,13 +153,9 @@ object EmbedIngest {
           .select("vec_id").distinct()
       }
 
-    // survivors land in THEIR nearest cell (pr = 1) for this epoch;
-    // epoch-dir OVERWRITE is the replay-idempotence point
     probes.filter(col("pr") === 1)
       .join(inBatchLosers.union(corpusLosers).distinct(), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
-      .write.mode(SaveMode.Overwrite).partitionBy("cell")
-      .parquet(s"$dir/cells/epoch=$epochId")
   }
 
   /** Admitted corpus without layout columns. */

@@ -1,0 +1,127 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The composed ingest membrane for a multimodal training corpus: one
+  * `foreachBatch` that runs BOTH dedup-at-ingest filters over documents
+  * carrying `text` and `embedding` columns —
+  *
+  *   1. text: exact (content hash) + near-dup (MinHash/LSH bands)
+  *      against batch-mates and the accumulated corpus
+  *      ([[IngestDedup.survivors]]);
+  *   2. embedding: cosine-at-tau against batch-mates and the
+  *      accumulated corpus over the IVF cell layout
+  *      ([[EmbedIngest.survivors]]), evaluated on the text stage's
+  *      survivors — a document is admitted iff it passes BOTH.
+  *
+  * The two membranes share ONE epoch id (the foreachBatch batch id) and
+  * ONE compaction cadence: every store under `dir` — text corpus, both
+  * key indexes, and the vector cells — is epoch-partitioned on the same
+  * id, written with OVERWRITE into its own `epoch=N` partition, and
+  * probed at strictly `epoch < N`. A replayed epoch therefore recomputes
+  * against exactly the pre-N state of BOTH membranes and overwrites any
+  * partial output in ALL stores, so the composite stays exactly-once
+  * even when a crash lands between the text-store and vector-store
+  * writes of the same epoch.
+  *
+  * Rejection composes sequentially, like the equivalent batch pipeline
+  * (text filter → embedding filter): a batch-mate that lost the text
+  * stage to a doc the embedding stage later rejects is not resurrected.
+  * Index keys and cell vectors are extended by ADMITTED docs only, so
+  * the invariant of both membranes — state describes the corpus, the
+  * whole corpus, and nothing else — holds for the composite too.
+  *
+  * State layout under `dir`:
+  * {{{
+  *   text/corpus/epoch=N/      admitted documents (all columns)
+  *   text/exact_idx/epoch=N/   content-hash keys of admitted docs
+  *   text/band_idx/epoch=N/    LSH band keys of admitted docs
+  *   embed/centroids/          pinned coarse quantizer ([[init]])
+  *   embed/cells/epoch=N/cell=M/  admitted vectors, cell-partitioned
+  * }}}
+  *
+  * Scale story is inherited unchanged: the text probes pick their
+  * no-index-shuffle regime by batch size, the vector probe is
+  * partition-pruned to (epoch < N) × touched cells, and compaction
+  * folds every store's epoch partitions under the crash-safe
+  * [[EpochFold]] protocol on one cadence.
+  */
+object MultimodalIngest {
+
+  /** Pin the embedding quantizer (see [[EmbedIngest.init]]); required
+    * once before the first batch. */
+  def init(spark: SparkSession, dir: String, centroids: DataFrame): Unit =
+    EmbedIngest.init(spark, s"$dir/embed", centroids)
+
+  /** Start the composed ingest query. `docs` must have `doc_id` (long),
+    * `text` (string) and `embedding` (array<float>, non-null) columns. */
+  def start(docs: DataFrame, dir: String, checkpoint: String,
+            trigger: Trigger = Trigger.ProcessingTime("1 second"),
+            tau: Double = 0.95, nProbe: Int = 4,
+            compactEvery: Int = 64): StreamingQuery =
+    docs.writeStream.trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // one cadence for every store, BEFORE the batch runs — at that
+        // point every epoch < id is checkpoint-committed in all of them
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
+          compact(batch.sparkSession, dir, upTo = id)
+        ingestBatch(batch, dir, id, tau, nProbe)
+      }
+      .start()
+
+  /** Fold epochs `< upTo` in every store — text indexes, text corpus,
+    * and vector cells — under the shared cadence. Same `upTo` contract
+    * as [[IngestDedup.compactIndexes]]: only epochs that can no longer
+    * replay. */
+  def compact(s: SparkSession, dir: String, upTo: Long,
+              targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    IngestDedup.compactIndexes(s, s"$dir/text", upTo, targetBytes)
+    EmbedIngest.compactCells(s, s"$dir/embed", upTo, targetBytes)
+  }
+
+  /** One micro-batch pass (same epoch contract as
+    * [[IngestDedup.ingestBatch]]: strictly increasing epochs,
+    * replay-idempotent; backfill and streaming share this path). */
+  def ingestBatch(batch: DataFrame, dir: String, epochId: Long,
+                  tau: Double = 0.95, nProbe: Int = 4): Unit = {
+    val s = batch.sparkSession
+    Seq("corpus", "exact_idx", "band_idx")
+      .foreach(t => EpochFold.migrateLegacyFlat(s, s"$dir/text/$t"))
+
+    // stage 1 — text membrane (cheap hash work first, so the cosine
+    // stage only ever sees text-novel docs)
+    val textKeep = IngestDedup.survivors(batch, s"$dir/text", epochId)
+      .localCheckpoint() // bounded (one micro-batch); feeds stage 2 + 3 writes
+    // stage 2 — embedding membrane over the text survivors; its output
+    // IS the admitted set (embedKeep ⊆ textKeep by construction)
+    val embedKeep = EmbedIngest.survivors(
+        textKeep.select(col("doc_id").as("vec_id"), col("embedding")),
+        s"$dir/embed", epochId, tau, nProbe)
+      .localCheckpoint() // feeds the cells write and the id filter below
+    val keep = textKeep.join(
+      broadcast(embedKeep.select(col("vec_id").as("doc_id"))), Seq("doc_id"))
+
+    // commit, mirroring the single-membrane writes: OVERWRITE of each
+    // epoch partition is the idempotence point in every store
+    keep.drop("bands", "content_key")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/text/corpus/epoch=$epochId")
+    keep.select(col("content_key"))
+      .sortWithinPartitions("content_key")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/text/exact_idx/epoch=$epochId")
+    keep.select(explode(col("bands")).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"))
+      .filter(col("key").isNotNull)
+      .sortWithinPartitions("key")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/text/band_idx/epoch=$epochId")
+    embedKeep
+      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(s"$dir/embed/cells/epoch=$epochId")
+  }
+
+  /** The admitted corpus (documents with all their columns). */
+  def corpus(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/text/corpus")
+}
