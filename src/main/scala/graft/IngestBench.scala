@@ -13,13 +13,20 @@ import org.apache.spark.sql.functions._
   * converged corpus keeps 3/5 of docs (base kept, exact dup dropped,
   * near dup dropped, both uniques kept).
   *
-  * Env: GRAFT_INGEST_DOCS (default 100000), GRAFT_INGEST_BATCHES (10).
+  * Env: GRAFT_INGEST_DOCS (default 100000), GRAFT_INGEST_BATCHES (10),
+  * GRAFT_INGEST_MODE: `default` runs the production regime switches as
+  * configured; `regimes` runs the SAME workload three times against a
+  * fresh store, forcing each probe regime (trickle IN-pushdown /
+  * broadcast / shuffle) via the `spark.graft.ingest.*` limit confs, and
+  * prints per-regime docs/sec in one JSON line — the boundary numbers
+  * BASELINE.md records.
   * Prints one JSON line with docs/sec and the dedup ratio achieved.
   */
 object IngestBench {
   def main(args: Array[String]): Unit = {
     val nDocs = sys.env.getOrElse("GRAFT_INGEST_DOCS", "100000").toLong
     val nBatches = sys.env.getOrElse("GRAFT_INGEST_BATCHES", "10").toInt
+    val mode = sys.env.getOrElse("GRAFT_INGEST_MODE", "default")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -47,17 +54,40 @@ object IngestBench {
       .withColumnRenamed("id", "doc_id")
 
     val batchSize = math.max(1L, nDocs / nBatches)
-    val t0 = System.nanoTime()
-    (0 until nBatches).foreach { b =>
-      // last batch takes the division remainder so every doc ingests
-      val hi = if (b == nBatches - 1) nDocs else (b + 1) * batchSize
-      stream.IngestDedup.ingestBatch(
-        docs.filter(col("doc_id") >= b * batchSize && col("doc_id") < hi),
-        dir, epochId = b)
+    def ingestAll(toDir: String): (Double, Long) = {
+      val t0 = System.nanoTime()
+      (0 until nBatches).foreach { b =>
+        // last batch takes the division remainder so every doc ingests
+        val hi = if (b == nBatches - 1) nDocs else (b + 1) * batchSize
+        stream.IngestDedup.ingestBatch(
+          docs.filter(col("doc_id") >= b * batchSize && col("doc_id") < hi),
+          toDir, epochId = b)
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      (secs, spark.read.parquet(s"$toDir/corpus").count())
     }
-    val secs = (System.nanoTime() - t0) / 1e9
-    val kept = spark.read.parquet(s"$dir/corpus").count()
-    println(f"""{"metric":"ingest_docs_per_sec","value":${nDocs / secs}%.1f,"docs":$nDocs,"batches":$nBatches,"kept":$kept,"expected_kept":${nDocs * 3 / 5},"secs":$secs%.1f}""")
+
+    if (mode == "regimes") {
+      // force each probe regime over the identical workload; the limits
+      // are read per batch, so setting them before a run is enough
+      val forced = Seq(
+        ("trickle", Map("spark.graft.ingest.isinKeyLimit" -> Long.MaxValue.toString,
+                        "spark.graft.ingest.broadcastKeyLimit" -> Long.MaxValue.toString)),
+        ("broadcast", Map("spark.graft.ingest.isinKeyLimit" -> "0",
+                          "spark.graft.ingest.broadcastKeyLimit" -> Long.MaxValue.toString)),
+        ("shuffle", Map("spark.graft.ingest.isinKeyLimit" -> "0",
+                        "spark.graft.ingest.broadcastKeyLimit" -> "0")))
+      val rates = forced.map { case (name, confs) =>
+        confs.foreach { case (k, v) => spark.conf.set(k, v) }
+        val (secs, kept) = ingestAll(s"$dir/$name")
+        require(kept == nDocs * 3 / 5, s"$name regime kept $kept, expected ${nDocs * 3 / 5}")
+        f""""$name":${nDocs / secs}%.1f"""
+      }
+      println(s"""{"metric":"ingest_regime_docs_per_sec",${rates.mkString(",")},"docs":$nDocs,"batches":$nBatches}""")
+    } else {
+      val (secs, kept) = ingestAll(dir)
+      println(f"""{"metric":"ingest_docs_per_sec","value":${nDocs / secs}%.1f,"docs":$nDocs,"batches":$nBatches,"kept":$kept,"expected_kept":${nDocs * 3 / 5},"secs":$secs%.1f}""")
+    }
     spark.stop()
   }
 }

@@ -117,13 +117,25 @@ object IngestDedup {
 
   /** Trickle regime: batches with ≤ this many docs probe the indexes
     * through a driver-collected literal IN filter (bounded by this
-    * constant, not by data) that pushes down to the parquet scans. */
+    * constant, not by data) that pushes down to the parquet scans.
+    * Default for [[isinKeyLimit]]; override per session with
+    * `spark.graft.ingest.isinKeyLimit`. */
   private[graft] val IsinKeyLimit = 8192L
   /** Micro-batch regime: batches up to this size probe by broadcasting
     * their key set into a map-side join against the index. Beyond it
     * (huge backfills) the plain shuffle join takes over — at that
-    * batch size the index shuffle amortizes. */
+    * batch size the index shuffle amortizes. Default for
+    * [[broadcastKeyLimit]]; override per session with
+    * `spark.graft.ingest.broadcastKeyLimit`. */
   private[graft] val BroadcastKeyLimit = 4000000L
+
+  // conf-overridable so deployments can tune the switch points to their
+  // batch cadence (and so specs/benches can drive ONE dataset through
+  // each regime and pin every regime's plan, not just the trickle one)
+  private def isinKeyLimit(s: SparkSession): Long =
+    s.conf.get("spark.graft.ingest.isinKeyLimit", IsinKeyLimit.toString).toLong
+  private def broadcastKeyLimit(s: SparkSession): Long =
+    s.conf.get("spark.graft.ingest.broadcastKeyLimit", BroadcastKeyLimit.toString).toLong
 
   /** Steps 1-3 as a pure plan: the batch's surviving docs. Split from
     * [[ingestBatch]] so specs can pin the PLAN shape, not just results.
@@ -149,6 +161,8 @@ object IngestDedup {
       .withColumn("bands", Dedup.bandKeys(col("text")))
       .localCheckpoint() // small (one micro-batch); read multiple times below
     val batchRows = keyed.count() // cheap: counts the checkpoint blocks
+    val isinLimit = isinKeyLimit(s)
+    val bcastLimit = broadcastKeyLimit(s)
 
     // 1. exact within batch: min doc_id per content wins (deterministic)
     val firstPerContent = keyed.groupBy(col("content_key"))
@@ -160,7 +174,7 @@ object IngestDedup {
     val exactFresh = readIfExists(s, s"$dir/exact_idx") match {
       case Some(idx) =>
         val idxPrior = priorEpochs(idx, epochId)
-        if (batchRows > BroadcastKeyLimit)
+        if (batchRows > bcastLimit)
           exactInBatch.join(idxPrior, Seq("content_key"), "left_anti")
         else {
           val batchKeys = exactInBatch.select("content_key").distinct()
@@ -169,7 +183,7 @@ object IngestDedup {
           // admitted, so no key is written twice) — a distinct here
           // would only add a shuffle stage per micro-batch
           val hits =
-            if (batchRows <= IsinKeyLimit) {
+            if (batchRows <= isinLimit) {
               val lits = batchKeys.collect().map(_.getString(0)).toSeq
               idxPrior.filter(col("content_key").isin(lits: _*))
                 .select("content_key")
@@ -200,12 +214,12 @@ object IngestDedup {
     val corpusHits = readIfExists(s, s"$dir/band_idx") match {
       case Some(idx) =>
         val idxPrior = priorEpochs(idx, epochId)
-        if (2 * batchRows > BroadcastKeyLimit)
+        if (2 * batchRows > bcastLimit)
           bk.join(idxPrior, Seq("band", "key")).select("doc_id").distinct()
         else {
           val probePairs = bk.select("band", "key").distinct()
           val pre =
-            if (2 * batchRows <= IsinKeyLimit) {
+            if (2 * batchRows <= isinLimit) {
               // IN on the key alone (a superset — keys are md5s, so a
               // cross-band collision is negligible IO); the join below
               // keeps exactness on (band, key)
