@@ -80,8 +80,14 @@ object Dedup {
     * the cluster (the single-file fixture); at 100 TB the scan itself
     * provides the parallelism and no extra exchange runs.
     */
-  private[graft] def minhashSigs(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.spread(Tables.documents(s, d))
+  private[graft] def minhashSigs(s: SparkSession, d: String): DataFrame =
+    minhashSigsOf(Tables.spread(Tables.documents(s, d)))
+
+  /** [[minhashSigs]] over any (doc_id, text) frame — the seam that lets
+    * specs drive synthetic corpora (e.g. a single-bucket flood) through
+    * the LSH machinery without parquet fixtures. */
+  private[graft] def minhashSigsOf(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
       .select(col("doc_id"), split(lower(substring(col("text"), 1, ShingleChars)), " ").as("toks"))
     val sh = docs.select(col("doc_id"),
         explode(expr("transform(sequence(0, greatest(size(toks) - 3, 0)), " +
@@ -150,6 +156,68 @@ object Dedup {
       .withColumn("est_jaccard", col("n_match").cast("double") / NumHashes)
       .orderBy("id_a", "id_b")
   }
+
+  /** [[qd2_minhash_lsh]]'s reporting shape with a PER-BUCKET output
+    * bound — the scale-safe variant for hot buckets. qd2's contract is
+    * the full pair list, which at 100 TB makes the OUTPUT itself
+    * quadratic in hot-bucket size (one boilerplate band key shared by
+    * 10⁶ docs → 5·10¹¹ result rows). Here each (band, key) bucket
+    * reports at most `cap` pairs plus an `n_overflow` column carrying
+    * exactly how many pairs went unreported, so consumers can tell a
+    * clean corpus from a truncated flood.
+    *
+    * Both compute AND output are O(cap) per bucket, never O(m²): pairs
+    * are enumerated only among the bucket's first D members by doc_id,
+    * with D chosen as the smallest prefix that can fill the cap
+    * (D(D-1)/2 ≥ cap) — a 10⁶-doc bucket ranks its members (linear)
+    * and scores ~cap pairs instead of 5·10¹¹. Reported pairs are the
+    * top-`cap` by estimated Jaccard within that prefix (exact top-cap
+    * whenever the bucket fits the prefix, i.e. m ≤ D; a representative
+    * sample under flood); `n_overflow` always counts against the TRUE
+    * bucket pair count m(m-1)/2. Unlike qd2, pairs are reported per
+    * bucket (band, key in the output) so overflow attribution is
+    * unambiguous. */
+  private[graft] def lshPairsCapped(docs: DataFrame, cap: Int): DataFrame = {
+    require(cap >= 1, "cap must be at least 1")
+    val sigs = minhashSigsOf(docs).localCheckpoint()
+    val bands = bandKeysOf(sigs)
+    // smallest member-prefix size whose pair count reaches the cap
+    val dCap = math.ceil((1 + math.sqrt(1 + 8.0 * cap)) / 2).toInt
+    val wBucket = Window.partitionBy("band", "key")
+    val sized = bands
+      .withColumn("m", count(lit(1)).over(wBucket))
+      .withColumn("rk", row_number().over(wBucket.orderBy("doc_id")))
+    val prefix = sized.filter(col("rk") <= dCap)
+    val a = prefix.as("a"); val b = prefix.as("b")
+    val paired = a.join(b, col("a.band") === col("b.band")
+        && col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.band").as("band"), col("a.key").as("key"),
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("a.m").as("m"))
+    val sa = sigs.as("sa"); val sb = sigs.as("sb")
+    val scored = paired
+      .join(sa, col("id_a") === col("sa.doc_id"))
+      .join(sb, col("id_b") === col("sb.doc_id"))
+      .select(col("band"), col("key"), col("id_a"), col("id_b"), col("m"),
+        (0 until NumHashes).map(j =>
+          when(col(s"sa.h$j") === col(s"sb.h$j"), 1).otherwise(0))
+          .reduce(_ + _).as("n_match"))
+      .withColumn("est_jaccard", col("n_match").cast("double") / NumHashes)
+    val wRank = Window.partitionBy("band", "key")
+      .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
+    scored.withColumn("prk", row_number().over(wRank)).filter(col("prk") <= cap)
+      .withColumn("n_overflow",
+        expr("m * (m - 1) div 2") - count(lit(1)).over(wBucket))
+      .select(col("band"), col("key"), col("id_a"), col("id_b"),
+        col("n_match"), col("est_jaccard"), col("n_overflow"))
+      .orderBy("band", "key", "id_a", "id_b")
+  }
+
+  /** qd8: the capped qd2 on the fixture corpus. The 1000-pair cap is
+    * far above any sf0.01 bucket, so the oracle is the exact per-bucket
+    * pair list with zero overflow — the capping behavior itself is
+    * pinned by DedupClusterSpec's single-bucket flood. */
+  def qd8_lsh_capped(s: SparkSession, d: String): DataFrame =
+    lshPairsCapped(Tables.spread(Tables.documents(s, d)), 1000)
 
   /** qd3: 16-bit SimHash over distinct word tokens — per-bit ±1 votes
     * from the token's md5, bit set when the vote sum is positive. */
@@ -315,6 +383,7 @@ object Dedup {
     "qd7_decontaminate" -> (qd7_decontaminate _),
     "qd1_exact_dedup" -> (qd1_exact_dedup _),
     "qd2_minhash_lsh" -> (qd2_minhash_lsh _),
+    "qd8_lsh_capped" -> (qd8_lsh_capped _),
     "qd3_simhash" -> (qd3_simhash _),
     "qd4_ngram_jaccard" -> (qd4_ngram_jaccard _),
     "qd5_embedding_neardup" -> (qd5_embedding_neardup _),
@@ -373,6 +442,36 @@ object Dedup {
          |  + CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END + CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END) AS DOUBLE) / 6 AS est_jaccard
          |FROM pairs JOIN sigs sa ON id_a = sa.doc_id JOIN sigs sb ON id_b = sb.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
+    "qd8_lsh_capped" ->
+      s"""WITH $shingleSql,
+         |sigs AS (
+         | SELECT doc_id,
+         |  MIN(md5('0|' || shingle)) AS h0, MIN(md5('1|' || shingle)) AS h1,
+         |  MIN(md5('2|' || shingle)) AS h2, MIN(md5('3|' || shingle)) AS h3,
+         |  MIN(md5('4|' || shingle)) AS h4, MIN(md5('5|' || shingle)) AS h5
+         | FROM shingles GROUP BY 1),
+         |bands AS (
+         | SELECT doc_id, 0 AS band, md5(h0 || h1 || h2) AS key FROM sigs
+         | UNION ALL
+         | SELECT doc_id, 1 AS band, md5(h3 || h4 || h5) AS key FROM sigs),
+         |sized AS (
+         | SELECT doc_id, band, key, COUNT(*) OVER (PARTITION BY band, key) AS m
+         | FROM bands),
+         |pairs AS (
+         | SELECT a.band, a.key, a.doc_id AS id_a, b.doc_id AS id_b, a.m
+         | FROM sized a JOIN sized b ON a.band = b.band AND a.key = b.key
+         |  AND a.doc_id < b.doc_id),
+         |scored AS (
+         | SELECT band, key, id_a, id_b, m,
+         |  (CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END + CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END
+         |   + CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END + CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END
+         |   + CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END + CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END) AS n_match
+         | FROM pairs JOIN sigs sa ON id_a = sa.doc_id JOIN sigs sb ON id_b = sb.doc_id)
+         |SELECT band, key, id_a, id_b, n_match,
+         | CAST(n_match AS DOUBLE) / 6 AS est_jaccard,
+         | CAST(m * (m - 1) // 2 - COUNT(*) OVER (PARTITION BY band, key) AS BIGINT) AS n_overflow
+         |FROM scored
+         |ORDER BY band, key, id_a, id_b""".stripMargin,
     "qd3_simhash" ->
       """WITH toks AS (
         | SELECT DISTINCT doc_id, t.tok FROM (

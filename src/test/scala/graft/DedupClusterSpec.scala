@@ -35,6 +35,30 @@ class DedupClusterSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("hot-bucket flood: capped pair reporting emits cap rows, not m(m-1)/2") {
+    import spark.implicits._
+    // 1000 docs sharing the whole 120-char shingle window → identical
+    // minhash → ONE bucket per band of m=1000: the uncapped reporting
+    // shape would emit 2 × 499,500 rows
+    val prefix = (0 until 30).map(i => f"w$i%02d").mkString(" ")
+    val docs = (0L until 1000L).map(i => (i, s"$prefix tail$i")).toDF("doc_id", "text")
+    val out = Dedup.lshPairsCapped(docs, cap = 10).collect()
+    assert(out.length == 20, s"2 buckets × cap 10 expected, got ${out.length}")
+    assert(out.forall(_.getAs[Long]("n_overflow") == 499500L - 10L),
+      "overflow must count against the TRUE bucket pair count")
+    assert(out.forall(_.getAs[Int]("n_match") == 6),
+      "identical shingle windows → full minhash agreement")
+  }
+
+  test("cap above the bucket pair count reports every pair with zero overflow") {
+    import spark.implicits._
+    val prefix = (0 until 30).map(i => f"z$i%02d").mkString(" ")
+    val docs = (0L until 5L).map(i => (i, s"$prefix tail$i")).toDF("doc_id", "text")
+    val out = Dedup.lshPairsCapped(docs, cap = 1000).collect()
+    assert(out.length == 2 * 10, "2 buckets × C(5,2) pairs")
+    assert(out.forall(_.getAs[Long]("n_overflow") == 0L))
+  }
+
   test("labels respect the candidate edges: pair endpoints share a cluster") {
     val labels = Dedup.qd6_dup_clusters(spark, sf)
       .select(col("doc_id"), col("cluster_id"))
