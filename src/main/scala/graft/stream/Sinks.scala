@@ -345,19 +345,88 @@ object Sinks {
   }
 
   /** K4: dedup-append CSV — append only rows whose logical key
-    * (estacion, numero_parte, fecha) is absent (Prensas.py:227-279). */
-  def appendCsvDedup(batch: DataFrame, path: String): Unit = {
+    * (estacion, numero_parte, fecha) is absent (Prensas.py:227-279).
+    *
+    * With `epochId >= 0` (wired by [[applyActions]]) the sink keeps a
+    * content-keyed parquet index in a dot-dir beside the CSV and lays
+    * the CSV out in `epoch=N` partitions. The per-batch probe then
+    * reads the INDEX (pushed-IN for trickle batches, broadcast beyond
+    * — IngestDedup's regimes), never the accumulated CSV, so per-batch
+    * read IO stops growing with table size — this was the last sink
+    * whose batch cost was O(accumulated rows). Epoch OVERWRITE of both
+    * the CSV partition and the index partition makes replays
+    * exactly-once; the index folds on a cadence under the crash-safe
+    * [[EpochFold]] protocol. A pre-epoch flat CSV is adopted into
+    * `epoch=-1` on first contact and its keys bootstrapped into the
+    * index (one-time full read). CSV consumers see the same rows —
+    * partition discovery adds only the `epoch` column.
+    *
+    * `epochId = -1` keeps the original whole-CSV anti-join for callers
+    * without a batch id (at-least-once, self-healing, flat layout). */
+  def appendCsvDedup(batch: DataFrame, path: String, epochId: Long = -1L,
+      compactEvery: Int = 64): Unit = {
     val spark = batch.sparkSession
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val keys = Seq("estacion", "numero_parte", "fecha")
     val fresh = batch.dropDuplicates(keys)
-    val toWrite =
-      if (fs.exists(new Path(path))) {
-        val existing = spark.read.schema(batch.schema).option("header", "true").csv(path)
-        fresh.join(existing.select(keys.map(col): _*), keys, "left_anti")
-          .select(batch.columns.map(col): _*) // join moves key cols first; keep file layout stable
-      } else fresh
-    toWrite.write.mode(SaveMode.Append).option("header", "true").csv(path)
+    if (epochId < 0) {
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val toWrite =
+        if (fs.exists(new Path(path))) {
+          val existing = spark.read.schema(batch.schema).option("header", "true").csv(path)
+          fresh.join(existing.select(keys.map(col): _*), keys, "left_anti")
+            .select(batch.columns.map(col): _*) // join moves key cols first; keep file layout stable
+        } else fresh
+      toWrite.write.mode(SaveMode.Append).option("header", "true").csv(path)
+      return
+    }
+    val idxPath = nfIdxPath(path)
+    // adopt a flat-layout CSV and bootstrap its keys into the index, once
+    EpochFold.migrateLegacyFlat(spark, path)
+    if (!EpochFold.hasDataFiles(spark, idxPath) &&
+        EpochFold.hasDataFiles(spark, s"$path/epoch=-1")) {
+      spark.read.schema(batch.schema).option("header", "true").csv(s"$path/epoch=-1")
+        .select(nfKey(keys).as("nf_key"))
+        .sortWithinPartitions("nf_key")
+        .write.mode(SaveMode.Overwrite).parquet(s"$idxPath/epoch=-1")
+    }
+    if (compactEvery > 0 && epochId > 0 && epochId % compactEvery == 0)
+      EpochFold.fold(spark, idxPath, epochId, 128L * 1024 * 1024, Seq("nf_key"))
+    val survivors = csvDedupSurvivors(fresh, path, epochId)
+      .localCheckpoint() // feeds the CSV write and the index write
+    survivors.select(batch.columns.map(col): _*)
+      .write.mode(SaveMode.Overwrite).option("header", "true")
+      .csv(s"$path/epoch=$epochId")
+    survivors.select(col("nf_key")).sortWithinPartitions("nf_key")
+      .write.mode(SaveMode.Overwrite).parquet(s"$idxPath/epoch=$epochId")
+  }
+
+  private def nfIdxPath(path: String) = s"$path/._nf_idx"
+  // \u0001 separator: ("ab","c") and ("a","bc") must not share a key
+  private def nfKey(keys: Seq[String]) =
+    md5(concat_ws("", keys.map(col): _*).cast("binary"))
+
+  /** The batch rows whose logical key is absent from the index, as a
+    * pure plan (probe regimes and `epoch < N` visibility exactly like
+    * [[IngestDedup.survivors]]) — split out so specs can pin that the
+    * probe reads the index, never the accumulated CSV. */
+  private[graft] def csvDedupSurvivors(fresh: DataFrame, path: String,
+      epochId: Long): DataFrame = {
+    val spark = fresh.sparkSession
+    val keys = Seq("estacion", "numero_parte", "fecha")
+    val keyed = fresh.withColumn("nf_key", nfKey(keys))
+      .localCheckpoint() // one micro-batch; probed + anti-joined below
+    if (!EpochFold.hasDataFiles(spark, nfIdxPath(path))) keyed
+    else {
+      val idx = spark.read.parquet(nfIdxPath(path)).filter(col("epoch") < epochId)
+      val hits =
+        if (keyed.count() <= IngestDedup.IsinKeyLimit) {
+          val lits = keyed.select("nf_key").collect().map(_.getString(0)).toSeq
+          idx.filter(col("nf_key").isin(lits: _*)).select("nf_key")
+        } else
+          idx.join(broadcast(keyed.select("nf_key").distinct()), Seq("nf_key"))
+            .select("nf_key")
+      keyed.join(broadcast(hits), Seq("nf_key"), "left_anti")
+    }
   }
 
   /** Apply one micro-batch of [[ActionRow]]s: records upsert (create →
@@ -423,7 +492,7 @@ object Sinks {
           col("original").as("numero_parte_original"), col("fecha"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("timestamp"))
       if (!nf.isEmpty)
-        appendCsvDedup(nf, s"$outDir/parts_not_found")
+        appendCsvDedup(nf, s"$outDir/parts_not_found", epochId)
     } finally df.unpersist()
   }
 

@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 import graft.stream.Sinks
 
 /** Upsert + dedup-append sink behavior (K1-K5, K4). */
-class SinksSpec extends SparkSpec {
+class SinksSpec extends SparkSpec
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
   import spark.implicits._
 
   test("upsertParquet: newest version wins per key; others untouched") {
@@ -248,6 +249,71 @@ class SinksSpec extends SparkSpec {
     assert(hist.count() == 2)
     assert(hist.agg(sum("quantity")).as[Long].collect().head == 12L)
     assert(hist.select("epoch").as[Long].collect().sorted.toSeq == Seq(-1L, 0L))
+  }
+
+  test("appendCsvDedup epoch layout: dedup across batches; replay is exactly-once") {
+    val dir = Files.createTempDirectory("graft_csv_e").toString + "/nf"
+    val r1 = Seq(("P1", "X", "X/Y", "2024-03-05", "2024-03-05 09:00:00"))
+      .toDF("estacion", "numero_parte", "numero_parte_original", "fecha", "timestamp")
+    val r2 = Seq(
+      ("P1", "X", "X/Y", "2024-03-06", "2024-03-06 09:00:00"), // new fecha: kept
+      ("P1", "X", "OTHER", "2024-03-05", "2024-03-05 10:00:00")) // dup PK: dropped
+      .toDF("estacion", "numero_parte", "numero_parte_original", "fecha", "timestamp")
+    Sinks.appendCsvDedup(r1, dir, epochId = 0)
+    Sinks.appendCsvDedup(r2, dir, epochId = 1)
+    def rows = spark.read.option("header", "true").csv(dir)
+    assert(rows.count() == 2)
+    assert(rows.select("fecha").as[String].collect().toSet ==
+      Set("2024-03-05", "2024-03-06"))
+    // crash-replay of epoch 1: OVERWRITE of its CSV + index partitions
+    // converges instead of appending a third copy
+    Sinks.appendCsvDedup(r2, dir, epochId = 1)
+    assert(rows.count() == 2, "epoch replay must not duplicate CSV rows")
+  }
+
+  test("appendCsvDedup probe reads the key index, never the accumulated CSV") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = Files.createTempDirectory("graft_csv_p").toString + "/nf"
+    (0 to 2).foreach { e =>
+      Sinks.appendCsvDedup(
+        Seq((s"P$e", "X", "X/Y", s"2024-03-0${e + 1}", "t"))
+          .toDF("estacion", "numero_parte", "numero_parte_original", "fecha", "timestamp"),
+        dir, epochId = e)
+    }
+    val probe = Sinks.csvDedupSurvivors(
+      Seq(("P0", "X", "X/Y", "2024-03-01", "t"), ("P9", "Y", "Y/Z", "2024-03-09", "t"))
+        .toDF("estacion", "numero_parte", "numero_parte_original", "fecha", "timestamp"),
+      dir, epochId = 3)
+    assert(probe.select("estacion").as[String].collect().toSeq == Seq("P9"),
+      "known key P0 rejected by the index; novel P9 survives")
+    val scans = collectWithSubqueries(probe.queryExecution.executedPlan) {
+      case sc: FileSourceScanExec => sc
+    }
+    val idxScans = scans.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("_nf_idx")))
+    assert(idxScans.nonEmpty, "the probe must read the key index")
+    assert(idxScans.exists(sc => Seq("In(nf_key", "EqualTo(nf_key")
+        .exists(sc.metadata("PushedFilters").contains)),
+      s"batch keys must push into the index scan: ${idxScans.map(_.metadata("PushedFilters"))}")
+    assert(scans.size == idxScans.size,
+      "per-batch read IO must not include the accumulated CSV itself")
+  }
+
+  test("appendCsvDedup adopts a flat legacy CSV; its keys still dedup") {
+    val dir = Files.createTempDirectory("graft_csv_l").toString + "/nf"
+    val legacy = Seq(("P1", "X", "X/Y", "2024-03-05", "t"))
+      .toDF("estacion", "numero_parte", "numero_parte_original", "fecha", "timestamp")
+    Sinks.appendCsvDedup(legacy, dir) // epochId = -1: the flat layout
+    Sinks.appendCsvDedup(
+      Seq(("P1", "X", "OTHER", "2024-03-05", "t2"),  // dup of the legacy PK
+          ("P2", "Z", "Z/W", "2024-03-05", "t3"))    // novel
+        .toDF("estacion", "numero_parte", "numero_parte_original", "fecha", "timestamp"),
+      dir, epochId = 0)
+    val got = spark.read.option("header", "true").csv(dir)
+    assert(got.count() == 2, "legacy key must reject its dup without a full-CSV read")
+    assert(got.select("numero_parte").as[String].collect().toSet == Set("X", "Z"))
+    assert(new java.io.File(s"$dir/epoch=-1").isDirectory,
+      "flat files must live in an epoch=-1 partition after first contact")
   }
 
   test("appendCsvDedup: logical-PK dedup across appends (Prensas.py:252-258)") {
