@@ -42,11 +42,13 @@ object EmbedIngest {
   /** Pin the coarse quantizer. `centroids` must be (cid, ce: embedding,
     * cn: norm)-shaped — typically `IvfIndex.build`'s centroids from a
     * seed corpus, or any deterministic subset. One-time; refuses to
-    * silently re-pin (a different quantizer re-cells every vector). */
+    * silently re-pin (a different quantizer re-cells every vector —
+    * drift is handled by the crash-safe [[requantize]]). */
   def init(spark: SparkSession, dir: String, centroids: DataFrame): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/centroids")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(!fs.exists(p), s"quantizer already pinned at $p (rebuild = new dir)")
+    require(!fs.exists(p),
+      s"quantizer already pinned at $p (drift = requantize; rebuild = new dir)")
     centroids.coalesce(1).write.parquet(p.toString)
   }
 
@@ -79,6 +81,132 @@ object EmbedIngest {
                    targetBytes: Long = 128L * 1024 * 1024): Unit =
     EpochFold.fold(s, s"$dir/cells", upTo, targetBytes, partitionCols = Seq("cell"))
 
+  /** Crash-safe re-quantization ("re-cell") for a drifted corpus: pick
+    * fresh centroids from the CURRENT admitted vectors (the same
+    * content-addressed deterministic sample as IvfIndex.build), assign
+    * every admitted vector to its new nearest centroid, and swap BOTH
+    * the quantizer and the cell layout — the drift answer to [[init]]'s
+    * "rebuild = new dir" pin, without abandoning the directory.
+    *
+    * Same `upTo` contract as [[compactCells]]: call between batches
+    * with `upTo` ≤ the oldest epoch that can still replay. The re-celled
+    * corpus lands folded in `epoch = upTo - 1` (probe visibility
+    * unchanged: any epoch ≥ upTo still sees all of it); epochs ≥ upTo
+    * (partial crash leftovers) are untouched — their replay overwrites
+    * them under the NEW quantizer.
+    *
+    * Two-phase like [[EpochFold]]: the full snapshot (centroids +
+    * re-celled corpus) is written to an invisible dot-dir, a commit
+    * marker is created, and only then is the live layout touched. A
+    * crash before the marker leaves the old layout untouched (the next
+    * entry discards the partial snapshot); after it, [[recoverRequant]]
+    * — run at every entry point — finishes the install, each step
+    * conditional on its tmp subdir so resumption is idempotent. */
+  def requantize(s: SparkSession, dir: String, nCells: Int, upTo: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    recoverRequant(s, dir)
+    if (!EpochFold.hasDataFiles(s, s"$dir/cells")) return
+    writeRequantSnapshot(s, dir, nCells, upTo)
+    installRequant(fs, root, upTo)
+  }
+
+  /** Phase 1: the committed-but-not-installed snapshot (split from
+    * [[requantize]] so specs can pin the crash window between commit
+    * and install). */
+  private[graft] def writeRequantSnapshot(s: SparkSession, dir: String,
+      nCells: Int, upTo: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(root, s".requant_tmp_$upTo")
+    if (fs.exists(tmp)) require(fs.delete(tmp, true),
+      s"requantize: could not clear stale snapshot $tmp")
+    // committed epochs only; stored norms are reused, not recomputed
+    val nm = s.read.parquet(s"$dir/cells").filter(col("epoch") < upTo)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .localCheckpoint() // feeds centroid pick AND reassignment
+    val cents = nm
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    cents.coalesce(1).write.parquet(s"$tmp/centroids")
+    val centsB = broadcast(s.read.parquet(s"$tmp/centroids"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("crcos").desc, col("cid").asc)
+    nm.crossJoin(centsB)
+      .withColumn("crcos", dot(col("ce"), col("embedding")) / (col("cn") * col("nrm")))
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell"))
+      .write.partitionBy("cell").parquet(s"$tmp/cells/epoch=${upTo - 1}")
+    val o = fs.create(new org.apache.hadoop.fs.Path(tmp, "_GRAFT_COMMIT"), true)
+    o.close()
+  }
+
+  /** Phase 2: install a committed snapshot. Every step is conditional
+    * on its tmp subdir still existing, so a crash anywhere inside is
+    * resumed by re-running; all FS booleans are require()d (the
+    * snapshot may be the only copy once old state is deleted). */
+  private def installRequant(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, n: Long): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(root, s".requant_tmp_$n")
+    val tCents = new org.apache.hadoop.fs.Path(tmp, "centroids")
+    if (fs.exists(tCents)) {
+      val dCents = new org.apache.hadoop.fs.Path(root, "centroids")
+      if (fs.exists(dCents)) require(fs.delete(dCents, true),
+        s"requantize: could not retire old quantizer $dCents")
+      require(fs.rename(tCents, dCents),
+        s"requantize: could not install quantizer from $tCents")
+    }
+    val tCells = new org.apache.hadoop.fs.Path(tmp, "cells")
+    if (fs.exists(tCells)) {
+      val cellsRoot = new org.apache.hadoop.fs.Path(root, "cells")
+      val srcEpoch = new org.apache.hadoop.fs.Path(tCells, s"epoch=${n - 1}")
+      // if the rename already happened, the dir at epoch=n-1 is the NEW
+      // snapshot and must survive the source sweep; if not, any dir of
+      // that name is an old fold source superseded by the snapshot
+      val renamed = !fs.exists(srcEpoch)
+      fs.listStatus(cellsRoot)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
+        .filter(_.getPath.getName.stripPrefix("epoch=").toLong < n)
+        .filter(st => !(renamed && st.getPath.getName == s"epoch=${n - 1}"))
+        .foreach { st =>
+          require(fs.delete(st.getPath, true),
+            s"requantize: could not delete superseded ${st.getPath}")
+        }
+      if (!renamed) {
+        val dest = new org.apache.hadoop.fs.Path(cellsRoot, s"epoch=${n - 1}")
+        require(!fs.exists(dest), s"requantize: $dest reappeared mid-install")
+        require(fs.rename(srcEpoch, dest),
+          s"requantize: could not install re-celled corpus at $dest")
+      }
+      require(fs.delete(tCells, true),
+        s"requantize: could not clear installed snapshot dir $tCells")
+    }
+    require(fs.delete(tmp, true), s"requantize: could not clear $tmp")
+  }
+
+  /** Finish (or discard) a requantize interrupted by a crash: committed
+    * snapshots are installed, uncommitted ones discarded. Run at every
+    * entry ([[survivors]], [[requantize]], [[corpus]]) — one root
+    * listing when idle. */
+  private[graft] def recoverRequant(s: SparkSession, dir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val TmpName = """\.requant_tmp_(-?\d+)""".r
+    fs.listStatus(root).foreach { st =>
+      st.getPath.getName match {
+        case TmpName(n) if st.isDirectory =>
+          val committed =
+            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_GRAFT_COMMIT"))
+          if (committed) installRequant(fs, root, n.toLong)
+          else require(fs.delete(st.getPath, true),
+            s"requantize: could not discard uncommitted snapshot ${st.getPath}")
+        case _ =>
+      }
+    }
+  }
+
   /** One micro-batch pass (callable from foreachBatch or backfill —
     * same epoch contract as [[IngestDedup.ingestBatch]]: strictly
     * increasing, replay-idempotent). `batch` needs (vec_id: long,
@@ -99,6 +227,10 @@ object EmbedIngest {
   private[graft] def survivors(batch: DataFrame, dir: String, epochId: Long,
                                tau: Double, nProbe: Int): DataFrame = {
     val s = batch.sparkSession
+    // a crashed requantize must be finished BEFORE the quantizer is
+    // read — a half-swapped layout (new centroids, old cells) would
+    // probe the wrong cells silently
+    recoverRequant(s, dir)
     val cents = broadcast(s.read.parquet(s"$dir/centroids"))
     val nm0 = withNorm(batch).localCheckpoint() // bounded: one micro-batch
 
@@ -159,6 +291,8 @@ object EmbedIngest {
   }
 
   /** Admitted corpus without layout columns. */
-  def corpus(spark: SparkSession, dir: String): DataFrame =
+  def corpus(spark: SparkSession, dir: String): DataFrame = {
+    recoverRequant(spark, dir) // single-writer; readers share its session
     spark.read.parquet(s"$dir/cells").select("vec_id", "embedding")
+  }
 }

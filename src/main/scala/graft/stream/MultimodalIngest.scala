@@ -82,6 +82,12 @@ object MultimodalIngest {
     EmbedIngest.compactCells(s, s"$dir/embed", upTo, targetBytes)
   }
 
+  /** Re-cell the embedding membrane's corpus under fresh centroids
+    * (drift handling; crash-safe — see [[EmbedIngest.requantize]]).
+    * Same `upTo` contract as [[compact]]. */
+  def requantize(s: SparkSession, dir: String, nCells: Int, upTo: Long): Unit =
+    EmbedIngest.requantize(s, s"$dir/embed", nCells, upTo)
+
   /** One micro-batch pass (same epoch contract as
     * [[IngestDedup.ingestBatch]]: strictly increasing epochs,
     * replay-idempotent; backfill and streaming share this path). */

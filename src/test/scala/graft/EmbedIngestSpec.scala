@@ -118,6 +118,82 @@ class EmbedIngestSpec extends SparkSpec {
     assert(ids(dir) == Seq(1L))
   }
 
+  test("requantize re-cells a drifted corpus; dedup behavior converges") {
+    val dir = freshDir() // axis quantizer — far from the diagonal corpus
+    EmbedIngest.ingestBatch(Seq(
+      (5L, Seq(0.7f, 0.714f)), (6L, Seq(0.7f, -0.714f))
+    ).toDF("vec_id", "embedding"), dir, epochId = 0, tau = 0.999)
+    EmbedIngest.ingestBatch(Seq(
+      (7L, Seq(-0.7f, 0.714f))
+    ).toDF("vec_id", "embedding"), dir, epochId = 1, tau = 0.999)
+    assert(ids(dir) == Seq(5L, 6L, 7L))
+
+    EmbedIngest.requantize(spark, dir, nCells = 3, upTo = 2)
+    // the quantizer is now drawn from the corpus itself
+    assert(spark.read.parquet(s"$dir/centroids")
+      .select("cid").as[Long].collect().sorted.toSeq == Seq(5L, 6L, 7L))
+    // the re-celled corpus lands folded in epoch = upTo - 1
+    val epochs = new java.io.File(s"$dir/cells").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch=")).map(_.getName)
+    assert(epochs.toSeq == Seq("epoch=1"))
+    assert(ids(dir) == Seq(5L, 6L, 7L), "no vector lost or duplicated by the re-cell")
+
+    // probes behave identically on the new layout: dup rejected, novelty in
+    EmbedIngest.ingestBatch(Seq(
+      (10L, Seq(0.7f, 0.714f)), // exact dup of 5
+      (11L, Seq(0f, 1f))        // cos ≤ 0.714 to every corpus vector
+    ).toDF("vec_id", "embedding"), dir, epochId = 2, tau = 0.999)
+    assert(ids(dir) == Seq(5L, 6L, 7L, 11L))
+  }
+
+  test("crash between requantize commit and install: old layout intact, next entry completes") {
+    val dir = freshDir()
+    EmbedIngest.ingestBatch(Seq(
+      (5L, Seq(1f, 0f)), (6L, Seq(0f, 1f))
+    ).toDF("vec_id", "embedding"), dir, epochId = 0, tau = 0.999)
+    EmbedIngest.ingestBatch(Seq(
+      (7L, Seq(0.7f, 0.714f))
+    ).toDF("vec_id", "embedding"), dir, epochId = 1, tau = 0.999)
+
+    // phase 1 only: snapshot committed to the dot-dir, install never ran
+    EmbedIngest.writeRequantSnapshot(spark, dir, nCells = 3, upTo = 2)
+    // the crash state: OLD layout fully readable — original quantizer,
+    // corpus visible, the committed snapshot invisible
+    assert(new java.io.File(s"$dir/.requant_tmp_2/_GRAFT_COMMIT").exists())
+    assert(spark.read.parquet(s"$dir/centroids")
+      .select("cid").as[Long].collect().sorted.toSeq == Seq(1L, 2L),
+      "pre-install, searches still run against the pinned quantizer")
+    assert(ids(dir) == Seq(5L, 6L, 7L))
+
+    // the next ingest entry recovers BEFORE reading the quantizer
+    EmbedIngest.ingestBatch(Seq(
+      (8L, Seq(0.7f, 0.714f)), // dup of 7 — must be caught on the NEW layout
+      (9L, Seq(-1f, 0f))       // novel
+    ).toDF("vec_id", "embedding"), dir, epochId = 2, tau = 0.999)
+    assert(ids(dir) == Seq(5L, 6L, 7L, 9L))
+    assert(spark.read.parquet(s"$dir/centroids")
+      .select("cid").as[Long].collect().sorted.toSeq == Seq(5L, 6L, 7L),
+      "recovery must have installed the committed quantizer")
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith(".requant_tmp")), "snapshot dir cleared")
+  }
+
+  test("an uncommitted requantize snapshot is discarded at the next entry") {
+    val dir = freshDir()
+    EmbedIngest.ingestBatch(
+      Seq((5L, Seq(1f, 0f))).toDF("vec_id", "embedding"), dir, epochId = 0)
+    // crash mid-snapshot: partial dot-dir, no commit marker
+    assert(new java.io.File(s"$dir/.requant_tmp_1/centroids").mkdirs())
+    EmbedIngest.ingestBatch(
+      Seq((6L, Seq(0f, 1f))).toDF("vec_id", "embedding"), dir, epochId = 1)
+    assert(ids(dir) == Seq(5L, 6L))
+    assert(spark.read.parquet(s"$dir/centroids")
+      .select("cid").as[Long].collect().sorted.toSeq == Seq(1L, 2L),
+      "the pinned quantizer survives a discarded snapshot")
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith(".requant_tmp")))
+  }
+
   test("quantizer is pinned once") {
     val dir = freshDir()
     val e = intercept[IllegalArgumentException] {
