@@ -76,52 +76,56 @@ object PlcSimConfig {
   }
 }
 
+/** Shared DSv2 scan machinery for the PLC-snapshot sources (simulator
+  * and the McProtocol-backed [[PlcNetTable]]) — the SURVEY §4 analog of
+  * the reference reading ONLY configured registers/PLCs:
+  *  - column pruning (`SupportsPushDownRequiredColumns`): a query that
+  *    never touches `regs` skips generating/reading the register map;
+  *  - `ip` filter pushdown (`SupportsPushDownFilters`, `=`/`IN`):
+  *    prunes whole input partitions — the fleet analog of connecting
+  *    to a subset of PLCs, before any row exists.
+  */
+abstract class PlcScanBuilder(allIps: Seq[String]) extends ScanBuilder with Scan
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  protected var required: StructType = PlcSim.schema
+  private var ipFilter: Option[Set[String]] = None
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve source field order regardless of projection order
+    required = StructType(PlcSim.schema.filter(f => requiredSchema.fieldNames.contains(f.name)))
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (pushable, rest) = filters.partition {
+      case EqualTo("ip", _: String) => true
+      case In("ip", vs) => vs.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+    val accepted = pushable.flatMap {
+      case EqualTo("ip", v: String) => Seq(Set(v))
+      case In("ip", vs) => Seq(vs.map(_.asInstanceOf[String]).toSet)
+      case _ => Nil
+    }
+    if (accepted.nonEmpty) ipFilter = Some(accepted.reduce(_ intersect _))
+    rest // Spark re-evaluates nothing we claimed; rest stays post-scan
+  }
+  override def pushedFilters(): Array[Filter] =
+    ipFilter.map(ips => Array[Filter](In("ip", ips.toArray[Any]))).getOrElse(Array.empty)
+
+  protected def selectedIps: Seq[String] =
+    ipFilter.map(keep => allIps.filter(keep)).getOrElse(allIps)
+
+  override def build(): Scan = this
+  override def readSchema(): StructType = required
+}
+
 class PlcSimTable(cfg: PlcSimConfig) extends Table with SupportsRead {
   override def name(): String = s"plc-sim(${cfg.ips.mkString(",")})"
   override def schema(): StructType = PlcSim.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
 
-  /** Scan builder with DSv2 pushdown (the SURVEY §4 analog of the
-    * reference reading ONLY configured registers/PLCs):
-    *  - column pruning (`SupportsPushDownRequiredColumns`): a query that
-    *    never touches `regs` skips generating the register map entirely;
-    *  - `ip` filter pushdown (`SupportsPushDownFilters`, `=`/`IN`):
-    *    prunes whole input partitions — the fleet analog of connecting
-    *    to a subset of PLCs, before any row exists.
-    */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan
-      with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
-      private var required: StructType = PlcSim.schema
-      private var ipFilter: Option[Set[String]] = None
-
-      override def pruneColumns(requiredSchema: StructType): Unit =
-        // preserve source field order regardless of projection order
-        required = StructType(PlcSim.schema.filter(f => requiredSchema.fieldNames.contains(f.name)))
-
-      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-        val (pushable, rest) = filters.partition {
-          case EqualTo("ip", _: String) => true
-          case In("ip", vs) => vs.forall(_.isInstanceOf[String])
-          case _ => false
-        }
-        val accepted = pushable.flatMap {
-          case EqualTo("ip", v: String) => Seq(Set(v))
-          case In("ip", vs) => Seq(vs.map(_.asInstanceOf[String]).toSet)
-          case _ => Nil
-        }
-        if (accepted.nonEmpty) ipFilter = Some(accepted.reduce(_ intersect _))
-        rest // Spark re-evaluates nothing we claimed; rest stays post-scan
-      }
-      override def pushedFilters(): Array[Filter] =
-        ipFilter.map(ips => Array[Filter](In("ip", ips.toArray[Any]))).getOrElse(Array.empty)
-
-      private def selectedIps: Seq[String] =
-        ipFilter.map(keep => cfg.ips.filter(keep)).getOrElse(cfg.ips)
-
-      override def build(): Scan = this
-      override def readSchema(): StructType = required
+    new PlcScanBuilder(cfg.ips) {
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new PlcSimMicroBatchStream(cfg.copy(ips = selectedIps), required)
       override def toBatch: Batch = new Batch {
