@@ -55,19 +55,30 @@ object EmbedIngest {
   /** Start the streaming ingest query ([[IngestDedup.start]]'s shape):
     * `vecs` needs (vec_id: long, embedding: array<float>) columns;
     * survivors accumulate under `dir/cells`. [[init]] must have pinned
-    * the quantizer first. */
+    * the quantizer first.
+    *
+    * `requantizeEvery` (0 = off, the default — re-celling rewrites the
+    * corpus, an operator-cadence decision): every N epochs the
+    * quantizer is rebuilt from the current corpus at its current size
+    * ([[requantize]]) — this folds the cell epochs as a side effect,
+    * so it subsumes that batch's `compactEvery` fold. */
   def start(vecs: DataFrame, dir: String, checkpoint: String,
             trigger: org.apache.spark.sql.streaming.Trigger =
               org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
-            tau: Double = 0.95, nProbe: Int = 4, compactEvery: Int = 64)
+            tau: Double = 0.95, nProbe: Int = 4, compactEvery: Int = 64,
+            requantizeEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream.trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        // fold BEFORE the batch, when every epoch < id is
+        // maintenance BEFORE the batch, when every epoch < id is
         // checkpoint-committed (IngestDedup.start's cadence rule)
-        if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
-          compactCells(batch.sparkSession, dir, upTo = id)
+        val s = batch.sparkSession
+        if (requantizeEvery > 0 && id > 0 && id % requantizeEvery == 0)
+          requantize(s, dir, nCells = s.read.parquet(s"$dir/centroids").count().toInt,
+            upTo = id)
+        else if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
+          compactCells(s, dir, upTo = id)
         ingestBatch(batch, dir, id, tau, nProbe)
       }
       .start()

@@ -56,18 +56,28 @@ object MultimodalIngest {
     EmbedIngest.init(spark, s"$dir/embed", centroids)
 
   /** Start the composed ingest query. `docs` must have `doc_id` (long),
-    * `text` (string) and `embedding` (array<float>, non-null) columns. */
+    * `text` (string) and `embedding` (array<float>, non-null) columns.
+    * `requantizeEvery` (0 = off): rebuild the embedding quantizer from
+    * the current corpus every N epochs — subsumes that batch's cell
+    * fold; the text stores still fold on `compactEvery`. */
   def start(docs: DataFrame, dir: String, checkpoint: String,
             trigger: Trigger = Trigger.ProcessingTime("1 second"),
             tau: Double = 0.95, nProbe: Int = 4,
-            compactEvery: Int = 64): StreamingQuery =
+            compactEvery: Int = 64, requantizeEvery: Int = 0): StreamingQuery =
     docs.writeStream.trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         // one cadence for every store, BEFORE the batch runs — at that
         // point every epoch < id is checkpoint-committed in all of them
-        if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
-          compact(batch.sparkSession, dir, upTo = id)
+        val s = batch.sparkSession
+        val requantNow = requantizeEvery > 0 && id > 0 && id % requantizeEvery == 0
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
+          IngestDedup.compactIndexes(s, s"$dir/text", upTo = id)
+          if (!requantNow) EmbedIngest.compactCells(s, s"$dir/embed", upTo = id)
+        }
+        if (requantNow)
+          EmbedIngest.requantize(s, s"$dir/embed",
+            nCells = s.read.parquet(s"$dir/embed/centroids").count().toInt, upTo = id)
         ingestBatch(batch, dir, id, tau, nProbe)
       }
       .start()

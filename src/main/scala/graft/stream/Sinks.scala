@@ -457,6 +457,11 @@ object Sinks {
       recordBuckets: Int = 64, epochId: Long = -1L): Unit = {
     val df = actions.toDF().cache()
     try {
+      // ONE job gates all three sink branches (this also materializes
+      // the cache for the writes below); the previous per-branch
+      // isEmpty actions ran three jobs per micro-batch
+      val present = df.groupBy(col("action")).count()
+        .collect().map(_.getString(0)).toSet
       val records = df
         .filter(col("action").isin(ActionRow.Create, ActionRow.Update, ActionRow.Close))
         .withColumn("rank",
@@ -466,7 +471,7 @@ object Sinks {
           col("planDate").as("plan_date"), col("shiftId").as("shift_id"),
           col("produced"), col("plannedQty").as("planned"),
           col("statusId").as("status_id"), col("ts"), col("rank"))
-      if (!records.isEmpty) {
+      if (Seq(ActionRow.Create, ActionRow.Update, ActionRow.Close).exists(present)) {
         if (recordBuckets > 0)
           upsertParquetBucketed(records, s"$outDir/production_records",
             Seq("record_id"), Seq("ts", "rank"), recordBuckets)
@@ -478,7 +483,7 @@ object Sinks {
       val hist = df.filter(col("action") === ActionRow.History)
         .select(col("recordId").as("record_id"), col("station"), col("parte"),
           col("quantity"), col("perCycle").as("per_cycle"), col("ts"))
-      if (!hist.isEmpty) {
+      if (present(ActionRow.History)) {
         if (epochId >= 0) {
           EpochFold.migrateLegacyFlat(df.sparkSession, s"$outDir/histories")
           hist.write.mode(SaveMode.Overwrite)
@@ -491,7 +496,7 @@ object Sinks {
         .select(col("station").as("estacion"), col("parte").as("numero_parte"),
           col("original").as("numero_parte_original"), col("fecha"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("timestamp"))
-      if (!nf.isEmpty)
+      if (present(ActionRow.NotFound))
         appendCsvDedup(nf, s"$outDir/parts_not_found", epochId)
     } finally df.unpersist()
   }

@@ -194,6 +194,32 @@ class EmbedIngestSpec extends SparkSpec {
       .exists(_.getName.startsWith(".requant_tmp")))
   }
 
+  test("streaming requantize cadence: quantizer rebuilt from the corpus mid-stream") {
+    val root = Files.createTempDirectory("graft_embed_rq").toString
+    val dir = s"$root/idx"
+    EmbedIngest.init(spark, dir,
+      Seq((1L, Seq(1f, 0f), 1.0), (2L, Seq(0f, 1f), 1.0)).toDF("cid", "ce", "cn"))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val vecs = input.toDF().toDF("vec_id", "embedding")
+    def drain(): Unit = {
+      val q = EmbedIngest.start(vecs, dir, s"$root/ckpt",
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        tau = 0.99, requantizeEvery = 1)
+      assert(q.awaitTermination(120000))
+    }
+    input.addData((5L, Seq(0.7f, 0.714f)), (6L, Seq(0.7f, -0.714f)))
+    drain() // batch 0: no maintenance yet
+    input.addData((7L, Seq(0.7f, 0.715f)), (8L, Seq(-1f, 0f))) // 7 dups 5
+    drain() // batch 1: requantize fires BEFORE the batch
+    assert(spark.read.parquet(s"$dir/centroids")
+      .select("cid").as[Long].collect().sorted.toSeq == Seq(5L, 6L),
+      "the quantizer must now be drawn from the corpus")
+    assert(ids(dir) == Seq(5L, 6L, 8L),
+      "dedup against the re-celled corpus still rejects the near-dup")
+  }
+
   test("quantizer is pinned once") {
     val dir = freshDir()
     val e = intercept[IllegalArgumentException] {
