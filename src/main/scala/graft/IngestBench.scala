@@ -67,7 +67,39 @@ object IngestBench {
       (secs, spark.read.parquet(s"$toDir/corpus").count())
     }
 
-    if (mode == "regimes") {
+    if (mode == "multimodal") {
+      // docs carry text AND a 16-dim embedding; per group of 5 ids:
+      // v0 base (admitted), v1 exact-text dup, v2 near-text dup,
+      // v3 unique text but BYTE-IDENTICAL embedding to v0 (the
+      // embedding membrane's reject), v4 unique both → kept = 2/5.
+      // Components are SIGNED (zero-centered): positive-only random
+      // vectors all point into one orthant and cosine-collide.
+      val dim = 16
+      def emb(seed: Column): Column =
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          ((conv(substring(md5(concat(seed, lit("|e|"), i.cast("string"))), 1, 4), 16, 10)
+            .cast("double") - 32768.0) / 32768.0).cast("float"))
+      val gMm = (col("doc_id") / 5).cast("long").cast("string")
+      val vMm = pmod(col("doc_id"), lit(5))
+      val mmDocs = docs.withColumn("embedding",
+        when(vMm === 0 || vMm === 3, emb(gMm))
+          .otherwise(emb(concat(gMm, lit("#"), col("doc_id").cast("string")))))
+      val mmDir = s"$dir/mm"
+      val cents = spark.range(8).toDF("cid")
+        .withColumn("ce", emb(concat(lit("cent"), col("cid").cast("string"))))
+        .withColumn("cn", sqrt(graft.functions.GraftFunctions.vec_dot(col("ce"), col("ce"))))
+      stream.MultimodalIngest.init(spark, mmDir, cents)
+      val t0 = System.nanoTime()
+      (0 until nBatches).foreach { b =>
+        val hi = if (b == nBatches - 1) nDocs else (b + 1) * batchSize
+        stream.MultimodalIngest.ingestBatch(
+          mmDocs.filter(col("doc_id") >= b * batchSize && col("doc_id") < hi),
+          mmDir, epochId = b, tau = 0.99)
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val kept = stream.MultimodalIngest.corpus(spark, mmDir).count()
+      println(f"""{"metric":"multimodal_ingest_docs_per_sec","value":${nDocs / secs}%.1f,"docs":$nDocs,"batches":$nBatches,"kept":$kept,"expected_kept":${nDocs * 2 / 5},"secs":$secs%.1f}""")
+    } else if (mode == "regimes") {
       // force each probe regime over the identical workload; the limits
       // are read per batch, so setting them before a run is enough
       val forced = Seq(

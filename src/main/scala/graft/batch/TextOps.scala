@@ -268,7 +268,35 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** qt9: Gopher-style repetition quality signals per source — the
+    * duplicate-word fraction and the most-repeated-bigram share, the
+    * standard filters for boilerplate/degenerate text in training-data
+    * curation. Entirely ROW-LOCAL (the token and bigram multisets live
+    * inside the row; same zero-shuffle shape as qd3's simhash): the
+    * only exchange is the final per-source aggregation. Per-doc flags
+    * use integer math (n_dup*2 >= n_tok; bigram share as an integer
+    * percent) so the oracle compares exactly, never via float sums. */
+  def qt9_repetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", filter(split(lower(col("text")), " "), t => length(t) > 0))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .filter(col("n_tok") >= 2)
+      .withColumn("n_dup", col("n_tok") - size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("bg", expr(
+        "transform(sequence(0, cast(n_tok as int) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+      .withColumn("max_bg", expr(
+        "array_max(transform(array_distinct(bg), x -> size(filter(bg, y -> y = x))))").cast("long"))
+      .withColumn("top_bg_pct", expr("max_bg * 100 div (n_tok - 1)"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_dup")).as("sum_dup"), sum(col("n_tok")).as("sum_tok"),
+        (sum(col("n_dup")).cast("double") / sum(col("n_tok"))).as("dup_frac"),
+        sum(when(col("n_dup") * 2 >= col("n_tok"), 1L).otherwise(0L)).as("n_repetitive"),
+        max(col("top_bg_pct")).as("max_top_bg_pct"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt9_repetition" -> (qt9_repetition _),
     "qt8_mixture" -> (qt8_mixture _),
     "qt7_bpe_pairs" -> (qt7_bpe_pairs _),
     "qt1_langid" -> (qt1_langid _),
@@ -282,6 +310,32 @@ object TextOps {
     .map { case (l, w) => s"('$l','$w')" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "qt9_repetition" ->
+      """WITH t AS (
+        | SELECT doc_id, source,
+        |  list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS toks
+        | FROM documents),
+        |m AS (
+        | SELECT doc_id, source, toks, CAST(len(toks) AS BIGINT) AS n_tok
+        | FROM t WHERE len(toks) >= 2),
+        |b AS (
+        | SELECT doc_id, source, n_tok,
+        |  n_tok - CAST(len(list_distinct(toks)) AS BIGINT) AS n_dup,
+        |  list_transform(range(CAST(n_tok AS INT) - 1),
+        |   i -> toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2]) AS bg
+        | FROM m),
+        |c AS (
+        | SELECT source, n_tok, n_dup,
+        |  CAST(list_max(list_transform(list_distinct(bg),
+        |   x -> len(list_filter(bg, y -> y = x)))) AS BIGINT) AS max_bg
+        | FROM b)
+        |SELECT source, COUNT(*) AS n_docs,
+        | CAST(SUM(n_dup) AS BIGINT) AS sum_dup,
+        | CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+        | CAST(SUM(n_dup) AS DOUBLE) / SUM(n_tok) AS dup_frac,
+        | CAST(SUM(CASE WHEN n_dup * 2 >= n_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+        | MAX(max_bg * 100 // (n_tok - 1)) AS max_top_bg_pct
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "qt8_mixture" ->
       """WITH toks AS (
         | SELECT doc_id, source,
