@@ -219,6 +219,34 @@ object Dedup {
   def qd8_lsh_capped(s: SparkSession, d: String): DataFrame =
     lshPairsCapped(Tables.spread(Tables.documents(s, d)), 1000)
 
+  /** qd9: exact-substring duplication — doc pairs sharing ≥ 2 aligned
+    * 32-char window fingerprints (stride 16). The training-data
+    * "verbatim copy" detector: where MinHash (qd2) finds whole-document
+    * near-dups, this finds long EXACT shared spans (copied passages,
+    * licence boilerplate, quoted chunks) the way suffix-array dedup
+    * does, expressed scalably: each doc emits ⌈len/16⌉ fingerprints
+    * (row-local map), candidates come from the fingerprint inverted
+    * index (bucket-local self-join, never all-pairs across buckets —
+    * qd4's shape), and the pair space is bounded by true span sharing.
+    * Stride-aligned windows on both sides mean only alignment-preserving
+    * copies match — exact dups and shared prefixes, the dominant crawl
+    * case; a full containment detector would stride 1 on the probe
+    * side (same plan, 16× the probe fingerprints). */
+  def qd9_substring_dup(s: SparkSession, d: String): DataFrame = {
+    val w = Tables.spread(Tables.documents(s, d))
+      .filter(length(col("text")) >= 32)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, cast((length(text) - 32) div 16 as int)), " +
+          "i -> md5(cast(substring(text, 1 + 16 * i, 32) as binary)))")).as("fp"))
+      .distinct()
+    val a = w.as("a"); val b = w.as("b")
+    a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy("id_a", "id_b")
+  }
+
   /** qd3: 16-bit SimHash over distinct word tokens — per-bit ±1 votes
     * from the token's md5, bit set when the vote sum is positive. */
   def qd3_simhash(s: SparkSession, d: String): DataFrame = {
@@ -384,6 +412,7 @@ object Dedup {
     "qd1_exact_dedup" -> (qd1_exact_dedup _),
     "qd2_minhash_lsh" -> (qd2_minhash_lsh _),
     "qd8_lsh_capped" -> (qd8_lsh_capped _),
+    "qd9_substring_dup" -> (qd9_substring_dup _),
     "qd3_simhash" -> (qd3_simhash _),
     "qd4_ngram_jaccard" -> (qd4_ngram_jaccard _),
     "qd5_embedding_neardup" -> (qd5_embedding_neardup _),
@@ -442,6 +471,18 @@ object Dedup {
          |  + CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END + CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END) AS DOUBLE) / 6 AS est_jaccard
          |FROM pairs JOIN sigs sa ON id_a = sa.doc_id JOIN sigs sb ON id_b = sb.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
+    "qd9_substring_dup" ->
+      """WITH w AS (
+        | SELECT DISTINCT doc_id,
+        |  md5(substr(text, CAST(1 + 16 * i AS INT), 32)) AS fp
+        | FROM (
+        |  SELECT doc_id, text,
+        |   unnest(range(0, (length(text) - 32) // 16 + 1)) AS i
+        |  FROM documents WHERE length(text) >= 32))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        |FROM w a JOIN w b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     "qd8_lsh_capped" ->
       s"""WITH $shingleSql,
          |sigs AS (
