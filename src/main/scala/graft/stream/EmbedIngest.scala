@@ -306,4 +306,36 @@ object EmbedIngest {
     recoverRequant(spark, dir) // single-writer; readers share its session
     spark.read.parquet(s"$dir/cells").select("vec_id", "embedding")
   }
+
+  /** Top-k cosine ANN over the ingest corpus — the read-side payoff of
+    * the cell layout: the membrane doesn't just deduplicate, it leaves
+    * behind a searchable IVF index. Same contract as
+    * [[graft.batch.IvfIndex.search]] (probe the `nProbe` nearest cells;
+    * output (qid, rank, neighbor_id, rcos)); the scan is pruned on the
+    * `cell` partition level, with the `epoch` level read whole — every
+    * epoch holds the same logical corpus slice, so a probe of p cells
+    * against k epochs opens p×k directories, and [[compactCells]] /
+    * [[requantize]] keep k at 1 on their cadence. */
+  def search(spark: SparkSession, dir: String, queries: DataFrame,
+             k: Int, nProbe: Int): DataFrame = {
+    recoverRequant(spark, dir)
+    val cents = broadcast(spark.read.parquet(s"$dir/centroids"))
+    val cells = spark.read.parquet(s"$dir/cells")
+    val q = withNorm(queries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("crcos").desc, col("cid").asc)
+    val probes = q.crossJoin(cents)
+      .withColumn("crcos", dot(col("ce"), col("qe")) / (col("cn") * col("qn")))
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nProbe)
+      .select(col("qid"), col("qe"), col("qn"), col("cid").as("cell"))
+    val cand = cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("rcos", round(dot(col("qe"), col("embedding"))
+        / (col("qn") * col("nrm")), 6))
+    graft.plans.GroupTopK.topK(
+      cand.select(col("qid").cast("long"), col("vec_id").cast("long"),
+        col("rcos").cast("double")),
+      keys = Seq("qid"), order = Seq(col("rcos").desc, col("vec_id").asc), k = k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("rcos"))
+  }
 }

@@ -140,4 +140,12 @@ object MultimodalIngest {
   /** The admitted corpus (documents with all their columns). */
   def corpus(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/text/corpus")
+
+  /** Top-k cosine ANN over the admitted embeddings — the membrane's
+    * vector store doubles as a searchable IVF index
+    * ([[EmbedIngest.search]]); join `neighbor_id` back to [[corpus]]
+    * for the documents. */
+  def search(spark: SparkSession, dir: String, queries: DataFrame,
+             k: Int, nProbe: Int): DataFrame =
+    EmbedIngest.search(spark, s"$dir/embed", queries, k, nProbe)
 }

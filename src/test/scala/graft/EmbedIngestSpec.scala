@@ -220,6 +220,36 @@ class EmbedIngestSpec extends SparkSpec {
       "dedup against the re-celled corpus still rejects the near-dup")
   }
 
+  test("search over the ingest corpus equals brute force when probing all cells") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val root = Files.createTempDirectory("graft_embed_srch").toString
+    val (seed, dir) = (s"$root/seed", s"$root/idx")
+    graft.batch.IvfIndex.build(emb, seed, nCells = 8)
+    EmbedIngest.init(spark, dir, spark.read.parquet(s"$seed/centroids"))
+    // two ingest epochs; tau > 1 disables cosine rejection so the
+    // corpus is the byte-distinct fixture (search is under test here)
+    EmbedIngest.ingestBatch(
+      emb.filter(pmod(col("vec_id"), lit(2)) === 0), dir, epochId = 0, tau = 1.1)
+    EmbedIngest.ingestBatch(
+      emb.filter(pmod(col("vec_id"), lit(2)) === 1), dir, epochId = 1, tau = 1.1)
+    // cut lineage: these frames must survive the fold below, which
+    // rewrites the very files their scan enumerated
+    val corpus = EmbedIngest.corpus(spark, dir).localCheckpoint()
+    val queries = corpus.filter(pmod(col("vec_id"), lit(100)) === 0).localCheckpoint()
+    val got = EmbedIngest.search(spark, dir, queries, k = 3, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = graft.batch.Similarity.knnTopK(corpus, queries.select("vec_id"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == brute,
+      "full-probe search over the epoch×cell layout must be exact")
+    // and search still works after the epochs fold into one
+    EmbedIngest.compactCells(spark, dir, upTo = 2)
+    val folded = EmbedIngest.search(spark, dir, queries, k = 3, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(folded == brute)
+  }
+
   test("quantizer is pinned once") {
     val dir = freshDir()
     val e = intercept[IllegalArgumentException] {
