@@ -89,8 +89,16 @@ object EmbedIngest {
     * contract as [[IngestDedup.compactIndexes]]: pass only epochs that
     * can no longer replay. */
   def compactCells(s: SparkSession, dir: String, upTo: Long,
-                   targetBytes: Long = 128L * 1024 * 1024): Unit =
+                   targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    // a committed-but-uninstalled requantize snapshot holds re-celled
+    // COPIES of the pre-snapshot epochs; folding those source epochs
+    // first would merge them into a partition the snapshot install
+    // doesn't supersede — recovery later would then add the snapshot
+    // rows NEXT to the folded copies (silent duplicates). Finish (or
+    // discard) any interrupted requantize before touching the layout.
+    recoverRequant(s, dir)
     EpochFold.fold(s, s"$dir/cells", upTo, targetBytes, partitionCols = Seq("cell"))
+  }
 
   /** Crash-safe re-quantization ("re-cell") for a drifted corpus: pick
     * fresh centroids from the CURRENT admitted vectors (the same

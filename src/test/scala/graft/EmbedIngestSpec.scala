@@ -178,6 +178,28 @@ class EmbedIngestSpec extends SparkSpec {
       .exists(_.getName.startsWith(".requant_tmp")), "snapshot dir cleared")
   }
 
+  test("compaction after a committed-but-uninstalled requantize does not duplicate rows") {
+    // the dangerous interleaving: requantize committed its snapshot and
+    // crashed; the next maintenance to run is a FOLD (not a requantize
+    // replay — e.g. a manual requantize followed by a restart where only
+    // the compact cadence fires). Folding the snapshot's source epochs
+    // before the install would leave their rows twice.
+    val dir = freshDir()
+    EmbedIngest.ingestBatch(Seq(
+      (5L, Seq(1f, 0f)), (6L, Seq(0f, 1f))
+    ).toDF("vec_id", "embedding"), dir, epochId = 0, tau = 0.999)
+    EmbedIngest.ingestBatch(Seq(
+      (7L, Seq(0.7f, 0.714f))
+    ).toDF("vec_id", "embedding"), dir, epochId = 1, tau = 0.999)
+    EmbedIngest.writeRequantSnapshot(spark, dir, nCells = 3, upTo = 2)
+    EmbedIngest.compactCells(spark, dir, upTo = 2)
+    assert(ids(dir) == Seq(5L, 6L, 7L),
+      "fold + pending snapshot must not double the pre-snapshot epochs")
+    assert(spark.read.parquet(s"$dir/cells").count() == 3)
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith(".requant_tmp")))
+  }
+
   test("an uncommitted requantize snapshot is discarded at the next entry") {
     val dir = freshDir()
     EmbedIngest.ingestBatch(
