@@ -247,6 +247,36 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** qd10: substring-level eval-set decontamination — corpus docs
+    * sharing an exact 32-char span with an eval doc, detected by
+    * fingerprint windows: the CORPUS side emits windows at stride 16
+    * (⌈len/16⌉ per doc — corpus-linear, row-local), the EVAL side at
+    * stride 1 (every alignment — affordable because the eval set is
+    * benchmark-sized and broadcast). Any shared span of ≥ 47 chars
+    * (window + stride − 1) contains a corpus-aligned window that the
+    * stride-1 probe is guaranteed to cover, so detection of long
+    * verbatim contamination is exact, not probabilistic — the
+    * substring-granularity sharpening of qd7's shingle overlap, with
+    * the same scale property: the corpus never shuffles, only the
+    * broadcast eval fingerprints move. */
+  def qd10_decontam_spans(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, d)).filter(length(col("text")) >= 32)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      .select(col("doc_id").as("corpus_id"), explode(expr(
+        "transform(sequence(0, cast((length(text) - 32) div 16 as int)), " +
+          "i -> md5(cast(substring(text, 1 + 16 * i, 32) as binary)))")).as("fp"))
+      .distinct()
+    val ev = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
+      .select(col("doc_id").as("eval_id"), explode(expr(
+        "transform(sequence(0, length(text) - 32), " +
+          "i -> md5(cast(substring(text, 1 + i, 32) as binary)))")).as("fp"))
+      .distinct()
+    corpus.join(broadcast(ev), Seq("fp"))
+      .groupBy(col("corpus_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_spans"))
+      .orderBy("corpus_id", "eval_id")
+  }
+
   /** qd3: 16-bit SimHash over distinct word tokens — per-bit ±1 votes
     * from the token's md5, bit set when the vote sum is positive. */
   def qd3_simhash(s: SparkSession, d: String): DataFrame = {
@@ -413,6 +443,7 @@ object Dedup {
     "qd2_minhash_lsh" -> (qd2_minhash_lsh _),
     "qd8_lsh_capped" -> (qd8_lsh_capped _),
     "qd9_substring_dup" -> (qd9_substring_dup _),
+    "qd10_decontam_spans" -> (qd10_decontam_spans _),
     "qd3_simhash" -> (qd3_simhash _),
     "qd4_ngram_jaccard" -> (qd4_ngram_jaccard _),
     "qd5_embedding_neardup" -> (qd5_embedding_neardup _),
@@ -471,6 +502,24 @@ object Dedup {
          |  + CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END + CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END) AS DOUBLE) / 6 AS est_jaccard
          |FROM pairs JOIN sigs sa ON id_a = sa.doc_id JOIN sigs sb ON id_b = sb.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
+    "qd10_decontam_spans" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 32),
+        |corpus AS (
+        | SELECT DISTINCT doc_id AS corpus_id,
+        |  md5(substr(text, CAST(1 + 16 * i AS INT), 32)) AS fp
+        | FROM (
+        |  SELECT doc_id, text,
+        |   unnest(range(0, (length(text) - 32) // 16 + 1)) AS i
+        |  FROM d WHERE doc_id % 10 <> 7)),
+        |ev AS (
+        | SELECT DISTINCT doc_id AS eval_id,
+        |  md5(substr(text, CAST(1 + i AS INT), 32)) AS fp
+        | FROM (
+        |  SELECT doc_id, text, unnest(range(0, length(text) - 31)) AS i
+        |  FROM d WHERE doc_id % 10 = 7))
+        |SELECT corpus_id, eval_id, COUNT(*) AS n_spans
+        |FROM corpus JOIN ev USING (fp)
+        |GROUP BY 1, 2 ORDER BY corpus_id, eval_id""".stripMargin,
     "qd9_substring_dup" ->
       """WITH w AS (
         | SELECT DISTINCT doc_id,
