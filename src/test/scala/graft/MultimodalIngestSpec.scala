@@ -125,6 +125,40 @@ class MultimodalIngestSpec extends SparkSpec {
     assert(cellIds(dir) == Seq(1L, 2L, 3L, 12L))
   }
 
+  test("combined cadence: compact + requantize in one batch folds text, re-cells embed") {
+    val root = Files.createTempDirectory("graft_mm_rq").toString
+    val dir = s"$root/pipe"
+    MultimodalIngest.init(spark, dir,
+      Seq((1L, Seq(1f, 0f), 1.0), (2L, Seq(0f, 1f), 1.0)).toDF("cid", "ce", "cn"))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Seq[Float])]
+    val docs = input.toDF().toDF("doc_id", "text", "embedding")
+    def drain(): Unit = {
+      val q = MultimodalIngest.start(docs, dir, s"$root/ckpt",
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        tau = 0.99, compactEvery = 1, requantizeEvery = 1)
+      assert(q.awaitTermination(120000))
+    }
+    input.addData((1L, base, Seq(0.7f, 0.714f)), (2L, uniq("y"), Seq(0.7f, -0.714f)))
+    drain() // batch 0: no maintenance
+    input.addData((3L, exactDup, Seq(0f, 1f)),       // text dup vs corpus
+      (4L, uniq("z"), Seq(0.7f, 0.715f)),            // embed dup of doc 1
+      (5L, uniq("q"), Seq(-0.7f, 0.714f)))           // admitted
+    drain() // batch 1: BOTH cadences fire before the batch
+    assert(corpusIds(dir) == Seq(1L, 2L, 5L))
+    assert(cellIds(dir) == Seq(1L, 2L, 5L))
+    // embed store was re-quantized from the corpus (not the axis pins)
+    assert(spark.read.parquet(s"$dir/embed/centroids")
+      .select("cid").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // text stores folded to one committed epoch + the live batch 1
+    Seq(s"$dir/text/exact_idx", s"$dir/text/band_idx").foreach { store =>
+      val epochs = new java.io.File(store).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("epoch=")).map(_.getName).sorted
+      assert(epochs.toSeq == Seq("epoch=0", "epoch=1"), s"$store: ${epochs.toSeq}")
+    }
+  }
+
   test("streaming entry: two micro-batches through start() share the batch id") {
     val root = Files.createTempDirectory("graft_mm_s").toString
     val dir = s"$root/pipe"
