@@ -40,6 +40,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *   text/band_idx/epoch=N/    LSH band keys of admitted docs
   *   embed/centroids/          pinned coarse quantizer ([[init]])
   *   embed/cells/epoch=N/cell=M/  admitted vectors, cell-partitioned
+  *   metrics/epoch=N/          per-batch rejection ledger ([[metrics]])
   * }}}
   *
   * Scale story is inherited unchanged: the text probes pick their
@@ -73,6 +74,7 @@ object MultimodalIngest {
         val requantNow = requantizeEvery > 0 && id > 0 && id % requantizeEvery == 0
         if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
           IngestDedup.compactIndexes(s, s"$dir/text", upTo = id)
+          EpochFold.fold(s, s"$dir/metrics", upTo = id, 128L * 1024 * 1024)
           if (!requantNow) EmbedIngest.compactCells(s, s"$dir/embed", upTo = id)
         }
         if (requantNow)
@@ -90,6 +92,7 @@ object MultimodalIngest {
               targetBytes: Long = 128L * 1024 * 1024): Unit = {
     IngestDedup.compactIndexes(s, s"$dir/text", upTo, targetBytes)
     EmbedIngest.compactCells(s, s"$dir/embed", upTo, targetBytes)
+    EpochFold.fold(s, s"$dir/metrics", upTo, targetBytes)
   }
 
   /** Re-cell the embedding membrane's corpus under fresh centroids
@@ -107,6 +110,7 @@ object MultimodalIngest {
     Seq("corpus", "exact_idx", "band_idx")
       .foreach(t => EpochFold.migrateLegacyFlat(s, s"$dir/text/$t"))
 
+    val nIn = batch.count()
     // stage 1 — text membrane (cheap hash work first, so the cosine
     // stage only ever sees text-novel docs)
     val textKeep = IngestDedup.survivors(batch, s"$dir/text", epochId)
@@ -119,6 +123,19 @@ object MultimodalIngest {
       .localCheckpoint() // feeds the cells write and the id filter below
     val keep = textKeep.join(
       broadcast(embedKeep.select(col("vec_id").as("doc_id"))), Seq("doc_id"))
+
+    // per-batch observability: which membrane rejected how much. The
+    // counts are near-free (both frames are already checkpointed) and
+    // the row commits into its own epoch partition like every store —
+    // replays overwrite, so the ledger is exactly-once too.
+    val (nText, nAdmitted) = (textKeep.count(), embedKeep.count())
+    import s.implicits._
+    // batch_id is a DATA column (the epoch partition label moves when
+    // the ledger folds; attribution must survive the fold)
+    Seq((epochId, nIn, nIn - nText, nText - nAdmitted, nAdmitted))
+      .toDF("batch_id", "n_in", "n_text_rejected", "n_embed_rejected", "n_admitted")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/metrics/epoch=$epochId")
 
     // commit, mirroring the single-membrane writes: OVERWRITE of each
     // epoch partition is the idempotence point in every store
@@ -140,6 +157,21 @@ object MultimodalIngest {
   /** The admitted corpus (documents with all their columns). */
   def corpus(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/text/corpus")
+
+  /** The per-batch rejection ledger: one row per ingested epoch with
+    * (batch_id, n_in, n_text_rejected, n_embed_rejected, n_admitted) —
+    * which membrane rejected how much, exactly-once like every other
+    * store. Empty frame (correct schema) before the first batch. */
+  def metrics(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("batch_id", "n_in", "n_text_rejected",
+      "n_embed_rejected", "n_admitted")
+    if (!EpochFold.hasDataFiles(spark, s"$dir/metrics")) {
+      import spark.implicits._
+      Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF(cols: _*)
+    } else
+      spark.read.parquet(s"$dir/metrics").select(cols.map(col): _*)
+  }
 
   /** Top-k cosine ANN over the admitted embeddings — the membrane's
     * vector store doubles as a searchable IVF index

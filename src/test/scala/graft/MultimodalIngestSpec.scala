@@ -60,6 +60,12 @@ class MultimodalIngestSpec extends SparkSpec {
         .map(_.getName).sorted.toSeq
       assert(epochs == Seq("epoch=0", "epoch=1"), s"$store has $epochs")
     }
+
+    // the rejection ledger attributes each loss to its membrane
+    val m = MultimodalIngest.metrics(spark, dir)
+      .select("batch_id", "n_in", "n_text_rejected", "n_embed_rejected", "n_admitted")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(m == Seq((0L, 5L, 2L, 1L, 2L), (1L, 3L, 1L, 1L, 1L)), s"ledger: $m")
   }
 
   test("replaying an epoch is idempotent across BOTH stores") {
