@@ -143,7 +143,6 @@ case class PlcNetReaderFactory(schema: StructType) extends PartitionReaderFactor
 class PlcNetPartitionReader(p: PlcNetPartition, schema: StructType)
     extends PartitionReader[InternalRow] {
   private val fields = schema.fieldNames
-  private val needsRegs = fields.contains("regs")
   private val (host, port) = PlcNetConfig.hostPort(p.ip)
   private var client: McClient = _
   private var tick = p.startTick
@@ -193,8 +192,7 @@ class PlcNetPartitionReader(p: PlcNetPartition, schema: StructType)
           val vals = new GenericArrayData(words.map(w => w: java.lang.Integer).toArray[Any])
           new ArrayBasedMapData(keys, vals)
       }
-      // a pruned-out `regs` never opens the socket at all
-      if (!needsRegs && client == null) () // no-op; documents the prune payoff
+      // note: with `regs` pruned out, nothing above touched the socket
       row = new GenericInternalRow(values.toArray)
       tick += 1
       true
