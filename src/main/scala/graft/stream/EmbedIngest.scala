@@ -11,9 +11,9 @@ import org.apache.spark.sql.functions._
   * story of [[IngestDedup]].
   *
   * State under `dir`:
-  *   - `centroids/` — the fixed coarse quantizer (cid, ce, cn), tiny,
-  *     broadcast at every batch ([[init]] pins it once; periodic
-  *     re-quantization is a rebuild, as in IvfIndex);
+  *   - `centroids/` — the coarse quantizer (cid, ce, cn), tiny,
+  *     broadcast at every batch ([[init]] pins it once; drift is
+  *     handled in place by the crash-safe [[requantize]]);
   *   - `cells/epoch=N/cell=M/` — admitted vectors, partitioned by
   *     ingest epoch THEN cell, so a probe of p cells against k prior
   *     epochs opens p×k directories and the rest of the corpus is
