@@ -233,12 +233,16 @@ object Dedup {
     * case; a full containment detector would stride 1 on the probe
     * side (same plan, 16× the probe fingerprints). */
   def qd9_substring_dup(s: SparkSession, d: String): DataFrame = {
+    // materialize the fingerprint set once: Spark shares no subtrees,
+    // so both self-join sides would otherwise re-run the Generate AND
+    // the distinct's exchange (qd2's sigs-checkpoint lesson)
     val w = Tables.spread(Tables.documents(s, d))
       .filter(length(col("text")) >= 32)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, cast((length(text) - 32) div 16 as int)), " +
           "i -> md5(cast(substring(text, 1 + 16 * i, 32) as binary)))")).as("fp"))
       .distinct()
+      .localCheckpoint()
     val a = w.as("a"); val b = w.as("b")
     a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))

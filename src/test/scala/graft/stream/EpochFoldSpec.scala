@@ -73,6 +73,29 @@ class EpochFoldSpec extends SparkSpec {
     assert(!new java.io.File(tmp).exists(), "the recovered dot-dir must be gone")
   }
 
+  test("recovery refuses a blocked destination BEFORE touching any source") {
+    val root = Files.createTempDirectory("graft_fold_block").toString + "/idx"
+    writeEpoch(root, 0, Seq("k0"))
+    writeEpoch(root, 1, Seq("k1"))
+    val tmp = s"$root/.compact_tmp_3"
+    graft.batch.Lake.compactDirs(spark, Seq(s"$root/epoch=0", s"$root/epoch=1"), tmp)
+    assert(new java.io.File(tmp, "_GRAFT_COMMIT").createNewFile())
+    // a plain FILE squatting on the install destination (epoch=2)
+    assert(new java.io.File(s"$root/epoch=2").createNewFile())
+    val e = intercept[IllegalArgumentException] {
+      EpochFold.fold(spark, root, upTo = 5, MB128)
+    }
+    assert(e.getMessage.contains("not a fold source"))
+    // refusal happened before any deletion: sources AND snapshot intact
+    assert(new java.io.File(s"$root/epoch=0").isDirectory)
+    assert(new java.io.File(s"$root/epoch=1").isDirectory)
+    assert(new java.io.File(tmp, "_GRAFT_COMMIT").exists())
+    // clear the blocker; the same call converges with no keys lost
+    assert(new java.io.File(s"$root/epoch=2").delete())
+    EpochFold.fold(spark, root, upTo = 5, MB128)
+    assert(allKeys(root) == Seq("k0", "k1"))
+  }
+
   test("an uncommitted snapshot is discarded and the fold redone from intact sources") {
     val root = Files.createTempDirectory("graft_fold_uncommitted").toString + "/idx"
     writeEpoch(root, 0, Seq("a"))
