@@ -6,7 +6,8 @@ import graft.stream.EmbedIngest
 
 /** Streaming embedding near-dup at ingest (the qd5 membrane): in-batch
   * and vs-corpus cosine rejection over the epoch × cell layout. */
-class EmbedIngestSpec extends SparkSpec {
+class EmbedIngestSpec extends SparkSpec
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
   import spark.implicits._
 
   // orthogonal 2-d quantizer: cell 1 ≈ x-axis, cell 2 ≈ y-axis
@@ -267,9 +268,20 @@ class EmbedIngestSpec extends SparkSpec {
       "full-probe search over the epoch×cell layout must be exact")
     // and search still works after the epochs fold into one
     EmbedIngest.compactCells(spark, dir, upTo = 2)
-    val folded = EmbedIngest.search(spark, dir, queries, k = 3, nProbe = 8)
+    val foldedQ = EmbedIngest.search(spark, dir, queries, k = 3, nProbe = 8)
+    val folded = foldedQ
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(folded == brute)
+    // the scan treats epoch AND cell as partition metadata (IvfIndexSpec's
+    // pin for its flat layout): probes open directories, not the corpus
+    val scans = collectWithSubqueries(foldedQ.queryExecution.executedPlan) {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec
+        if sc.relation.location.rootPaths.head.toString.contains("cells") => sc
+    }
+    assert(scans.nonEmpty)
+    assert(Seq("epoch", "cell").forall(
+        scans.head.relation.partitionSchema.fieldNames.contains),
+      s"cells layout lost its partition levels: ${scans.head.relation.partitionSchema}")
   }
 
   test("quantizer is pinned once") {
