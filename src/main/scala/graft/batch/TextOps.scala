@@ -295,7 +295,43 @@ object TextOps {
         max(col("top_bg_pct")).as("max_top_bg_pct"))
       .orderBy("source")
 
+  /** qt10: token-budget corpus selection — per source, admit documents
+    * in quality order (stopword-ratio score, doc_id tie-break) until
+    * the cumulative token count reaches the budget: the greedy
+    * "best data under a token budget" pass of training-data curation.
+    * Admission is a running sum over the per-source quality ranking
+    * (one shuffle by source); the summary is integer-exact (counts,
+    * token sums, an id checksum) so the oracle compares precisely.
+    * At 100 TB watch per-source skew: a source with billions of docs
+    * makes the per-source window a single task — switch to qt8's
+    * two-scan inventory-then-admit (score-histogram the source, derive
+    * the admission score threshold, admit map-side) or qt6's
+    * distributed prefix-sum machinery; the greedy semantics are
+    * unchanged. */
+  def qt10_token_budget(s: SparkSession, d: String): DataFrame = {
+    val budget = 500L // tokens per source; binding on the fixtures
+    val scored = Tables.documents(s, d)
+      .withColumn("toks", filter(split(lower(col("text")), " "), t => length(t) > 0))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .filter(col("n_tok") >= 1)
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => t.isin("the", "and", "of", "a", "to"))).cast("long"))
+      .withColumn("score", expr("n_stop * 100 div n_tok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("score").desc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    scored.withColumn("cum", sum(col("n_tok")).over(w))
+      .filter(col("cum") <= budget)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_admitted"),
+        sum(col("n_tok")).as("toks_admitted"),
+        sum(col("doc_id")).as("id_checksum"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt10_token_budget" -> (qt10_token_budget _),
     "qt9_repetition" -> (qt9_repetition _),
     "qt8_mixture" -> (qt8_mixture _),
     "qt7_bpe_pairs" -> (qt7_bpe_pairs _),
@@ -310,6 +346,27 @@ object TextOps {
     .map { case (l, w) => s"('$l','$w')" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "qt10_token_budget" ->
+      """WITH t AS (
+        | SELECT doc_id, source,
+        |  list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS toks
+        | FROM documents),
+        |m AS (
+        | SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tok,
+        |  CAST(len(list_filter(toks,
+        |   x -> x IN ('the', 'and', 'of', 'a', 'to'))) AS BIGINT) AS n_stop
+        | FROM t WHERE len(toks) >= 1),
+        |sc AS (
+        | SELECT doc_id, source, n_tok, n_stop * 100 // n_tok AS score FROM m),
+        |cum AS (
+        | SELECT *, SUM(n_tok) OVER (PARTITION BY source
+        |   ORDER BY score DESC, doc_id ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM sc)
+        |SELECT source, COUNT(*) AS n_admitted,
+        | CAST(SUM(n_tok) AS BIGINT) AS toks_admitted,
+        | CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        |FROM cum WHERE cum <= 500 GROUP BY 1 ORDER BY 1""".stripMargin,
     "qt9_repetition" ->
       """WITH t AS (
         | SELECT doc_id, source,
