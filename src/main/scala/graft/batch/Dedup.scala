@@ -177,12 +177,17 @@ object Dedup {
     * bucket pair count m(m-1)/2. Unlike qd2, pairs are reported per
     * bucket (band, key in the output) so overflow attribution is
     * unambiguous. */
+  /** Smallest member-prefix size whose pair count reaches `cap`
+    * (D(D-1)/2 ≥ cap) — shared by [[lshPairsCapped]] and the qd8
+    * oracle SQL so the two can never disagree on the prefix. */
+  private[graft] def pairPrefix(cap: Int): Int =
+    math.ceil((1 + math.sqrt(1 + 8.0 * cap)) / 2).toInt
+
   private[graft] def lshPairsCapped(docs: DataFrame, cap: Int): DataFrame = {
     require(cap >= 1, "cap must be at least 1")
     val sigs = minhashSigsOf(docs).localCheckpoint()
     val bands = bandKeysOf(sigs)
-    // smallest member-prefix size whose pair count reaches the cap
-    val dCap = math.ceil((1 + math.sqrt(1 + 8.0 * cap)) / 2).toInt
+    val dCap = pairPrefix(cap)
     val wBucket = Window.partitionBy("band", "key")
     val sized = bands
       .withColumn("m", count(lit(1)).over(wBucket))
@@ -212,10 +217,11 @@ object Dedup {
       .orderBy("band", "key", "id_a", "id_b")
   }
 
-  /** qd8: the capped qd2 on the fixture corpus. The 1000-pair cap is
-    * far above any sf0.01 bucket, so the oracle is the exact per-bucket
-    * pair list with zero overflow — the capping behavior itself is
-    * pinned by DedupClusterSpec's single-bucket flood. */
+  /** qd8: the capped qd2 on the fixture corpus. The oracle SQL encodes
+    * the SAME prefix + top-cap selection (QUALIFY row_number), so it
+    * stays exact even if the fixture grows a bucket past the cap; the
+    * flood behavior is additionally pinned by DedupClusterSpec's
+    * single-bucket flood. */
   def qd8_lsh_capped(s: SparkSession, d: String): DataFrame =
     lshPairsCapped(Tables.spread(Tables.documents(s, d)), 1000)
 
@@ -232,24 +238,96 @@ object Dedup {
     * copies match — exact dups and shared prefixes, the dominant crawl
     * case; a full containment detector would stride 1 on the probe
     * side (same plan, 16× the probe fingerprints). */
-  def qd9_substring_dup(s: SparkSession, d: String): DataFrame = {
-    // materialize the fingerprint set once: Spark shares no subtrees,
-    // so both self-join sides would otherwise re-run the Generate AND
-    // the distinct's exchange (qd2's sigs-checkpoint lesson)
-    val w = Tables.spread(Tables.documents(s, d))
-      .filter(length(col("text")) >= 32)
+  /** Per-fingerprint document-frequency cap for [[qd9_substring_dup]]:
+    * pairs are enumerated only among each fingerprint's first
+    * `SubstringDfCap` members by doc_id. At the fixture scales the cap
+    * never binds (max df is 4 at sf0.1 vs 64), so qd9 still matches
+    * the exact oracle; at crawl scale it is what keeps a licence-header
+    * span shared by 10⁶ docs from producing 5·10¹¹ candidate pairs in
+    * one bucket — the qd8 lesson applied to the verbatim-copy
+    * detector. Exact unreported-pair accounting lives in
+    * [[qd11_substring_overflow]]. */
+  private[graft] val SubstringDfCap = 64
+
+  /** The stride-16 32-char window fingerprint set, one row per
+    * (doc_id, fp) — the shared scan of qd9 and qd11. Row-local
+    * (Generate + distinct), ⌈len/16⌉ fingerprints per doc. */
+  private def substringFps(docs: DataFrame): DataFrame =
+    docs.filter(length(col("text")) >= 32)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, cast((length(text) - 32) div 16 as int)), " +
           "i -> md5(cast(substring(text, 1 + 16 * i, 32) as binary)))")).as("fp"))
       .distinct()
-      .localCheckpoint()
-    val a = w.as("a"); val b = w.as("b")
-    a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+
+  def qd9_substring_dup(s: SparkSession, d: String): DataFrame =
+    substringPairsCapped(Tables.spread(Tables.documents(s, d)), SubstringDfCap)
+
+  /** qd9: exact-substring duplication — doc pairs sharing ≥ 2 aligned
+    * 32-char window fingerprints (stride 16). The training-data
+    * "verbatim copy" detector: where MinHash (qd2) finds whole-document
+    * near-dups, this finds long EXACT shared spans (copied passages,
+    * licence boilerplate, quoted chunks) the way suffix-array dedup
+    * does, expressed scalably: each doc emits ⌈len/16⌉ fingerprints
+    * (row-local map), candidates come from the fingerprint inverted
+    * index, and — the hot-bucket guard — each fingerprint contributes
+    * pairs only among its first `dfCap` members by doc_id, so a
+    * boilerplate span shared by millions of docs costs O(dfCap²) pairs,
+    * never O(df²). Stride-aligned windows on both sides mean only
+    * alignment-preserving copies match — exact dups and shared
+    * prefixes, the dominant crawl case; a full containment detector
+    * would stride 1 on the probe side (same plan, 16× the probe
+    * fingerprints).
+    *
+    * Plan shape (two shuffles, not the self-join's three): one
+    * Exchange(fp) feeds row_number → the rank filter is a
+    * WindowGroupLimit, so hot fingerprints are pruned to the prefix
+    * MAP-SIDE before the exchange — then the groupBy(fp) pair
+    * generation reuses the same partitioning (no new exchange), pairs
+    * are emitted row-locally from the ≤ dfCap sorted member array, and
+    * only the final groupBy(id_a, id_b) shuffles again. */
+  private[graft] def substringPairsCapped(docs: DataFrame, dfCap: Int): DataFrame = {
+    require(dfCap >= 2, "dfCap must be at least 2 to form any pair")
+    val w = substringFps(docs)
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+      .filter(col("rk") <= dfCap)
+    val pairs = w.groupBy(col("fp"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(explode(expr(
+        // all ordered pairs of the sorted (≤ dfCap) member array,
+        // generated row-locally: ids is bounded by the cap, so the
+        // O(n²) slice work is O(dfCap²) worst-case per fingerprint
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), " +
+          "y -> struct(x AS id_a, y AS id_b))))")).as("p"))
+    pairs.select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 2)
       .orderBy("id_a", "id_b")
   }
+
+  /** qd11: exact overflow accounting for qd9's df cap — the hottest
+    * fingerprints with their true document frequency, true pair count,
+    * the pair count qd9's prefix actually enumerates, and exactly how
+    * many pairs went unreported. A clean corpus shows n_overflow = 0
+    * everywhere; a boilerplate flood is visible and quantified instead
+    * of silently truncated (qd8's reporting contract, at fingerprint
+    * granularity). Linear work: one groupBy(fp) count — no window, no
+    * pair enumeration. */
+  def qd11_substring_overflow(s: SparkSession, d: String): DataFrame =
+    substringOverflow(Tables.spread(Tables.documents(s, d)), SubstringDfCap)
+      .orderBy(col("df").desc, col("fp"))
+      .limit(20)
+
+  private[graft] def substringOverflow(docs: DataFrame, dfCap: Int): DataFrame =
+    substringFps(docs)
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .withColumn("n_pairs_true", expr("df * (df - 1) div 2"))
+      .withColumn("n_pairs_reported",
+        expr(s"least(df, ${dfCap}L) * (least(df, ${dfCap}L) - 1) div 2"))
+      .withColumn("n_overflow", col("n_pairs_true") - col("n_pairs_reported"))
 
   /** qd10: substring-level eval-set decontamination — corpus docs
     * sharing an exact 32-char span with an eval doc, detected by
@@ -447,6 +525,7 @@ object Dedup {
     "qd2_minhash_lsh" -> (qd2_minhash_lsh _),
     "qd8_lsh_capped" -> (qd8_lsh_capped _),
     "qd9_substring_dup" -> (qd9_substring_dup _),
+    "qd11_substring_overflow" -> (qd11_substring_overflow _),
     "qd10_decontam_spans" -> (qd10_decontam_spans _),
     "qd3_simhash" -> (qd3_simhash _),
     "qd4_ngram_jaccard" -> (qd4_ngram_jaccard _),
@@ -525,17 +604,36 @@ object Dedup {
         |FROM corpus JOIN ev USING (fp)
         |GROUP BY 1, 2 ORDER BY corpus_id, eval_id""".stripMargin,
     "qd9_substring_dup" ->
-      """WITH w AS (
+      s"""WITH w AS (
         | SELECT DISTINCT doc_id,
         |  md5(substr(text, CAST(1 + 16 * i AS INT), 32)) AS fp
         | FROM (
         |  SELECT doc_id, text,
         |   unnest(range(0, (length(text) - 32) // 16 + 1)) AS i
-        |  FROM documents WHERE length(text) >= 32))
+        |  FROM documents WHERE length(text) >= 32)),
+        |p AS (
+        | SELECT doc_id, fp FROM w
+        | QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) <= $SubstringDfCap)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
-        |FROM w a JOIN w b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
         |ORDER BY id_a, id_b""".stripMargin,
+    "qd11_substring_overflow" ->
+      s"""WITH w AS (
+        | SELECT DISTINCT doc_id,
+        |  md5(substr(text, CAST(1 + 16 * i AS INT), 32)) AS fp
+        | FROM (
+        |  SELECT doc_id, text,
+        |   unnest(range(0, (length(text) - 32) // 16 + 1)) AS i
+        |  FROM documents WHERE length(text) >= 32)),
+        |dfs AS (SELECT fp, COUNT(*) AS df FROM w GROUP BY 1)
+        |SELECT fp, df,
+        | df * (df - 1) // 2 AS n_pairs_true,
+        | least(df, $SubstringDfCap) * (least(df, $SubstringDfCap) - 1) // 2 AS n_pairs_reported,
+        | df * (df - 1) // 2
+        |  - least(df, $SubstringDfCap) * (least(df, $SubstringDfCap) - 1) // 2 AS n_overflow
+        |FROM dfs WHERE df >= 2
+        |ORDER BY df DESC, fp LIMIT 20""".stripMargin,
     "qd8_lsh_capped" ->
       s"""WITH $shingleSql,
          |sigs AS (
@@ -549,22 +647,29 @@ object Dedup {
          | UNION ALL
          | SELECT doc_id, 1 AS band, md5(h3 || h4 || h5) AS key FROM sigs),
          |sized AS (
-         | SELECT doc_id, band, key, COUNT(*) OVER (PARTITION BY band, key) AS m
+         | SELECT doc_id, band, key,
+         |  COUNT(*) OVER (PARTITION BY band, key) AS m,
+         |  row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rk
          | FROM bands),
+         |prefix AS (SELECT * FROM sized WHERE rk <= ${pairPrefix(1000)}),
          |pairs AS (
          | SELECT a.band, a.key, a.doc_id AS id_a, b.doc_id AS id_b, a.m
-         | FROM sized a JOIN sized b ON a.band = b.band AND a.key = b.key
+         | FROM prefix a JOIN prefix b ON a.band = b.band AND a.key = b.key
          |  AND a.doc_id < b.doc_id),
          |scored AS (
          | SELECT band, key, id_a, id_b, m,
          |  (CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END + CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END
          |   + CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END + CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END
          |   + CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END + CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END) AS n_match
-         | FROM pairs JOIN sigs sa ON id_a = sa.doc_id JOIN sigs sb ON id_b = sb.doc_id)
+         | FROM pairs JOIN sigs sa ON id_a = sa.doc_id JOIN sigs sb ON id_b = sb.doc_id),
+         |topc AS (
+         | SELECT * FROM scored
+         | QUALIFY row_number() OVER (PARTITION BY band, key
+         |  ORDER BY CAST(n_match AS DOUBLE) / 6 DESC, id_a, id_b) <= 1000)
          |SELECT band, key, id_a, id_b, n_match,
          | CAST(n_match AS DOUBLE) / 6 AS est_jaccard,
          | CAST(m * (m - 1) // 2 - COUNT(*) OVER (PARTITION BY band, key) AS BIGINT) AS n_overflow
-         |FROM scored
+         |FROM topc
          |ORDER BY band, key, id_a, id_b""".stripMargin,
     "qd3_simhash" ->
       """WITH toks AS (

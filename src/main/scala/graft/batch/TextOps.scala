@@ -299,15 +299,11 @@ object TextOps {
     * in quality order (stopword-ratio score, doc_id tie-break) until
     * the cumulative token count reaches the budget: the greedy
     * "best data under a token budget" pass of training-data curation.
-    * Admission is a running sum over the per-source quality ranking
-    * (one shuffle by source); the summary is integer-exact (counts,
-    * token sums, an id checksum) so the oracle compares precisely.
-    * At 100 TB watch per-source skew: a source with billions of docs
-    * makes the per-source window a single task — switch to qt8's
-    * two-scan inventory-then-admit (score-histogram the source, derive
-    * the admission score threshold, admit map-side) or qt6's
-    * distributed prefix-sum machinery; the greedy semantics are
-    * unchanged. */
+    * The summary is integer-exact (counts, token sums, an id checksum)
+    * so the oracle compares precisely. Admission is
+    * [[admitUnderBudget]]'s inventory-then-admit — NOT a per-source
+    * running-sum window, which would funnel each source's entire
+    * document set through one task (the 100 TB killer this replaced). */
   def qt10_token_budget(s: SparkSession, d: String): DataFrame = {
     val budget = 500L // tokens per source; binding on the fixtures
     val scored = Tables.documents(s, d)
@@ -317,17 +313,96 @@ object TextOps {
       .withColumn("n_stop",
         size(filter(col("toks"), t => t.isin("the", "and", "of", "a", "to"))).cast("long"))
       .withColumn("score", expr("n_stop * 100 div n_tok"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy(col("score").desc, col("doc_id").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    scored.withColumn("cum", sum(col("n_tok")).over(w))
-      .filter(col("cum") <= budget)
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        col("n_tok"), col("score"))
+    admitUnderBudget(scored, budget)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_admitted"),
         sum(col("n_tok")).as("toks_admitted"),
         sum(col("doc_id")).as("id_checksum"))
       .orderBy("source")
+  }
+
+  /** Greedy per-source token-budget admission without a corpus-row
+    * window: the rows of `scored` (doc_id, source, n_tok, score) whose
+    * running token total under (score desc, doc_id asc) order stays
+    * ≤ `budget` within their source — exactly the maximal greedy
+    * prefix, computed scale-safely in qt8's inventory-then-admit
+    * shape:
+    *
+    *   1. INVENTORY: one aggregation to a per-(source, score) token
+    *      histogram — the exchange carries source×score rows, never
+    *      documents. The cumulative walk down each source's score
+    *      groups runs in a window whose partitions hold ≤ 101 rows
+    *      (integer percent scores), so per-task work is constant-
+    *      bounded regardless of corpus size.
+    *   2. ADMIT, fully: a score group whose through-cumulative fits
+    *      the budget is admitted entirely — a map-side broadcast-join
+    *      filter, no ordering needed.
+    *   3. ADMIT, boundary: the one group per source straddling the
+    *      budget needs doc-order admission — qt6's two-pass
+    *      distributed prefix sum over ONLY those rows
+    *      (range-partitioned by (source, doc_id), partition-local
+    *      running sums, driver-side per-source base offsets over
+    *      ≤ sources + parallelism total rows). Even when an entire
+    *      source sits at one score — the realistic skew case — the
+    *      prefix sum spreads across partitions instead of one task.
+    *
+    * `scored` is narrow (two longs, an int, a source id), so the
+    * localCheckpoint materializes ~1% of corpus bytes and the text is
+    * tokenized ONCE; on a real cluster this intermediate would be a
+    * written table. */
+  private[graft] def admitUnderBudget(scored: DataFrame, budget: Long): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    val rows = scored.localCheckpoint() // feeds inventory + both admit paths
+    val hist = rows.groupBy(col("source"), col("score"))
+      .agg(sum(col("n_tok")).as("g_toks"))
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("score").desc)
+    val groups = hist
+      .withColumn("cum_through", sum(col("g_toks")).over(wS))
+      .withColumn("cum_before", col("cum_through") - col("g_toks"))
+      .select(col("source"), col("score"), col("cum_through"), col("cum_before"))
+      .localCheckpoint() // source×score rows; feeds both admit joins
+    val tagged = rows.join(broadcast(groups), Seq("source", "score"))
+    val fullAdmit = tagged.filter(col("cum_through") <= budget)
+      .select(col("source"), col("doc_id"), col("n_tok"))
+    // the straddling group: some prefix of it (by doc_id) may still fit
+    val boundary = tagged
+      .filter(col("cum_before") < budget && col("cum_through") > budget)
+      .select(col("source"), col("doc_id"), col("n_tok"),
+        (lit(budget) - col("cum_before")).as("rem"))
+    val n = s.sparkContext.defaultParallelism
+    val local = boundary.as[(String, Long, Long, Long)]
+      .repartitionByRange(n, col("source").asc, col("doc_id").asc)
+      .sortWithinPartitions(col("source"), col("doc_id"))
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var cur: String = null; var run = 0L
+        it.map { case (src, id, tok, rem) =>
+          if (src != cur) { cur = src; run = 0L }
+          val off = run; run += tok
+          (pid, src, id, tok, rem, off)
+        }
+      }.toDF("pid", "source", "doc_id", "n_tok", "rem", "local_off")
+      .localCheckpoint() // feeds the totals pass and the final filter
+    // one row per (partition, source) — ≤ sources + parallelism, since
+    // range partitions hold contiguous (source, doc_id) runs
+    val totals = local.groupBy(col("pid"), col("source"))
+      .agg(sum(col("n_tok")).as("ptot"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val bases = totals.groupBy(_._2).toSeq.flatMap { case (src, ps) =>
+      var acc = 0L
+      ps.sortBy(_._1).map { case (pid, _, ptot) =>
+        val b = (pid, src, acc); acc += ptot; b
+      }
+    }
+    val baseDf = bases.toDF("pid", "source", "base")
+    val boundaryAdmit = local.join(broadcast(baseDf), Seq("pid", "source"))
+      .filter(col("base") + col("local_off") + col("n_tok") <= col("rem"))
+      .select(col("source"), col("doc_id"), col("n_tok"))
+    fullAdmit.union(boundaryAdmit)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -103,8 +103,13 @@ class PlcNetMicroBatchStream(cfg: PlcNetConfig, schema: StructType)
   // live source: one poll round per trigger by default; the trigger
   // interval paces the fleet at the reference's ~1 Hz cadence.
   // Trigger.AvailableNow drains up to maxTicks (set it — an unbounded
-  // live poll has no "available now").
-  override def prepareForTriggerAvailableNow(): Unit = ()
+  // live poll has no "available now"). Enforced here, not just
+  // documented: without the option, the drain target would be
+  // Long.MaxValue and the "bounded" run would poll live PLCs forever.
+  override def prepareForTriggerAvailableNow(): Unit =
+    require(cfg.maxTicks != Long.MaxValue,
+      "plc-net: set the maxTicks option for Trigger.AvailableNow — " +
+        "an unbounded live poll has no \"available now\"")
   override def latestOffset(): Offset = TickOffset(cfg.maxTicks)
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(cfg.ticksPerTrigger)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {

@@ -132,9 +132,9 @@ object IngestDedup {
   // conf-overridable so deployments can tune the switch points to their
   // batch cadence (and so specs/benches can drive ONE dataset through
   // each regime and pin every regime's plan, not just the trickle one)
-  private def isinKeyLimit(s: SparkSession): Long =
+  private[graft] def isinKeyLimit(s: SparkSession): Long =
     s.conf.get("spark.graft.ingest.isinKeyLimit", IsinKeyLimit.toString).toLong
-  private def broadcastKeyLimit(s: SparkSession): Long =
+  private[graft] def broadcastKeyLimit(s: SparkSession): Long =
     s.conf.get("spark.graft.ingest.broadcastKeyLimit", BroadcastKeyLimit.toString).toLong
 
   /** Steps 1-3 as a pure plan: the batch's surviving docs. Split from

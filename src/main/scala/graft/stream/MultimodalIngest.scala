@@ -64,7 +64,12 @@ object MultimodalIngest {
   def start(docs: DataFrame, dir: String, checkpoint: String,
             trigger: Trigger = Trigger.ProcessingTime("1 second"),
             tau: Double = 0.95, nProbe: Int = 4,
-            compactEvery: Int = 64, requantizeEvery: Int = 0): StreamingQuery =
+            compactEvery: Int = 64, requantizeEvery: Int = 0): StreamingQuery = {
+    // the quantizer's cell count is pinned at [[init]] and preserved by
+    // requantize, so read it ONCE per query, not one extra centroids
+    // job per cadence tick (memoized lazily — the stream may start
+    // before the first batch needs it)
+    var nCellsCached = -1
     docs.writeStream.trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -77,12 +82,16 @@ object MultimodalIngest {
           EpochFold.fold(s, s"$dir/metrics", upTo = id, 128L * 1024 * 1024)
           if (!requantNow) EmbedIngest.compactCells(s, s"$dir/embed", upTo = id)
         }
-        if (requantNow)
+        if (requantNow) {
+          if (nCellsCached < 0)
+            nCellsCached = s.read.parquet(s"$dir/embed/centroids").count().toInt
           EmbedIngest.requantize(s, s"$dir/embed",
-            nCells = s.read.parquet(s"$dir/embed/centroids").count().toInt, upTo = id)
+            nCells = nCellsCached, upTo = id)
+        }
         ingestBatch(batch, dir, id, tau, nProbe)
       }
       .start()
+  }
 
   /** Fold epochs `< upTo` in every store — text indexes, text corpus,
     * and vector cells — under the shared cadence. Same `upTo` contract

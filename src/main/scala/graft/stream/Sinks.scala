@@ -401,9 +401,16 @@ object Sinks {
   }
 
   private def nfIdxPath(path: String) = s"$path/._nf_idx"
-  // \u0001 separator: ("ab","c") and ("a","bc") must not share a key
+  // "\\u0001" separator (explicit escape, not a raw control byte):
+  // ("ab","c") and ("a","bc") must not share a key. concat_ws SKIPS
+  // null columns entirely, which would make (null,"x") collide with
+  // ("x",null) and with ("","x") — so each column is coalesced to a
+  // "\\u0000" sentinel first, keeping null distinct from empty and
+  // position-stable.
   private def nfKey(keys: Seq[String]) =
-    md5(concat_ws("", keys.map(col): _*).cast("binary"))
+    md5(concat_ws("\u0001",
+      keys.map(k => coalesce(col(k).cast("string"), lit("\u0000"))): _*)
+      .cast("binary"))
 
   /** The batch rows whose logical key is absent from the index, as a
     * pure plan (probe regimes and `epoch < N` visibility exactly like
@@ -418,14 +425,22 @@ object Sinks {
     if (!EpochFold.hasDataFiles(spark, nfIdxPath(path))) keyed
     else {
       val idx = spark.read.parquet(nfIdxPath(path)).filter(col("epoch") < epochId)
-      val hits =
-        if (keyed.count() <= IngestDedup.IsinKeyLimit) {
-          val lits = keyed.select("nf_key").collect().map(_.getString(0)).toSeq
-          idx.filter(col("nf_key").isin(lits: _*)).select("nf_key")
-        } else
-          idx.join(broadcast(keyed.select("nf_key").distinct()), Seq("nf_key"))
-            .select("nf_key")
-      keyed.join(broadcast(hits), Seq("nf_key"), "left_anti")
+      val batchRows = keyed.count()
+      // same conf-overridable switch points as the doc-ingest probes
+      // (spark.graft.ingest.*), so one set of knobs tunes — and one
+      // spec style can force — every probe regime in the library
+      if (batchRows > IngestDedup.broadcastKeyLimit(spark))
+        keyed.join(idx.select("nf_key"), Seq("nf_key"), "left_anti")
+      else {
+        val hits =
+          if (batchRows <= IngestDedup.isinKeyLimit(spark)) {
+            val lits = keyed.select("nf_key").collect().map(_.getString(0)).toSeq
+            idx.filter(col("nf_key").isin(lits: _*)).select("nf_key")
+          } else
+            idx.join(broadcast(keyed.select("nf_key").distinct()), Seq("nf_key"))
+              .select("nf_key")
+        keyed.join(broadcast(hits), Seq("nf_key"), "left_anti")
+      }
     }
   }
 

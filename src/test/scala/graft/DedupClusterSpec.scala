@@ -59,6 +59,47 @@ class DedupClusterSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("n_overflow") == 0L))
   }
 
+  test("shared-span flood: qd9's pair output is O(dfCap²), not O(m²)") {
+    import spark.implicits._
+    // 1000 docs sharing a 160-char aligned span (the licence-header
+    // case): every doc carries the SAME 9 stride-aligned window
+    // fingerprints, so the uncapped inverted-index self-join would
+    // enumerate 499,500 pairs per fingerprint — ~4.5M candidate rows
+    val span = (0 until 40).map(i => f"w$i%02d").mkString(" ") // 159 chars
+    val docs = (0L until 1000L).map(i => (i, s"$span padpad tail$i"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringPairsCapped(docs, dfCap = 4).collect()
+    // pairs only among each fingerprint's first 4 members by doc_id:
+    // docs 0-3 share all 9 span fingerprints → C(4,2) = 6 pairs
+    assert(out.length == 6, s"expected C(4,2)=6 capped pairs, got ${out.length}")
+    assert(out.forall(r => r.getAs[Long]("id_a") < 4L && r.getAs[Long]("id_b") < 4L),
+      "capped pairs must come from the doc_id-ordered prefix")
+    assert(out.forall(_.getAs[Long]("n_shared") >= 9L),
+      "prefix members share all 9 aligned span fingerprints")
+
+    // exact overflow accounting: each span fingerprint has df = 1000,
+    // true pairs C(1000,2) = 499,500, reported C(4,2) = 6
+    val ov = Dedup.substringOverflow(docs, dfCap = 4)
+      .filter(col("df") === 1000L).collect()
+    assert(ov.length >= 9, "all shared span fingerprints accounted")
+    assert(ov.forall(_.getAs[Long]("n_pairs_true") == 499500L))
+    assert(ov.forall(_.getAs[Long]("n_pairs_reported") == 6L))
+    assert(ov.forall(_.getAs[Long]("n_overflow") == 499500L - 6L),
+      "overflow must count against the TRUE per-fingerprint pair count")
+  }
+
+  test("qd9 cap above every fingerprint df reports the exact pair list") {
+    import spark.implicits._
+    val span = (0 until 40).map(i => f"z$i%02d").mkString(" ")
+    val docs = (0L until 5L).map(i => (i, s"$span padpad tail$i"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringPairsCapped(docs, dfCap = 64).collect()
+    assert(out.length == 10, "C(5,2) pairs, cap non-binding")
+    assert(out.forall(_.getAs[Long]("n_shared") >= 9L))
+    val ov = Dedup.substringOverflow(docs, dfCap = 64).collect()
+    assert(ov.nonEmpty && ov.forall(_.getAs[Long]("n_overflow") == 0L))
+  }
+
   test("labels respect the candidate edges: pair endpoints share a cluster") {
     val labels = Dedup.qd6_dup_clusters(spark, sf)
       .select(col("doc_id"), col("cluster_id"))

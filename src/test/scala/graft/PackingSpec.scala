@@ -68,6 +68,67 @@ class PackingSpec extends SparkSpec {
       "rate table must broadcast back onto the corpus")
   }
 
+  test("qt10 plans no corpus window: admission is broadcast joins + one agg exchange") {
+    // the per-source running-sum window (one task per source — the
+    // 100 TB killer) must be gone: the final plan is a Union of two
+    // BroadcastHashJoins (full-admit groups, boundary prefix) and the
+    // only visible exchanges carry aggregate rows, never doc_id. The
+    // checkpointed subplans are shuffle-bounded by construction: the
+    // histogram exchange is post-partial-agg (source×score rows) and
+    // the boundary prefix sum range-partitions only the straddling
+    // score group across defaultParallelism tasks.
+    val q = TextOps.qt10_token_budget(spark, "/root/testdata/sf0.001")
+    val explained = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!explained.contains("Window"),
+      "qt10 must not plan a window over corpus rows")
+    assert(explained.contains("Union"), "two admission paths union")
+    val lines = explained.linesIterator.toVector
+    val exchangeIdx = lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) Exchange.*""") => i
+    }
+    assert(exchangeIdx.nonEmpty, "expected the post-aggregate exchange")
+    exchangeIdx.foreach { i =>
+      val input = lines.drop(i).take(3).find(_.trim.startsWith("Input")).getOrElse("")
+      assert(!input.contains("doc_id"),
+        s"doc-level rows entered a shuffle: $input")
+    }
+  }
+
+  test("admitUnderBudget ≡ running-sum window reference, incl. one-score skew") {
+    // the inventory-then-admit form must reproduce the greedy window
+    // semantics exactly — including when an ENTIRE source sits at one
+    // score (the skew case the boundary prefix sum exists for) and
+    // when budgets land exactly on a doc boundary
+    val rng = new scala.util.Random(20260813)
+    for (trial <- 1 to 5) {
+      val nDocs = 50 + rng.nextInt(300)
+      val budget = 50L + rng.nextInt(400)
+      val skewed = trial % 2 == 0 // every doc the same score
+      val rows = (0 until nDocs).map { i =>
+        val src = s"s${i % 3}"
+        val tok = 1L + rng.nextInt(30)
+        val score = if (skewed) 7L else rng.nextInt(5).toLong
+        (i.toLong, src, tok, score)
+      }
+      val scored = rows.toDF("doc_id", "source", "n_tok", "score")
+      val got = TextOps.admitUnderBudget(scored, budget)
+        .as[(String, Long, Long)].collect().toSet
+      // sequential reference: per source, (score desc, doc_id asc)
+      // prefix while cum <= budget
+      val expected = rows.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+        var cum = 0L
+        ds.sortBy { case (id, _, _, sc) => (-sc, id) }.flatMap {
+          case (id, _, tok, _) =>
+            cum += tok
+            if (cum <= budget) Some((src, id, tok)) else None
+        }
+      }.toSet
+      assert(got == expected,
+        s"trial $trial (n=$nDocs budget=$budget skew=$skewed) diverged")
+    }
+  }
+
   test("prefixBins property: distributed ≡ sequential on random workloads") {
     // random doc-size distributions, including heavy skew and ties —
     // the distributed two-pass prefix sum must agree with a sequential
