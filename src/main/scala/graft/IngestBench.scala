@@ -89,16 +89,39 @@ object IngestBench {
         .withColumn("ce", emb(concat(lit("cent"), col("cid").cast("string"))))
         .withColumn("cn", sqrt(graft.functions.GraftFunctions.vec_dot(col("ce"), col("ce"))))
       stream.MultimodalIngest.init(spark, mmDir, cents)
+      // GRAFT_INGEST_REQUANT=N re-quantizes every N epochs mid-run (the
+      // drift-handling cadence `start()` wires), so the bench records
+      // what a requantize tick costs under load and whether ingest
+      // throughput recovers after the rebuild. 0 = off.
+      val requantEvery = sys.env.getOrElse("GRAFT_INGEST_REQUANT", "0").toInt
+      var tickSecs = 0.0
+      var ticks = 0
+      var lastTick = -1
+      val batchSecs = Array.ofDim[Double](nBatches)
       val t0 = System.nanoTime()
       (0 until nBatches).foreach { b =>
+        if (requantEvery > 0 && b > 0 && b % requantEvery == 0) {
+          val tt = System.nanoTime()
+          stream.MultimodalIngest.requantize(spark, mmDir, nCells = 8, upTo = b)
+          tickSecs += (System.nanoTime() - tt) / 1e9
+          ticks += 1
+          lastTick = b
+        }
+        val tb = System.nanoTime()
         val hi = if (b == nBatches - 1) nDocs else (b + 1) * batchSize
         stream.MultimodalIngest.ingestBatch(
           mmDocs.filter(col("doc_id") >= b * batchSize && col("doc_id") < hi),
           mmDir, epochId = b, tau = 0.99)
+        batchSecs(b) = (System.nanoTime() - tb) / 1e9
       }
       val secs = (System.nanoTime() - t0) / 1e9
       val kept = stream.MultimodalIngest.corpus(spark, mmDir).count()
-      println(f"""{"metric":"multimodal_ingest_docs_per_sec","value":${nDocs / secs}%.1f,"docs":$nDocs,"batches":$nBatches,"kept":$kept,"expected_kept":${nDocs * 2 / 5},"secs":$secs%.1f}""")
+      // throughput over the batches AFTER the last requantize tick —
+      // proves the rebuilt cell layout probes as fast as the original
+      val postSecs = batchSecs.drop(math.max(lastTick, 0)).sum
+      val postDocs = (nBatches - math.max(lastTick, 0)) * batchSize
+      val postRate = if (lastTick < 0 || postSecs == 0) nDocs / secs else postDocs / postSecs
+      println(f"""{"metric":"multimodal_ingest_docs_per_sec","value":${nDocs / secs}%.1f,"docs":$nDocs,"batches":$nBatches,"kept":$kept,"expected_kept":${nDocs * 2 / 5},"secs":$secs%.1f,"requant_every":$requantEvery,"requant_ticks":$ticks,"requant_secs_per_tick":${if (ticks == 0) 0.0 else tickSecs / ticks}%.2f,"post_requant_docs_per_sec":$postRate%.1f}""")
     } else if (mode == "regimes") {
       // force each probe regime over the identical workload; the limits
       // are read per batch, so setting them before a run is enough

@@ -252,7 +252,7 @@ object Dedup {
   /** The stride-16 32-char window fingerprint set, one row per
     * (doc_id, fp) — the shared scan of qd9 and qd11. Row-local
     * (Generate + distinct), ⌈len/16⌉ fingerprints per doc. */
-  private def substringFps(docs: DataFrame): DataFrame =
+  private[graft] def substringFps(docs: DataFrame): DataFrame =
     docs.filter(length(col("text")) >= 32)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, cast((length(text) - 32) div 16 as int)), " +

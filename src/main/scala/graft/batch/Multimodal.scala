@@ -41,9 +41,78 @@ object Multimodal {
         (col("frame") * col("width") * col("height")).as("byte_offset"))
       .orderBy("doc_id", "frame")
 
+  /** Per-band bucket member cap for [[qm3_phash_neardup]]'s candidate
+    * generation — the qd8/qd9 flood guard applied to perceptual
+    * hashing: a corpus of near-identical media (one logo served a
+    * million times) lands in one band bucket, and without the cap the
+    * bucket self-pairs quadratically. Non-binding on the fixtures
+    * (max bucket 120 at sf0.1); under flood, output is O(cap²) per
+    * bucket and the SAME prefix is encoded in the oracle SQL. */
+  private[graft] val PhashBandCap = 128
+
+  /** 32-bit perceptual hash of the media payload, entirely ROW-LOCAL
+    * (qd3's zero-shuffle shape): the stub codec's "pixels" are the
+    * payload's byte values, block-averaged into 32 equal slices —
+    * production swaps the slice averages for decoded image block
+    * intensities ([[MediaPipeline.fakeDecode]]'s contract); the
+    * thresholding and banding below are codec-independent. Bit b is
+    * set when block b's mean intensity exceeds the whole-payload mean
+    * — the classic average-hash construction, integer-exact (floor
+    * divisions only) so the DuckDB oracle reproduces it bit-for-bit. */
+  private[graft] def phash32(docs: DataFrame): DataFrame =
+    docs.filter(length(col("text")) >= 32)
+      .withColumn("L", length(col("text")).cast("long"))
+      .withColumn("bs", expr(
+        "transform(sequence(0, 31), b -> named_struct(" +
+          "'i', aggregate(sequence(1, cast(((b + 1) * L) div 32 - (b * L) div 32 as int)), 0L, " +
+          "(acc, p) -> acc + ascii(substring(text, cast((b * L) div 32 + p as int), 1)))," +
+          "'n', ((b + 1) * L) div 32 - (b * L) div 32))"))
+      .withColumn("m", expr("aggregate(bs, 0L, (acc, x) -> acc + x.i) div L"))
+      .withColumn("phash", expr(
+        "aggregate(transform(sequence(0, 31), b -> " +
+          "IF(bs[b].i div bs[b].n > m, shiftleft(1L, b), 0L)), 0L, (acc, x) -> acc + x)"))
+      .select(col("doc_id"), col("phash"))
+
+  /** qm3: perceptual near-duplicate media — doc pairs whose payload
+    * pHashes differ in ≤ 3 of 32 bits. Candidates come from 4 bands
+    * of 8 bits: by pigeonhole any pair within Hamming distance 3
+    * agrees exactly on at least one band, so banding IS the exact
+    * Hamming-ball candidate generator at radius 3 (the band-join form
+    * of Similarity's multi-probe bucket walk, scaled to corpus
+    * self-join instead of query explosion). Each band bucket is
+    * capped to its first `cap` members by doc_id (qd9's
+    * WindowGroupLimit prefix + bucket-local pair generation — two
+    * shuffles), then candidates verify the exact distance with
+    * bit_count(xor). */
+  private[graft] def phashPairs(ph: DataFrame, cap: Int): DataFrame = {
+    val bands = ph
+      .select(col("doc_id"), col("phash"), posexplode(expr(
+        "transform(sequence(0, 3), k -> shiftright(phash, cast(8 * k as int)) & 255L)")))
+      .toDF("doc_id", "phash", "k", "v")
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("k", "v").orderBy("doc_id")
+    val pruned = bands.withColumn("rk", row_number().over(wB))
+      .filter(col("rk") <= cap)
+    pruned.groupBy(col("k"), col("v"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("phash")))).as("ids"))
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), " +
+          "y -> struct(x.doc_id AS id_a, x.phash AS ph_a, y.doc_id AS id_b, y.phash AS ph_b))))")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.ph_a").as("ph_a"),
+        col("p.id_b").as("id_b"), col("p.ph_b").as("ph_b"))
+      .distinct() // a pair may collide in several bands
+      .withColumn("hamming", expr("cast(bit_count(ph_a ^ ph_b) as long)"))
+      .filter(col("hamming") <= 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  def qm3_phash_neardup(s: SparkSession, d: String): DataFrame =
+    phashPairs(phash32(Tables.spread(Tables.documents(s, d))), PhashBandCap)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qm1_multimodal" -> (qm1_multimodal _),
-    "qm2_frame_sample" -> (qm2_frame_sample _))
+    "qm2_frame_sample" -> (qm2_frame_sample _),
+    "qm3_phash_neardup" -> (qm3_phash_neardup _))
 
   val oracle: Map[String, String] = Map(
     "qm1_multimodal" ->
@@ -63,5 +132,37 @@ object Multimodal {
         |SELECT doc_id, CAST(f AS BIGINT) AS frame,
         | CAST(f * width * height AS BIGINT) AS byte_offset
         |FROM (SELECT doc_id, width, height, unnest(range(0, n_frames, 2)) AS f FROM m)
-        |ORDER BY doc_id, frame""".stripMargin)
+        |ORDER BY doc_id, frame""".stripMargin,
+    "qm3_phash_neardup" ->
+      s"""WITH d AS (
+         | SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L
+         | FROM documents WHERE length(text) >= 32),
+         |blocks AS (
+         | SELECT doc_id, text, L, b.b AS b,
+         |  (b.b * L) // 32 AS off, ((b.b + 1) * L) // 32 - (b.b * L) // 32 AS n
+         | FROM d, range(32) b(b)),
+         |inten AS (
+         | SELECT doc_id, L, b, n,
+         |  list_sum(list_transform(range(1, CAST(n + 1 AS INT)),
+         |    p -> ord(substr(text, CAST(off + p AS INT), 1)))) AS i
+         | FROM blocks),
+         |tot AS (SELECT doc_id, SUM(i) // MAX(L) AS m FROM inten GROUP BY 1),
+         |ph AS (
+         | SELECT i.doc_id,
+         |  CAST(SUM(CASE WHEN i.i // i.n > t.m
+         |   THEN 1::BIGINT << i.b ELSE 0::BIGINT END) AS BIGINT) AS phash
+         | FROM inten i JOIN tot t ON i.doc_id = t.doc_id GROUP BY 1),
+         |bands AS (
+         | SELECT doc_id, phash, k.k AS k, (phash >> CAST(8 * k.k AS INT)) & 255 AS v
+         | FROM ph, range(4) k(k)),
+         |pruned AS (
+         | SELECT * FROM bands
+         | QUALIFY row_number() OVER (PARTITION BY k, v ORDER BY doc_id) <= $PhashBandCap),
+         |cand AS (
+         | SELECT DISTINCT a.doc_id AS id_a, a.phash AS ph_a, b.doc_id AS id_b, b.phash AS ph_b
+         | FROM pruned a JOIN pruned b ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id)
+         |SELECT id_a, ph_a, id_b, ph_b,
+         | CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin)
 }

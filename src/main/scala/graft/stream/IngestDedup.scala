@@ -105,14 +105,23 @@ object IngestDedup {
     // row group of every epoch file.
     keep.drop("bands", "content_key")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/corpus/epoch=$epochId")
-    keep.select(col("content_key"))
+    // both indexes carry the owning doc_id alongside the key: probes
+    // prune it away (columnar), but the rejection ledger reads it back
+    // as the dup_of attribution. Indexes written before this column
+    // existed still probe fine and attribute a null dup_of.
+    keep.select(col("content_key"), col("doc_id"))
       .sortWithinPartitions("content_key")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/exact_idx/epoch=$epochId")
-    keep.select(explode(col("bands")).as("bk"))
-      .select(col("bk.band").as("band"), col("bk.key").as("key"))
+    keep.select(col("doc_id"), explode(col("bands")).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"), col("doc_id"))
       .filter(col("key").isNotNull) // shingle-less docs have no signature
       .sortWithinPartitions("key")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/band_idx/epoch=$epochId")
+    // the rejection ledger: WHY each non-survivor was turned away,
+    // committed into this epoch's partition like every other store —
+    // replays overwrite, so cluster accounting stays exactly-once
+    rejectionLedger(batch, dir, epochId, keep)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/ledger/epoch=$epochId")
   }
 
   /** Trickle regime: batches with ≤ this many docs probe the indexes
@@ -215,7 +224,10 @@ object IngestDedup {
       case Some(idx) =>
         val idxPrior = priorEpochs(idx, epochId)
         if (2 * batchRows > bcastLimit)
-          bk.join(idxPrior, Seq("band", "key")).select("doc_id").distinct()
+          // project the probe keys only: keeps the owner column out of
+          // the scan AND out of the join output (doc_id would collide)
+          bk.join(idxPrior.select("band", "key"), Seq("band", "key"))
+            .select("doc_id").distinct()
         else {
           val probePairs = bk.select("band", "key").distinct()
           val pre =
@@ -235,6 +247,176 @@ object IngestDedup {
       case None => s.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
     }
     exactFresh.join(losers.union(corpusHits).distinct(), Seq("doc_id"), "left_anti")
+  }
+
+  /** The `(doc_id, dup_of, reason)` rejection rows for one micro-batch
+    * — WHY each non-survivor was turned away, so the streaming corpus
+    * can answer qd6-shaped duplicate-cluster queries ([[clusters]])
+    * without a batch rebuild. Computed POST-HOC over the rejected set
+    * only (batch minus `keep`): [[survivors]]'s plan is untouched, and
+    * the two extra index probes are sized by the REJECTION count, not
+    * the batch — at a steady-state dup rate they are a few pushed-IN
+    * row-group reads.
+    *
+    * Reasons mirror the membrane's stages, first match wins:
+    * `exact_batch` (lost to a smaller batch-mate with identical
+    * content), `exact_corpus` (content already admitted; dup_of = the
+    * indexed owner), `near_batch` (shares a band with a smaller
+    * batch-mate), `near_corpus` (shares a band with an admitted doc).
+    * In-batch chains (doc → batch-mate that itself lost a later
+    * stage) are resolved before the write, so every dup_of names an
+    * ADMITTED doc — cross-batch targets are admitted by construction
+    * (only survivors extend the indexes). dup_of is null only against
+    * a pre-owner-column legacy index. */
+  private[graft] def rejectionLedger(batch: DataFrame, dir: String,
+      epochId: Long, keep: DataFrame): DataFrame = {
+    val s = batch.sparkSession
+    val keyed = batch
+      .withColumn("content_key", md5(col("text").cast("binary")))
+      .withColumn("bands", Dedup.bandKeys(col("text")))
+    val rejected = keyed
+      .join(keep.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint() // bounded by the batch; consumed repeatedly below
+    val nRej = rejected.count()
+    if (nRej == 0)
+      return rejected.select(col("doc_id"),
+        lit(null).cast("long").as("dup_of"), lit("").as("reason"))
+
+    // stage 1: lost to a smaller batch-mate with identical content
+    val firstPerContent = keyed.groupBy(col("content_key"))
+      .agg(min(col("doc_id")).as("winner"))
+    val exactBatch = rejected.join(firstPerContent, Seq("content_key"))
+      .filter(col("doc_id") =!= col("winner"))
+      .select(col("doc_id"), col("winner").as("dup_of"),
+        lit("exact_batch").as("reason"))
+    // stage 2: content already admitted to the corpus
+    val rem2 = rejected.join(exactBatch.select("doc_id"), Seq("doc_id"), "left_anti")
+    val exactCorpus = rem2.join(
+        ownerHits(s, s"$dir/exact_idx", epochId,
+          rem2.select("content_key"), Seq("content_key"), nRej),
+        Seq("content_key"))
+      .select(col("doc_id"), col("dup_of"), lit("exact_corpus").as("reason"))
+    // stage 3 runs over exactly [[survivors]]'s stage-3 input (all
+    // stage-1/2 survivors, admitted or not) so bucket minima agree
+    val done12 = exactBatch.select("doc_id")
+      .unionByName(exactCorpus.select("doc_id")).localCheckpoint()
+    val stage3 = keyed.join(done12, Seq("doc_id"), "left_anti")
+    val bk = stage3.select(col("doc_id"), explode(col("bands")).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .localCheckpoint()
+    val bucketMin = bk.groupBy(col("band"), col("key"))
+      .agg(min(col("doc_id")).as("min_id"))
+    val rem3 = rejected.join(done12, Seq("doc_id"), "left_anti")
+    val nearBatch = bk.join(rem3.select("doc_id"), Seq("doc_id"))
+      .join(bucketMin, Seq("band", "key"))
+      .filter(col("doc_id") > col("min_id"))
+      .groupBy(col("doc_id")).agg(min(col("min_id")).as("dup_of"))
+      .select(col("doc_id"), col("dup_of"), lit("near_batch").as("reason"))
+    // stage 4: shares a band with an admitted corpus doc
+    val rem4 = rem3.join(nearBatch.select("doc_id"), Seq("doc_id"), "left_anti")
+    val bkRem = bk.join(rem4.select("doc_id"), Seq("doc_id"))
+    val nearCorpus = bkRem.join(
+        ownerHits(s, s"$dir/band_idx", epochId,
+          bkRem.select("band", "key"), Seq("band", "key"), 2 * nRej),
+        Seq("band", "key"))
+      .groupBy(col("doc_id")).agg(min(col("dup_of")).as("dup_of"))
+      .select(col("doc_id"), col("dup_of"), lit("near_corpus").as("reason"))
+    val unattributed = rem4
+      .join(nearCorpus.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(null).cast("long").as("dup_of"),
+        lit("unknown").as("reason")) // can't-happen guard, kept loud in specs
+    resolveChains(exactBatch.unionByName(exactCorpus).unionByName(nearBatch)
+      .unionByName(nearCorpus).unionByName(unattributed))
+  }
+
+  /** Owners of the probe keys present in the prior-epoch index:
+    * `(cols..., dup_of)`. Same trickle/broadcast regime switch as the
+    * membrane probes, but sized by the probe (= rejection) count. */
+  private def ownerHits(s: SparkSession, path: String, epochId: Long,
+      probe: DataFrame, cols: Seq[String], nKeys: Long): DataFrame =
+    readIfExists(s, path) match {
+      case Some(idx0) =>
+        val idx = priorEpochs(idx0, epochId)
+        val owner = if (idx.columns.contains("doc_id")) col("doc_id")
+                    else lit(null).cast("long")
+        val pre =
+          if (nKeys <= isinKeyLimit(s)) {
+            val kc = cols.last // the key column carries the selectivity
+            val lits = probe.select(kc).distinct()
+              .collect().map(_.getString(0)).toSeq
+            if (lits.isEmpty) idx.limit(0) else idx.filter(col(kc).isin(lits: _*))
+          } else idx
+        val dedupProbe = probe.select(cols.map(col): _*).distinct()
+        val joined =
+          if (nKeys <= broadcastKeyLimit(s)) pre.join(broadcast(dedupProbe), cols)
+          else pre.join(dedupProbe, cols)
+        joined.groupBy(cols.map(col): _*).agg(min(owner).as("dup_of"))
+      case None =>
+        probe.select(cols.map(col): _*).limit(0)
+          .withColumn("dup_of", lit(null).cast("long"))
+    }
+
+  /** Rewrite in-batch dup_of chains (doc → batch-mate that itself
+    * lost a later stage) to their terminal target. Stage order is a
+    * DAG, so a handful of jump rounds over the batch-bounded rejection
+    * set converges; each row keeps ITS OWN rejection reason. */
+  private def resolveChains(rej: DataFrame): DataFrame = {
+    var cur = rej.localCheckpoint()
+    var done = false
+    var rounds = 0
+    while (!done && rounds < 8) {
+      val tgt = cur.select(col("doc_id").as("t_id"), col("dup_of").as("t_dup"))
+      val next = cur.join(tgt, cur("dup_of") === tgt("t_id"), "left")
+        .select(cur("doc_id"),
+          coalesce(col("t_dup"), cur("dup_of")).as("dup_of"), cur("reason"))
+        .localCheckpoint()
+      done = next.select(col("doc_id"), col("dup_of").as("new_dup"))
+        .join(cur.select(col("doc_id"), col("dup_of").as("old_dup")), "doc_id")
+        .filter(!(col("new_dup") <=> col("old_dup"))).isEmpty
+      cur = next
+      rounds += 1
+    }
+    require(done, "ingest ledger: dup_of chain resolution did not converge")
+    cur
+  }
+
+  /** The accumulated rejection ledger (all epochs); empty frame with
+    * the correct schema before the first rejection lands. */
+  def ledger(s: SparkSession, dir: String): DataFrame =
+    if (!EpochFold.hasDataFiles(s, s"$dir/ledger")) {
+      import s.implicits._
+      Seq.empty[(Long, Option[Long], String)].toDF("doc_id", "dup_of", "reason")
+    } else s.read.parquet(s"$dir/ledger")
+      .select(col("doc_id"), col("dup_of"), col("reason"))
+
+  /** qd6-shaped duplicate clusters over the STREAMED corpus — admitted
+    * docs plus every ledgered rejection, grouped by the admitted doc
+    * the rejection resolved to: `(doc_id, cluster_id, is_canonical,
+    * cluster_size)` with the min member canonical, singletons included.
+    * One aggregation + one co-partitioned join on the cluster root; no
+    * LSH recompute, no iterative label propagation — the ledger already
+    * carries the edges, which is the point of recording them at ingest.
+    *
+    * Semantics note: equal to batch [[Dedup.qd6_dup_clusters]] whenever
+    * every duplicate shares a band with an ADMITTED doc (the star
+    * shape real dup families have). A transitive chain A–B–C where B
+    * bridges two otherwise-disjoint docs CAN differ: the membrane
+    * rejects B on A, then admits C (B's keys never entered the index —
+    * the state-describes-the-corpus invariant), where a full-corpus
+    * batch pass would link all three. Legacy-index rejections with a
+    * null dup_of are reported as their own singleton clusters. */
+  def clusters(s: SparkSession, dir: String): DataFrame = {
+    val admitted = s.read.parquet(s"$dir/corpus").select(col("doc_id"))
+    val led = ledger(s, dir)
+    val members = admitted.withColumn("root", col("doc_id"))
+      .unionByName(led.select(col("doc_id"),
+        coalesce(col("dup_of"), col("doc_id")).as("root")))
+    val stats = members.groupBy(col("root"))
+      .agg(min(col("doc_id")).as("cluster_id"), count(lit(1)).as("cluster_size"))
+    members.join(stats, Seq("root"))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"),
+        col("cluster_size"))
   }
 
   /** Fold every index partition with `epoch < upTo` into ONE compacted
@@ -264,6 +446,9 @@ object IngestDedup {
     // protocol (own marker, require()d FS ops) lives in EpochFold.
     EpochFold.fold(s, s"$dir/exact_idx", upTo, targetBytes, Seq("content_key"))
     EpochFold.fold(s, s"$dir/band_idx", upTo, targetBytes, Seq("key"))
+    // the rejection ledger folds on the same cadence (cluster queries
+    // scan it whole, so size-bounded files matter more than sort order)
+    EpochFold.fold(s, s"$dir/ledger", upTo, targetBytes)
     // the corpus itself is never probed, but it IS what downstream
     // training jobs scan — fold its epoch dirs too, or a year of
     // 1 Hz micro-batches leaves consumers opening millions of

@@ -150,11 +150,13 @@ object MultimodalIngest {
     // epoch partition is the idempotence point in every store
     keep.drop("bands", "content_key")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/text/corpus/epoch=$epochId")
-    keep.select(col("content_key"))
+    // owner column alongside the key, like IngestDedup's indexes —
+    // probes prune it, rejection attribution reads it
+    keep.select(col("content_key"), col("doc_id"))
       .sortWithinPartitions("content_key")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/text/exact_idx/epoch=$epochId")
-    keep.select(explode(col("bands")).as("bk"))
-      .select(col("bk.band").as("band"), col("bk.key").as("key"))
+    keep.select(col("doc_id"), explode(col("bands")).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"), col("doc_id"))
       .filter(col("key").isNotNull)
       .sortWithinPartitions("key")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/text/band_idx/epoch=$epochId")

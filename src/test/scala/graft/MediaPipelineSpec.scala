@@ -1,9 +1,12 @@
 package graft
 
-import graft.batch.MediaPipeline
+import org.apache.spark.sql.functions._
+
+import graft.batch.{MediaPipeline, Multimodal}
 import graft.model.MediaBlob
 
-/** Multimodal plumbing: partition-parallel decode + frame sampling. */
+/** Multimodal plumbing: partition-parallel decode + frame sampling +
+  * perceptual near-dup over the stub-decoded payload. */
 class MediaPipelineSpec extends SparkSpec {
   import spark.implicits._
 
@@ -26,5 +29,55 @@ class MediaPipelineSpec extends SparkSpec {
     val meta = MediaPipeline.decode(spark.createDataset(blobs))
     val frames = MediaPipeline.sampleFrames(meta, 2).collect().sortBy(_._2)
     assert(frames.map(_._2).toSeq == Seq(0, 2, 4, 6))
+  }
+
+  test("phash: identical payloads collide; one-block edit flips one bit") {
+    // A: 'ab' × 160 → every block averages 97, whole-payload mean 97,
+    // strict > threshold → phash 0. B: block 5 overwritten with 'z'
+    // (122) lifts that block's average far above the new global mean
+    // (98) while every other block stays below → exactly bit 5 set.
+    val a = "ab" * 160
+    val b = a.substring(0, 50) + "z" * 10 + a.substring(60)
+    val docs = Seq((0L, a), (1L, a), (2L, b)).toDF("doc_id", "text")
+    val ph = Multimodal.phash32(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phash")).toMap
+    assert(ph(0L) == 0L && ph(1L) == 0L, "uniform payload → all bits clear")
+    assert(ph(2L) == 32L, "the edited block must set exactly bit 5")
+
+    val pairs = Multimodal.phashPairs(Multimodal.phash32(docs), cap = 128)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("hamming")))
+    // exact dup at distance 0, perturbed doc at distance 1 from both
+    assert(pairs.toSet == Set((0L, 1L, 0L), (0L, 2L, 1L), (1L, 2L, 1L)))
+  }
+
+  test("phash flood: capped band buckets emit O(cap²) pairs, not O(m²)") {
+    // 300 identical payloads → one bucket per band of m=300; uncapped
+    // the self-pairs would number C(300,2) = 44,850
+    val docs = (0L until 300L).map(i => (i, "xy" * 100)).toDF("doc_id", "text")
+    val out = Multimodal.phashPairs(Multimodal.phash32(docs), cap = 8).collect()
+    assert(out.length == 28, s"C(8,2)=28 capped pairs expected, got ${out.length}")
+    assert(out.forall(_.getAs[Long]("hamming") == 0L))
+    assert(out.forall(r => r.getAs[Long]("id_a") < 8L && r.getAs[Long]("id_b") < 8L),
+      "pairs must come from the doc_id-ordered bucket prefix")
+  }
+
+  test("phash banding finds EVERY pair within Hamming radius 3 (fixture)") {
+    // pigeonhole guarantee: 4 bands, ≤ 3 differing bits → at least one
+    // band agrees exactly, so banded candidates ≡ brute force at the
+    // fixture scale where the member cap is non-binding
+    val ph = Multimodal.phash32(
+      Tables.spread(Tables.documents(spark, "/root/testdata/sf0.001")))
+    val hashes = ph.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("phash")))
+    val brute = (for {
+      (ida, pa) <- hashes; (idb, pb) <- hashes if ida < idb
+      h = java.lang.Long.bitCount(pa ^ pb) if h <= 3
+    } yield (ida, idb, h.toLong)).toSet
+    val banded = Multimodal.phashPairs(ph, cap = 128).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("hamming"))).toSet
+    assert(banded == brute,
+      s"banded=${banded.size} brute=${brute.size} must be identical sets")
   }
 }
