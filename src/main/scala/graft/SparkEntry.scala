@@ -20,11 +20,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     batch.Relational.queries ++ batch.Dedup.queries ++ batch.TextOps.queries ++
-      batch.Similarity.queries ++ batch.Multimodal.queries
+      batch.Similarity.queries ++ batch.Multimodal.queries ++ batch.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     batch.Relational.oracle ++ batch.Dedup.oracle ++ batch.TextOps.oracle ++
-      batch.Similarity.oracle ++ batch.Multimodal.oracle
+      batch.Similarity.oracle ++ batch.Multimodal.oracle ++ batch.Curation.oracle
 }

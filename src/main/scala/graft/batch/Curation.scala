@@ -62,6 +62,21 @@ object Curation {
     * (doc_id, source, tok, bin). */
   def curate(docs: DataFrame, eval: DataFrame,
              p: Params = Params()): DataFrame = {
+    val adm = admitted(docs, eval, p)
+    // packing: qt6's distributed first-fit-decreasing
+    T.packFirstFit(adm.select(col("doc_id"), col("n_tok").as("tok")),
+        p.packCapacity)
+      .join(adm.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("tok"), col("bin"))
+  }
+
+  /** Every stage up to (not including) packing — the admitted doc set
+    * `(doc_id, source, n_tok)`. Split out so the composed selection is
+    * ORACLE-CHECKED end-to-end (qc1): bin assignment is partitioning-
+    * dependent, but which docs survive the composed membrane is exact
+    * relational semantics DuckDB can reproduce. */
+  private[graft] def admitted(docs: DataFrame, eval: DataFrame,
+      p: Params): DataFrame = {
     // PASS 1 — the only full-text scan. Quality gates run as map-side
     // filters fused into this same pass; everything downstream needs
     // is computed row-local and checkpointed narrow (no text column).
@@ -117,16 +132,95 @@ object Curation {
     val rates = clean.groupBy(col("source")).agg(sum(col("n_tok")).as("total_toks"))
       .withColumn("rate_ppm", least(lit(1000000L),
         expr(s"(${p.mixtureBudget} * ${p.weightPerMille} * 1000) div total_toks")))
-    val admitted = clean
+    clean
       .join(broadcast(rates.select(col("source"), col("rate_ppm"))), Seq("source"))
       .filter(pmod(
         conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 6), 16, 10)
           .cast("long"), lit(1000000)) < col("rate_ppm"))
-
-    // packing: qt6's distributed first-fit-decreasing
-    T.packFirstFit(admitted.select(col("doc_id"), col("n_tok").as("tok")),
-        p.packCapacity)
-      .join(admitted.select(col("doc_id"), col("source")), Seq("doc_id"))
-      .select(col("doc_id"), col("source"), col("tok"), col("bin"))
+      .select(col("doc_id"), col("source"), col("n_tok"))
   }
+
+  /** qc1: the composed curation selection on the fixture corpus —
+    * every 10th doc (doc_id % 10 = 7) plays the eval set (qd10's
+    * split), the rest is the corpus; output is the admitted doc list
+    * with its token count, which pins ALL five membrane stages —
+    * quality gates, exact dedup, band near-dedup, span
+    * decontamination, and the mixture hash admission — against one
+    * DuckDB oracle in a single composed check. */
+  def qc1_curation(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val all = graft.Tables.spread(graft.Tables.documents(s, d))
+    val corpus = all.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+    val ev = all.filter(pmod(col("doc_id"), lit(10)) === 7)
+      .select(col("doc_id"), col("text"))
+    admitted(corpus, ev, Params()).orderBy("doc_id")
+  }
+
+  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
+    Map("qc1_curation" -> (qc1_curation _))
+
+  val oracle: Map[String, String] = Map(
+    "qc1_curation" ->
+      """WITH corpus AS (
+        | SELECT doc_id, source, text FROM documents WHERE doc_id % 10 <> 7),
+        |ev AS (SELECT text FROM documents WHERE doc_id % 10 = 7),
+        |t AS (
+        | SELECT doc_id, source, text,
+        |  list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS toks
+        | FROM corpus),
+        |q AS (
+        | SELECT doc_id, source, text, toks, CAST(len(toks) AS BIGINT) AS n_tok,
+        |  CAST(len(toks) AS BIGINT) - CAST(len(list_distinct(toks)) AS BIGINT) AS n_dup
+        | FROM t WHERE len(toks) >= 5),
+        |qb AS (
+        | SELECT doc_id, source, text, n_tok, n_dup,
+        |  CAST(list_max(list_transform(list_distinct(bg),
+        |   x -> len(list_filter(bg, y -> y = x)))) AS BIGINT) AS max_bg
+        | FROM (SELECT *, list_transform(range(CAST(n_tok AS INT) - 1),
+        |   i -> toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2]) AS bg FROM q)),
+        |pass AS (
+        | SELECT doc_id, source, text, n_tok FROM qb
+        | WHERE n_dup * 2 < n_tok AND max_bg * 100 // (n_tok - 1) <= 60),
+        |exwin AS (SELECT md5(text) AS ck, MIN(doc_id) AS win FROM pass GROUP BY 1),
+        |ex AS (SELECT p.* FROM pass p JOIN exwin w ON p.doc_id = w.win),
+        |sh AS (
+        | SELECT DISTINCT doc_id, concat_ws(' ', tk[i+1], tk[i+2], tk[i+3]) AS shingle
+        | FROM (
+        |  SELECT doc_id, tk, unnest(range(0, greatest(len(tk) - 3, 0) + 1)) AS i
+        |  FROM (SELECT doc_id, string_split(lower(substr(text, 1, 120)), ' ') AS tk
+        |        FROM ex))
+        | WHERE length(concat_ws(' ', tk[i+1], tk[i+2], tk[i+3])) > 0),
+        |sigs AS (
+        | SELECT doc_id,
+        |  MIN(md5('0|' || shingle)) AS h0, MIN(md5('1|' || shingle)) AS h1,
+        |  MIN(md5('2|' || shingle)) AS h2, MIN(md5('3|' || shingle)) AS h3,
+        |  MIN(md5('4|' || shingle)) AS h4, MIN(md5('5|' || shingle)) AS h5
+        | FROM sh GROUP BY 1),
+        |bands AS (
+        | SELECT doc_id, 0 AS band, md5(h0 || h1 || h2) AS key FROM sigs
+        | UNION ALL
+        | SELECT doc_id, 1 AS band, md5(h3 || h4 || h5) AS key FROM sigs),
+        |bmin AS (SELECT band, key, MIN(doc_id) AS min_id FROM bands GROUP BY 1, 2),
+        |losers AS (
+        | SELECT DISTINCT b.doc_id FROM bands b JOIN bmin USING (band, key)
+        | WHERE b.doc_id > bmin.min_id),
+        |dd AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+        |cfp AS (
+        | SELECT DISTINCT doc_id, md5(substr(text, CAST(1 + 16 * i AS INT), 32)) AS fp
+        | FROM (SELECT doc_id, text, unnest(range(0, (length(text) - 32) // 16 + 1)) AS i
+        |       FROM dd WHERE length(text) >= 32)),
+        |efp AS (
+        | SELECT DISTINCT md5(substr(text, CAST(1 + i AS INT), 32)) AS fp
+        | FROM (SELECT text, unnest(range(0, length(text) - 31)) AS i
+        |       FROM ev WHERE length(text) >= 32)),
+        |cont AS (SELECT DISTINCT doc_id FROM cfp JOIN efp USING (fp)),
+        |clean AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+        |rates AS (
+        | SELECT source,
+        |  least(1000000, (20000 * 20 * 1000) // CAST(SUM(n_tok) AS BIGINT)) AS rate_ppm
+        | FROM clean GROUP BY 1)
+        |SELECT c.doc_id, c.source, c.n_tok
+        |FROM clean c JOIN rates r ON c.source = r.source
+        |WHERE ('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000000
+        |      < r.rate_ppm
+        |ORDER BY c.doc_id""".stripMargin)
 }
