@@ -1,0 +1,146 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.batch.Multimodal
+
+/** Perceptual near-dup filtering of a media payload column at ingest —
+  * the third membrane, giving the binary modality what [[IngestDedup]]
+  * gives text and [[EmbedIngest]] gives embeddings: a doc is rejected
+  * when its payload's 32-bit perceptual hash (qm3's row-local
+  * average-hash over the stub codec's block intensities) is within
+  * Hamming distance `maxHamming` of a batch-mate's or an admitted
+  * doc's.
+  *
+  * Candidate generation is qm3's exact Hamming-ball banding: 4 bands
+  * of 8 bits, a pair within distance 3 shares ≥ 1 exact band value by
+  * pigeonhole. That gives the corpus probe an unusually strong scale
+  * property: the band-key space is 4 × 256 = 1024 TOTAL, so the
+  * pushed-IN index probe is bounded by a CONSTANT (≤ 1024 literals)
+  * at any batch size — there is no trickle/broadcast regime split to
+  * tune. The index rows matching those buckets join against the
+  * (micro-batch-bounded) broadcast band set and verify the exact
+  * distance with `bit_count(xor)` map-side; the index is scanned,
+  * never shuffled, and never grows a row per duplicate (only admitted
+  * docs extend it). Bulk backfills past the broadcast limit fall back
+  * to a plain shuffle join they amortize.
+  *
+  * Exactly-once state mirrors the sibling membranes: the index is
+  * hive-partitioned by epoch, written OVERWRITE into `epoch=N`, probed
+  * at `epoch < N`, and folded on the shared compact cadence.
+  *
+  * In-batch semantics: exact-hash dups collapse to the min doc_id
+  * first (so a flood of identical payloads never pairs), then the
+  * remaining distinct hashes pair per band bucket with the distance
+  * verify — bounded by the micro-batch, the membrane's unit of work.
+  * Payloads too short to hash (< 32 bytes) pass the membrane
+  * unfiltered, like shingle-less docs in the text membrane. */
+object MediaIngest {
+
+  private[graft] val DefaultMaxHamming = 3
+
+  /** Band keys of a phash: (k << 8) | byte_k, k = 0..3 — one int per
+    * band, 1024 possible values total. */
+  private def bandCol = expr(
+    "transform(sequence(0, 3), k -> cast(shiftleft(k, 8) as int) + " +
+      "cast(shiftright(phash, cast(8 * k as int)) & 255L as int))")
+
+  /** The batch rows that survive the perceptual membrane (all original
+    * columns). `mediaCol` must be a string payload column (the stub
+    * codec convention of qm1 — a real deployment feeds decoded block
+    * intensities through the same hash). */
+  private[graft] def survivors(batch: DataFrame, dir: String, epochId: Long,
+      mediaCol: String = "media",
+      maxHamming: Int = DefaultMaxHamming): DataFrame = {
+    val s = batch.sparkSession
+    val ph = Multimodal.phash32(
+      batch.select(col("doc_id"), col(mediaCol).as("text")))
+    val keyed = batch.join(ph, Seq("doc_id"), "left")
+      .localCheckpoint() // one micro-batch; probed + filtered below
+    val hashed = keyed.filter(col("phash").isNotNull)
+
+    // 1. exact-hash dups collapse to the min doc_id (floods of
+    // identical payloads never reach pairwise work)
+    val firstPerHash = hashed.groupBy(col("phash")).agg(min(col("doc_id")).as("doc_id"))
+    val exactFresh = hashed.join(firstPerHash, Seq("phash", "doc_id"))
+    val bands = exactFresh.select(col("doc_id"), col("phash"),
+        explode(bandCol).as("bk"))
+      .localCheckpoint() // batch-bounded; feeds in-batch pairs + probe
+
+    // 2. in-batch near-dup: distinct hashes pair per band bucket,
+    // verified at the exact distance (batch-bounded work)
+    val a = bands.as("a"); val b = bands.as("b")
+    val inBatch = a.join(b, col("a.bk") === col("b.bk")
+        && col("b.doc_id") < col("a.doc_id"))
+      .filter(expr(s"bit_count(a.phash ^ b.phash) <= $maxHamming"))
+      .select(col("a.doc_id").as("doc_id")).distinct()
+
+    // 3. vs corpus: constant-bounded IN (≤ 1024 band keys) pushed to
+    // the index scan; batch bands broadcast; distance verified map-side
+    val corpusHits = readIfExists(s, s"$dir/media_idx") match {
+      case Some(idx0) =>
+        val idx = if (idx0.columns.contains("epoch"))
+          idx0.filter(col("epoch") < epochId) else idx0
+        val batchRows = exactFresh.count()
+        if (batchRows > IngestDedup.broadcastKeyLimit(s))
+          idx.select(col("bk"), col("phash").as("c_phash"))
+            .join(bands, Seq("bk"))
+            .filter(expr(s"bit_count(phash ^ c_phash) <= $maxHamming"))
+            .select(col("doc_id")).distinct()
+        else {
+          val bks = bands.select("bk").distinct()
+            .collect().map(_.getInt(0)).toSeq
+          val pre = if (bks.isEmpty) idx.limit(0)
+            else idx.filter(col("bk").isin(bks: _*))
+          pre.select(col("bk"), col("phash").as("c_phash"))
+            .join(broadcast(bands), Seq("bk"))
+            .filter(expr(s"bit_count(phash ^ c_phash) <= $maxHamming"))
+            .select(col("doc_id")).distinct()
+        }
+      case None => s.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+    }
+
+    val keepIds = exactFresh
+      .join(inBatch.union(corpusHits).distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+      .union(keyed.filter(col("phash").isNull).select(col("doc_id")))
+    batch.join(keepIds, Seq("doc_id"))
+  }
+
+  /** The index rows for a set of ADMITTED docs — one (bk, phash,
+    * doc_id) row per band per distinct hash the admitted set carries.
+    * Unhashable payloads contribute no rows ([[Multimodal.phash32]]
+    * drops them before hashing). Sorted by bk so the constant-bounded
+    * IN probe skips row groups. */
+  private[graft] def indexRows(admitted: DataFrame, mediaCol: String): DataFrame =
+    Multimodal.phash32(admitted.select(col("doc_id"), col(mediaCol).as("text")))
+      .select(col("doc_id"), col("phash"), explode(bandCol).as("bk"))
+      .select(col("bk"), col("phash"), col("doc_id"))
+      .sortWithinPartitions("bk")
+
+  /** Standalone one-batch pass (composition inside
+    * [[MultimodalIngest.ingestBatch]] writes the index itself so only
+    * fully-admitted docs extend it). Same epoch contract as
+    * [[IngestDedup.ingestBatch]]. */
+  def ingestBatch(batch: DataFrame, dir: String, epochId: Long,
+      mediaCol: String = "media",
+      maxHamming: Int = DefaultMaxHamming): Unit = {
+    val keep = survivors(batch, dir, epochId, mediaCol, maxHamming)
+      .localCheckpoint()
+    keep.write.mode(SaveMode.Overwrite).parquet(s"$dir/corpus/epoch=$epochId")
+    indexRows(keep, mediaCol)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/media_idx/epoch=$epochId")
+  }
+
+  /** Fold index epochs `< upTo` on the shared cadence (same contract
+    * as [[IngestDedup.compactIndexes]]). */
+  def compact(s: SparkSession, dir: String, upTo: Long,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    EpochFold.fold(s, s"$dir/media_idx", upTo, targetBytes, Seq("bk"))
+    EpochFold.fold(s, s"$dir/corpus", upTo, targetBytes)
+  }
+
+  private def readIfExists(s: SparkSession, path: String): Option[DataFrame] =
+    if (EpochFold.hasDataFiles(s, path)) Some(s.read.parquet(path)) else None
+}

@@ -5,16 +5,20 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** The composed ingest membrane for a multimodal training corpus: one
-  * `foreachBatch` that runs BOTH dedup-at-ingest filters over documents
-  * carrying `text` and `embedding` columns —
+  * `foreachBatch` that runs every dedup-at-ingest filter over documents
+  * carrying `text`, `embedding`, and (optionally) `media` columns —
   *
   *   1. text: exact (content hash) + near-dup (MinHash/LSH bands)
   *      against batch-mates and the accumulated corpus
   *      ([[IngestDedup.survivors]]);
+  *   1b. media (when the batch carries a `media` payload column):
+  *      perceptual near-dup — qm3's 32-bit average-hash within
+  *      Hamming distance 3, banded candidates, constant-bounded index
+  *      probe ([[MediaIngest.survivors]]) — over the text survivors;
   *   2. embedding: cosine-at-tau against batch-mates and the
   *      accumulated corpus over the IVF cell layout
-  *      ([[EmbedIngest.survivors]]), evaluated on the text stage's
-  *      survivors — a document is admitted iff it passes BOTH.
+  *      ([[EmbedIngest.survivors]]), evaluated on the earlier stages'
+  *      survivors — a document is admitted iff it passes ALL.
   *
   * The two membranes share ONE epoch id (the foreachBatch batch id) and
   * ONE compaction cadence: every store under `dir` — text corpus, both
@@ -38,6 +42,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *   text/corpus/epoch=N/      admitted documents (all columns)
   *   text/exact_idx/epoch=N/   content-hash keys of admitted docs
   *   text/band_idx/epoch=N/    LSH band keys of admitted docs
+  *   media/media_idx/epoch=N/  perceptual-hash band keys (media mode)
   *   embed/centroids/          pinned coarse quantizer ([[init]])
   *   embed/cells/epoch=N/cell=M/  admitted vectors, cell-partitioned
   *   metrics/epoch=N/          per-batch rejection ledger ([[metrics]])
@@ -57,7 +62,8 @@ object MultimodalIngest {
     EmbedIngest.init(spark, s"$dir/embed", centroids)
 
   /** Start the composed ingest query. `docs` must have `doc_id` (long),
-    * `text` (string) and `embedding` (array<float>, non-null) columns.
+    * `text` (string) and `embedding` (array<float>, non-null) columns;
+    * an optional `media` payload column adds the perceptual membrane.
     * `requantizeEvery` (0 = off): rebuild the embedding quantizer from
     * the current corpus every N epochs — subsumes that batch's cell
     * fold; the text stores still fold on `compactEvery`. */
@@ -80,6 +86,8 @@ object MultimodalIngest {
         if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
           IngestDedup.compactIndexes(s, s"$dir/text", upTo = id)
           EpochFold.fold(s, s"$dir/metrics", upTo = id, 128L * 1024 * 1024)
+          EpochFold.fold(s, s"$dir/media/media_idx", upTo = id,
+            128L * 1024 * 1024, Seq("bk")) // no-op when media mode is off
           if (!requantNow) EmbedIngest.compactCells(s, s"$dir/embed", upTo = id)
         }
         if (requantNow) {
@@ -102,6 +110,7 @@ object MultimodalIngest {
     IngestDedup.compactIndexes(s, s"$dir/text", upTo, targetBytes)
     EmbedIngest.compactCells(s, s"$dir/embed", upTo, targetBytes)
     EpochFold.fold(s, s"$dir/metrics", upTo, targetBytes)
+    EpochFold.fold(s, s"$dir/media/media_idx", upTo, targetBytes, Seq("bk"))
   }
 
   /** Re-cell the embedding membrane's corpus under fresh centroids
@@ -120,29 +129,39 @@ object MultimodalIngest {
       .foreach(t => EpochFold.migrateLegacyFlat(s, s"$dir/text/$t"))
 
     val nIn = batch.count()
-    // stage 1 — text membrane (cheap hash work first, so the cosine
-    // stage only ever sees text-novel docs)
+    val hasMedia = batch.columns.contains("media")
+    // stage 1 — text membrane (cheap hash work first, so the later
+    // stages only ever see text-novel docs)
     val textKeep = IngestDedup.survivors(batch, s"$dir/text", epochId)
-      .localCheckpoint() // bounded (one micro-batch); feeds stage 2 + 3 writes
-    // stage 2 — embedding membrane over the text survivors; its output
-    // IS the admitted set (embedKeep ⊆ textKeep by construction)
+      .localCheckpoint() // bounded (one micro-batch); feeds stage 1b + writes
+    // stage 1b — perceptual membrane over the text survivors (only
+    // when the batch carries a media payload column)
+    val mediaKeep =
+      if (hasMedia)
+        MediaIngest.survivors(textKeep, s"$dir/media", epochId)
+          .localCheckpoint()
+      else textKeep
+    // stage 2 — embedding membrane over the earlier survivors; its
+    // output IS the admitted set (embedKeep ⊆ mediaKeep ⊆ textKeep)
     val embedKeep = EmbedIngest.survivors(
-        textKeep.select(col("doc_id").as("vec_id"), col("embedding")),
+        mediaKeep.select(col("doc_id").as("vec_id"), col("embedding")),
         s"$dir/embed", epochId, tau, nProbe)
       .localCheckpoint() // feeds the cells write and the id filter below
-    val keep = textKeep.join(
+    val keep = mediaKeep.join(
       broadcast(embedKeep.select(col("vec_id").as("doc_id"))), Seq("doc_id"))
 
     // per-batch observability: which membrane rejected how much. The
-    // counts are near-free (both frames are already checkpointed) and
+    // counts are near-free (the frames are already checkpointed) and
     // the row commits into its own epoch partition like every store —
     // replays overwrite, so the ledger is exactly-once too.
-    val (nText, nAdmitted) = (textKeep.count(), embedKeep.count())
+    val (nText, nMedia, nAdmitted) =
+      (textKeep.count(), mediaKeep.count(), embedKeep.count())
     import s.implicits._
     // batch_id is a DATA column (the epoch partition label moves when
     // the ledger folds; attribution must survive the fold)
-    Seq((epochId, nIn, nIn - nText, nText - nAdmitted, nAdmitted))
-      .toDF("batch_id", "n_in", "n_text_rejected", "n_embed_rejected", "n_admitted")
+    Seq((epochId, nIn, nIn - nText, nText - nMedia, nMedia - nAdmitted, nAdmitted))
+      .toDF("batch_id", "n_in", "n_text_rejected", "n_media_rejected",
+        "n_embed_rejected", "n_admitted")
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/metrics/epoch=$epochId")
 
@@ -163,6 +182,11 @@ object MultimodalIngest {
     embedKeep
       .write.mode(SaveMode.Overwrite).partitionBy("cell")
       .parquet(s"$dir/embed/cells/epoch=$epochId")
+    // perceptual index rows for FULLY-admitted docs only, so the media
+    // membrane's state keeps the corpus-describing invariant too
+    if (hasMedia)
+      MediaIngest.indexRows(keep, "media")
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/media/media_idx/epoch=$epochId")
   }
 
   /** The admitted corpus (documents with all their columns). */
@@ -175,13 +199,19 @@ object MultimodalIngest {
     * store. Empty frame (correct schema) before the first batch. */
   def metrics(spark: SparkSession, dir: String): DataFrame = {
     val cols = Seq("batch_id", "n_in", "n_text_rejected",
-      "n_embed_rejected", "n_admitted")
+      "n_media_rejected", "n_embed_rejected", "n_admitted")
     if (!EpochFold.hasDataFiles(spark, s"$dir/metrics")) {
       import spark.implicits._
-      Seq.empty[(Long, Long, Long, Long, Long)]
+      Seq.empty[(Long, Long, Long, Long, Long, Long)]
         .toDF(cols: _*)
-    } else
-      spark.read.parquet(s"$dir/metrics").select(cols.map(col): _*)
+    } else {
+      // a ledger written before the media membrane existed has no
+      // n_media_rejected column — read it as 0 (no media stage ran)
+      val base = spark.read.parquet(s"$dir/metrics")
+      val full = if (base.columns.contains("n_media_rejected")) base
+                 else base.withColumn("n_media_rejected", lit(0L))
+      full.select(cols.map(col): _*)
+    }
   }
 
   /** Top-k cosine ANN over the admitted embeddings — the membrane's

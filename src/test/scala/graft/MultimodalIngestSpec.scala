@@ -68,6 +68,45 @@ class MultimodalIngestSpec extends SparkSpec {
     assert(m == Seq((0L, 5L, 2L, 1L, 2L), (1L, 3L, 1L, 1L, 1L)), s"ledger: $m")
   }
 
+  test("three membranes, one epoch: media rejects between text and embedding") {
+    val dir = freshDir()
+    val basePayload = "ab" * 160 // phash 0 (see MediaPipelineSpec)
+    def payloadBits(bits: Int*) = {
+      val sb = new StringBuilder(basePayload)
+      bits.foreach(b => (0 until 10).foreach(i => sb.setCharAt(b * 10 + i, 'z')))
+      sb.toString
+    }
+    MultimodalIngest.ingestBatch(Seq(
+      (1L, base, basePayload, Seq(1f, 0f)),
+      (2L, exactDup, payloadBits(8, 9, 10, 11), Seq(0f, 1f)), // text dup (media novel!)
+      (3L, uniq("x"), payloadBits(5), Seq(0f, 1f)),  // MEDIA near-dup of 1 (dist 1)
+      (4L, uniq("y"), payloadBits(12, 13, 14, 15), Seq(0.999f, 0.01f)), // embed dup of 1
+      (5L, uniq("q"), payloadBits(16, 17, 18, 19), Seq(0f, 1f)) // admitted
+    ).toDF("doc_id", "text", "media", "embedding"), dir, epochId = 0, tau = 0.99)
+    assert(corpusIds(dir) == Seq(1L, 5L),
+      "2 text, 3 media, 4 embedding — each membrane rejects its own case")
+
+    // batch 2: the media index accumulated — corpus-side perceptual hit
+    MultimodalIngest.ingestBatch(Seq(
+      (6L, uniq("r"), payloadBits(17, 18, 19), Seq(0f, -1f)), // dist 1 from doc 5's media
+      (7L, uniq("s"), payloadBits(24, 25, 26, 27), Seq(-1f, 0f)) // admitted
+    ).toDF("doc_id", "text", "media", "embedding"), dir, epochId = 1, tau = 0.99)
+    assert(corpusIds(dir) == Seq(1L, 5L, 7L),
+      "6 is a perceptual near-dup of admitted doc 5's payload")
+
+    // the per-batch ledger attributes the media stage separately
+    val m = MultimodalIngest.metrics(spark, dir)
+      .select("batch_id", "n_in", "n_text_rejected", "n_media_rejected",
+        "n_embed_rejected", "n_admitted")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(m == Seq((0L, 5L, 1L, 1L, 1L, 2L), (1L, 2L, 0L, 1L, 0L, 1L)), s"ledger: $m")
+
+    // media index carries only fully-admitted docs, same epoch labels
+    val idxIds = spark.read.parquet(s"$dir/media/media_idx")
+      .select("doc_id").distinct().as[Long].collect().sorted.toSeq
+    assert(idxIds == Seq(1L, 5L, 7L), s"media_idx owners: $idxIds")
+  }
+
   test("replaying an epoch is idempotent across BOTH stores") {
     val dir = freshDir()
     val b0 = Seq((1L, base, Seq(1f, 0f)), (2L, uniq("y"), Seq(0f, 1f)))
