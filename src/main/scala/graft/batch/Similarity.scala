@@ -211,11 +211,45 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** qs5: ANN recall audit — the quality loop a production similarity
+    * index needs: measure the IVF path (qs3's single-cell probe)
+    * against brute-force ground truth (qs1's exact top-3) on the same
+    * sampled query set, reported per embedding label. `n_hit_at_1` =
+    * the IVF best-1 IS the exact nearest neighbor; `n_hit_in_3` = it
+    * appears anywhere in the exact top-3; `n_candidates` = how much of
+    * the corpus the probe actually scored (the recall/cost trade both
+    * numbers parameterize). At 100 TB the ground-truth side is the
+    * expensive one — which is why the query set is a ~1% sample (the
+    * standard recall-audit design: exact answers for a sliver, indexed
+    * answers for everything); both sides reuse the broadcast/map-side
+    * shapes of their parents unchanged. */
+  def qs5_ann_recall(s: SparkSession, d: String): DataFrame = {
+    val exact = qs1_knn_bruteforce(s, d)
+    val approx = qs3_ivf_ann(s, d)
+    val labels = Tables.embeddings(s, d)
+      .select(col("vec_id").as("qid"), col("label"))
+    val hits = approx.as("a")
+      .join(exact.as("x"),
+        col("a.qid") === col("x.qid") && col("a.best_id") === col("x.neighbor_id"),
+        "left")
+      .select(col("a.qid").as("qid"), col("a.n_candidates").as("n_candidates"),
+        when(col("x.rank") === 1, 1L).otherwise(0L).as("hit1"),
+        when(col("x.rank").isNotNull, 1L).otherwise(0L).as("hit3"))
+    hits.join(labels, Seq("qid"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("hit1")).as("n_hit_at_1"),
+        sum(col("hit3")).as("n_hit_in_3"),
+        sum(col("n_candidates")).as("n_candidates"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qs1_knn_bruteforce" -> (qs1_knn_bruteforce _),
     "qs2_ann_lsh" -> (qs2_ann_lsh _),
     "qs3_ivf_ann" -> (qs3_ivf_ann _),
-    "qs4_ann_multiprobe" -> (qs4_ann_multiprobe _))
+    "qs4_ann_multiprobe" -> (qs4_ann_multiprobe _),
+    "qs5_ann_recall" -> (qs5_ann_recall _))
 
   /** SQL fragment: dot product of two 64-dim list columns in double. */
   private def sqlDot(a: String, b: String): String =
@@ -330,5 +364,59 @@ object Similarity {
          |SELECT qid, CAST(rn AS INT) AS rank, vec_id AS neighbor_id, rcos FROM (
          | SELECT qid, vec_id, rcos, ROW_NUMBER() OVER (PARTITION BY qid
          |   ORDER BY rcos DESC, vec_id ASC) AS rn FROM cand) t
-         |WHERE rn <= 3 ORDER BY qid, rank""".stripMargin)
+         |WHERE rn <= 3 ORDER BY qid, rank""".stripMargin,
+    // qs5 composes the qs1 (exact) and qs3 (IVF) CTE chains verbatim and
+    // joins them on the sampled query set; recall rolls up per label
+    "qs5_ann_recall" ->
+      s"""WITH nm AS (
+         | SELECT vec_id, embedding,
+         |  sqrt((SELECT SUM(CAST(embedding[i.i + 1] AS DOUBLE) * CAST(embedding[i.i + 1] AS DOUBLE))
+         |        FROM range($Dim) i(i))) AS nrm
+         | FROM embeddings),
+         |xq AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM nm WHERE vec_id % 100 = 0),
+         |xscored AS (
+         | SELECT xq.qid, c.vec_id,
+         |  round(${sqlDot("xq.qe", "c.embedding")} / (xq.qn * c.nrm), 6) AS rcos
+         | FROM xq JOIN nm c ON c.vec_id <> xq.qid),
+         |exact AS (
+         | SELECT qid, vec_id, rank FROM (
+         |  SELECT qid, vec_id,
+         |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rcos DESC, vec_id ASC) AS rank
+         |  FROM xscored) t WHERE rank <= 3),
+         |cents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM nm
+         |          WHERE vec_id % 100 = 7),
+         |cscored AS (
+         | SELECT nm.vec_id, cents.cid,
+         |  round(${sqlDot("cents.ce", "nm.embedding")} / (cents.cn * nm.nrm), 6) AS crcos
+         | FROM nm, cents),
+         |assigned AS (
+         | SELECT vec_id, cid AS cell FROM (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY crcos DESC, cid ASC) AS rn FROM cscored) t WHERE rn = 1),
+         |av AS (SELECT nm.vec_id, nm.embedding, nm.nrm, assigned.cell
+         |       FROM nm JOIN assigned ON nm.vec_id = assigned.vec_id),
+         |iq AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn, cell AS qcell
+         |       FROM av WHERE vec_id % 100 = 0),
+         |icand AS (
+         | SELECT iq.qid, c.vec_id,
+         |  round(${sqlDot("iq.qe", "c.embedding")} / (iq.qn * c.nrm), 6) AS rcos
+         | FROM iq JOIN av c ON iq.qcell = c.cell AND c.vec_id <> iq.qid),
+         |ibest AS (
+         | SELECT qid, vec_id AS best_id FROM (
+         |  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY rcos DESC, vec_id ASC) AS rn FROM icand) t WHERE rn = 1),
+         |inc AS (SELECT qid, COUNT(*) AS n_candidates FROM icand GROUP BY 1),
+         |hits AS (
+         | SELECT iq.qid, COALESCE(inc.n_candidates, 0) AS n_candidates,
+         |  CASE WHEN e.rank = 1 THEN 1 ELSE 0 END AS hit1,
+         |  CASE WHEN e.rank IS NOT NULL THEN 1 ELSE 0 END AS hit3
+         | FROM iq LEFT JOIN ibest ON iq.qid = ibest.qid
+         | LEFT JOIN inc ON iq.qid = inc.qid
+         | LEFT JOIN exact e ON iq.qid = e.qid AND ibest.best_id = e.vec_id)
+         |SELECT emb.label, COUNT(*) AS n_queries,
+         | CAST(SUM(hit1) AS BIGINT) AS n_hit_at_1,
+         | CAST(SUM(hit3) AS BIGINT) AS n_hit_in_3,
+         | CAST(SUM(n_candidates) AS BIGINT) AS n_candidates
+         |FROM hits JOIN embeddings emb ON hits.qid = emb.vec_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -405,7 +405,65 @@ object TextOps {
     fullAdmit.union(boundaryAdmit)
   }
 
+  /** The qt11 redaction patterns — shared verbatim between the Spark
+    * plan and the DuckDB oracle (both engines are RE2-compatible here:
+    * no backreferences, greedy-only quantifiers, ASCII `\b`). */
+  private[batch] val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[batch] val Ipv4Re = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+  private[batch] val Id9Re = "\\b9[0-9]{8}\\b"
+
+  /** qt11: PII scrubbing — redact emails, IPv4 addresses, and long
+    * numeric ids from every document and account per source for what
+    * was removed (match counts by type, clean-doc count, characters
+    * redacted). The reference pipeline ships raw operator text into
+    * reporting tables with no redaction pass (Prensas.py:236-247); a
+    * crawl-scale corpus needs one before anything downstream trains.
+    *
+    * The fixture's synthetic text carries no PII, so the query first
+    * grafts DETERMINISTIC doc_id-derived contact strings onto each doc
+    * (the fixture-derived-payload convention qm1 uses for media bytes)
+    * and then scrubs them back out with the real patterns; on real
+    * data the enrichment step disappears and the scrubber runs over
+    * the raw text column directly.
+    *
+    * Scale shape: every regex (extract + replace) is row-local and
+    * codegen'd — zero data shuffles before the final low-cardinality
+    * per-source rollup. Survives 100× trivially. */
+  def qt11_pii_scrub(s: SparkSession, d: String): DataFrame = {
+    val none = lit("")
+    val enriched = Tables.spread(Tables.documents(s, d))
+      .withColumn("etext", concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit(" reach user"),
+          col("doc_id").cast("string"), lit("@"), col("source"), lit(".org")))
+          .otherwise(none),
+        when(col("doc_id") % 2 === 0, concat(lit(" from 10."),
+          (col("doc_id") % 256).cast("string"), lit(".0."),
+          ((col("doc_id") * 7) % 256).cast("string"))).otherwise(none),
+        when(col("doc_id") % 5 === 0, concat(lit(" ref 9"),
+          lpad(col("doc_id").cast("string"), 8, "0"))).otherwise(none)))
+    // scrub order matters only in that email runs first (its matches
+    // contain dots + digits); the sentinels contain nothing the later
+    // patterns can re-match
+    val m = enriched
+      .withColumn("n_email", size(regexp_extract_all(col("etext"), lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("n_ip", size(regexp_extract_all(col("etext"), lit(Ipv4Re), lit(0))).cast("long"))
+      .withColumn("n_id", size(regexp_extract_all(col("etext"), lit(Id9Re), lit(0))).cast("long"))
+      .withColumn("scrubbed", regexp_replace(regexp_replace(regexp_replace(
+        col("etext"), EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), Id9Re, "<ID>"))
+    m.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_email")).as("n_emails"),
+        sum(col("n_ip")).as("n_ips"),
+        sum(col("n_id")).as("n_ids"),
+        sum(when(col("n_email") + col("n_ip") + col("n_id") === 0, 1L)
+          .otherwise(0L)).as("n_clean"),
+        sum(length(col("etext")) - length(col("scrubbed"))).cast("long").as("chars_removed"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt11_pii_scrub" -> (qt11_pii_scrub _),
     "qt10_token_budget" -> (qt10_token_budget _),
     "qt9_repetition" -> (qt9_repetition _),
     "qt8_mixture" -> (qt8_mixture _),
@@ -421,6 +479,35 @@ object TextOps {
     .map { case (l, w) => s"('$l','$w')" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    // the Spark-side regex constants interpolate verbatim: a Scala
+    // "\\b" is the two chars \b, and DuckDB single-quoted strings pass
+    // backslashes through to RE2 unprocessed
+    "qt11_pii_scrub" ->
+      s"""WITH e AS (
+         | SELECT source, text ||
+         |  CASE WHEN doc_id % 3 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR)
+         |       || '@' || source || '.org' ELSE '' END ||
+         |  CASE WHEN doc_id % 2 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+         |       || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END ||
+         |  CASE WHEN doc_id % 5 = 0 THEN ' ref 9' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+         |       ELSE '' END AS etext
+         | FROM documents),
+         |m AS (
+         | SELECT source, etext,
+         |  CAST(len(regexp_extract_all(etext, '$EmailRe')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(etext, '$Ipv4Re')) AS BIGINT) AS n_ip,
+         |  CAST(len(regexp_extract_all(etext, '$Id9Re')) AS BIGINT) AS n_id,
+         |  regexp_replace(regexp_replace(regexp_replace(etext,
+         |   '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
+         |   '$Id9Re', '<ID>', 'g') AS scrubbed
+         | FROM e)
+         |SELECT source, COUNT(*) AS n_docs,
+         | CAST(SUM(n_email) AS BIGINT) AS n_emails,
+         | CAST(SUM(n_ip) AS BIGINT) AS n_ips,
+         | CAST(SUM(n_id) AS BIGINT) AS n_ids,
+         | CAST(SUM(CASE WHEN n_email + n_ip + n_id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+         | CAST(SUM(length(etext) - length(scrubbed)) AS BIGINT) AS chars_removed
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "qt10_token_budget" ->
       """WITH t AS (
         | SELECT doc_id, source,
