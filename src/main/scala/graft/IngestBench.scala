@@ -81,9 +81,23 @@ object IngestBench {
             .cast("double") - 32768.0) / 32768.0).cast("float"))
       val gMm = (col("doc_id") / 5).cast("long").cast("string")
       val vMm = pmod(col("doc_id"), lit(5))
-      val mmDocs = docs.withColumn("embedding",
+      // GRAFT_INGEST_MEDIA=1 adds the third membrane: v4 (unique text
+      // AND embedding, so it reaches the media stage) carries a
+      // 320-char payload whose phash is exactly bit (group % 8) — the 8
+      // distinct hashes are pairwise Hamming distance 2 ≤ radius 3, so
+      // across the whole run exactly ONE v4 survives (the globally
+      // first, doc_id 4) and every other v4 is a media rejection;
+      // all other variants are unhashable (pass unfiltered). Keeps the
+      // kept-count provable: nDocs/5 (v0) + 1.
+      val withMedia = sys.env.get("GRAFT_INGEST_MEDIA").contains("1")
+      val mmDocs0 = docs.withColumn("embedding",
         when(vMm === 0 || vMm === 3, emb(gMm))
           .otherwise(emb(concat(gMm, lit("#"), col("doc_id").cast("string")))))
+      val mmDocs = if (!withMedia) mmDocs0 else mmDocs0.withColumn("media", expr(
+        "CASE WHEN pmod(doc_id, 5) = 4 THEN concat(" +
+          "repeat('a', cast(pmod(doc_id div 5, 8) as int) * 10), repeat('z', 10), " +
+          "repeat('a', (31 - cast(pmod(doc_id div 5, 8) as int)) * 10)) " +
+          "ELSE 'x' END"))
       val mmDir = s"$dir/mm"
       val cents = spark.range(8).toDF("cid")
         .withColumn("ce", emb(concat(lit("cent"), col("cid").cast("string"))))
@@ -116,12 +130,15 @@ object IngestBench {
       }
       val secs = (System.nanoTime() - t0) / 1e9
       val kept = stream.MultimodalIngest.corpus(spark, mmDir).count()
+      val expectedKept = if (withMedia) nDocs / 5 + 1 else nDocs * 2 / 5
+      val nMediaRej = stream.MultimodalIngest.metrics(spark, mmDir)
+        .agg(sum(col("n_media_rejected"))).collect()(0).getLong(0)
       // throughput over the batches AFTER the last requantize tick —
       // proves the rebuilt cell layout probes as fast as the original
       val postSecs = batchSecs.drop(math.max(lastTick, 0)).sum
       val postDocs = (nBatches - math.max(lastTick, 0)) * batchSize
       val postRate = if (lastTick < 0 || postSecs == 0) nDocs / secs else postDocs / postSecs
-      println(f"""{"metric":"multimodal_ingest_docs_per_sec","value":${nDocs / secs}%.1f,"docs":$nDocs,"batches":$nBatches,"kept":$kept,"expected_kept":${nDocs * 2 / 5},"secs":$secs%.1f,"requant_every":$requantEvery,"requant_ticks":$ticks,"requant_secs_per_tick":${if (ticks == 0) 0.0 else tickSecs / ticks}%.2f,"post_requant_docs_per_sec":$postRate%.1f}""")
+      println(f"""{"metric":"multimodal_ingest_docs_per_sec","value":${nDocs / secs}%.1f,"docs":$nDocs,"batches":$nBatches,"kept":$kept,"expected_kept":$expectedKept,"media":${if (withMedia) 1 else 0},"media_rejected":$nMediaRej,"secs":$secs%.1f,"requant_every":$requantEvery,"requant_ticks":$ticks,"requant_secs_per_tick":${if (ticks == 0) 0.0 else tickSecs / ticks}%.2f,"post_requant_docs_per_sec":$postRate%.1f}""")
     } else if (mode == "regimes") {
       // force each probe regime over the identical workload; the limits
       // are read per batch, so setting them before a run is enough

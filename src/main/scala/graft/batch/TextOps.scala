@@ -284,8 +284,19 @@ object TextOps {
       .withColumn("n_dup", col("n_tok") - size(array_distinct(col("toks"))).cast("long"))
       .withColumn("bg", expr(
         "transform(sequence(0, cast(n_tok as int) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+      // max multiplicity = longest equal-run in the SORTED bigram
+      // array: one pass, one reference to bg. The naive
+      // transform(array_distinct(bg), x -> size(filter(bg, ...)))
+      // form re-evaluates bg per distinct element in interpreted HOF
+      // eval — O(n²) per row with a catastrophic constant once
+      // predicate pushdown inlines the alias chain (the qc1 audit
+      // measured 17 s vs 0.5 s at sf0.1)
       .withColumn("max_bg", expr(
-        "array_max(transform(array_distinct(bg), x -> size(filter(bg, y -> y = x))))").cast("long"))
+        "aggregate(array_sort(bg), named_struct('prev', '', 'run', 0L, 'best', 0L), " +
+          "(acc, x) -> named_struct('prev', x, " +
+          "'run', IF(x = acc.prev, acc.run + 1L, 1L), " +
+          "'best', greatest(acc.best, IF(x = acc.prev, acc.run + 1L, 1L))), " +
+          "acc -> acc.best)"))
       .withColumn("top_bg_pct", expr("max_bg * 100 div (n_tok - 1)"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
