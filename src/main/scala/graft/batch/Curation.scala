@@ -55,7 +55,8 @@ object Curation {
       maxTopBigramPct: Long = 60,
       mixtureBudget: Long = 20000L,
       weightPerMille: Long = 20,
-      packCapacity: Long = 2048L)
+      packCapacity: Long = 2048L,
+      cosTau: Double = 0.4)
 
   /** Run the pipeline: `docs` (doc_id, source, text) and `eval`
     * (doc_id, text) → packed admitted docs
@@ -76,11 +77,22 @@ object Curation {
     * dependent, but which docs survive the composed membrane is exact
     * relational semantics DuckDB can reproduce. */
   private[graft] def admitted(docs: DataFrame, eval: DataFrame,
-      p: Params): DataFrame = {
+      p: Params): DataFrame =
+    mixtureAdmit(cleanedSignals(docs, eval, p, withPhash = false), p)
+
+  /** Text-side membrane chain — quality gates → exact dedup → band
+    * near-dedup → span decontamination — returning the narrow signal
+    * frame `(doc_id, source, n_tok [, phash])` of the surviving docs.
+    * `withPhash = true` additionally computes qm3's 32-bit perceptual
+    * hash of the payload INSIDE the same single text pass (row-local;
+    * null when too short to hash), so a multimodal curation run gets
+    * its media signal without a second scan. */
+  private[graft] def cleanedSignals(docs: DataFrame, eval: DataFrame,
+      p: Params, withPhash: Boolean): DataFrame = {
     // PASS 1 — the only full-text scan. Quality gates run as map-side
     // filters fused into this same pass; everything downstream needs
     // is computed row-local and checkpointed narrow (no text column).
-    val sig = docs
+    val sig0 = docs
       .withColumn("toks", filter(split(lower(col("text")), " "), t => length(t) > 0))
       .withColumn("n_tok", size(col("toks")).cast("long"))
       .filter(col("n_tok") >= p.minTok)
@@ -106,8 +118,11 @@ object Curation {
         // docs too short to hold one window
         "IF(length(text) >= 32, transform(sequence(0, cast((length(text) - 32) div 16 as int)), " +
           "i -> md5(cast(substring(text, 1 + 16 * i, 32) as binary))), array())"))
-      .select(col("doc_id"), col("source"), col("n_tok"),
-        col("content_key"), col("bands"), col("fps"))
+    val keep = Seq(col("doc_id"), col("source"), col("n_tok"),
+      col("content_key"), col("bands"), col("fps")) ++
+      (if (withPhash) Seq(col("phash")) else Nil)
+    val sig = (if (withPhash) Multimodal.withPhash(sig0) else sig0)
+      .select(keep: _*)
       .localCheckpoint()
 
     // exact dedup: min doc_id per content wins (qd1's rule)
@@ -133,10 +148,16 @@ object Curation {
       .distinct()
     val contaminated = deduped.select(col("doc_id"), explode(col("fps")).as("fp"))
       .join(broadcast(evFps), Seq("fp")).select(col("doc_id")).distinct()
-    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      .select((Seq(col("doc_id"), col("source"), col("n_tok")) ++
+        (if (withPhash) Seq(col("phash")) else Nil)): _*)
       .localCheckpoint() // feeds the inventory AND the admission filter
+  }
 
-    // mixture: qt8's two-scan inventory-then-admit over the survivors
+  /** Mixture: qt8's two-scan inventory-then-admit over the survivors.
+    * Inventory rates are computed over whatever survived the membrane
+    * chain handed in, so upstream stages compose freely. */
+  private[graft] def mixtureAdmit(clean: DataFrame, p: Params): DataFrame = {
     val rates = clean.groupBy(col("source")).agg(sum(col("n_tok")).as("total_toks"))
       .withColumn("rate_ppm", least(lit(1000000L),
         expr(s"(${p.mixtureBudget} * ${p.weightPerMille} * 1000) div total_toks")))
@@ -163,12 +184,80 @@ object Curation {
     admitted(corpus, ev, Params()).orderBy("doc_id")
   }
 
-  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
-    Map("qc1_curation" -> (qc1_curation _))
+  /** qc2: MULTIMODAL curation — qc1's text chain plus the two other
+    * modality membranes, composed in rejection-cost order:
+    *
+    *   quality → exact/band text dedup → span decontam   (qc1 stages)
+    *   → perceptual media dedup (qm3's banded Hamming-≤3 pairs over
+    *     the payload phash computed inside the SAME text pass;
+    *     larger doc_id of any near-dup pair loses)
+    *   → embedding near-dup (qs3's deterministic centroids assign each
+    *     surviving doc's vector to a cell — broadcast map-side pass —
+    *     then pairs are generated CELL-LOCALLY and the larger doc_id
+    *     of any rounded-cosine ≥ tau pair loses; docs without an
+    *     embedding pass through, like unhashable payloads)
+    *   → mixture admission (qt8)
+    *
+    * Scan discipline: text is still read exactly ONCE (the phash rides
+    * pass 1); the embeddings table is read twice (corpus vectors + the
+    * tiny centroid subset — a separate small table in production).
+    * Pair generation is capped per band bucket (media) and cell-local
+    * (embeddings): the same audited shapes as qm3 and qs3, never
+    * corpus-quadratic. */
+  def qc2_multimodal_curation(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val all = graft.Tables.spread(graft.Tables.documents(s, d))
+    val corpus = all.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+    val ev = all.filter(pmod(col("doc_id"), lit(10)) === 7)
+      .select(col("doc_id"), col("text"))
+    val p = Params()
+    val clean = cleanedSignals(corpus, ev, p, withPhash = true)
 
-  val oracle: Map[String, String] = Map(
-    "qc1_curation" ->
-      """WITH corpus AS (
+    // media membrane: qm3's capped band pairs over the clean set
+    val mediaLosers = Multimodal.phashPairs(
+        clean.filter(col("phash").isNotNull).select(col("doc_id"), col("phash")),
+        Multimodal.PhashBandCap)
+      .select(col("id_b").as("doc_id")).distinct()
+    val afterMedia = clean.join(mediaLosers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_tok"))
+      .localCheckpoint() // feeds the embed join + the final anti join
+
+    // embedding membrane: centroid-cell assignment (broadcast pass),
+    // cell-local pairs at rounded cosine ≥ tau, min doc_id survives
+    val enm = graft.Tables.embeddings(s, d)
+      .withColumn("nrm", sqrt(Similarity.norm2(col("embedding"))))
+    val cents = enm.filter(pmod(col("vec_id"), lit(100)) === 7)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val edocs = afterMedia.select(col("doc_id"))
+      .join(enm.select(col("vec_id").as("doc_id"), col("embedding"), col("nrm")), Seq("doc_id"))
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("crcos").desc, col("cid").asc)
+    val assigned = edocs.crossJoin(broadcast(cents))
+      .withColumn("crcos", round(Similarity.dot(col("ce"), col("embedding")) / (col("cn") * col("nrm")), 6))
+      .withColumn("rn", row_number().over(wCell)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("embedding"), col("nrm"), col("cid").as("cell"))
+    val ea = assigned.select(col("doc_id").as("id_a"), col("embedding").as("eav"),
+      col("nrm").as("na"), col("cell"))
+    val eb = assigned.select(col("doc_id").as("id_b"), col("embedding").as("ebv"),
+      col("nrm").as("nb"), col("cell"))
+    val embedLosers = ea.join(eb, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .withColumn("rcos", round(Similarity.dot(col("eav"), col("ebv")) / (col("na") * col("nb")), 6))
+      .filter(col("rcos") >= p.cosTau)
+      .select(col("id_b").as("doc_id")).distinct()
+
+    mixtureAdmit(afterMedia.join(embedLosers, Seq("doc_id"), "left_anti"), p)
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
+    Map("qc1_curation" -> (qc1_curation _),
+      "qc2_multimodal_curation" -> (qc2_multimodal_curation _))
+
+  /** The text-membrane CTE chain (corpus split → quality → exact/band
+    * dedup → span decontam), shared verbatim by the qc1 and qc2
+    * oracles so the two cannot desynchronize. Ends at `clean`. */
+  private val textChainSql =
+    """WITH corpus AS (
         | SELECT doc_id, source, text FROM documents WHERE doc_id % 10 <> 7),
         |ev AS (SELECT text FROM documents WHERE doc_id % 10 = 7),
         |t AS (
@@ -221,14 +310,83 @@ object Curation {
         | FROM (SELECT text, unnest(range(0, length(text) - 31)) AS i
         |       FROM ev WHERE length(text) >= 32)),
         |cont AS (SELECT DISTINCT doc_id FROM cfp JOIN efp USING (fp)),
-        |clean AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
-        |rates AS (
-        | SELECT source,
-        |  least(1000000, (20000 * 20 * 1000) // CAST(SUM(n_tok) AS BIGINT)) AS rate_ppm
-        | FROM clean GROUP BY 1)
-        |SELECT c.doc_id, c.source, c.n_tok
-        |FROM clean c JOIN rates r ON c.source = r.source
-        |WHERE ('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000000
-        |      < r.rate_ppm
-        |ORDER BY c.doc_id""".stripMargin)
+        |clean AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM cont))""".stripMargin
+
+  /** Mixture tail over a named survivor CTE (qt8's hash admission). */
+  private def mixtureTailSql(src: String) =
+    s"""rates AS (
+       | SELECT source,
+       |  least(1000000, (20000 * 20 * 1000) // CAST(SUM(n_tok) AS BIGINT)) AS rate_ppm
+       | FROM $src GROUP BY 1)
+       |SELECT c.doc_id, c.source, c.n_tok
+       |FROM $src c JOIN rates r ON c.source = r.source
+       |WHERE ('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000000
+       |      < r.rate_ppm
+       |ORDER BY c.doc_id""".stripMargin
+
+  private val sqlDot64 =
+    "(SELECT SUM(CAST(%s[i.i + 1] AS DOUBLE) * CAST(%s[i.i + 1] AS DOUBLE)) FROM range(64) i(i))"
+
+  val oracle: Map[String, String] = Map(
+    "qc1_curation" ->
+      (textChainSql + ",\n" + mixtureTailSql("clean")),
+    // qc2 = the same text chain, then qm3's phash/band/cap CTEs over
+    // `clean`, then qs3's centroid-cell assignment + cell-local cosine
+    // pairs, then the same mixture tail
+    "qc2_multimodal_curation" ->
+      (textChainSql + ",\n" +
+        s"""mph0 AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L
+           |         FROM clean WHERE length(text) >= 32),
+           |mblk AS (
+           | SELECT doc_id, text, L, b.b AS b,
+           |  (b.b * L) // 32 AS off, ((b.b + 1) * L) // 32 - (b.b * L) // 32 AS n
+           | FROM mph0, range(32) b(b)),
+           |minten AS (
+           | SELECT doc_id, L, b, n,
+           |  list_sum(list_transform(range(1, CAST(n + 1 AS INT)),
+           |    p -> ord(substr(text, CAST(off + p AS INT), 1)))) AS i
+           | FROM mblk),
+           |mtot AS (SELECT doc_id, SUM(i) // MAX(L) AS m FROM minten GROUP BY 1),
+           |mph AS (
+           | SELECT i.doc_id,
+           |  CAST(SUM(CASE WHEN i.i // i.n > t.m
+           |   THEN 1::BIGINT << i.b ELSE 0::BIGINT END) AS BIGINT) AS phash
+           | FROM minten i JOIN mtot t ON i.doc_id = t.doc_id GROUP BY 1),
+           |mbands AS (
+           | SELECT doc_id, phash, k.k AS k, (phash >> CAST(8 * k.k AS INT)) & 255 AS v
+           | FROM mph, range(4) k(k)),
+           |mpruned AS (
+           | SELECT * FROM mbands
+           | QUALIFY row_number() OVER (PARTITION BY k, v ORDER BY doc_id) <= ${Multimodal.PhashBandCap}),
+           |mlosers AS (
+           | SELECT DISTINCT b.doc_id FROM mpruned a JOIN mpruned b
+           |  ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id
+           | WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+           |am AS (SELECT doc_id, source, n_tok FROM clean
+           |       WHERE doc_id NOT IN (SELECT doc_id FROM mlosers)),
+           |enm AS (
+           | SELECT vec_id, embedding,
+           |  sqrt(${sqlDot64.format("embedding", "embedding")}) AS nrm
+           | FROM embeddings),
+           |ecents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM enm
+           |           WHERE vec_id % 100 = 7),
+           |edocs AS (SELECT am.doc_id, e.embedding, e.nrm
+           |          FROM am JOIN enm e ON am.doc_id = e.vec_id),
+           |escored AS (
+           | SELECT d.doc_id, c.cid,
+           |  round(${sqlDot64.format("c.ce", "d.embedding")} / (c.cn * d.nrm), 6) AS crcos
+           | FROM edocs d, ecents c),
+           |eassigned AS (
+           | SELECT doc_id, cid AS cell FROM (
+           |  SELECT doc_id, cid, ROW_NUMBER() OVER (PARTITION BY doc_id
+           |    ORDER BY crcos DESC, cid ASC) AS rn FROM escored) t WHERE rn = 1),
+           |eav AS (SELECT ed.doc_id, ed.embedding, ed.nrm, ea.cell
+           |        FROM edocs ed JOIN eassigned ea ON ed.doc_id = ea.doc_id),
+           |elosers AS (
+           | SELECT DISTINCT b.doc_id FROM eav a JOIN eav b
+           |  ON a.cell = b.cell AND a.doc_id < b.doc_id
+           | WHERE round(${sqlDot64.format("a.embedding", "b.embedding")}
+           |       / (a.nrm * b.nrm), 6) >= 0.4),
+           |ae AS (SELECT * FROM am WHERE doc_id NOT IN (SELECT doc_id FROM elosers)),
+           |""".stripMargin + mixtureTailSql("ae")))
 }

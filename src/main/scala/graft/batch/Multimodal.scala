@@ -60,18 +60,31 @@ object Multimodal {
     * — the classic average-hash construction, integer-exact (floor
     * divisions only) so the DuckDB oracle reproduces it bit-for-bit. */
   private[graft] def phash32(docs: DataFrame): DataFrame =
-    docs.filter(length(col("text")) >= 32)
-      .withColumn("L", length(col("text")).cast("long"))
-      .withColumn("bs", expr(
-        "transform(sequence(0, 31), b -> named_struct(" +
-          "'i', aggregate(sequence(1, cast(((b + 1) * L) div 32 - (b * L) div 32 as int)), 0L, " +
-          "(acc, p) -> acc + ascii(substring(text, cast((b * L) div 32 + p as int), 1)))," +
-          "'n', ((b + 1) * L) div 32 - (b * L) div 32))"))
-      .withColumn("m", expr("aggregate(bs, 0L, (acc, x) -> acc + x.i) div L"))
-      .withColumn("phash", expr(
-        "aggregate(transform(sequence(0, 31), b -> " +
-          "IF(bs[b].i div bs[b].n > m, shiftleft(1L, b), 0L)), 0L, (acc, x) -> acc + x)"))
+    withPhash(docs.filter(length(col("text")) >= 32))
       .select(col("doc_id"), col("phash"))
+
+  /** Adds a nullable `phash` column to any frame carrying `text` —
+    * null when the payload is too short to hash (< 32 bytes). The
+    * intermediate block array stays a materialized alias (multi-
+    * referenced, so CollapseProject keeps it) — the hash is evaluated
+    * once per row, never re-derived inside a lambda (see PLANS.md's
+    * single-reference rule). Bit-identical to [[phash32]] for
+    * hashable rows (qm3's oracle pins it). */
+  private[graft] def withPhash(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("bs", expr(
+        "IF(length(text) >= 32, transform(sequence(0, 31), b -> named_struct(" +
+          "'i', aggregate(sequence(1, cast(((b + 1) * cast(length(text) as bigint)) div 32 " +
+          "- (b * cast(length(text) as bigint)) div 32 as int)), 0L, " +
+          "(acc, p) -> acc + ascii(substring(text, cast((b * cast(length(text) as bigint)) div 32 + p as int), 1)))," +
+          "'n', ((b + 1) * cast(length(text) as bigint)) div 32 - (b * cast(length(text) as bigint)) div 32)), " +
+          "CAST(NULL AS ARRAY<STRUCT<i: BIGINT, n: BIGINT>>))"))
+      .withColumn("m", expr(
+        "aggregate(bs, 0L, (acc, x) -> acc + x.i) div cast(length(text) as bigint)"))
+      .withColumn("phash", expr(
+        "IF(bs IS NULL, CAST(NULL AS BIGINT), aggregate(transform(sequence(0, 31), b -> " +
+          "IF(bs[b].i div bs[b].n > m, shiftleft(1L, b), 0L)), 0L, (acc, x) -> acc + x))"))
+      .drop("bs", "m")
 
   /** qm3: perceptual near-duplicate media — doc pairs whose payload
     * pHashes differ in ≤ 3 of 32 bits. Candidates come from 4 bands

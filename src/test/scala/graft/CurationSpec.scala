@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.batch.{Curation, Dedup}
+import graft.batch.{Curation, Dedup, Multimodal}
 
 /** The composed curation pipeline: output invariants of every stage,
   * plus the scan audit — the corpus text is read exactly once.
@@ -76,6 +76,59 @@ class CurationSpec extends SparkSpec {
       .agg(sum(least(col("tok"), lit(p.packCapacity))).as("used"))
       .filter(col("used") > p.packCapacity)
     assert(overfull.isEmpty, "a packed bin exceeds capacity")
+
+    out.unpersist(); admitted.unpersist()
+  }
+
+  test("qc2: media + embedding membranes hold on the output; phash rides pass 1") {
+    val out = Curation.qc2_multimodal_curation(spark, d).cache()
+    assert(out.count() > 0, "multimodal curation must admit documents")
+
+    val all = Tables.spread(Tables.documents(spark, d))
+    val admitted = all.join(out.select("doc_id"), Seq("doc_id")).cache()
+
+    // media invariant: the banded detection class must find NO surviving
+    // near-dup pair — any Hamming-≤3 pair would have had its larger id
+    // rejected by the membrane
+    assert(Multimodal.phashPairs(Multimodal.phash32(admitted),
+      Multimodal.PhashBandCap).isEmpty,
+      "two admitted docs are perceptual near-duplicates")
+
+    // embedding invariant: re-derive each admitted doc's centroid cell
+    // independently; no same-cell pair may reach rounded cosine >= tau
+    val dot = (a: String, b: String) => expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
+        "0D, (acc, v) -> acc + v)")
+    val enm = Tables.embeddings(spark, d)
+      .withColumn("nrm", sqrt(dot("embedding", "embedding")))
+    val cents = enm.filter(pmod(col("vec_id"), lit(100)) === 7)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val edocs = admitted.select(col("doc_id"))
+      .join(enm.select(col("vec_id").as("doc_id"), col("embedding"), col("nrm")), Seq("doc_id"))
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("crcos").desc, col("cid").asc)
+    val assigned = edocs.crossJoin(broadcast(cents))
+      .withColumn("crcos", round(dot("ce", "embedding") / (col("cn") * col("nrm")), 6))
+      .withColumn("rn", row_number().over(wCell)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("embedding"), col("nrm"), col("cid").as("cell"))
+    val close = assigned.as("a").join(assigned.as("b"), Seq("cell"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .filter(round(dot("a.embedding", "b.embedding")
+        / (col("a.nrm") * col("b.nrm")), 6) >= Curation.Params().cosTau)
+    assert(close.isEmpty, "two admitted docs are same-cell embedding near-dups")
+
+    // scan audit: computing the phash signal must NOT add a text pass —
+    // cleanedSignals(withPhash = true) still reads the corpus once
+    val passes = spark.sparkContext.longAccumulator("qc2_text_passes")
+    val corpus = all.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+    val nCorpus = corpus.count()
+    val tick = udf(() => { passes.add(1); true }).asNondeterministic()
+    val ev = all.filter(pmod(col("doc_id"), lit(10)) === 7)
+      .select(col("doc_id"), col("text"))
+    Curation.cleanedSignals(corpus.filter(tick()), ev,
+      Curation.Params(), withPhash = true).count()
+    assert(passes.value == nCorpus,
+      s"corpus text scanned ${passes.value.toDouble / nCorpus}x with phash — must be once")
 
     out.unpersist(); admitted.unpersist()
   }
