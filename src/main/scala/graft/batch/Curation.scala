@@ -230,32 +230,16 @@ object Curation {
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
     val edocs = afterMedia.select(col("doc_id"))
       .join(enm.select(col("vec_id").as("doc_id"), col("embedding"), col("nrm")), Seq("doc_id"))
-    // Assignment is a row-local argmax fold over ONE broadcast row
-    // holding the whole centroid array — each doc row scans the array
-    // in place. The obvious alternative (crossJoin each doc with each
-    // centroid + a row_number window per doc, as qs3's oracle states
-    // it) explodes N docs into N×C rows and sorts them under a doc_id
-    // exchange; at production cell counts that shuffle dominates the
-    // whole query. Tie-break matches the oracle's ORDER BY crcos DESC,
-    // cid ASC: the array is cid-sorted and the fold replaces only on a
-    // strictly greater rounded cosine, so the smallest cid wins ties.
-    // Each centroid's dot is computed ONCE (transform materializes the
-    // scored struct before the fold — the single-reference rule).
-    val centArr = cents
-      .agg(sort_array(collect_list(struct(col("cid"), col("ce"), col("cn")))).as("cs"))
-    val scoredArr = transform(col("cs"), c =>
-      struct(c.getField("cid").as("cid"),
-        round(Similarity.dot(c.getField("ce"), col("embedding"))
-          / (c.getField("cn") * col("nrm")), 6).as("rc")))
-    val bestCell = aggregate(scoredArr,
-      struct(lit(-1L).as("cid"), lit(-2d).as("rc")),
-      (acc, s) => when(s.getField("rc") > acc.getField("rc"), s).otherwise(acc))
+    // Assignment is IvfIndex's row-local argmax fold over ONE broadcast
+    // row holding the whole centroid array — no N×C row explosion, no
+    // doc_id exchange (the oracle states the crossJoin+window form,
+    // which the fold is tie-break-identical to).
     // checkpoint: the self-join below references `assigned` twice, and
     // Spark re-derives a multi-referenced subplan per reference — the
     // fold (and its two embeddings scans) would run twice (PlanAudit
     // showed the duplicated branch). One narrow materialization instead.
-    val assigned = edocs.crossJoin(broadcast(centArr))
-      .withColumn("cell", bestCell.getField("cid"))
+    val assigned = edocs.crossJoin(broadcast(IvfIndex.centroidArray(cents)))
+      .withColumn("cell", IvfIndex.bestCell(col("embedding"), col("nrm"), rounded = true))
       .select(col("doc_id"), col("embedding"), col("nrm"), col("cell"))
       .localCheckpoint()
     val ea = assigned.select(col("doc_id").as("id_a"), col("embedding").as("eav"),

@@ -1,8 +1,7 @@
 package graft.batch
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Persistent IVF (inverted-file) vector index: build once, search
   * many — the production ANN shape where the index amortizes over
@@ -30,6 +29,53 @@ object IvfIndex {
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", sqrt(graft.functions.GraftFunctions.vec_dot(col("embedding"), col("embedding"))))
 
+  // ------------------------------------------------- row-local selection
+  // Every nearest/top-p centroid pick below scans ONE broadcast row
+  // holding the whole cid-sorted quantizer, entirely inside the vector's
+  // own row. The previous form (crossJoin each vector with each centroid
+  // + a per-vector row_number window) explodes N vectors into N×C rows
+  // and sorts them under a vec_id exchange — at production cell counts
+  // that shuffle dominates the query, and it contradicts the "broadcast
+  // map-side pass" this file's scaladoc promises. Shared by IvfIndex,
+  // Similarity.qs3, Curation.qc2 and stream.EmbedIngest so the tie-break
+  // semantics cannot drift between the batch and streaming membranes.
+
+  /** One-row frame: the whole quantizer as a cid-sorted struct array.
+    * Broadcast it at the call site. */
+  private[graft] def centroidArray(cents: DataFrame): DataFrame =
+    cents.agg(sort_array(collect_list(struct(col("cid"), col("ce"), col("cn")))).as("cs"))
+
+  /** Per-centroid (nrc, cid) structs scored against one vector row.
+    * nrc = 0 − cosine, so ascending struct order IS (cosine DESC, cid
+    * ASC) — the ORDER BY every window this replaces used. Subtracting
+    * from +0.0 (rather than negating) collapses ±0.0 into +0.0, so a
+    * round()-produced −0.0 cannot win a tie the normalized window/
+    * oracle comparison would break by cid. `cs` is referenced exactly
+    * once (the single-reference HOF rule — PLANS.md). */
+  private def scoredCells(emb: Column, nrm: Column, rounded: Boolean): Column =
+    transform(col("cs"), c => {
+      val rc = dot(c.getField("ce"), emb) / (c.getField("cn") * nrm)
+      struct((lit(0d) - (if (rounded) round(rc, 6) else rc)).as("nrc"),
+        c.getField("cid").as("cid"))
+    })
+
+  /** Nearest-centroid id: an argmax fold over the scored array —
+    * strictly-less replacement keeps the FIRST minimum, and the array
+    * is cid-sorted, so the smallest cid wins exact ties. −1 when the
+    * quantizer is empty (callers filter if that state is reachable). */
+  private[graft] def bestCell(emb: Column, nrm: Column, rounded: Boolean): Column =
+    aggregate(scoredCells(emb, nrm, rounded),
+      struct(lit(2d).as("nrc"), lit(-1L).as("cid")),
+      (acc, s) => when(s.getField("nrc") < acc.getField("nrc"), s).otherwise(acc))
+      .getField("cid")
+
+  /** The `p` nearest centroids in probe order: sort the scored array
+    * (struct order = cosine DESC, cid ASC) and slice. posexplode at the
+    * call site for (rank − 1, struct); shorter than `p` when the
+    * quantizer is — exactly the rows `rn <= p` kept. */
+  private[graft] def topCells(emb: Column, nrm: Column, p: Int, rounded: Boolean): Column =
+    slice(array_sort(scoredCells(emb, nrm, rounded)), 1, p)
+
   /** Build the index from an (vec_id, embedding) frame. Centroids are
     * a deterministic md5-ranked sample of `nCells` corpus vectors
     * (content-addressed like q36's sampler: rebuilds pick the same
@@ -50,12 +96,9 @@ object IvfIndex {
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
     cents.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
 
-    val centsB = broadcast(cents)
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("crcos").desc, col("cid").asc)
-    nm.crossJoin(centsB)
-      .withColumn("crcos", round(dot(col("ce"), col("embedding")) / (col("cn") * col("nrm")), 6))
-      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell"))
+    nm.crossJoin(broadcast(centroidArray(cents)))
+      .withColumn("cell", bestCell(col("embedding"), col("nrm"), rounded = true))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
       .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$dir/cells")
   }
 
@@ -68,13 +111,10 @@ object IvfIndex {
     * vectors immediately and drift is handled by periodic [[build]]
     * (content-addressed centroids make rebuilds reproducible). */
   def appendBatch(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
-    val cents = broadcast(spark.read.parquet(s"$dir/centroids"))
-    val nm = withNorm(batch)
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("crcos").desc, col("cid").asc)
-    nm.crossJoin(cents)
-      .withColumn("crcos", round(dot(col("ce"), col("embedding")) / (col("cn") * col("nrm")), 6))
-      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell"))
+    val cents = spark.read.parquet(s"$dir/centroids")
+    withNorm(batch).crossJoin(broadcast(centroidArray(cents)))
+      .withColumn("cell", bestCell(col("embedding"), col("nrm"), rounded = true))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
       .write.mode(SaveMode.Append).partitionBy("cell").parquet(s"$dir/cells")
   }
 
@@ -85,15 +125,14 @@ object IvfIndex {
     * directories. Output: (qid, rank, neighbor_id, rcos). */
   def search(spark: SparkSession, dir: String, queries: DataFrame,
              k: Int, nProbe: Int): DataFrame = {
-    val cents = broadcast(spark.read.parquet(s"$dir/centroids"))
+    val cents = spark.read.parquet(s"$dir/centroids")
     val cells = spark.read.parquet(s"$dir/cells")
     val q = withNorm(queries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-    val wProbe = Window.partitionBy("qid").orderBy(col("crcos").desc, col("cid").asc)
-    val probes = q.crossJoin(cents)
-      .withColumn("crcos", round(dot(col("ce"), col("qe")) / (col("cn") * col("qn")), 6))
-      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nProbe)
-      .select(col("qid"), col("qe"), col("qn"), col("cid").as("cell"))
+    val probes = q.crossJoin(broadcast(centroidArray(cents)))
+      .select(col("qid"), col("qe"), col("qn"),
+        explode(topCells(col("qe"), col("qn"), nProbe, rounded = true)).as("pc"))
+      .select(col("qid"), col("qe"), col("qn"), col("pc.cid").as("cell"))
     val cand = cells.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("rcos", round(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))

@@ -179,12 +179,13 @@ object Similarity {
     val emb = withNorm(Tables.embeddings(s, d))
     val cents = emb.filter(pmod(col("vec_id"), lit(100)) === 7)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
-    // assign every vector to its nearest centroid (broadcast pass)
-    val scored = emb.crossJoin(broadcast(cents))
-      .withColumn("crcos", round(dot(col("ce"), col("embedding")) / (col("cn") * col("nrm")), 6))
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("crcos").desc, col("cid").asc)
-    val assigned = scored.withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell"))
+    // assign every vector to its nearest centroid — IvfIndex's row-local
+    // argmax fold over one broadcast row holding the quantizer (no N×C
+    // row explosion, no vec_id exchange; oracle states it as the
+    // crossJoin+window form, which the fold is tie-break-identical to)
+    val assigned = emb.crossJoin(broadcast(IvfIndex.centroidArray(cents)))
+      .withColumn("cell", IvfIndex.bestCell(col("embedding"), col("nrm"), rounded = true))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
     val q = assigned.filter(pmod(col("vec_id"), lit(100)) === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("cell").as("qcell"))

@@ -1,8 +1,9 @@
 package graft.stream
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.batch.IvfIndex
 
 /** Embedding near-dup at ingest: the streaming form of qd5 — reject
   * arriving vectors whose cosine against the accumulated corpus (or a
@@ -149,13 +150,11 @@ object EmbedIngest {
       .limit(nCells)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
     cents.coalesce(1).write.parquet(s"$tmp/centroids")
-    val centsB = broadcast(s.read.parquet(s"$tmp/centroids"))
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("crcos").desc, col("cid").asc)
-    nm.crossJoin(centsB)
-      .withColumn("crcos", dot(col("ce"), col("embedding")) / (col("cn") * col("nrm")))
-      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell"))
+    // row-local argmax over the broadcast quantizer array — see
+    // IvfIndex.bestCell for why this replaces crossJoin+row_number
+    nm.crossJoin(broadcast(IvfIndex.centroidArray(s.read.parquet(s"$tmp/centroids"))))
+      .withColumn("cell", IvfIndex.bestCell(col("embedding"), col("nrm"), rounded = false))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
       .write.partitionBy("cell").parquet(s"$tmp/cells/epoch=${upTo - 1}")
     val o = fs.create(new org.apache.hadoop.fs.Path(tmp, "_GRAFT_COMMIT"), true)
     o.close()
@@ -250,7 +249,7 @@ object EmbedIngest {
     // read — a half-swapped layout (new centroids, old cells) would
     // probe the wrong cells silently
     recoverRequant(s, dir)
-    val cents = broadcast(s.read.parquet(s"$dir/centroids"))
+    val cents = s.read.parquet(s"$dir/centroids")
     val nm0 = withNorm(batch).localCheckpoint() // bounded: one micro-batch
 
     // exact-dup collapse FIRST (linear, map-side hash): a crawl flood of
@@ -265,13 +264,15 @@ object EmbedIngest {
     val firstPerKey = keyedV.groupBy(col("emb_key")).agg(min(col("vec_id")).as("vec_id"))
     val nm = keyedV.join(firstPerKey, Seq("emb_key", "vec_id")).drop("emb_key")
 
-    // nProbe nearest cells per vector — one broadcast map-side pass
-    val wProbe = Window.partitionBy("vec_id").orderBy(col("crcos").desc, col("cid").asc)
-    val probes = nm.crossJoin(cents)
-      .withColumn("crcos", dot(col("ce"), col("embedding")) / (col("cn") * col("nrm")))
-      .withColumn("pr", row_number().over(wProbe)).filter(col("pr") <= nProbe)
+    // nProbe nearest cells per vector — a row-local sort-slice over the
+    // broadcast quantizer array (IvfIndex.topCells: no batch×centroids
+    // row explosion, no vec_id exchange)
+    val probes = nm.crossJoin(broadcast(IvfIndex.centroidArray(cents)))
       .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("cid").as("cell"), col("pr"))
+        posexplode(IvfIndex.topCells(col("embedding"), col("nrm"), nProbe,
+          rounded = false)).as(Seq("pos", "pc")))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("pc.cid").as("cell"), (col("pos") + 1).cast("int").as("pr"))
       .localCheckpoint() // feeds in-batch pairs, corpus probe, and the write
 
     // in-batch: a vector loses iff a SMALLER vec_id sharing any probe
@@ -327,15 +328,15 @@ object EmbedIngest {
   def search(spark: SparkSession, dir: String, queries: DataFrame,
              k: Int, nProbe: Int): DataFrame = {
     recoverRequant(spark, dir)
-    val cents = broadcast(spark.read.parquet(s"$dir/centroids"))
+    val cents = spark.read.parquet(s"$dir/centroids")
     val cells = spark.read.parquet(s"$dir/cells")
     val q = withNorm(queries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-    val wProbe = Window.partitionBy("qid").orderBy(col("crcos").desc, col("cid").asc)
-    val probes = q.crossJoin(cents)
-      .withColumn("crcos", dot(col("ce"), col("qe")) / (col("cn") * col("qn")))
-      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nProbe)
-      .select(col("qid"), col("qe"), col("qn"), col("cid").as("cell"))
+    val probes = q.crossJoin(broadcast(IvfIndex.centroidArray(cents)))
+      .select(col("qid"), col("qe"), col("qn"),
+        explode(IvfIndex.topCells(col("qe"), col("qn"), nProbe,
+          rounded = false)).as("pc"))
+      .select(col("qid"), col("qe"), col("qn"), col("pc.cid").as("cell"))
     val cand = cells.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("rcos", round(dot(col("qe"), col("embedding"))
