@@ -65,6 +65,84 @@ class IvfIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(got == brute)
   }
 
+  test("bestCell fold ≡ crossJoin+window assignment over the whole sf0.01 corpus") {
+    // the row-local argmax fold replaced a row_number window at seven
+    // sites; this pins the two forms bit-identical on real data so the
+    // refactor can never silently drift the cell layout
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val nm = emb.withColumn("nrm",
+      sqrt(graft.functions.GraftFunctions.vec_dot(col("embedding"), col("embedding"))))
+    val fold = nm.crossJoin(broadcast(IvfIndex.centroidArray(cents)))
+      .withColumn("cell", IvfIndex.bestCell(col("embedding"), col("nrm"), rounded = true))
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("crcos").desc, col("cid").asc)
+    val window = nm.crossJoin(broadcast(cents))
+      .withColumn("crcos", round(
+        graft.functions.GraftFunctions.vec_dot(col("ce"), col("embedding")) / (col("cn") * col("nrm")), 6))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fold == window)
+  }
+
+  test("exact cosine ties break to the smallest cid, in bestCell and in topCells order") {
+    import spark.implicits._
+    // two centroids share one embedding → identical cosine against any
+    // query; the window's ORDER BY cosine DESC, cid ASC picks cid 2, so
+    // the fold (first-minimum over the cid-sorted array) must too
+    val cents = Seq(
+      (7L, Array(1f, 0f), 1d), (2L, Array(1f, 0f), 1d), (9L, Array(0f, 1f), 1d))
+      .toDF("cid", "ce", "cn")
+    val q = Seq((1L, Array(1f, 0f), 1d)).toDF("vec_id", "embedding", "nrm")
+    val got = q.crossJoin(broadcast(IvfIndex.centroidArray(cents)))
+      .select(IvfIndex.bestCell(col("embedding"), col("nrm"), rounded = true).as("cell"),
+        IvfIndex.topCells(col("embedding"), col("nrm"), 3, rounded = true).as("pcs"))
+      .collect().head
+    assert(got.getLong(0) == 2L)
+    val probeOrder = got.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1))
+    assert(probeOrder == Seq(2L, 7L, 9L), s"probe order $probeOrder")
+  }
+
+  test("a round()-produced −0.0 cannot steal a tie from +0.0 (oracle zero semantics)") {
+    import spark.implicits._
+    // centroid 5's dot is −1e-9 → round(…,6) = −0.0; centroid 8's is
+    // exactly 0.0. DuckDB's ORDER BY treats them equal (tie → cid), and
+    // the fold normalizes both to +0.0 to match; a raw Spark window
+    // would rank −0.0 below +0.0 and pick 8 — the drift this pins out
+    val cents = Seq(
+      (5L, Array(-1e-9f, 1f), 1d), (8L, Array(0f, 1f), 1d))
+      .toDF("cid", "ce", "cn")
+    val q = Seq((1L, Array(1f, 0f), 1d)).toDF("vec_id", "embedding", "nrm")
+    val cell = q.crossJoin(broadcast(IvfIndex.centroidArray(cents)))
+      .select(IvfIndex.bestCell(col("embedding"), col("nrm"), rounded = true).as("cell"))
+      .collect().head.getLong(0)
+    assert(cell == 5L, s"expected cid 5 (smaller id on a 0-tie), got $cell")
+  }
+
+  test("search plans no window and no per-vector exchange on the probe side") {
+    // probe selection is a row-local fold over one broadcast quantizer
+    // row: a WindowExec (or an exchange keyed by qid/vec_id before the
+    // candidate join) would mean the N×C explosion came back
+    val res = IvfIndex.search(spark, dir, queries, k = 3, nProbe = 2)
+    val explained = res.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val winLines = explained.linesIterator.filter(_.matches("""\(\d+\) Window.*""")).toSeq
+    // the only legitimate window is GroupTopK's final per-qid rank over
+    // ≤ k·partitions pre-reduced rows — none over raw probe/cell rows
+    assert(winLines.isEmpty || explained.contains("GroupTopK"),
+      s"unexpected window operators: $winLines")
+    val lines = explained.linesIterator.toVector
+    lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) Exchange.*""") => i
+    }.foreach { i =>
+      val input = lines.drop(i).take(3).find(_.trim.startsWith("Input")).getOrElse("")
+      assert(!input.contains("qe"),
+        s"raw query-vector rows entered a shuffle: $input")
+    }
+  }
+
   test("rebuild picks identical centroids (content-addressed sampling)") {
     val d2 = Files.createTempDirectory("ivf2").toString
     IvfIndex.build(emb, d2, nCells = 16)
