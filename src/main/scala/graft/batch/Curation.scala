@@ -255,9 +255,53 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Per-cell admission cap for [[qc3_semantic_balance]] — small
+    * enough that it binds on the sf0.01 fixture (cells hold ~100
+    * vectors), so the oracle actually exercises the cap path. */
+  private val BalanceCap = 8
+
+  /** qc3: semantic-diversity (cluster-balanced) corpus selection — the
+    * SemDeDup-shaped pass that keeps a training mix from being swamped
+    * by one over-represented semantic region: assign every vector to
+    * its nearest coarse-quantizer cell, then admit at most
+    * [[BalanceCap]] per cell, ranked by the content-addressed md5 key
+    * q36's sampler uses (deterministic: re-runs and incremental
+    * rebuilds admit the same vectors; no RNG state). Output is the
+    * per-cell audit a balancing pass reports: population, admitted
+    * count, admitted-id checksum, and the rank-1 pick.
+    *
+    * Scale shape: assignment is IvfIndex's row-local fold over ONE
+    * broadcast quantizer row (no N×C explosion); per-cell admission
+    * runs through the native GroupTopK — bounded heaps map-side, so
+    * the cell exchange carries ≤ cap × partitions rows per cell, never
+    * the cell population. The obvious row_number-over-cell window
+    * would funnel each cell's full population through one task —
+    * cells are few by construction, the exact single-task funnel
+    * qt10's rewrite killed. Reference analog: the reference balances
+    * per-machine report rows by top-N per group in T-SQL
+    * (Prensas.py:285-302); this is the corpus-curation form. */
+  def qc3_semantic_balance(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, d)
+      .withColumn("nrm", sqrt(Similarity.norm2(col("embedding"))))
+    val cents = emb.filter(pmod(col("vec_id"), lit(100)) === 7)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val assigned = emb.crossJoin(broadcast(IvfIndex.centroidArray(cents)))
+      .withColumn("cell", IvfIndex.bestCell(col("embedding"), col("nrm"), rounded = true))
+      .select(col("vec_id"), col("cell"), md5(col("vec_id").cast("string")).as("hk"))
+    val admitted = graft.plans.GroupTopK.topK(assigned, Seq("cell"),
+      Seq(col("hk").asc, col("vec_id").asc), BalanceCap)
+    val totals = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+    val adm = admitted.groupBy(col("cell")).agg(
+      count(lit(1)).as("n_admitted"),
+      sum(col("vec_id")).as("sum_admitted"),
+      max(when(col("rank") === 1, col("vec_id"))).as("top_admit"))
+    totals.join(adm, Seq("cell")).orderBy("cell")
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
     Map("qc1_curation" -> (qc1_curation _),
-      "qc2_multimodal_curation" -> (qc2_multimodal_curation _))
+      "qc2_multimodal_curation" -> (qc2_multimodal_curation _),
+      "qc3_semantic_balance" -> (qc3_semantic_balance _))
 
   /** The text-membrane CTE chain (corpus split → quality → exact/band
     * dedup → span decontam), shared verbatim by the qc1 and qc2
@@ -394,5 +438,38 @@ object Curation {
            | WHERE round(${sqlDot64.format("a.embedding", "b.embedding")}
            |       / (a.nrm * b.nrm), 6) >= 0.4),
            |ae AS (SELECT * FROM am WHERE doc_id NOT IN (SELECT doc_id FROM elosers)),
-           |""".stripMargin + mixtureTailSql("ae")))
+           |""".stripMargin + mixtureTailSql("ae")),
+    // qc3 = qs3's centroid-cell assignment over the whole embeddings
+    // table, then a per-cell md5-ranked cap (the GroupTopK path on the
+    // Spark side; a plain window here — the oracle states semantics,
+    // not the scale shape)
+    "qc3_semantic_balance" ->
+      s"""WITH nm AS (
+         | SELECT vec_id, embedding,
+         |  sqrt(${sqlDot64.format("embedding", "embedding")}) AS nrm
+         | FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM nm
+         |          WHERE vec_id % 100 = 7),
+         |scored AS (
+         | SELECT nm.vec_id, cents.cid,
+         |  round(${sqlDot64.format("cents.ce", "nm.embedding")} / (cents.cn * nm.nrm), 6) AS crcos
+         | FROM nm, cents),
+         |assigned AS (
+         | SELECT vec_id, cid AS cell FROM (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY crcos DESC, cid ASC) AS rn FROM scored) t WHERE rn = 1),
+         |ranked AS (
+         | SELECT cell, vec_id,
+         |  ROW_NUMBER() OVER (PARTITION BY cell
+         |    ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS rn
+         | FROM assigned),
+         |tot AS (SELECT cell, COUNT(*) AS n_vectors FROM assigned GROUP BY 1),
+         |adm AS (
+         | SELECT cell, COUNT(*) AS n_admitted,
+         |  CAST(SUM(vec_id) AS BIGINT) AS sum_admitted,
+         |  MAX(CASE WHEN rn = 1 THEN vec_id END) AS top_admit
+         | FROM ranked WHERE rn <= $BalanceCap GROUP BY 1)
+         |SELECT tot.cell, tot.n_vectors, adm.n_admitted, adm.sum_admitted, adm.top_admit
+         |FROM tot JOIN adm USING (cell)
+         |ORDER BY tot.cell""".stripMargin)
 }

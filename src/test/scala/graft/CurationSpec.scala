@@ -133,6 +133,29 @@ class CurationSpec extends SparkSpec {
     out.unpersist(); admitted.unpersist()
   }
 
+  test("qc3 admits through the native GroupTopK — no per-cell window funnel") {
+    // cells are few by construction, so a row_number window over cell
+    // would funnel each cell's whole population through one task; the
+    // native operator pre-reduces map-side (≤ cap rows per partition
+    // per cell cross the exchange) and no WindowExec may plan at all
+    val q = Curation.qc3_semantic_balance(spark, "/root/testdata/sf0.01")
+    val explained = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(explained.contains("GroupTopK"),
+      "qc3 must rank through the native GroupTopK operator")
+    assert(!explained.linesIterator.exists(_.matches("""\(\d+\) Window.*""")),
+      "qc3 must not plan a window operator")
+    // and the cap genuinely binds on the fixture: every cell admits
+    // exactly the cap while holding more candidates
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_admitted") == 8L &&
+        r.getAs[Long]("n_vectors") > 8L,
+        s"cap not binding on ${r}")
+    }
+  }
+
   test("curate admission is deterministic across runs") {
     val docs = Tables.documents(spark, d)
     val ev = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
