@@ -142,7 +142,19 @@ object TextOps {
     * in under (tok desc, doc_id) order. Two-pass global prefix sum —
     * bit-identical to the sequential computation (long addition is
     * associative), with no corpus-wide single-partition stage. */
-  def prefixBins(docs: DataFrame, cap: Long): DataFrame = {
+  def prefixBins(docs: DataFrame, cap: Long): DataFrame =
+    docBins(docs, cap)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("bin_toks"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("bin")
+
+  /** Per-doc bin assignment under the [[prefixBins]] scheme:
+    * `(doc_id, tok)` → `(doc_id, tok, bin)` via the two-pass global
+    * prefix sum. Exposed separately so downstream stages (the per-bin
+    * report above; [[Shards]]' output sharding) share one engine-
+    * independent assignment. */
+  def docBins(docs: DataFrame, cap: Long): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val n = s.sparkContext.defaultParallelism
@@ -169,10 +181,7 @@ object TextOps {
     val baseDf = s.createDataFrame(bases.toSeq).toDF("pid", "base")
     local.join(broadcast(baseDf), "pid")
       .withColumn("bin", floor((col("base") + col("local_off")) / cap))
-      .groupBy(col("bin"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("bin_toks"),
-        min(col("doc_id")).as("first_doc"))
-      .orderBy("bin")
+      .select(col("doc_id"), col("tok"), col("bin"))
   }
 
   /** Distributed first-fit-decreasing packing: (doc_id, tok) →
@@ -473,6 +482,20 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** qt12: the training-shard manifest — [[Shards.manifest]] over
+    * qt6's prefix-bin packing at 4 shards: the reproducible output
+    * contract (per-shard bins/docs/tokens/id-checksum) a data loader
+    * verifies before a run. Engine-independent because bins come from
+    * one global deterministic order and sharding is plain modulo. */
+  def qt12_shard_manifest(s: SparkSession, d: String): DataFrame =
+    Shards.manifest(Shards.assign(
+      docBins(
+        Tables.documents(s, d)
+          .select(col("doc_id").cast("long"),
+            size(split(col("text"), " ")).cast("long").as("tok")),
+        cap = 2048L),
+      nShards = 4))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qt11_pii_scrub" -> (qt11_pii_scrub _),
     "qt10_token_budget" -> (qt10_token_budget _),
@@ -484,7 +507,8 @@ object TextOps {
     "qt3_tokens" -> (qt3_tokens _),
     "qt4_fingerprint" -> (qt4_fingerprint _),
     "qt5_tfidf" -> (qt5_tfidf _),
-    "qt6_seq_pack" -> (qt6_seq_pack _))
+    "qt6_seq_pack" -> (qt6_seq_pack _),
+    "qt12_shard_manifest" -> (qt12_shard_manifest _))
 
   private val profileValues = profiles
     .map { case (l, w) => s"('$l','$w')" }.mkString(", ")
@@ -652,6 +676,22 @@ object TextOps {
         |SELECT CAST(floor(off / 2048) AS BIGINT) AS bin, COUNT(*) AS n_docs,
         | CAST(SUM(tok) AS BIGINT) AS bin_toks, MIN(doc_id) AS first_doc
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // qt12 = qt6's bin assignment + modulo sharding + per-shard agg
+    "qt12_shard_manifest" ->
+      """WITH t AS (
+        | SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, tok,
+        |  SUM(tok) OVER (ORDER BY tok DESC, doc_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS off
+        | FROM t),
+        |b AS (
+        | SELECT doc_id, tok, CAST(floor(off / 2048) AS BIGINT) AS bin FROM c)
+        |SELECT bin % 4 AS shard, COUNT(DISTINCT bin) AS n_bins,
+        | COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens,
+        | CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "qt5_tfidf" ->
       """WITH toks AS (
         | SELECT doc_id, t.term FROM (
