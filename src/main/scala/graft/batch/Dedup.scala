@@ -436,9 +436,10 @@ object Dedup {
     * (the standard Spark iterative-graph pattern). Only docs that
     * appear in a candidate pair enter the graph, so the iteration input
     * is pair-space-sized, not corpus-sized. At 100 TB with adversarial
-    * long-chain graphs, swap the loop body for the large-star/small-star
-    * rewrite (Kiveris et al., "Connected Components in MapReduce"); the
-    * contract of this operator is unchanged.
+    * long-chain graphs, swap the loop body for [[starComponents]] —
+    * the large-star/small-star rewrite (Kiveris et al., "Connected
+    * Components in MapReduce"), equivalence-pinned by DedupClusterSpec
+    * on this operator's own graph; the contract is unchanged.
     */
   def qd6_dup_clusters(s: SparkSession, d: String): DataFrame = {
     // checkpoint the minhash signatures BEFORE the band self-join and
@@ -517,6 +518,73 @@ object Dedup {
       .filter(col("n_contaminated") >= 2)
       .select(col("doc_id"), col("n_contaminated"), col("n_sh"), col("ratio"))
       .orderBy("doc_id")
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the loop body qd6's scaladoc promises for adversarial
+    * graphs: per round each node hooks its neighborhood onto the
+    * neighborhood minimum, which contracts even a pure path graph in
+    * O(log² n) rounds where plain min-label propagation (without
+    * qd6's pointer-jump shortcut) needs O(n). Per round: two
+    * groupBy-min + join passes over the EDGE list — edge-space-sized
+    * like qd6's loop, no corpus rows, no driver-side graph.
+    *
+    * Input: undirected candidate pairs `(id_a, id_b)`. Output:
+    * `(id, label)` — every node that appears in any pair, labeled by
+    * its component's minimum id. DedupClusterSpec pins equivalence
+    * with qd6's pointer-jump labels on the real LSH graph and with a
+    * local union-find on chain/star/random fixtures.
+    */
+  def starComponents(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val s = pairs.sparkSession
+    def dedup(e: DataFrame) = e.filter(col("u") =!= col("v")).distinct()
+    // current edge set, kept oriented u -> v meaning "u knows v"
+    // (both directions present after this seed)
+    var edges = dedup(
+      pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .union(pairs.select(col("id_b").as("u"), col("id_a").as("v"))))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      // large-star: around each center u, every LARGER neighbor hooks
+      // onto m = min(N(u) ∪ {u}). Edges to smaller neighbors are NOT
+      // re-emitted from this center — the smaller endpoint's own
+      // center view re-emits them (or hooks them lower), which is
+      // what contracts tall chains
+      val minsL = edges.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = edges.filter(col("v") > col("u")).join(minsL, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+      val afterLarge = dedup(large.select(col("a").as("u"), col("b").as("v"))
+        .union(large.select(col("b").as("u"), col("a").as("v"))))
+        .localCheckpoint()
+      // small-star: orient each edge toward its larger endpoint
+      // (center u = max side, so every kept neighbor v < u); u and
+      // all its smaller neighbors hook onto the minimum
+      val small0 = afterLarge.filter(col("v") < col("u"))
+      val minsS = small0.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val joined = small0.join(minsS, "u")
+      val smallEdges = joined.select(col("v").as("a"), col("m").as("b"))
+        .union(joined.select(col("u").as("a"), col("m").as("b")))
+      val next = dedup(smallEdges.select(col("a").as("u"), col("b").as("v"))
+        .union(smallEdges.select(col("b").as("u"), col("a").as("v"))))
+        .localCheckpoint()
+      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      rounds += 1
+    }
+    require(converged,
+      s"starComponents did not converge in $rounds rounds (raise maxRounds)")
+    // fixpoint is a union of stars: every non-root points at exactly
+    // its component min; roots are the mins themselves
+    val members = edges.filter(col("v") < col("u"))
+      .select(col("u").as("id"), col("v").as("label"))
+    val roots = edges.select(least(col("u"), col("v")).as("id")).distinct()
+      .join(members.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("label", col("id"))
+    members.union(roots)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
