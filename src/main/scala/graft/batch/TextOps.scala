@@ -482,6 +482,59 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Vocabulary size for [[qt13_rank_quality]] — bounded, so the
+    * driver-side collect is K rows (the probe-cells pattern) and the
+    * literal lookup map stays small. */
+  private val VocabK = 64
+
+  /** qt13: corpus-frequency-rank quality score — the integer-exact
+    * stand-in for the perplexity filter a CCNet-style pipeline runs:
+    * rank the top-[[VocabK]] corpus terms by frequency, score every
+    * token by its rank (out-of-vocabulary = K+1), and report per-source
+    * token-weighted mean rank and OOV mass. Natural text scores low
+    * (stopwords rank 1–20); gibberish and boilerplate score near K+1.
+    *
+    * Scale shape: pass 1 is a partial/final term count + bounded
+    * top-K (TakeOrdered — per-partition heaps, K rows to the driver);
+    * pass 2 is ENTIRELY row-local — the vocabulary rides into each
+    * task as one literal map and a single fold over the token array
+    * scores the doc (one reference to `toks`, the qt9 rule), so the
+    * only exchange after the vocab pass carries source-cardinality
+    * aggregate rows. Integer sums throughout: hash-exact across
+    * engines, no float-order hazard. */
+  def qt13_rank_quality(s: SparkSession, d: String): DataFrame =
+    rankQuality(Tables.documents(s, d), VocabK)
+
+  /** The scoring core of [[qt13_rank_quality]] over any
+    * `(source, text)` frame — separated so QualitySpec can drive the
+    * out-of-vocabulary path (the parquet fixture's vocabulary is
+    * smaller than K, so the oracle never exercises it). */
+  private[graft] def rankQuality(documents: DataFrame, k: Int): DataFrame = {
+    val docs = documents
+      .withColumn("toks", filter(split(lower(col("text")), " "), t => length(t) > 0))
+      .filter(size(col("toks")) >= 1)
+    val vocab = docs.select(explode(col("toks")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(k)
+      .collect().map(_.getString(0))
+    val rankMap = typedlit(vocab.zipWithIndex.map { case (t, i) => t -> (i + 1L) }.toMap)
+    val oov = lit((k + 1).toLong)
+    docs
+      .withColumn("sc", aggregate(col("toks"),
+        struct(lit(0L).as("rank_sum"), lit(0L).as("n_oov")),
+        (acc, t) => struct(
+          (acc.getField("rank_sum") + coalesce(element_at(rankMap, t), oov)).as("rank_sum"),
+          (acc.getField("n_oov") +
+            when(element_at(rankMap, t).isNull, 1L).otherwise(0L)).as("n_oov"))))
+      .select(col("source"), size(col("toks")).cast("long").as("n_tok"),
+        col("sc.rank_sum").as("rank_sum"), col("sc.n_oov").as("n_oov"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"),
+        sum(col("rank_sum")).as("sum_rank"), sum(col("n_oov")).as("sum_oov"))
+      .withColumn("mean_rank_x100", expr("sum_rank * 100 div sum_tok"))
+      .orderBy("source")
+  }
+
   /** qt12: the training-shard manifest — [[Shards.manifest]] over
     * qt6's prefix-bin packing at 4 shards: the reproducible output
     * contract (per-shard bins/docs/tokens/id-checksum) a data loader
@@ -508,7 +561,8 @@ object TextOps {
     "qt4_fingerprint" -> (qt4_fingerprint _),
     "qt5_tfidf" -> (qt5_tfidf _),
     "qt6_seq_pack" -> (qt6_seq_pack _),
-    "qt12_shard_manifest" -> (qt12_shard_manifest _))
+    "qt12_shard_manifest" -> (qt12_shard_manifest _),
+    "qt13_rank_quality" -> (qt13_rank_quality _))
 
   private val profileValues = profiles
     .map { case (l, w) => s"('$l','$w')" }.mkString(", ")
@@ -676,6 +730,34 @@ object TextOps {
         |SELECT CAST(floor(off / 2048) AS BIGINT) AS bin, COUNT(*) AS n_docs,
         | CAST(SUM(tok) AS BIGINT) AS bin_toks, MIN(doc_id) AS first_doc
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // qt13 = the same top-64 vocab rank (ties by term), rank-scored
+    // tokens via LEFT JOIN (the oracle states semantics; the Spark
+    // side folds over a literal map with zero data shuffles)
+    "qt13_rank_quality" ->
+      """WITH t AS (
+        | SELECT doc_id, source,
+        |  list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS toks
+        | FROM documents),
+        |d AS (SELECT doc_id, source, toks FROM t WHERE len(toks) >= 1),
+        |tok AS (SELECT doc_id, source, unnest(toks) AS term FROM d),
+        |vocab AS (
+        | SELECT term, ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS rank
+        | FROM (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1
+        |       ORDER BY cnt DESC, term ASC LIMIT 64)),
+        |sc AS (
+        | SELECT tok.doc_id, tok.source, COALESCE(v.rank, 65) AS r,
+        |  CASE WHEN v.rank IS NULL THEN 1 ELSE 0 END AS oov
+        | FROM tok LEFT JOIN vocab v USING (term)),
+        |pd AS (
+        | SELECT doc_id, source, COUNT(*) AS n_tok,
+        |  CAST(SUM(r) AS BIGINT) AS rank_sum, CAST(SUM(oov) AS BIGINT) AS n_oov
+        | FROM sc GROUP BY 1, 2)
+        |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+        | CAST(SUM(rank_sum) AS BIGINT) AS sum_rank,
+        | CAST(SUM(n_oov) AS BIGINT) AS sum_oov,
+        | CAST(SUM(rank_sum) AS BIGINT) * 100 // CAST(SUM(n_tok) AS BIGINT)
+        |   AS mean_rank_x100
+        |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin,
     // qt12 = qt6's bin assignment + modulo sharding + per-shard agg
     "qt12_shard_manifest" ->
       """WITH t AS (

@@ -23,6 +23,42 @@ class QualitySpec extends SparkSpec {
     assert(m("n_null_s") === 2L)
   }
 
+  test("rank quality: OOV tokens score K+1 and the integer report matches by hand") {
+    import spark.implicits._
+    // k = 2: vocabulary is the two most frequent terms (ties by term
+    // asc); everything else is out-of-vocabulary at rank 3
+    val docs = Seq(
+      ("a", "the the cat"), //  the=1 (x2), cat: freq 1 → vocab? k=2:
+      ("a", "the dog zzz"), //  counts: the=3, cat=1, dog=1, zzz=1 →
+      ("b", "qqq qqq")      //  qqq=2 → vocab = [the(3), qqq(2)]
+    ).toDF("source", "text")
+    val out = graft.batch.TextOps.rankQuality(docs, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toList
+    // source a: doc1 toks [the,the,cat] → ranks 1+1+3=5, oov 1
+    //           doc2 toks [the,dog,zzz] → ranks 1+3+3=7, oov 2
+    //           → n_docs 2, sum_tok 6, sum_rank 12, sum_oov 3, 12*100 div 6 = 200
+    // source b: [qqq,qqq] → 2+2=4, oov 0 → 1, 2, 4, 0, 200
+    assert(out == List(("a", 2L, 6L, 12L, 3L, 200L), ("b", 1L, 2L, 4L, 0L, 200L)))
+  }
+
+  test("rank quality plans: the scoring pass shuffles no doc rows") {
+    // pass 1 exchanges term-cardinality count rows, the report
+    // exchanges source-cardinality aggregates; the fold itself is
+    // row-local, so NO exchange may carry doc text or token arrays
+    val q = graft.batch.TextOps.qt13_rank_quality(spark, "/root/testdata/sf0.001")
+    val explained = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val lines = explained.linesIterator.toVector
+    lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) Exchange.*""") => i
+    }.foreach { i =>
+      val input = lines.drop(i).take(3).find(_.trim.startsWith("Input")).getOrElse("")
+      assert(!input.contains("toks") && !input.contains("text"),
+        s"doc-level rows entered a shuffle: $input")
+    }
+  }
+
   test("streaming observation: per-batch metrics in query progress") {
     implicit val ctx = spark.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
