@@ -71,6 +71,25 @@ object Curation {
       .select(col("doc_id"), col("source"), col("tok"), col("bin"))
   }
 
+  /** The complete run, landing on disk: membrane chain → mixture →
+    * qt6's DETERMINISTIC prefix-bin packing → [[Shards.write]]. The
+    * admitted set and bin layout are parallelism-independent (the
+    * prefix sum reproduces one global order at any partition count),
+    * so two runs — or a resumed run — produce file-for-file identical
+    * shards. Exactly TWO text scans total, the floor for a pipeline
+    * that drops the payload early: pass 1 computes every signal
+    * (quality, dedup, decontam, tokens) and the shard writer re-reads
+    * text only for the admitted rows it lands (CurationSpec pins the
+    * count). */
+  def curateToShards(docs: DataFrame, eval: DataFrame, dir: String,
+                     nShards: Int, p: Params = Params()): Unit = {
+    val adm = admitted(docs, eval, p)
+    val binned = T.docBins(
+      adm.select(col("doc_id"), col("n_tok").as("tok")), p.packCapacity)
+    Shards.write(docs.select(col("doc_id"), col("source"), col("text")),
+      binned, nShards, dir)
+  }
+
   /** Every stage up to (not including) packing — the admitted doc set
     * `(doc_id, source, n_tok)`. Split out so the composed selection is
     * ORACLE-CHECKED end-to-end (qc1): bin assignment is partitioning-

@@ -156,6 +156,33 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("curateToShards: two text scans total, shards hold exactly the admitted set, reproducible") {
+    val passes = spark.sparkContext.longAccumulator("shard_text_passes")
+    val raw = Tables.documents(spark, d)
+    val nRaw = raw.count()
+    val tick = udf(() => { passes.add(1); true }).asNondeterministic()
+    val docs = raw.filter(tick())
+    val ev = raw.filter(pmod(col("doc_id"), lit(10)) === 7)
+      .select(col("doc_id"), col("text"))
+    val dir1 = java.nio.file.Files.createTempDirectory("curate_shards1").toString
+    Curation.curateToShards(docs, ev, dir1, nShards = 4)
+    // pass 1 = the signal scan, pass 2 = the shard writer landing the
+    // payload — the floor for a pipeline that drops text early
+    assert(passes.value == 2 * nRaw,
+      s"corpus text scanned ${passes.value.toDouble / nRaw}x — must be exactly twice")
+    val landed = spark.read.parquet(s"$dir1/shards")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val admitted = Curation.curate(raw, ev).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(landed == admitted, "shards must hold exactly the admitted docs")
+    // reproducible: a second run lands an identical manifest
+    val dir2 = java.nio.file.Files.createTempDirectory("curate_shards2").toString
+    Curation.curateToShards(raw, ev, dir2, nShards = 4)
+    def man(dir: String) = spark.read.parquet(s"$dir/manifest")
+      .orderBy("shard").collect().map(_.toSeq).toSeq
+    assert(man(dir1) == man(dir2), "manifest must be reproducible")
+  }
+
   test("curate admission is deterministic across runs") {
     val docs = Tables.documents(spark, d)
     val ev = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
