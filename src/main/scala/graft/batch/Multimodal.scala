@@ -122,10 +122,52 @@ object Multimodal {
   def qm3_phash_neardup(s: SparkSession, d: String): DataFrame =
     phashPairs(phash32(Tables.spread(Tables.documents(s, d))), PhashBandCap)
 
+  /** qm4: cross-video frame-level near-dup — the video analog of qm3:
+    * two "videos" are near-duplicates when their SAMPLED frames (qm2's
+    * every-2nd-frame schedule) contain perceptually matching images,
+    * even if the files differ byte-wise (re-encodes, watermarks,
+    * trims). Each sampled frame's stub payload is a 32-byte slice at
+    * its frame offset; frames ride the ENTIRE qm3 machinery — row-local
+    * pHash, capped band buckets, Hamming ≤ 3 verify — as synthetic ids
+    * `doc_id·64 + frame` (n_frames ≤ 7 < 64, so the encoding is
+    * collision-free and ORDER-PRESERVING: frame ids sort by video
+    * first, which keeps the band-prefix cap and the pair orientation
+    * aligned with the oracle). The per-video-pair rollup counts
+    * matching frame pairs and the best distance — the "how much of A
+    * is in B" signal a video-dedup reviewer ranks by.
+    *
+    * Scale shape: identical to qm3 (one band exchange, capped
+    * buckets, bucket-local pairs) plus one aggregate over the
+    * PAIR-sized result — frames multiply the input by the sampling
+    * rate (≤ 4×), never quadratically. */
+  def qm4_video_framedup(s: SparkSession, d: String): DataFrame =
+    videoFrameDup(Tables.spread(Tables.documents(s, d)))
+
+  /** The frame-dedup core over any `(doc_id, text)` frame — separated
+    * so MediaPipelineSpec can drive byte-identical synthetic videos
+    * (the parquet fixtures hold no exact-dup payloads). */
+  private[graft] def videoFrameDup(docs: DataFrame): DataFrame = {
+    val frames = docs
+      .withColumn("nb", length(col("text")).cast("long"))
+      .withColumn("n_frames", (pmod(col("nb"), lit(7)) + 1).cast("long"))
+      .withColumn("frame", explode(sequence(lit(0L), col("n_frames") - 1, lit(2L))))
+      .filter(col("nb") >= col("frame") * 8 + 32)
+      .select((col("doc_id") * 64 + col("frame")).as("doc_id"),
+        expr("substring(text, cast(1 + frame * 8 as int), 32)").as("text"))
+    phashPairs(phash32(frames), PhashBandCap)
+      .withColumn("vid_a", expr("id_a div 64"))
+      .withColumn("vid_b", expr("id_b div 64"))
+      .filter(col("vid_a") < col("vid_b"))
+      .groupBy(col("vid_a"), col("vid_b"))
+      .agg(count(lit(1)).as("n_frame_pairs"), min(col("hamming")).as("min_hamming"))
+      .orderBy("vid_a", "vid_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qm1_multimodal" -> (qm1_multimodal _),
     "qm2_frame_sample" -> (qm2_frame_sample _),
-    "qm3_phash_neardup" -> (qm3_phash_neardup _))
+    "qm3_phash_neardup" -> (qm3_phash_neardup _),
+    "qm4_video_framedup" -> (qm4_video_framedup _))
 
   val oracle: Map[String, String] = Map(
     "qm1_multimodal" ->
@@ -177,5 +219,49 @@ object Multimodal {
          |SELECT id_a, ph_a, id_b, ph_b,
          | CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3
-         |ORDER BY id_a, id_b""".stripMargin)
+         |ORDER BY id_a, id_b""".stripMargin,
+    // qm4 = qm2's sampled-frame schedule sliced into 32-byte stub
+    // payloads, then qm3's phash/band/cap/verify chain over synthetic
+    // frame ids, rolled up per video pair
+    "qm4_video_framedup" ->
+      s"""WITH v AS (
+         | SELECT doc_id, text,
+         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nb,
+         |  CAST(octet_length(CAST(text AS BLOB)) % 7 + 1 AS BIGINT) AS n_frames
+         | FROM documents),
+         |d AS (
+         | SELECT doc_id * 64 + f AS doc_id,
+         |  substr(text, CAST(1 + f * 8 AS INT), 32) AS text, 32::BIGINT AS L
+         | FROM (SELECT doc_id, text, nb, unnest(range(0, n_frames, 2)) AS f FROM v)
+         | WHERE nb >= f * 8 + 32),
+         |blocks AS (
+         | SELECT doc_id, text, L, b.b AS b,
+         |  (b.b * L) // 32 AS off, ((b.b + 1) * L) // 32 - (b.b * L) // 32 AS n
+         | FROM d, range(32) b(b)),
+         |inten AS (
+         | SELECT doc_id, L, b, n,
+         |  list_sum(list_transform(range(1, CAST(n + 1 AS INT)),
+         |    p -> ord(substr(text, CAST(off + p AS INT), 1)))) AS i
+         | FROM blocks),
+         |tot AS (SELECT doc_id, SUM(i) // MAX(L) AS m FROM inten GROUP BY 1),
+         |ph AS (
+         | SELECT i.doc_id,
+         |  CAST(SUM(CASE WHEN i.i // i.n > t.m
+         |   THEN 1::BIGINT << i.b ELSE 0::BIGINT END) AS BIGINT) AS phash
+         | FROM inten i JOIN tot t ON i.doc_id = t.doc_id GROUP BY 1),
+         |bands AS (
+         | SELECT doc_id, phash, k.k AS k, (phash >> CAST(8 * k.k AS INT)) & 255 AS v
+         | FROM ph, range(4) k(k)),
+         |pruned AS (
+         | SELECT * FROM bands
+         | QUALIFY row_number() OVER (PARTITION BY k, v ORDER BY doc_id) <= $PhashBandCap),
+         |cand AS (
+         | SELECT DISTINCT a.doc_id AS id_a, a.phash AS ph_a, b.doc_id AS id_b, b.phash AS ph_b
+         | FROM pruned a JOIN pruned b ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id)
+         |SELECT id_a // 64 AS vid_a, id_b // 64 AS vid_b,
+         | COUNT(*) AS n_frame_pairs,
+         | CAST(MIN(bit_count(xor(ph_a, ph_b))) AS BIGINT) AS min_hamming
+         |FROM cand
+         |WHERE bit_count(xor(ph_a, ph_b)) <= 3 AND id_a // 64 <> id_b // 64
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

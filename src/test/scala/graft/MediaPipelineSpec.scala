@@ -80,4 +80,27 @@ class MediaPipelineSpec extends SparkSpec {
     assert(banded == brute,
       s"banded=${banded.size} brute=${brute.size} must be identical sets")
   }
+
+  test("qm4: byte-identical videos surface with min_hamming 0 on every shared frame") {
+    import spark.implicits._
+    // video text of length 67 → n_frames = 67 % 7 + 1 = 5, sampled
+    // frames 0, 2, 4 at offsets 0, 16, 32 — all three fit (4·8+32=64
+    // ≤ 67). Two byte-identical videos must match on ALL 3 sampled
+    // frames at distance 0; the unrelated third video must not pair
+    // with them at distance ≤ 3 on any frame (different byte content)
+    // seeded-random contents: aperiodic, so frames at DIFFERENT
+    // offsets hash far apart (a periodic or ascending fill would make
+    // every frame collide with every other and inflate the count)
+    val rnd = new scala.util.Random(42)
+    def randText(n: Int) = Seq.fill(n)((33 + rnd.nextInt(94)).toChar).mkString
+    val base = randText(67) // n_frames = 67 % 7 + 1 = 5 → frames 0, 2, 4
+    val other = randText(67)
+    val docs = Seq((10L, base), (20L, base), (30L, other)).toDF("doc_id", "text")
+    val out = Multimodal.videoFrameDup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val (nPairs, minH) = out.getOrElse((10L, 20L),
+      fail("byte-identical videos missing from the frame-dedup output"))
+    assert(minH == 0L, s"min_hamming $minH, expected 0")
+    assert(nPairs == 3L, s"matched $nPairs frame pairs, expected the 3 sampled frames")
+  }
 }
