@@ -61,6 +61,13 @@ object Shards {
     val assigned = assign(binned, nShards)
       // feeds the payload join and the manifest; one derivation
       .localCheckpoint()
+    val spark = payload.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // two-phase like EmbedIngest's requantize: drop the marker first so
+    // a crash mid-overwrite reads as "no committed shard set", never as
+    // a silently mixed old/new layout
+    fs.delete(new org.apache.hadoop.fs.Path(dir, CommitMarker), false)
     payload.join(assigned, Seq("doc_id"))
       .repartition(nShards, col("shard"))
       // the sort MUST lead with the dynamic-partition column: the file
@@ -72,7 +79,10 @@ object Shards {
       .parquet(s"$dir/shards")
     manifest(assigned).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/manifest")
+    fs.create(new org.apache.hadoop.fs.Path(dir, CommitMarker), true).close()
   }
+
+  private val CommitMarker = "_GRAFT_COMMIT"
 
   /** Deterministic per-epoch shard read order — multi-epoch training
     * re-shuffles by PERMUTING SHARD ORDER, never rewriting data: rank
@@ -90,6 +100,10 @@ object Shards {
     * hive partition metadata, so the reader prunes to each shard
     * directory in turn with zero data movement. */
   def readEpoch(spark: SparkSession, dir: String, epoch: Int): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(dir, CommitMarker)),
+      s"shards at $dir have no commit marker — the writing run did not finish")
     val nShards = spark.read.parquet(s"$dir/manifest").count().toInt
     val shards = spark.read.parquet(s"$dir/shards")
     epochOrder(nShards, epoch)

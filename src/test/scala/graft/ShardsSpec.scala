@@ -70,6 +70,25 @@ class ShardsSpec extends SparkSpec
       s"shards unbalanced: ${toks.mkString(",")}")
   }
 
+  test("an interrupted write has no commit marker and readEpoch refuses it loudly") {
+    val dir = Files.createTempDirectory("shards_crash").toString
+    Shards.write(docs.select(col("doc_id").cast("long"), col("text")),
+      binned, NShards, dir)
+    // simulate the crash window: the marker drops FIRST on rewrite, so
+    // an interrupted overwrite is exactly "files present, no marker"
+    val marker = new java.io.File(dir, "_GRAFT_COMMIT")
+    assert(marker.exists, "a finished write must leave the marker")
+    assert(marker.delete())
+    val e = intercept[IllegalArgumentException] {
+      Shards.readEpoch(spark, dir, epoch = 0)
+    }
+    assert(e.getMessage.contains("commit marker"))
+    // a re-run repairs: marker restored, reads succeed
+    Shards.write(docs.select(col("doc_id").cast("long"), col("text")),
+      binned, NShards, dir)
+    assert(Shards.readEpoch(spark, dir, epoch = 0).count() == docs.count())
+  }
+
   test("epochOrder is a deterministic permutation that varies by epoch") {
     val e0 = Shards.epochOrder(8, 0)
     assert(e0.sorted == (0 until 8), "must be a permutation")
