@@ -277,6 +277,76 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** qt14: temperature-rebalanced mixture — the multilingual-style
+    * α-sampling pass (α = ½): a source's admission mass is
+    * proportional to √(its token count) instead of the count itself,
+    * so head sources are downsampled and tail sources upweighted (the
+    * data-mixing temperature of XLM-R-style multilingual training and
+    * Gopher-style source re-balancing; reference analog: the fixed
+    * per-table read mix of Prensas.py:206-236, generalized to a
+    * derived re-balance). α = ½ is chosen over an arbitrary exponent
+    * deliberately: `sqrt` is IEEE-correctly-rounded in BOTH engines
+    * (JVM `Math.sqrt`, DuckDB `std::sqrt`), so `floor(sqrt(count))`
+    * is the strongest temperature that keeps the rate math
+    * integer-exact for the hash compare — `pow(x, 0.3)` would not be.
+    *
+    * Scale shape: qt8's two-scan inventory-then-admit floor — pass 1
+    * builds the per-source token inventory (partial/final agg, only
+    * source-cardinality rows shuffle), the √-weight normalization
+    * happens on that TINY frame (one-row grand total broadcast back,
+    * never a corpus-row window), the `localCheckpoint`ed rate table
+    * broadcasts into a map-side md5-keyed admission filter (q36's
+    * admission: a doc's fate depends only on its key — reproducible
+    * under re-partitioning and incremental re-runs), and pass 2's only
+    * exchange carries source-cardinality aggregates. Integer-only rate
+    * math (parts-per-million, floor division) throughout. */
+  def qt14_temperature_mixture(s: SparkSession, d: String): DataFrame =
+    temperatureMixture(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("tok")),
+      budget = 20000L) // target tokens for the mixture, fixture-scaled
+
+  /** The rebalance core of [[qt14_temperature_mixture]] over any
+    * `(doc_id, source, tok)` frame — separated so QualitySpec can pin
+    * the flattening property (head share strictly shrinks, tail share
+    * strictly grows) and admission determinism under re-partitioning
+    * on a hand-sized fixture. */
+  private[graft] def temperatureMixture(toks: DataFrame, budget: Long): DataFrame = {
+    val perSrc = toks.groupBy(col("source"))
+      .agg(sum(col("tok")).as("total_toks"))
+      .withColumn("w_sqrt",
+        expr("cast(floor(sqrt(cast(total_toks as double))) as bigint)"))
+    // one-row grand totals over the source-cardinality frame: the
+    // normalizer joins back as a broadcast scalar, so no corpus row —
+    // and no per-source funnel — is ever involved in the rebalance
+    val totals = perSrc.agg(sum(col("total_toks")).as("grand_toks"),
+      sum(col("w_sqrt")).as("grand_w"))
+    // rates feeds the admission broadcast AND the final report join
+    // (qt8's materialize-once rule: without it each consumer re-scans
+    // the corpus to rebuild this tiny table)
+    val rates = perSrc.crossJoin(broadcast(totals))
+      .withColumn("share_pm", expr("total_toks * 1000 div grand_toks"))
+      .withColumn("rate_ppm", least(lit(1000000L),
+        expr(s"($budget * w_sqrt * 1000000) div (grand_w * total_toks)")))
+      .select(col("source"), col("total_toks"), col("w_sqrt"),
+        col("share_pm"), col("rate_ppm"))
+      .localCheckpoint()
+    val admitted = toks
+      .join(broadcast(rates.select(col("source"), col("rate_ppm"))), "source")
+      .filter(pmod(
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 6), 16, 10)
+          .cast("long"), lit(1000000)) < col("rate_ppm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("tok")).as("toks_sampled"))
+    rates.join(admitted, Seq("source"), "left")
+      .select(col("source"), col("total_toks"), col("w_sqrt"), col("share_pm"),
+        col("rate_ppm"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("toks_sampled"), lit(0L)).as("toks_sampled"))
+      .orderBy("source")
+  }
+
   /** qt9: Gopher-style repetition quality signals per source — the
     * duplicate-word fraction and the most-repeated-bigram share, the
     * standard filters for boilerplate/degenerate text in training-data
@@ -562,7 +632,8 @@ object TextOps {
     "qt5_tfidf" -> (qt5_tfidf _),
     "qt6_seq_pack" -> (qt6_seq_pack _),
     "qt12_shard_manifest" -> (qt12_shard_manifest _),
-    "qt13_rank_quality" -> (qt13_rank_quality _))
+    "qt13_rank_quality" -> (qt13_rank_quality _),
+    "qt14_temperature_mixture" -> (qt14_temperature_mixture _))
 
   private val profileValues = profiles
     .map { case (l, w) => s"('$l','$w')" }.mkString(", ")
@@ -667,6 +738,37 @@ object TextOps {
         | COALESCE(adm.toks_sampled, 0) AS toks_sampled
         |FROM r2 LEFT JOIN adm ON r2.source = adm.source
         |ORDER BY r2.source""".stripMargin,
+    "qt14_temperature_mixture" ->
+      """WITH toks AS (
+        | SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents),
+        |persrc AS (
+        | SELECT source, CAST(SUM(tok) AS BIGINT) AS total_toks,
+        |  CAST(FLOOR(SQRT(CAST(SUM(tok) AS DOUBLE))) AS BIGINT) AS w_sqrt
+        | FROM toks GROUP BY 1),
+        |tot AS (
+        | SELECT CAST(SUM(total_toks) AS BIGINT) AS grand_toks,
+        |  CAST(SUM(w_sqrt) AS BIGINT) AS grand_w FROM persrc),
+        |rates AS (
+        | SELECT source, total_toks, w_sqrt,
+        |  total_toks * 1000 // grand_toks AS share_pm,
+        |  least(1000000, (20000 * w_sqrt * 1000000) // (grand_w * total_toks))
+        |    AS rate_ppm
+        | FROM persrc, tot),
+        |adm AS (
+        | SELECT t.source, COUNT(*) AS n_sampled,
+        |  CAST(SUM(t.tok) AS BIGINT) AS toks_sampled
+        | FROM toks t JOIN rates r ON t.source = r.source
+        | WHERE ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000000
+        |       < r.rate_ppm
+        | GROUP BY 1)
+        |SELECT r.source, r.total_toks, r.w_sqrt,
+        | CAST(r.share_pm AS BIGINT) AS share_pm,
+        | CAST(r.rate_ppm AS BIGINT) AS rate_ppm,
+        | COALESCE(a.n_sampled, 0) AS n_sampled,
+        | COALESCE(a.toks_sampled, 0) AS toks_sampled
+        |FROM rates r LEFT JOIN adm a ON r.source = a.source
+        |ORDER BY r.source""".stripMargin,
     "qt7_bpe_pairs" ->
       """WITH t AS (
         | SELECT string_split(lower(substr(text, 1, 200)), ' ') AS toks FROM documents),

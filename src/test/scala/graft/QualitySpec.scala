@@ -76,4 +76,32 @@ class QualitySpec extends SparkSpec {
       assert(metrics.get.getAs[Long]("n_null_s") === 2L)
     } finally q.stop()
   }
+
+  test("temperature mixture: head share shrinks, tail grows, admission is partition-stable") {
+    // head: 90 docs x 10 tok = 900; tail: 10 docs x 10 tok = 100.
+    // w_sqrt = 30 / 10, grand_w = 40. budget 400:
+    //   head rate = 400*30e6 div (40*900) = 333333 ppm (~1/3)
+    //   tail rate = 400*10e6 div (40*100) = 1e6 → capped: admit ALL
+    val toks = spark.range(100)
+      .selectExpr("id AS doc_id",
+        "IF(id < 90, 'head', 'tail') AS source", "10L AS tok")
+    val out = graft.batch.TextOps.temperatureMixture(toks, budget = 400L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    val (headTot, headW, headShare, headRate, _, headSampled) = out("head")
+    val (tailTot, tailW, _, tailRate, tailN, tailSampled) = out("tail")
+    assert((headTot, headW, headShare, headRate) === ((900L, 30L, 900L, 333333L)))
+    assert((tailTot, tailW, tailRate) === ((100L, 10L, 1000000L)))
+    assert((tailN, tailSampled) === ((10L, 100L))) // capped rate admits all
+    // the point of the temperature: head's share of the SAMPLE is
+    // strictly below its 90% share of the corpus, tail's strictly above
+    val total = headSampled + tailSampled
+    assert(headSampled * 1000 / total < headShare)
+    assert(tailSampled * 1000 / total > 100L)
+    // md5-keyed admission: a doc's fate is independent of partitioning
+    val re = graft.batch.TextOps.temperatureMixture(toks.repartition(7), budget = 400L)
+    assert(re.collect().toSeq === graft.batch.TextOps
+      .temperatureMixture(toks, budget = 400L).collect().toSeq)
+  }
 }
