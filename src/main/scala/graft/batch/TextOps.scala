@@ -327,8 +327,15 @@ object TextOps {
     // the corpus to rebuild this tiny table)
     val rates = perSrc.crossJoin(broadcast(totals))
       .withColumn("share_pm", expr("total_toks * 1000 div grand_toks"))
+      // chained floor divisions: for positive integers a div b div c
+      // == a div (b*c), but the chain never forms the grand_w *
+      // total_toks product, which would overflow BIGINT near
+      // Σ√tokens ~ 3e10 × tokens ~ 1e13 at full-corpus scale. The
+      // numerator bounds the budget instead: budget·√source·1e6 must
+      // fit, i.e. budget ≤ ~9e18 / (√maxSource · 1e6) — a fixture
+      // budget of 2e4 against 1e13-token sources is 6e16, safe.
       .withColumn("rate_ppm", least(lit(1000000L),
-        expr(s"($budget * w_sqrt * 1000000) div (grand_w * total_toks)")))
+        expr(s"$budget * w_sqrt * 1000000 div grand_w div total_toks")))
       .select(col("source"), col("total_toks"), col("w_sqrt"),
         col("share_pm"), col("rate_ppm"))
       .localCheckpoint()
@@ -752,7 +759,7 @@ object TextOps {
         |rates AS (
         | SELECT source, total_toks, w_sqrt,
         |  total_toks * 1000 // grand_toks AS share_pm,
-        |  least(1000000, (20000 * w_sqrt * 1000000) // (grand_w * total_toks))
+        |  least(1000000, 20000 * w_sqrt * 1000000 // grand_w // total_toks)
         |    AS rate_ppm
         | FROM persrc, tot),
         |adm AS (
