@@ -47,10 +47,16 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal values keep the line short: the driver records only the
+    // LAST ~2000 chars of output, so a 76-query map at full double
+    // precision pushes the head of the line (where "value" lived) out of
+    // the captured tail. Duplicating the total in a trailing "total_sec"
+    // key guarantees the headline number survives that truncation no
+    // matter how many queries the map grows to.
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"total_sec":$total%.3f}""")
     spark.stop()
   }
 }

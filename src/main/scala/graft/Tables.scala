@@ -20,19 +20,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark rejects by
-    * default; read nanos as long and truncate to microseconds — the same
-    * truncation DuckDB applies converting ns → its native µs timestamps,
-    * so oracle comparisons stay exact. */
+  /** `events.ts` has shipped as TIMESTAMP(NANOS) in some fixture
+    * generations and naive µs (→ Spark TIMESTAMP_NTZ) in others;
+    * normalize both to session-zone TIMESTAMP so downstream
+    * `unix_micros`/window functions accept it in every generation.
+    * Nanos are read as long and truncated to µs — the same truncation
+    * DuckDB applies converting ns → its native µs timestamps; the
+    * NTZ→LTZ cast is value-identity under the UTC session zone, which
+    * is also how DuckDB reads the naive µs file — oracle comparisons
+    * stay exact either way. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = apply(s, d, "events")
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // integer `div`, NOT `/`: long/int goes through double and loses
-      // precision at epoch-nanosecond magnitude (~1.7e18 > 2^53)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
-    else df
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer `div`, NOT `/`: long/int goes through double and loses
+        // precision at epoch-nanosecond magnitude (~1.7e18 > 2^53)
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

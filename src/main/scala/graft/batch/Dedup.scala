@@ -520,6 +520,43 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** qd12: [[qd7_decontaminate]] behind a Bloom-filter candidate pass —
+    * the form decontamination takes when the eval/blocklist shingle set
+    * outgrows broadcast-HASH-join capacity. qd7 broadcasts the eval
+    * shingles as a join hash table (~50+ bytes/entry with object
+    * overhead); a Bloom filter over the same set at 1% fp is ~1.2 MB
+    * per 10⁶ entries — an order of magnitude smaller — so the corpus
+    * side is pruned MAP-SIDE by the bloom to (true matches + ~1% fp)
+    * before any exchange, and the exact verify join then runs as a
+    * shuffle join over that tiny surviving fraction (hinted
+    * shuffle_hash to pin the at-scale shape; at fixture scale AQE
+    * would pick broadcast and hide the point). False positives are
+    * removed by the verify join, so the result — and the oracle — are
+    * exactly qd7's. Per-doc shingle totals are computed on the
+    * UNFILTERED corpus side, as in qd7.
+    *
+    * BloomSpec pins the plan (bloom filter below the corpus exchange,
+    * no broadcast verify join) and result-equivalence with qd7. */
+  def qd12_bloom_decontam(s: SparkSession, d: String): DataFrame = {
+    val sh = wordShingles(s, d).localCheckpoint()
+    val ev = sh.filter(pmod(col("doc_id"), lit(25)) === 0)
+      .select(col("shingle")).distinct()
+    val corpus = sh.filter(pmod(col("doc_id"), lit(25)) =!= 0)
+    val counts = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // build over the small side: one job, bits-sized result
+    val bf = ev.stat.bloomFilter("shingle", 100000L, 0.01)
+    val bfb = s.sparkContext.broadcast(bf)
+    val mightContain = udf((x: String) => bfb.value.mightContainString(x))
+    corpus.filter(mightContain(col("shingle")))
+      .join(ev.hint("shuffle_hash"), "shingle")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+      .join(counts, "doc_id")
+      .withColumn("ratio", round(col("n_contaminated").cast("double") / col("n_sh"), 6))
+      .filter(col("n_contaminated") >= 2)
+      .select(col("doc_id"), col("n_contaminated"), col("n_sh"), col("ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Connected components by alternating large-star / small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14) — the loop body qd6's scaladoc promises for adversarial
@@ -589,6 +626,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qd7_decontaminate" -> (qd7_decontaminate _),
+    "qd12_bloom_decontam" -> (qd12_bloom_decontam _),
     "qd1_exact_dedup" -> (qd1_exact_dedup _),
     "qd2_minhash_lsh" -> (qd2_minhash_lsh _),
     "qd8_lsh_capped" -> (qd8_lsh_capped _),
@@ -609,20 +647,25 @@ object Dedup {
        |        FROM documents))
        | WHERE length(concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])) > 0)""".stripMargin
 
+  // shared by qd7 and qd12: the bloom pass is a plan optimization, not
+  // a semantics change, so both hash-match the same exact SQL
+  private val decontamSql =
+    s"""WITH $shingleSql,
+       |ev AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 25 = 0),
+       |corpus AS (SELECT * FROM shingles WHERE doc_id % 25 <> 0),
+       |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM corpus GROUP BY 1),
+       |hits AS (
+       | SELECT c.doc_id, COUNT(*) AS n_contaminated
+       | FROM corpus c JOIN ev USING (shingle) GROUP BY 1)
+       |SELECT h.doc_id, h.n_contaminated, counts.n_sh,
+       | round(CAST(h.n_contaminated AS DOUBLE) / counts.n_sh, 6) AS ratio
+       |FROM hits h JOIN counts USING (doc_id)
+       |WHERE h.n_contaminated >= 2
+       |ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "qd7_decontaminate" ->
-      s"""WITH $shingleSql,
-         |ev AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 25 = 0),
-         |corpus AS (SELECT * FROM shingles WHERE doc_id % 25 <> 0),
-         |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM corpus GROUP BY 1),
-         |hits AS (
-         | SELECT c.doc_id, COUNT(*) AS n_contaminated
-         | FROM corpus c JOIN ev USING (shingle) GROUP BY 1)
-         |SELECT h.doc_id, h.n_contaminated, counts.n_sh,
-         | round(CAST(h.n_contaminated AS DOUBLE) / counts.n_sh, 6) AS ratio
-         |FROM hits h JOIN counts USING (doc_id)
-         |WHERE h.n_contaminated >= 2
-         |ORDER BY doc_id""".stripMargin,
+    "qd7_decontaminate" -> decontamSql,
+    "qd12_bloom_decontam" -> decontamSql,
     "qd1_exact_dedup" ->
       """SELECT source, COUNT(*) AS n_docs,
         | CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique,

@@ -592,6 +592,45 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  // ---------------------------------------------------------------- q40
+  /** Semi-join reduction via a broadcast Bloom filter — the
+    * shuffle-minimization pattern for selective fact⋈dim joins at
+    * 100 TB (what Spark's own `InjectRuntimeFilter` rule builds when
+    * `spark.sql.optimizer.runtimeFilter.bloomFilter.enabled` is on, and
+    * what classic distributed engines call a bloom-join). A highly
+    * selective predicate keeps ~2% of `orders`; instead of shuffling
+    * ALL of `lineitem` into the join only to drop 98% of it, a Bloom
+    * filter over the surviving order keys (bits-sized: ~1.2 MB per 10⁶
+    * keys at 1% fp — broadcastable when the key set itself is not) is
+    * applied map-side to the probe scan, so the big side's exchange
+    * carries only matching rows plus the ~1% false-positive margin.
+    * Exactness is untouched: the equi-join itself removes false
+    * positives, making the Bloom pass a pure plan optimization — the
+    * oracle is the plain join SQL.
+    *
+    * The membership test is a Scala UDF (the public `stat.bloomFilter`
+    * sketch API); Spark's native path uses the codegen'd
+    * `BloomFilterMightContain` expression — same plan shape, and the
+    * UDF sits behind a parquet-pushed selective scan, not in a
+    * per-row-of-corpus hot loop. BloomJoinSpec pins the plan: the
+    * filter runs BEFORE lineitem's join exchange, and the reduction is
+    * measured. */
+  def q40_bloom_join(s: SparkSession, d: String): DataFrame = {
+    val sel = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 490000.0)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    // build over the selective side only: one small job, bits-sized result
+    val bf = sel.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+    val bfb = s.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bfb.value.mightContainLong(k))
+    Tables.lineitem(s, d)
+      .filter(mightContain(col("l_orderkey")))
+      .join(sel, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("o_orderkey")
+  }
+
   // ---------------------------------------------------------------- q38
   /** Z-order key math (see [[ZOrder]]): per-row Morton interleave of
     * two 8-bit-normalized keys, cross-checked bit-for-bit against the
@@ -701,11 +740,18 @@ object Relational {
     "q37_recursive_chain" -> (q37_recursive_chain _),
     "q38_zorder_key" -> (q38_zorder_key _),
     "q39_full_outer" -> (q39_full_outer _),
+    "q40_bloom_join" -> (q40_bloom_join _),
     "qst2_sessions" -> (qst2_sessions _),
     "qst3_window_hourly" -> (qst3_window_hourly _),
     "qst4_pattern_match" -> (qst4_pattern_match _))
 
   val oracle: Map[String, String] = Map(
+    "q40_bloom_join" ->
+      """SELECT o_orderkey, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 490000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -626,7 +626,46 @@ object TextOps {
         cap = 2048L),
       nShards = 4))
 
+  /** qt15: corpus-wide heavy hitters by two-pass sketch-then-recount —
+    * the scale-safe form of "which tokens dominate the corpus" when the
+    * distinct-token space (n-grams, URLs, shingle hashes) is too large
+    * for a full groupBy. Pass 1 folds every token into a mergeable
+    * Misra-Gries sketch ([[graft.functions.MisraGries]]): a bounded
+    * ≤256-entry map per partition, merged associatively — so the
+    * aggregation shuffles a constant-sized sketch per partition, never
+    * the token-frequency table. The MG bound guarantees the candidate
+    * set contains EVERY token above the 1% support threshold
+    * (error ≤ N/257 < 1% of N). Pass 2 re-scans and exactly counts only
+    * the ≤256 candidates (broadcast semi-join, map-side filter), so the
+    * reported counts are exact and the output is deterministic even
+    * though the sketch's below-threshold survivors are partition-order
+    * dependent. The oracle is the exact full groupBy — bit-equal
+    * because every reported number comes from the exact second pass.
+    *
+    * Two corpus scans, zero corpus-sized shuffles: the same
+    * two-scan-beats-one-shuffle trade as qt8/qt10's
+    * inventory-then-admit. */
+  def qt15_heavy_hitters(s: SparkSession, d: String): DataFrame = {
+    def toks = Tables.spread(Tables.documents(s, d))
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val mg = graft.functions.MisraGries.udafFor(256)
+    // pass 1: one row — (candidate array, exact total token count)
+    val inventory = toks.agg(mg(col("tok")).as("cands"), count(lit(1)).as("n_total"))
+      .localCheckpoint() // one tiny row; feeds the candidate explode + the threshold
+    val cands = inventory.select(explode(col("cands")).as("tok"))
+    // pass 2: exact recount of the bounded candidate set only
+    toks.join(broadcast(cands), "tok")
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_occ"))
+      .crossJoin(broadcast(inventory.select(col("n_total"))))
+      .filter(col("n_occ") >= col("n_total") * lit(0.01))
+      .select(col("tok"), col("n_occ"),
+        round(col("n_occ").cast("double") / col("n_total"), 6).as("share"))
+      .orderBy(col("n_occ").desc, col("tok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt15_heavy_hitters" -> (qt15_heavy_hitters _),
     "qt11_pii_scrub" -> (qt11_pii_scrub _),
     "qt10_token_budget" -> (qt10_token_budget _),
     "qt9_repetition" -> (qt9_repetition _),
@@ -646,6 +685,16 @@ object TextOps {
     .map { case (l, w) => s"('$l','$w')" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "qt15_heavy_hitters" ->
+      """WITH t AS (
+        | SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        |tt AS (SELECT tok FROM t WHERE length(tok) > 0),
+        |tot AS (SELECT COUNT(*) AS n_total FROM tt)
+        |SELECT tok, COUNT(*) AS n_occ,
+        | round(CAST(COUNT(*) AS DOUBLE) / (SELECT n_total FROM tot), 6) AS share
+        |FROM tt GROUP BY 1
+        |HAVING COUNT(*) >= 0.01 * (SELECT n_total FROM tot)
+        |ORDER BY n_occ DESC, tok""".stripMargin,
     // the Spark-side regex constants interpolate verbatim: a Scala
     // "\\b" is the two chars \b, and DuckDB single-quoted strings pass
     // backslashes through to RE2 unprocessed

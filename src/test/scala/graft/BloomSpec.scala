@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.execution.FilterExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.functions._
+
+/** The explicit bloom-join operators: q40 (semi-join reduction on a
+  * selective fact⋈dim join) and qd12 (decontamination behind a bloom
+  * candidate pass). Complements RuntimeFilterSpec, which pins Spark's
+  * own `InjectRuntimeFilter` rewrite — these operators carry the same
+  * plan shape explicitly, for when the optimizer's size thresholds or
+  * join shapes don't fire it.
+  *
+  * What matters at 100 TB and is asserted here:
+  *  - the bloom membership test runs BELOW the probe side's shuffle
+  *    exchange (map-side pruning — the whole point);
+  *  - the measured reduction matches the predicate's selectivity plus
+  *    the ~1% false-positive margin, never more;
+  *  - results are exactly the un-bloomed plan's (false positives are
+  *    removed by the exact join/verify stage).
+  */
+class BloomSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  /** The bloom membership filters in `plan` that sit over the lineitem
+    * scan with no exchange between filter and scan (scan-stage = map-side). */
+  private def scanStageBloomFilters(plan: org.apache.spark.sql.execution.SparkPlan) =
+    collect(plan) {
+      case f: FilterExec
+        if f.condition.toString.contains("UDF") &&
+          f.toString.contains("lineitem.parquet") &&
+          collect(f.child) { case e: ShuffleExchangeExec => e }.isEmpty => f
+    }
+
+  test("q40: bloom prune runs in the scan stage (map-side)") {
+    val df = batch.Relational.q40_bloom_join(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(scanStageBloomFilters(plan).nonEmpty,
+      s"bloom filter must sit directly over the lineitem scan:\n$plan")
+  }
+
+  test("q40: with broadcast off, bloom prune sits below the join shuffle") {
+    // at 100 TB the selective side can exceed broadcast capacity and the
+    // join shuffles — the case the bloom prune exists for. Forbid
+    // broadcast to pin that shape at fixture scale.
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val df = batch.Relational.q40_bloom_join(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      val exchanges = collect(plan) { case e: ShuffleExchangeExec => e }
+        .filter(_.output.exists(_.name.startsWith("l_")))
+      assert(exchanges.nonEmpty, s"expected a shuffled lineitem side:\n$plan")
+      assert(scanStageBloomFilters(plan).nonEmpty,
+        s"bloom filter must prune before the lineitem join exchange:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  test("q40: measured reduction ≈ selectivity + fp margin, result exact") {
+    val orders = Tables.orders(spark, sf)
+    val lineitem = Tables.lineitem(spark, sf)
+    val sel = orders.filter(col("o_totalprice") > 490000.0)
+    val bf = sel.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+    val bfb = spark.sparkContext.broadcast(bf)
+    val might = udf((k: Long) => bfb.value.mightContainLong(k))
+
+    val total = lineitem.count()
+    val passed = lineitem.filter(might(col("l_orderkey"))).count()
+    val trueMatches = lineitem.join(sel, col("l_orderkey") === col("o_orderkey")).count()
+    assert(passed >= trueMatches, "bloom filters never have false negatives")
+    // true selectivity ~2%; 1% fp on the non-matching 98% → passed well
+    // under 10% of the scan. A regression that loses the pruning (e.g.
+    // filter after the join) would surface as passed == total.
+    assert(passed < total / 10,
+      s"bloom should prune the probe side hard: passed=$passed of total=$total " +
+        s"(true matches=$trueMatches)")
+
+    // exactness: the bloomed plan equals the plain join
+    val plain = lineitem.join(sel, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_items"))
+      .orderBy("o_orderkey").collect()
+    val bloomed = batch.Relational.q40_bloom_join(spark, sf)
+      .select(col("o_orderkey"), col("n_items")).collect()
+    assert(bloomed.toSeq === plain.toSeq)
+  }
+
+  test("qd12: result ≡ qd7 exact decontamination") {
+    val exact = batch.Dedup.qd7_decontaminate(spark, sf).collect()
+    val bloomed = batch.Dedup.qd12_bloom_decontam(spark, sf).collect()
+    assert(bloomed.toSeq === exact.toSeq)
+    assert(exact.nonEmpty, "fixture must exercise the contamination path")
+  }
+
+  test("qd12: verify join is not broadcast; bloom prune precedes it") {
+    val df = batch.Dedup.qd12_bloom_decontam(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val planStr = plan.toString
+    assert(planStr.contains("UDF(shingle"),
+      s"expected the bloom membership UDF on the corpus side:\n$planStr")
+    // the verify join must keep its shuffle_hash shape (the at-scale
+    // form where the eval set exceeds broadcast capacity) — qd7 is the
+    // broadcast variant, qd12 exists to be the non-broadcast one
+    val bhjOnShingle = collect(plan) {
+      case j: BroadcastHashJoinExec
+        if j.leftKeys.exists(_.toString.contains("shingle")) => j
+    }
+    assert(bhjOnShingle.isEmpty,
+      s"qd12's verify join must not be broadcast:\n$planStr")
+  }
+}
