@@ -545,9 +545,7 @@ object Dedup {
     val counts = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // build over the small side: one job, bits-sized result
     val bf = ev.stat.bloomFilter("shingle", 100000L, 0.01)
-    val bfb = s.sparkContext.broadcast(bf)
-    val mightContain = udf((x: String) => bfb.value.mightContainString(x))
-    corpus.filter(mightContain(col("shingle")))
+    corpus.filter(graft.functions.GraftFunctions.bloom_might_contain(col("shingle"), bf))
       .join(ev.hint("shuffle_hash"), "shingle")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
       .join(counts, "doc_id")

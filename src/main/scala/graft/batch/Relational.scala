@@ -608,23 +608,20 @@ object Relational {
     * positives, making the Bloom pass a pure plan optimization — the
     * oracle is the plain join SQL.
     *
-    * The membership test is a Scala UDF (the public `stat.bloomFilter`
-    * sketch API); Spark's native path uses the codegen'd
-    * `BloomFilterMightContain` expression — same plan shape, and the
-    * UDF sits behind a parquet-pushed selective scan, not in a
-    * per-row-of-corpus hot loop. BloomJoinSpec pins the plan: the
-    * filter runs BEFORE lineitem's join exchange, and the reduction is
-    * measured. */
+    * The membership test is the native codegen
+    * [[graft.functions.BloomMightContainExpr]] (the same shape Spark's
+    * own injected runtime filters use) — it sits over every probe-side
+    * row, exactly where a Scala UDF would break whole-stage codegen.
+    * BloomSpec pins the plan: the filter runs BEFORE lineitem's join
+    * exchange, and the reduction is measured. */
   def q40_bloom_join(s: SparkSession, d: String): DataFrame = {
     val sel = Tables.orders(s, d)
       .filter(col("o_totalprice") > 490000.0)
       .select(col("o_orderkey"), col("o_orderdate"))
     // build over the selective side only: one small job, bits-sized result
     val bf = sel.stat.bloomFilter("o_orderkey", 100000L, 0.01)
-    val bfb = s.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bfb.value.mightContainLong(k))
     Tables.lineitem(s, d)
-      .filter(mightContain(col("l_orderkey")))
+      .filter(graft.functions.GraftFunctions.bloom_might_contain(col("l_orderkey"), bf))
       .join(sel, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"))
       .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))

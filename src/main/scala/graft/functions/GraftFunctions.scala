@@ -25,6 +25,12 @@ object GraftFunctions {
   /** Column API for the native dot product ([[VectorDotExpr]]). */
   def vec_dot(a: Column, b: Column): Column = column(VectorDotExpr(expression(a), expression(b)))
 
+  /** Column API for the native Bloom membership test
+    * ([[BloomMightContainExpr]]); no SQL registration — the filter is a
+    * runtime object, not something SQL literals can carry. */
+  def bloom_might_contain(c: Column, bf: org.apache.spark.util.sketch.BloomFilter): Column =
+    column(BloomMightContainExpr(expression(c), bf))
+
   private def sqlMacro(spark: SparkSession, template: String): Seq[Expression] => Expression = {
     val parsed = spark.sessionState.sqlParser.parseExpression(template)
     exprs =>
