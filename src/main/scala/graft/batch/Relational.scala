@@ -628,6 +628,45 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  // ---------------------------------------------------------------- q41
+  /** Mergeable HLL sketch store — Spark 4's Datasketches-backed
+    * `hll_sketch_agg`/`hll_union_agg`: per-day distinct-user sketches
+    * built once, then a weekly rollup computed by UNIONING the day
+    * sketches — the raw event stream is never re-scanned for the
+    * rollup. This is the at-scale shape for distinct-count reporting
+    * over an accumulating corpus: sketches are fixed-size (~KB at
+    * lgConfigK=12, ~1.6% error), mergeable in any order and any
+    * grouping (day→week→month→total), and streaming-compatible (a
+    * micro-batch unions its sketch into the store the way EpochFold
+    * folds epochs). q27 is the one-shot approx aggregate; this is the
+    * persisted, re-aggregatable form.
+    *
+    * Oracle pattern as q27: the estimate itself is engine-specific, so
+    * the exported columns are the EXACT weekly distinct count plus a
+    * verdict bit that the sketch-union estimate lands within 5%
+    * (≈3 sigma at this lgConfigK) — bit-stable across engines.
+    * HllSpec drives the store through parquet persistence and
+    * incremental appends. */
+  def q41_hll_union(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    // the per-day sketch store: one partial/final mergeable agg
+    val daily = ev.groupBy(col("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    // weekly rollup touches ONLY the day sketches
+    val weeklyEst = daily
+      .groupBy(date_trunc("week", col("day")).cast("date").as("week"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
+    val weeklyExact = ev
+      .groupBy(date_trunc("week", col("day")).cast("date").as("week"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    weeklyExact.join(weeklyEst, "week")
+      .select(col("week"), col("exact_users"),
+        (abs(col("est_users") - col("exact_users")).cast("double")
+          / col("exact_users") <= 0.05).as("union_within_5pct"))
+      .orderBy("week")
+  }
+
   // ---------------------------------------------------------------- q38
   /** Z-order key math (see [[ZOrder]]): per-row Morton interleave of
     * two 8-bit-normalized keys, cross-checked bit-for-bit against the
@@ -738,11 +777,17 @@ object Relational {
     "q38_zorder_key" -> (q38_zorder_key _),
     "q39_full_outer" -> (q39_full_outer _),
     "q40_bloom_join" -> (q40_bloom_join _),
+    "q41_hll_union" -> (q41_hll_union _),
     "qst2_sessions" -> (qst2_sessions _),
     "qst3_window_hourly" -> (qst3_window_hourly _),
     "qst4_pattern_match" -> (qst4_pattern_match _))
 
   val oracle: Map[String, String] = Map(
+    "q41_hll_union" ->
+      """SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        | TRUE AS union_within_5pct
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q40_bloom_join" ->
       """SELECT o_orderkey, COUNT(*) AS n_items,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
