@@ -555,6 +555,59 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Members per probe cell that enter qd13's pair join — the qd8/qd9
+    * member-prefix treatment applied to quantizer cells (a degenerate
+    * corpus that collapses into one cell must cost O(cap²), not
+    * O(N²)). Non-binding on the fixtures; encoded in the oracle SQL so
+    * a hot fixture cannot diverge silently. */
+  private[graft] val CellCap = 512
+
+  /** qd13: embedding near-dup at corpus scale — the IVF-cell-bucketed
+    * pair generation [[qd5_embedding_neardup]]'s doc promises, now
+    * implemented and oracle-checked. Every vector is assigned its TOP-2
+    * nearest centroids (the multi-probe trick from qs4/IvfIndex.search
+    * applied to dedup): pair candidates are generated cell-locally, and
+    * the second probe cell catches near pairs straddling a cell
+    * boundary that single-cell assignment (SemDeDup-style) silently
+    * loses. Pair space is Σ cell² — never corpus-quadratic like qd5's
+    * exact baseline — with the [[CellCap]] member prefix bounding even
+    * a degenerate one-cell corpus; the exact rounded-cosine verify then
+    * runs per candidate pair, qd5's semantics unchanged.
+    *
+    * Scale shape: quantizer rides ONE broadcast row (the shared
+    * row-local `topCells` fold — no N×C explosion, no vec_id
+    * exchange); one exchange by probe cell for the capped self-join;
+    * embeddings join back by id for the verify. */
+  def qd13_cell_neardup(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .withColumn("nrm", sqrt(Similarity.norm2(col("embedding"))))
+      // feeds probe assignment + both verify-join sides (qd2's rule:
+      // Spark shares no subtrees)
+      .localCheckpoint()
+    val cents = emb.filter(pmod(col("vec_id"), lit(100)) === 7)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val probed = emb.crossJoin(broadcast(IvfIndex.centroidArray(cents)))
+      .select(col("vec_id"),
+        explode(transform(
+          IvfIndex.topCells(col("embedding"), col("nrm"), 2, rounded = true),
+          c => c.getField("cid"))).as("cell"))
+    val capped = probed
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cell").orderBy("vec_id")))
+      .filter(col("rk") <= CellCap).drop("rk")
+    // a pair sharing both probe cells would surface twice → distinct
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b")).distinct()
+    pairs
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb")), "id_b")
+      .withColumn("rcos", round(Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .filter(col("rcos") >= 0.4)
+      .select(col("id_a"), col("id_b"), col("rcos"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Connected components by alternating large-star / small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14) — the loop body qd6's scaladoc promises for adversarial
@@ -634,6 +687,7 @@ object Dedup {
     "qd3_simhash" -> (qd3_simhash _),
     "qd4_ngram_jaccard" -> (qd4_ngram_jaccard _),
     "qd5_embedding_neardup" -> (qd5_embedding_neardup _),
+    "qd13_cell_neardup" -> (qd13_cell_neardup _),
     "qd6_dup_clusters" -> (qd6_dup_clusters _))
 
   private val shingleSql =
@@ -837,6 +891,35 @@ object Dedup {
          | s.cluster_size
          |FROM labels l JOIN sizes s ON l.cluster_id = s.cluster_id
          |ORDER BY doc_id""".stripMargin,
+    "qd13_cell_neardup" ->
+      s"""WITH nm AS (
+         | SELECT vec_id, embedding,
+         |  sqrt((SELECT SUM(CAST(embedding[i.i + 1] AS DOUBLE) * CAST(embedding[i.i + 1] AS DOUBLE))
+         |        FROM range(64) i(i))) AS nrm
+         | FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM nm
+         |          WHERE vec_id % 100 = 7),
+         |scored AS (
+         | SELECT nm.vec_id, cents.cid,
+         |  round((SELECT SUM(CAST(cents.ce[i.i + 1] AS DOUBLE) * CAST(nm.embedding[i.i + 1] AS DOUBLE))
+         |         FROM range(64) i(i)) / (cents.cn * nm.nrm), 6) AS crcos
+         | FROM nm, cents),
+         |probed AS (
+         | SELECT vec_id, cid AS cell FROM scored
+         | QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY crcos DESC, cid) <= 2),
+         |capped AS (
+         | SELECT vec_id, cell FROM probed
+         | QUALIFY row_number() OVER (PARTITION BY cell ORDER BY vec_id) <= $CellCap),
+         |pairs AS (
+         | SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         | FROM capped a JOIN capped b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b,
+         | round((SELECT SUM(CAST(na.embedding[i.i + 1] AS DOUBLE) * CAST(nb.embedding[i.i + 1] AS DOUBLE))
+         |        FROM range(64) i(i)) / (na.nrm * nb.nrm), 6) AS rcos
+         |FROM pairs JOIN nm na ON id_a = na.vec_id JOIN nm nb ON id_b = nb.vec_id
+         |WHERE round((SELECT SUM(CAST(na.embedding[i.i + 1] AS DOUBLE) * CAST(nb.embedding[i.i + 1] AS DOUBLE))
+         |       FROM range(64) i(i)) / (na.nrm * nb.nrm), 6) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
     "qd5_embedding_neardup" ->
       """WITH nm AS (
         | SELECT vec_id, embedding,

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+
+import graft.batch.{Dedup, IvfIndex}
+
+/** qd13's cell-bucketed embedding near-dup: boundary-probe recall and
+  * the degenerate-corpus member cap. */
+class CellNearDupSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("top-2 probing strictly extends single-cell pair recall on the fixture") {
+    // re-derive the probe table at p=1 and p=2 through the same helpers
+    def pairsAtProbes(p: Int): Set[(Long, Long)] = {
+      val emb = Tables.embeddings(spark, sf)
+        .withColumn("nrm", sqrt(expr("aggregate(embedding, 0d, (a, x) -> a + double(x) * double(x))")))
+        .localCheckpoint()
+      val cents = emb.filter(pmod(col("vec_id"), lit(100)) === 7)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+      val probed = emb.crossJoin(broadcast(IvfIndex.centroidArray(cents)))
+        .select(col("vec_id"),
+          explode(transform(IvfIndex.topCells(col("embedding"), col("nrm"), p, rounded = true),
+            c => c.getField("cid"))).as("cell"))
+      probed.as("a").join(probed.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id"), col("b.vec_id")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val single = pairsAtProbes(1)
+    val double_ = pairsAtProbes(2)
+    assert(single.subsetOf(double_), "probe-2 candidates must cover probe-1's")
+    assert(double_.size > single.size,
+      s"the boundary probe must add candidates (p1=${single.size}, p2=${double_.size})")
+
+    // and qd13's reported pairs are exactly the ≥0.4 subset of its candidates
+    val reported = Dedup.qd13_cell_neardup(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reported.subsetOf(double_))
+  }
+
+  test("degenerate corpus collapsing into one cell is bounded by the member cap") {
+    // 2000 near-identical vectors (all land in one cell, all pairwise
+    // cosine ≈ 1): candidate pairs must be O(cap²), not O(N²)
+    val n = 2000
+    val dim = 8
+    val rows = (0 until n).map { i =>
+      Row(i.toLong, Array.tabulate(dim)(j => 1.0f + (if (j == 0) i * 1e-6f else 0f)))
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val emb = df.withColumn("nrm",
+      sqrt(expr("aggregate(embedding, 0d, (a, x) -> a + double(x) * double(x))")))
+    val cents = emb.filter(pmod(col("vec_id"), lit(100)) === 7)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val probed = emb.crossJoin(broadcast(IvfIndex.centroidArray(cents)))
+      .select(col("vec_id"),
+        explode(transform(IvfIndex.topCells(col("embedding"), col("nrm"), 2, rounded = true),
+          c => c.getField("cid"))).as("cell"))
+    val capped = probed
+      .withColumn("rk", row_number().over(Window.partitionBy("cell").orderBy("vec_id")))
+      .filter(col("rk") <= Dedup.CellCap).drop("rk")
+    val nPairs = capped.as("a").join(capped.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id")).count()
+    val capBound = Dedup.CellCap.toLong * (Dedup.CellCap - 1) / 2
+    // 20 centroids of identical vectors → ties broken by cid; every
+    // vector probes the same 2 cells, each capped
+    assert(nPairs <= 2 * capBound,
+      s"degenerate cell must stay cap-bounded: $nPairs pairs vs bound ${2 * capBound}")
+    assert(nPairs < n.toLong * (n - 1) / 4, "must be far below the uncapped pair space")
+  }
+}
