@@ -108,9 +108,14 @@ object IngestBench {
       // what a requantize tick costs under load and whether ingest
       // throughput recovers after the rebuild. 0 = off.
       val requantEvery = sys.env.getOrElse("GRAFT_INGEST_REQUANT", "0").toInt
+      // GRAFT_INGEST_STATS=1 adds the corpus-statistics membrane
+      // (per-epoch MG + HLL + totals over each batch's ADMITTED docs)
+      // so the bench records what live corpus observability costs
+      val statsOn = sys.env.get("GRAFT_INGEST_STATS").contains("1")
       var tickSecs = 0.0
       var ticks = 0
       var lastTick = -1
+      var statsSecs = 0.0
       val batchSecs = Array.ofDim[Double](nBatches)
       val t0 = System.nanoTime()
       (0 until nBatches).foreach { b =>
@@ -126,6 +131,11 @@ object IngestBench {
         stream.MultimodalIngest.ingestBatch(
           mmDocs.filter(col("doc_id") >= b * batchSize && col("doc_id") < hi),
           mmDir, epochId = b, tau = 0.99)
+        if (statsOn) {
+          val ts = System.nanoTime()
+          stream.MultimodalIngest.foldStats(spark, mmDir, b)
+          statsSecs += (System.nanoTime() - ts) / 1e9
+        }
         batchSecs(b) = (System.nanoTime() - tb) / 1e9
       }
       val secs = (System.nanoTime() - t0) / 1e9
@@ -138,7 +148,16 @@ object IngestBench {
       val postSecs = batchSecs.drop(math.max(lastTick, 0)).sum
       val postDocs = (nBatches - math.max(lastTick, 0)) * batchSize
       val postRate = if (lastTick < 0 || postSecs == 0) nDocs / secs else postDocs / postSecs
-      println(f"""{"metric":"multimodal_ingest_docs_per_sec","value":${nDocs / secs}%.1f,"docs":$nDocs,"batches":$nBatches,"kept":$kept,"expected_kept":$expectedKept,"media":${if (withMedia) 1 else 0},"media_rejected":$nMediaRej,"secs":$secs%.1f,"requant_every":$requantEvery,"requant_ticks":$ticks,"requant_secs_per_tick":${if (ticks == 0) 0.0 else tickSecs / ticks}%.2f,"post_requant_docs_per_sec":$postRate%.1f}""")
+      val statsJson = if (!statsOn) "" else {
+        // sanity: the membrane's totals must equal the corpus exactly
+        val (mg, agg) = stream.CorpusStats.summary(spark, s"$mmDir/stats", upTo = nBatches)
+        val t = agg.collect()(0)
+        require(t.getAs[Long]("n_docs") == kept,
+          s"stats n_docs ${t.getAs[Long]("n_docs")} != corpus $kept")
+        val topTok = mg.limit(1).collect()(0)
+        f""","stats_secs":$statsSecs%.1f,"stats_docs":${t.getAs[Long]("n_docs")},"stats_est_distinct":${t.getAs[Long]("est_distinct_content")},"stats_top_tok":"${topTok.getString(0)}""""
+      }
+      println(f"""{"metric":"multimodal_ingest_docs_per_sec","value":${nDocs / secs}%.1f,"docs":$nDocs,"batches":$nBatches,"kept":$kept,"expected_kept":$expectedKept,"media":${if (withMedia) 1 else 0},"media_rejected":$nMediaRej,"secs":$secs%.1f,"requant_every":$requantEvery,"requant_ticks":$ticks,"requant_secs_per_tick":${if (ticks == 0) 0.0 else tickSecs / ticks}%.2f,"post_requant_docs_per_sec":$postRate%.1f$statsJson}""")
     } else if (mode == "regimes") {
       // force each probe regime over the identical workload; the limits
       // are read per batch, so setting them before a run is enough

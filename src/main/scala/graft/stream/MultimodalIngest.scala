@@ -70,7 +70,8 @@ object MultimodalIngest {
   def start(docs: DataFrame, dir: String, checkpoint: String,
             trigger: Trigger = Trigger.ProcessingTime("1 second"),
             tau: Double = 0.95, nProbe: Int = 4,
-            compactEvery: Int = 64, requantizeEvery: Int = 0): StreamingQuery = {
+            compactEvery: Int = 64, requantizeEvery: Int = 0,
+            statsOn: Boolean = false): StreamingQuery = {
     // the quantizer's cell count is pinned at [[init]] and preserved by
     // requantize, so read it ONCE per query, not one extra centroids
     // job per cadence tick (memoized lazily — the stream may start
@@ -88,6 +89,13 @@ object MultimodalIngest {
           EpochFold.fold(s, s"$dir/metrics", upTo = id, 128L * 1024 * 1024)
           EpochFold.fold(s, s"$dir/media/media_idx", upTo = id,
             128L * 1024 * 1024, Seq("bk")) // no-op when media mode is off
+          // the stats stores are ≤(capacity rows + 1 row) per epoch —
+          // folding them on the shared cadence bounds file-count
+          // accretion like the metrics ledger's
+          if (statsOn) {
+            EpochFold.fold(s, s"$dir/stats/stats_mg", upTo = id, 128L * 1024 * 1024)
+            EpochFold.fold(s, s"$dir/stats/stats_agg", upTo = id, 128L * 1024 * 1024)
+          }
           if (!requantNow) EmbedIngest.compactCells(s, s"$dir/embed", upTo = id)
         }
         if (requantNow) {
@@ -97,8 +105,22 @@ object MultimodalIngest {
             nCells = nCellsCached, upTo = id)
         }
         ingestBatch(batch, dir, id, tau, nProbe)
+        if (statsOn) foldStats(s, dir, id)
       }
       .start()
+  }
+
+  /** Fold the corpus-statistics membrane ([[CorpusStats]]) over THIS
+    * epoch's ADMITTED documents — stats describe the corpus, so they
+    * are computed on the committed `text/corpus/epoch=N` partition
+    * (batch-sized read), not the raw batch with its rejected dups.
+    * Same epoch id → a replayed batch overwrites its stats partition
+    * along with every other store. Callable after a backfill
+    * [[ingestBatch]] the same way. */
+  def foldStats(s: SparkSession, dir: String, epochId: Long): Unit = {
+    val part = s"$dir/text/corpus/epoch=$epochId"
+    if (EpochFold.hasDataFiles(s, part))
+      CorpusStats.fold(s.read.parquet(part), s"$dir/stats", epochId)
   }
 
   /** Fold epochs `< upTo` in every store — text indexes, text corpus,

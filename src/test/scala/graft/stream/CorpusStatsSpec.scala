@@ -57,6 +57,26 @@ class CorpusStatsSpec extends SparkSpec {
     assert(docsBefore === 30L, "no double counting")
   }
 
+  test("composed with the ingest membrane: stats describe ADMITTED docs only") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cstats_mm").toString + "/pipe"
+    MultimodalIngest.init(spark, dir,
+      Seq((1L, Seq(1f, 0f), 1.0), (2L, Seq(0f, 1f), 1.0)).toDF("cid", "ce", "cn"))
+    def uniq(tag: String) = (0 until 30).map(i => f"$tag%s$i%02d").mkString(" ")
+    MultimodalIngest.ingestBatch(Seq(
+      (1L, uniq("w") + " keepword", Seq(1f, 0f)),
+      (2L, uniq("w") + " keepword", Seq(0f, 1f)),  // exact text dup → rejected
+      (3L, uniq("y") + " keepword", Seq(0f, 1f))   // admitted
+    ).toDF("doc_id", "text", "embedding"), dir, epochId = 0, tau = 0.99)
+    MultimodalIngest.foldStats(spark, dir, 0L)
+    val (mg, agg) = CorpusStats.summary(spark, s"$dir/stats", upTo = 1L)
+    assert(agg.collect().head.getAs[Long]("n_docs") === 2L,
+      "the rejected duplicate must not be counted")
+    val kw = mg.filter(col("tok") === "keepword").collect()
+    assert(kw.nonEmpty && kw.head.getLong(1) === 2L,
+      "token counts come from the admitted corpus, not the raw batch")
+  }
+
   test("summary respects the epoch visibility horizon (upTo)") {
     val dir = freshDir()
     CorpusStats.fold(docs(Seq((1L, "alpha one"))), dir, 0L)
