@@ -555,6 +555,63 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Members per (band, key) bucket that enter qd14's pair join —
+    * qd8's treatment; encoded in the oracle SQL. */
+  private[graft] val SimBandCap = 512
+
+  /** qd14: SimHash near-dup PAIRS — completes [[qd3_simhash]] (which
+    * computes the fingerprints) with the candidate-generation step a
+    * dedup pipeline actually runs, the way [[qd13_cell_neardup]]
+    * completes qd5: band the 16-bit fingerprint into 4×4-bit keys, so
+    * by pigeonhole any pair within Hamming distance 3 shares at least
+    * one untouched band — banding IS an exact Hamming-ball candidate
+    * generator at radius 3 (the same argument as qm3's perceptual
+    * bands, applied to text; reported here at radius 2, inside the
+    * guaranteed ball). Candidates verify with one row-local
+    * `bit_count(xor)`; the [[SimBandCap]] member prefix bounds a
+    * degenerate bucket at O(cap²). At production scale the fingerprint
+    * widens (64-bit, 4×16-bit bands) — the 16-bit width here is pinned
+    * by qd3's oracle-shared formula.
+    *
+    * Scale shape: fingerprints are row-local (qd3's zero-shuffle
+    * Project); ONE exchange by (band, key) serves the prefix window
+    * and the pair self-join; the verify is row-local integer math. */
+  def qd14_simhash_neardup(s: SparkSession, d: String): DataFrame = {
+    // (doc_id, simhash) — row-local fingerprints, checkpointed once for
+    // the band explode + both pair sides. doc_id-sampled like qd4/qd5:
+    // random fixture text makes 16-bit fingerprints collide heavily, so
+    // the unsampled pair OUTPUT is itself the quadratic thing the oracle
+    // compare would choke on; production uses 64-bit prints (4×16-bit
+    // bands), where Hamming-3 balls are genuinely selective
+    val sh = qd3_simhash(s, d)
+      .filter(pmod(col("doc_id"), lit(5)) === 0).localCheckpoint()
+    simhashPairsOf(sh)
+  }
+
+  /** [[qd14_simhash_neardup]]'s band/cap/verify machinery over any
+    * (doc_id, simhash) frame — the seam that lets specs flood one
+    * fingerprint through it (DedupClusterSpec's pattern). */
+  private[graft] def simhashPairsOf(sh: DataFrame): DataFrame = {
+    val banded = sh.select(col("doc_id"), col("simhash"),
+        posexplode(expr(
+          "transform(sequence(0, 3), b -> shiftright(simhash, b * 4) % 16)")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    val capped = banded
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("band", "key").orderBy("doc_id")))
+      .filter(col("rk") <= SimBandCap).drop("rk")
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+    pairs.withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
+      .filter(col("hamming") <= 2)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Members per probe cell that enter qd13's pair join — the qd8/qd9
     * member-prefix treatment applied to quantizer cells (a degenerate
     * corpus that collapses into one cell must cost O(cap²), not
@@ -688,6 +745,7 @@ object Dedup {
     "qd4_ngram_jaccard" -> (qd4_ngram_jaccard _),
     "qd5_embedding_neardup" -> (qd5_embedding_neardup _),
     "qd13_cell_neardup" -> (qd13_cell_neardup _),
+    "qd14_simhash_neardup" -> (qd14_simhash_neardup _),
     "qd6_dup_clusters" -> (qd6_dup_clusters _))
 
   private val shingleSql =
@@ -698,6 +756,23 @@ object Dedup {
        |  FROM (SELECT doc_id, string_split(lower(substr(text, 1, $ShingleChars)), ' ') AS toks
        |        FROM documents))
        | WHERE length(concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])) > 0)""".stripMargin
+
+  // shared by qd3 (fingerprints) and qd14 (pair generation over them)
+  private val simhashCtes =
+    """toks AS (
+      | SELECT DISTINCT doc_id, t.tok FROM (
+      |  SELECT doc_id, unnest(string_split(lower(substr(text, 1, 200)), ' ')) AS tok
+      |  FROM documents) t
+      | WHERE length(t.tok) > 0),
+      |hv AS (SELECT doc_id, tok, ('0x' || substr(md5(tok), 1, 4))::INT AS hv FROM toks),
+      |votes AS (
+      | SELECT doc_id, b.b,
+      |  SUM(CAST(floor(hv / pow(2, b.b)) AS BIGINT) % 2 * 2 - 1) AS votes
+      | FROM hv, range(16) b(b) GROUP BY 1, 2),
+      |sim AS (
+      | SELECT doc_id,
+      |  CAST(SUM(CASE WHEN votes > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      | FROM votes GROUP BY 1)""".stripMargin
 
   // shared by qd7 and qd12: the bloom pass is a plan optimization, not
   // a semantics change, so both hash-match the same exact SQL
@@ -835,19 +910,29 @@ object Dedup {
          |FROM topc
          |ORDER BY band, key, id_a, id_b""".stripMargin,
     "qd3_simhash" ->
-      """WITH toks AS (
-        | SELECT DISTINCT doc_id, t.tok FROM (
-        |  SELECT doc_id, unnest(string_split(lower(substr(text, 1, 200)), ' ')) AS tok
-        |  FROM documents) t
-        | WHERE length(t.tok) > 0),
-        |hv AS (SELECT doc_id, tok, ('0x' || substr(md5(tok), 1, 4))::INT AS hv FROM toks),
-        |votes AS (
-        | SELECT doc_id, b.b,
-        |  SUM(CAST(floor(hv / pow(2, b.b)) AS BIGINT) % 2 * 2 - 1) AS votes
-        | FROM hv, range(16) b(b) GROUP BY 1, 2)
-        |SELECT doc_id,
-        | CAST(SUM(CASE WHEN votes > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-        |FROM votes GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH $simhashCtes
+        |SELECT doc_id, simhash FROM sim ORDER BY 1""".stripMargin,
+    "qd14_simhash_neardup" ->
+      s"""WITH $simhashCtes,
+        |bands AS (
+        | SELECT doc_id, simhash, b.b AS band,
+        |  CAST(floor(simhash / pow(2, b.b * 4)) AS BIGINT) % 16 AS key
+        | FROM sim, range(4) b(b) WHERE doc_id % 5 = 0),
+        |capped AS (
+        | SELECT doc_id, simhash, band, key FROM bands
+        | QUALIFY row_number() OVER (PARTITION BY band, key ORDER BY doc_id) <= $SimBandCap),
+        |pairs AS (
+        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  a.simhash AS sa, b.simhash AS sb
+        | FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key
+        |  AND a.doc_id < b.doc_id),
+        |ham AS (
+        | SELECT id_a, id_b,
+        |  CAST((SELECT SUM(CAST(floor(xor(sa, sb) / pow(2, bb.b)) AS BIGINT) % 2)
+        |        FROM range(16) bb(b)) AS BIGINT) AS hamming
+        | FROM pairs)
+        |SELECT id_a, id_b, hamming FROM ham
+        |WHERE hamming <= 2 ORDER BY id_a, id_b""".stripMargin,
     "qd4_ngram_jaccard" ->
       s"""WITH $shingleSql,
          |sub AS (SELECT * FROM shingles WHERE doc_id % 10 = 0),

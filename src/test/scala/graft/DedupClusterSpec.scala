@@ -59,6 +59,18 @@ class DedupClusterSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("n_overflow") == 0L))
   }
 
+  test("identical-fingerprint flood: qd14's pair space is O(SimBandCap²), not O(m²)") {
+    import spark.implicits._
+    // 2000 docs with the SAME simhash: every band bucket floods; the
+    // member prefix must bound the join at cap per (band, key)
+    val sh = (0L until 2000L).map(i => (i, 0xABCDL)).toDF("doc_id", "simhash")
+    val n = Dedup.simhashPairsOf(sh).count()
+    val cap = 512L // Dedup.SimBandCap
+    assert(n == cap * (cap - 1) / 2,
+      s"all 4 bands hold the same first-$cap prefix → exactly C(cap,2) distinct pairs, got $n")
+    assert(n < 2000L * 1999L / 2, "far below the uncapped pair space")
+  }
+
   test("shared-span flood: qd9's pair output is O(dfCap²), not O(m²)") {
     import spark.implicits._
     // 1000 docs sharing a 160-char aligned span (the licence-header
