@@ -18,6 +18,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a failed query leaves NO parquet under outDir, and the driver's
+    // compare silently omits queries with no output (round 7's
+    // qst2/qst4 vanished from CORRECTNESS exactly this way when a
+    // fixture regeneration changed the events timestamp type) — so
+    // collect failures and make them impossible to miss: a loud
+    // end-of-run banner plus verify_errors.json next to the outputs
+    val failures = scala.collection.mutable.ListBuffer[(String, String)]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -25,6 +32,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures += name -> String.valueOf(e.getMessage)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -42,6 +50,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (failures.nonEmpty)
+      println(s"[verify] ${failures.size} QUERIES FAILED TO DUMP: " +
+        failures.map(_._1).mkString(", ") + " — see verify_errors.json")
     spark.stop()
   }
 }

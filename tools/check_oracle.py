@@ -89,6 +89,16 @@ def main():
         else:
             print(f"FAIL {name}")
             n_fail += 1
+    # rows-only queries (no oracle SQL) can still fail to dump: surface
+    # Verify's own error ledger so nothing disappears silently
+    err_path = f"{out_dir}/verify_errors.json"
+    if os.path.isfile(err_path):
+        for name, msg in sorted(json.load(open(err_path)).items()):
+            # oracle-checked failures were already reported as "no
+            # spark output" above; this catches rows-only queries
+            if name not in sqls and (not only or name in only):
+                print(f"FAIL {name}: verify dump errored: {msg[:200]}")
+                n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
