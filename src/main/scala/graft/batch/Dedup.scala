@@ -652,6 +652,11 @@ object Dedup {
       .withColumn("rk", row_number().over(
         Window.partitionBy("cell").orderBy("vec_id")))
       .filter(col("rk") <= CellCap).drop("rk")
+      // narrow (vec_id, cell) rows; without this the self-join
+      // re-derives the whole probe+cap chain — centroid aggregation
+      // included — once per side (PlanAudit showed the duplicated
+      // branch; qd2/qd6's materialize-before-self-join rule)
+      .localCheckpoint()
     // a pair sharing both probe cells would surface twice → distinct
     val pairs = capped.as("a").join(capped.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
