@@ -56,7 +56,13 @@ object Curation {
       mixtureBudget: Long = 20000L,
       weightPerMille: Long = 20,
       packCapacity: Long = 2048L,
-      cosTau: Double = 0.4)
+      cosTau: Double = 0.4,
+      // qd12's regime for eval sets beyond broadcast-hash capacity:
+      // bloom-prune the corpus fingerprints map-side, then verify
+      // exactly with a non-broadcast join. Result-identical to the
+      // broadcast path (false positives die in the verify join) —
+      // CurationSpec pins the equivalence.
+      bloomDecontam: Boolean = false)
 
   /** Run the pipeline: `docs` (doc_id, source, text) and `eval`
     * (doc_id, text) → packed admitted docs
@@ -165,8 +171,20 @@ object Curation {
         "transform(sequence(0, length(text) - 32), " +
           "i -> md5(cast(substring(text, 1 + i, 32) as binary)))")).as("fp"))
       .distinct()
-    val contaminated = deduped.select(col("doc_id"), explode(col("fps")).as("fp"))
-      .join(broadcast(evFps), Seq("fp")).select(col("doc_id")).distinct()
+    val corpusFps = deduped.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val contaminated =
+      if (!p.bloomDecontam)
+        corpusFps.join(broadcast(evFps), Seq("fp")).select(col("doc_id")).distinct()
+      else {
+        // qd12's shape: bits-sized bloom prunes map-side, exact verify
+        // joins only the surviving fraction (shuffle_hash pins the
+        // at-scale non-broadcast form)
+        val bf = evFps.stat.bloomFilter("fp", 100000L, 0.01)
+        corpusFps
+          .filter(graft.functions.GraftFunctions.bloom_might_contain(col("fp"), bf))
+          .join(evFps.hint("shuffle_hash"), Seq("fp"))
+          .select(col("doc_id")).distinct()
+      }
     deduped.join(contaminated, Seq("doc_id"), "left_anti")
       .select((Seq(col("doc_id"), col("source"), col("n_tok")) ++
         (if (withPhash) Seq(col("phash")) else Nil)): _*)

@@ -183,6 +183,24 @@ class CurationSpec extends SparkSpec {
     assert(man(dir1) == man(dir2), "manifest must be reproducible")
   }
 
+  test("bloom decontam regime admits the identical set, without broadcasting eval fps") {
+    val docs = Tables.documents(spark, d)
+      .filter(pmod(col("doc_id"), lit(10)) =!= 7)
+    val ev = Tables.documents(spark, d)
+      .filter(pmod(col("doc_id"), lit(10)) === 7)
+      .select(col("doc_id"), col("text"))
+    val base = Curation.admitted(docs, ev, Curation.Params())
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val bloomed = Curation.admitted(docs, ev, Curation.Params(bloomDecontam = true))
+    val bloomedIds = bloomed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(bloomedIds === base, "the bloom pass is a plan optimization, not a semantics change")
+    assert(base.nonEmpty)
+    // the decontam stage runs inside cleanedSignals' eager checkpoint,
+    // so the final plan starts from an ExistingRDD and can't show the
+    // bloom filter — its plan shape (map-side prune, non-broadcast
+    // verify join) is pinned on the same code path by BloomSpec/qd12
+  }
+
   test("curate admission is deterministic across runs") {
     val docs = Tables.documents(spark, d)
     val ev = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
