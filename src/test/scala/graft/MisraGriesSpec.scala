@@ -59,6 +59,37 @@ class MisraGriesSpec extends SparkSpec {
     }
   }
 
+  test("property: the MG bound holds on random streams under random split/merge trees") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val cap = 8
+    val mg = new MisraGries(cap)
+    // small alphabets force heavy collisions; random split points force
+    // the merge path (not just sequential reduces)
+    val streamGen = for {
+      alpha <- Gen.choose(3, 30)
+      n <- Gen.choose(20, 400)
+      toks <- Gen.listOfN(n, Gen.choose(0, alpha - 1).map(i => s"t$i"))
+    } yield toks
+    (0 until 80).foreach { seed =>
+      streamGen(Gen.Parameters.default, Seed(seed.toLong)).foreach { toks =>
+        val rnd = new scala.util.Random(seed)
+        // random 1-4 way split, each part reduced, merged left-to-right
+        val parts = toks.grouped(math.max(1, toks.size / (1 + rnd.nextInt(4)))).toSeq
+        val merged = parts.map(_.foldLeft(mg.zero)(mg.reduce)).reduce(mg.merge)
+        val truth = toks.groupBy(identity).view.mapValues(_.size.toLong)
+        val bound = toks.size.toLong / (cap + 1)
+        assert(merged.size <= cap)
+        truth.foreach { case (tok, n) =>
+          val sk = merged.getOrElse(tok, 0L)
+          assert(sk <= n, s"seed=$seed $tok: sketch $sk must lower-bound true $n")
+          assert(sk >= n - bound,
+            s"seed=$seed $tok: sketch $sk vs true $n exceeds error bound $bound")
+        }
+      }
+    }
+  }
+
   test("qt15 equals the exact full groupBy at fixture scale") {
     val sf = "/root/testdata/sf0.001"
     val toks = Tables.documents(spark, sf)
