@@ -664,7 +664,34 @@ object TextOps {
       .orderBy(col("n_occ").desc, col("tok"))
   }
 
+  /** qt16: context-window chunking — split long documents into
+    * fixed-size overlapping windows (window 100 chars, stride 80 →
+    * 20-char overlap), the standard pre-packing step when documents
+    * exceed the training context: every char lands in ≥1 chunk, and
+    * the overlap preserves cross-boundary n-grams for the model. Chunk
+    * count = max(1, ⌈(len−overlap)/stride⌉), so short docs emit
+    * exactly one chunk. Entirely row-local (sequence + transform +
+    * posexplode — G2's shape): ZERO shuffles before the stable output
+    * sort; at 100 TB this is a pure map pass whose output feeds qt6's
+    * packing. Chunks are reported as (len, md5) — payload-free, so the
+    * oracle compare stays cheap; ChunkSpec pins lossless coverage
+    * (stride-prefix concatenation reconstructs the document). */
+  /** The chunk array for a `text` column — shared by qt16 and
+    * ChunkSpec's reconstruction property so the formula cannot drift
+    * from its own coverage proof. */
+  private[graft] val ChunkArrayExpr =
+    "transform(sequence(0, greatest(cast(ceil((length(text) - 20) / 80.0) as int), 1) - 1), " +
+      "i -> substring(text, 1 + i * 80, 100))"
+
+  def qt16_chunk_windows(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(expr(ChunkArrayExpr)))
+      .select(col("doc_id"), col("pos").as("chunk_id"),
+        length(col("col")).as("chunk_len"), md5(col("col").cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt16_chunk_windows" -> (qt16_chunk_windows _),
     "qt15_heavy_hitters" -> (qt15_heavy_hitters _),
     "qt11_pii_scrub" -> (qt11_pii_scrub _),
     "qt10_token_budget" -> (qt10_token_budget _),
@@ -685,6 +712,15 @@ object TextOps {
     .map { case (l, w) => s"('$l','$w')" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "qt16_chunk_windows" ->
+      """SELECT doc_id, CAST(i AS INT) AS chunk_id,
+        | CAST(length(substr(text, CAST(1 + i * 80 AS INT), 100)) AS INT) AS chunk_len,
+        | md5(substr(text, CAST(1 + i * 80 AS INT), 100)) AS chunk_md5
+        |FROM (
+        | SELECT doc_id, text,
+        |  unnest(range(0, greatest(CAST(ceil((length(text) - 20) / 80.0) AS INT), 1))) AS i
+        | FROM documents)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "qt15_heavy_hitters" ->
       """WITH t AS (
         | SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
