@@ -23,6 +23,25 @@ import org.apache.spark.sql.functions._
   * Prints one JSON line with docs/sec and the dedup ratio achieved.
   */
 object IngestBench {
+
+  /** Locale-safe numeric JSON fragment — the f"" interpolator formats
+    * with the JVM default locale, so "%.1f" under a comma-decimal
+    * locale would break the driver's JSON parse. */
+  private def jd(v: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+
+  /** JSON string escape (Verify's q(): quote, backslash, control
+    * chars) — a corpus token interpolated raw could carry any of them. */
+  private def jq(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => "\\u%04x".format(c.toInt)
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val nDocs = sys.env.getOrElse("GRAFT_INGEST_DOCS", "100000").toLong
     val nBatches = sys.env.getOrElse("GRAFT_INGEST_BATCHES", "10").toInt
@@ -154,10 +173,12 @@ object IngestBench {
         val t = agg.collect()(0)
         require(t.getAs[Long]("n_docs") == kept,
           s"stats n_docs ${t.getAs[Long]("n_docs")} != corpus $kept")
-        val topTok = mg.limit(1).collect()(0)
-        f""","stats_secs":$statsSecs%.1f,"stats_docs":${t.getAs[Long]("n_docs")},"stats_est_distinct":${t.getAs[Long]("est_distinct_content")},"stats_top_tok":"${topTok.getString(0)}""""
+        // headOption: a stats-on run whose admitted docs have no tokens
+        // leaves the merged MG sketch empty — (0) would throw here
+        val topTok = mg.limit(1).collect().headOption.map(_.getString(0)).getOrElse("")
+        s""","stats_secs":${jd(statsSecs, 1)},"stats_docs":${t.getAs[Long]("n_docs")},"stats_est_distinct":${t.getAs[Long]("est_distinct_content")},"stats_top_tok":${jq(topTok)}"""
       }
-      println(f"""{"metric":"multimodal_ingest_docs_per_sec","value":${nDocs / secs}%.1f,"docs":$nDocs,"batches":$nBatches,"kept":$kept,"expected_kept":$expectedKept,"media":${if (withMedia) 1 else 0},"media_rejected":$nMediaRej,"secs":$secs%.1f,"requant_every":$requantEvery,"requant_ticks":$ticks,"requant_secs_per_tick":${if (ticks == 0) 0.0 else tickSecs / ticks}%.2f,"post_requant_docs_per_sec":$postRate%.1f$statsJson}""")
+      println(s"""{"metric":"multimodal_ingest_docs_per_sec","value":${jd(nDocs / secs, 1)},"docs":$nDocs,"batches":$nBatches,"kept":$kept,"expected_kept":$expectedKept,"media":${if (withMedia) 1 else 0},"media_rejected":$nMediaRej,"secs":${jd(secs, 1)},"requant_every":$requantEvery,"requant_ticks":$ticks,"requant_secs_per_tick":${jd(if (ticks == 0) 0.0 else tickSecs / ticks, 2)},"post_requant_docs_per_sec":${jd(postRate, 1)}$statsJson}""")
     } else if (mode == "regimes") {
       // force each probe regime over the identical workload; the limits
       // are read per batch, so setting them before a run is enough
@@ -172,12 +193,12 @@ object IngestBench {
         confs.foreach { case (k, v) => spark.conf.set(k, v) }
         val (secs, kept) = ingestAll(s"$dir/$name")
         require(kept == nDocs * 3 / 5, s"$name regime kept $kept, expected ${nDocs * 3 / 5}")
-        f""""$name":${nDocs / secs}%.1f"""
+        s""""$name":${jd(nDocs / secs, 1)}"""
       }
       println(s"""{"metric":"ingest_regime_docs_per_sec",${rates.mkString(",")},"docs":$nDocs,"batches":$nBatches}""")
     } else {
       val (secs, kept) = ingestAll(dir)
-      println(f"""{"metric":"ingest_docs_per_sec","value":${nDocs / secs}%.1f,"docs":$nDocs,"batches":$nBatches,"kept":$kept,"expected_kept":${nDocs * 3 / 5},"secs":$secs%.1f}""")
+      println(s"""{"metric":"ingest_docs_per_sec","value":${jd(nDocs / secs, 1)},"docs":$nDocs,"batches":$nBatches,"kept":$kept,"expected_kept":${nDocs * 3 / 5},"secs":${jd(secs, 1)}}""")
     }
     spark.stop()
   }

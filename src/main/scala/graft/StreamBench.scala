@@ -88,7 +88,11 @@ object StreamBench {
     val sec = (System.nanoTime() - t0) / 1e9
     val rate = n / sec
     val records = spark.read.parquet(s"$outDir/production_records").count()
-    println(f"""{"metric":"stream_obs_per_sec","value":$rate%.0f,"unit":"obs/sec","n_obs":$n,"stations":$stations,"state_store":"${if (rocksdb) "rocksdb" else "hdfs"}","lookup_path":"${if (dimjoin) "dimjoin" else "map"}","wall_sec":$sec%.2f,"records":$records,"equiv_stations_at_reference_cadence":${(rate / 2).toLong}}""")
+    // explicit-ROOT-locale formatting keeps the line valid JSON under
+    // comma-decimal default locales
+    def jd(v: Double, dec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+    println(s"""{"metric":"stream_obs_per_sec","value":${jd(rate, 0)},"unit":"obs/sec","n_obs":$n,"stations":$stations,"state_store":"${if (rocksdb) "rocksdb" else "hdfs"}","lookup_path":"${if (dimjoin) "dimjoin" else "map"}","wall_sec":${jd(sec, 2)},"records":$records,"equiv_stations_at_reference_cadence":${(rate / 2).toLong}}""")
     spark.stop()
   }
 }

@@ -1,6 +1,7 @@
 package graft.batch
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.batch.{TextOps => T}
@@ -179,10 +180,13 @@ object Curation {
         // qd12's shape: bits-sized bloom prunes map-side, exact verify
         // joins only the surviving fraction (shuffle_hash pins the
         // at-scale non-broadcast form)
-        val bf = evFps.stat.bloomFilter("fp", 100000L, 0.01)
+        // materialize the exploded eval fingerprints once: the branch
+        // reads them three times (size count, bloom build, verify join)
+        val evMat = evFps.localCheckpoint()
+        val bf = graft.functions.GraftFunctions.sizedBloomFilter(evMat, "fp")
         corpusFps
           .filter(graft.functions.GraftFunctions.bloom_might_contain(col("fp"), bf))
-          .join(evFps.hint("shuffle_hash"), Seq("fp"))
+          .join(evMat.hint("shuffle_hash"), Seq("fp"))
           .select(col("doc_id")).distinct()
       }
     deduped.join(contaminated, Seq("doc_id"), "left_anti")
@@ -228,19 +232,49 @@ object Curation {
     *   → perceptual media dedup (qm3's banded Hamming-≤3 pairs over
     *     the payload phash computed inside the SAME text pass;
     *     larger doc_id of any near-dup pair loses)
-    *   → embedding near-dup (qs3's deterministic centroids assign each
-    *     surviving doc's vector to a cell — broadcast map-side pass —
-    *     then pairs are generated CELL-LOCALLY and the larger doc_id
-    *     of any rounded-cosine ≥ tau pair loses; docs without an
-    *     embedding pass through, like unhashable payloads)
+    *   → embedding near-dup (qd13's machinery: qs3's deterministic
+    *     centroids, each surviving doc's vector probes its ProbeCells
+    *     nearest cells — broadcast map-side pass; the second probe
+    *     catches boundary-straddling pairs — then pairs are generated
+    *     cell-locally under the [[Dedup.CellCap]] member prefix and
+    *     the larger doc_id of any rounded-cosine ≥ tau pair loses;
+    *     docs without an embedding pass through, like unhashable
+    *     payloads)
     *   → mixture admission (qt8)
     *
     * Scan discipline: text is still read exactly ONCE (the phash rides
     * pass 1); the embeddings table is read twice (corpus vectors + the
     * tiny centroid subset — a separate small table in production).
-    * Pair generation is capped per band bucket (media) and cell-local
-    * (embeddings): the same audited shapes as qm3 and qs3, never
-    * corpus-quadratic. */
+    * Pair generation is capped per band bucket (media) and per probe
+    * cell (embeddings): the same audited shapes as qm3 and qd13 —
+    * never corpus-quadratic, O(cap²) even on a degenerate one-cell
+    * corpus (CurationSpec floods one cell to prove it). */
+  /** qd13-shaped candidate generation, the seam shared by [[qc2_multimodal_curation]]'s
+    * embedding membrane and CurationSpec's one-cell flood: each
+    * (doc_id, embedding, nrm) row probes its [[Dedup.ProbeCells]] nearest centroids
+    * (row-local fold over one broadcast quantizer row), the
+    * [[Dedup.CellCap]] member prefix bounds every cell, and pairs are
+    * generated cell-locally — O(cap²) per cell even when a degenerate
+    * corpus collapses into one cell. `edocs` must be materialized by
+    * the caller (it also feeds the verify-join sides). */
+  private[graft] def embedCandidatePairs(edocs: DataFrame, cents: DataFrame): DataFrame = {
+    val probed = edocs.crossJoin(broadcast(IvfIndex.centroidArray(cents)))
+      .select(col("doc_id"),
+        explode(transform(
+          IvfIndex.topCells(col("embedding"), col("nrm"), Dedup.ProbeCells, rounded = true),
+          c => c.getField("cid"))).as("cell"))
+    // narrow (doc_id, cell) rows; the self-join reads it twice
+    val capped = probed
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cell").orderBy("doc_id")))
+      .filter(col("rk") <= Dedup.CellCap).drop("rk")
+      .localCheckpoint()
+    // a pair sharing both probe cells would surface twice → distinct
+    capped.as("a").join(capped.as("b"),
+        col("a.cell") === col("b.cell") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
+  }
+
   def qc2_multimodal_curation(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
     val all = graft.Tables.spread(graft.Tables.documents(s, d))
@@ -259,31 +293,30 @@ object Curation {
       .select(col("doc_id"), col("source"), col("n_tok"))
       .localCheckpoint() // feeds the embed join + the final anti join
 
-    // embedding membrane: centroid-cell assignment (broadcast pass),
-    // cell-local pairs at rounded cosine ≥ tau, min doc_id survives
+    // embedding membrane: qd13's scale shape via the SHARED machinery —
+    // multi-probe cells (IvfIndex.topCells, a row-local fold over ONE
+    // broadcast quantizer row: the second probe catches near pairs
+    // straddling a cell boundary that single-cell assignment loses) and
+    // the Dedup.CellCap member prefix, so a degenerate corpus that
+    // collapses into one cell costs O(cap²), never O(N²). Cell-local
+    // pairs at rounded cosine ≥ tau, min doc_id survives. Probe width
+    // and cap are both encoded in the oracle SQL below, exactly as
+    // qd13's are.
     val enm = graft.Tables.embeddings(s, d)
       .withColumn("nrm", sqrt(Similarity.norm2(col("embedding"))))
     val cents = enm.filter(pmod(col("vec_id"), lit(100)) === 7)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    // feeds probe assignment + both verify-join sides (Spark shares no
+    // subtrees — qd13's materialize-before-self-join rule)
     val edocs = afterMedia.select(col("doc_id"))
       .join(enm.select(col("vec_id").as("doc_id"), col("embedding"), col("nrm")), Seq("doc_id"))
-    // Assignment is IvfIndex's row-local argmax fold over ONE broadcast
-    // row holding the whole centroid array — no N×C row explosion, no
-    // doc_id exchange (the oracle states the crossJoin+window form,
-    // which the fold is tie-break-identical to).
-    // checkpoint: the self-join below references `assigned` twice, and
-    // Spark re-derives a multi-referenced subplan per reference — the
-    // fold (and its two embeddings scans) would run twice (PlanAudit
-    // showed the duplicated branch). One narrow materialization instead.
-    val assigned = edocs.crossJoin(broadcast(IvfIndex.centroidArray(cents)))
-      .withColumn("cell", IvfIndex.bestCell(col("embedding"), col("nrm"), rounded = true))
-      .select(col("doc_id"), col("embedding"), col("nrm"), col("cell"))
       .localCheckpoint()
-    val ea = assigned.select(col("doc_id").as("id_a"), col("embedding").as("eav"),
-      col("nrm").as("na"), col("cell"))
-    val eb = assigned.select(col("doc_id").as("id_b"), col("embedding").as("ebv"),
-      col("nrm").as("nb"), col("cell"))
-    val embedLosers = ea.join(eb, Seq("cell")).filter(col("id_a") < col("id_b"))
+    val pairs = embedCandidatePairs(edocs, cents)
+    val embedLosers = pairs
+      .join(edocs.select(col("doc_id").as("id_a"), col("embedding").as("eav"),
+        col("nrm").as("na")), "id_a")
+      .join(edocs.select(col("doc_id").as("id_b"), col("embedding").as("ebv"),
+        col("nrm").as("nb")), "id_b")
       .withColumn("rcos", round(Similarity.dot(col("eav"), col("ebv")) / (col("na") * col("nb")), 6))
       .filter(col("rcos") >= p.cosTau)
       .select(col("id_b").as("doc_id")).distinct()
@@ -463,17 +496,24 @@ object Curation {
            | SELECT d.doc_id, c.cid,
            |  round(${sqlDot64.format("c.ce", "d.embedding")} / (c.cn * d.nrm), 6) AS crcos
            | FROM edocs d, ecents c),
-           |eassigned AS (
-           | SELECT doc_id, cid AS cell FROM (
-           |  SELECT doc_id, cid, ROW_NUMBER() OVER (PARTITION BY doc_id
-           |    ORDER BY crcos DESC, cid ASC) AS rn FROM escored) t WHERE rn = 1),
-           |eav AS (SELECT ed.doc_id, ed.embedding, ed.nrm, ea.cell
-           |        FROM edocs ed JOIN eassigned ea ON ed.doc_id = ea.doc_id),
+           |eprobed AS (
+           | SELECT doc_id, cid AS cell FROM escored
+           | QUALIFY row_number() OVER (PARTITION BY doc_id
+           |   ORDER BY crcos DESC, cid) <= ${Dedup.ProbeCells}),
+           |ecapped AS (
+           | SELECT doc_id, cell FROM eprobed
+           | QUALIFY row_number() OVER (PARTITION BY cell ORDER BY doc_id)
+           |   <= ${Dedup.CellCap}),
+           |epairs AS (
+           | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           | FROM ecapped a JOIN ecapped b
+           |  ON a.cell = b.cell AND a.doc_id < b.doc_id),
            |elosers AS (
-           | SELECT DISTINCT b.doc_id FROM eav a JOIN eav b
-           |  ON a.cell = b.cell AND a.doc_id < b.doc_id
-           | WHERE round(${sqlDot64.format("a.embedding", "b.embedding")}
-           |       / (a.nrm * b.nrm), 6) >= 0.4),
+           | SELECT DISTINCT id_b AS doc_id
+           | FROM epairs JOIN edocs da ON id_a = da.doc_id
+           |             JOIN edocs db ON id_b = db.doc_id
+           | WHERE round(${sqlDot64.format("da.embedding", "db.embedding")}
+           |       / (da.nrm * db.nrm), 6) >= 0.4),
            |ae AS (SELECT * FROM am WHERE doc_id NOT IN (SELECT doc_id FROM elosers)),
            |""".stripMargin + mixtureTailSql("ae")),
     // qc3 = qs3's centroid-cell assignment over the whole embeddings

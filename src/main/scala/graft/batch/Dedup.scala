@@ -539,12 +539,15 @@ object Dedup {
     * no broadcast verify join) and result-equivalence with qd7. */
   def qd12_bloom_decontam(s: SparkSession, d: String): DataFrame = {
     val sh = wordShingles(s, d).localCheckpoint()
+    // materialized: read three times (size count, bloom build, verify
+    // join), and the distinct is a shuffle worth paying exactly once
     val ev = sh.filter(pmod(col("doc_id"), lit(25)) === 0)
-      .select(col("shingle")).distinct()
+      .select(col("shingle")).distinct().localCheckpoint()
     val corpus = sh.filter(pmod(col("doc_id"), lit(25)) =!= 0)
     val counts = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    // build over the small side: one job, bits-sized result
-    val bf = ev.stat.bloomFilter("shingle", 100000L, 0.01)
+    // build over the small side, sized from its real cardinality
+    // (count + build: two small jobs, bits-sized result)
+    val bf = graft.functions.GraftFunctions.sizedBloomFilter(ev, "shingle")
     corpus.filter(graft.functions.GraftFunctions.bloom_might_contain(col("shingle"), bf))
       .join(ev.hint("shuffle_hash"), "shingle")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
@@ -619,14 +622,27 @@ object Dedup {
     * a hot fixture cannot diverge silently. */
   private[graft] val CellCap = 512
 
+  /** Probe cells per vector for the cell-bucketed near-dup candidate
+    * generation (qd13, and qc2's embedding membrane through the shared
+    * machinery). Tuned BY [[qd15_cell_recall]]'s audit, not guessed:
+    * at the fixture tau (0.4) on sf0.1, p=2 recalled only 45% of
+    * qd5's exact band-4 pairs (92/202) — boundary pairs at low cosine
+    * rarely share a top-2 cell when the quantizer has ~N/100 cells —
+    * while p=5 recalls 97.5% (197/202 band 4, 5/5 band 5; 11/11 at
+    * sf0.01) at ~4× the candidate pairs (388k → 1.57M at sf0.1), still
+    * Σcell²-bounded and far from corpus-quadratic. p=6+ without a cap
+    * raise buys 1.5% recall for another 16% pairs — past the knee. */
+  private[graft] val ProbeCells = 5
+
   /** qd13: embedding near-dup at corpus scale — the IVF-cell-bucketed
     * pair generation [[qd5_embedding_neardup]]'s doc promises, now
-    * implemented and oracle-checked. Every vector is assigned its TOP-2
+    * implemented and oracle-checked. Every vector is assigned its [[ProbeCells]]
     * nearest centroids (the multi-probe trick from qs4/IvfIndex.search
     * applied to dedup): pair candidates are generated cell-locally, and
-    * the second probe cell catches near pairs straddling a cell
-    * boundary that single-cell assignment (SemDeDup-style) silently
-    * loses. Pair space is Σ cell² — never corpus-quadratic like qd5's
+    * the extra probe cells catch near pairs straddling cell
+    * boundaries that single-cell assignment (SemDeDup-style) silently
+    * loses — probe width tuned by [[qd15_cell_recall]]'s audit, see
+    * [[ProbeCells]]. Pair space is Σ cell² — never corpus-quadratic like qd5's
     * exact baseline — with the [[CellCap]] member prefix bounding even
     * a degenerate one-cell corpus; the exact rounded-cosine verify then
     * runs per candidate pair, qd5's semantics unchanged.
@@ -646,7 +662,7 @@ object Dedup {
     val probed = emb.crossJoin(broadcast(IvfIndex.centroidArray(cents)))
       .select(col("vec_id"),
         explode(transform(
-          IvfIndex.topCells(col("embedding"), col("nrm"), 2, rounded = true),
+          IvfIndex.topCells(col("embedding"), col("nrm"), ProbeCells, rounded = true),
           c => c.getField("cid"))).as("cell"))
     val capped = probed
       .withColumn("rk", row_number().over(
@@ -668,6 +684,30 @@ object Dedup {
       .filter(col("rcos") >= 0.4)
       .select(col("id_a"), col("id_b"), col("rcos"))
       .orderBy("id_a", "id_b")
+  }
+
+  /** qd15: recall audit of the cell-bucketed scale path — quantify what
+    * [[qd13_cell_neardup]]'s multi-probe candidate generation loses
+    * against [[qd5_embedding_neardup]]'s exact all-pairs ground truth,
+    * on qd5's odd-vec_id sample (the subset both paths compute), per
+    * cosine decile. qs5's audit design applied to dedup: exact answers
+    * for a sliver, indexed answers for everything — at 100 TB the
+    * exact side stays a ~1% sample while the cell side is the
+    * production pass, so the audit's cost is sample², not corpus².
+    * `recall_pct` is an integer floor-percent (qt9's rule: never
+    * hash-compare cross-engine float aggregates; the band key is an
+    * integer decile for the same reason). */
+  def qd15_cell_recall(s: SparkSession, d: String): DataFrame = {
+    val exact = qd5_embedding_neardup(s, d)
+    val found = qd13_cell_neardup(s, d).select(col("id_a"), col("id_b"))
+    exact
+      .join(found, col("keep_id") === col("id_a") && col("dup_id") === col("id_b"), "left")
+      .select(floor(col("rcos") * 10).as("band"),
+        when(col("id_a").isNotNull, 1L).otherwise(0L).as("found"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_exact"), sum(col("found")).as("n_found"))
+      .withColumn("recall_pct", floor(lit(100) * col("n_found") / col("n_exact")))
+      .orderBy("band")
   }
 
   /** Connected components by alternating large-star / small-star
@@ -751,6 +791,7 @@ object Dedup {
     "qd5_embedding_neardup" -> (qd5_embedding_neardup _),
     "qd13_cell_neardup" -> (qd13_cell_neardup _),
     "qd14_simhash_neardup" -> (qd14_simhash_neardup _),
+    "qd15_cell_recall" -> (qd15_cell_recall _),
     "qd6_dup_clusters" -> (qd6_dup_clusters _))
 
   private val shingleSql =
@@ -996,7 +1037,7 @@ object Dedup {
          | FROM nm, cents),
          |probed AS (
          | SELECT vec_id, cid AS cell FROM scored
-         | QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY crcos DESC, cid) <= 2),
+         | QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY crcos DESC, cid) <= $ProbeCells),
          |capped AS (
          | SELECT vec_id, cell FROM probed
          | QUALIFY row_number() OVER (PARTITION BY cell ORDER BY vec_id) <= $CellCap),
@@ -1010,6 +1051,50 @@ object Dedup {
          |WHERE round((SELECT SUM(CAST(na.embedding[i.i + 1] AS DOUBLE) * CAST(nb.embedding[i.i + 1] AS DOUBLE))
          |       FROM range(64) i(i)) / (na.nrm * nb.nrm), 6) >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+    "qd15_cell_recall" ->
+      s"""WITH nm AS (
+         | SELECT vec_id, embedding,
+         |  sqrt((SELECT SUM(CAST(embedding[i.i + 1] AS DOUBLE) * CAST(embedding[i.i + 1] AS DOUBLE))
+         |        FROM range(64) i(i))) AS nrm
+         | FROM embeddings),
+         |sm AS (SELECT * FROM nm WHERE vec_id % 2 = 1),
+         |exact AS (
+         | SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+         |  round((SELECT SUM(CAST(a.embedding[i.i + 1] AS DOUBLE) * CAST(b.embedding[i.i + 1] AS DOUBLE))
+         |         FROM range(64) i(i)) / (a.nrm * b.nrm), 6) AS rcos
+         | FROM sm a JOIN sm b ON a.vec_id < b.vec_id
+         | WHERE round((SELECT SUM(CAST(a.embedding[i.i + 1] AS DOUBLE) * CAST(b.embedding[i.i + 1] AS DOUBLE))
+         |        FROM range(64) i(i)) / (a.nrm * b.nrm), 6) >= 0.4),
+         |cents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM nm
+         |          WHERE vec_id % 100 = 7),
+         |scored AS (
+         | SELECT nm.vec_id, cents.cid,
+         |  round((SELECT SUM(CAST(cents.ce[i.i + 1] AS DOUBLE) * CAST(nm.embedding[i.i + 1] AS DOUBLE))
+         |         FROM range(64) i(i)) / (cents.cn * nm.nrm), 6) AS crcos
+         | FROM nm, cents),
+         |probed AS (
+         | SELECT vec_id, cid AS cell FROM scored
+         | QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY crcos DESC, cid) <= $ProbeCells),
+         |capped AS (
+         | SELECT vec_id, cell FROM probed
+         | QUALIFY row_number() OVER (PARTITION BY cell ORDER BY vec_id) <= $CellCap),
+         |cpairs AS (
+         | SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         | FROM capped a JOIN capped b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |creported AS (
+         | SELECT c.id_a, c.id_b
+         | FROM cpairs c JOIN nm na ON c.id_a = na.vec_id JOIN nm nb ON c.id_b = nb.vec_id
+         | WHERE round((SELECT SUM(CAST(na.embedding[i.i + 1] AS DOUBLE) * CAST(nb.embedding[i.i + 1] AS DOUBLE))
+         |        FROM range(64) i(i)) / (na.nrm * nb.nrm), 6) >= 0.4),
+         |j AS (
+         | SELECT CAST(floor(e.rcos * 10) AS BIGINT) AS band,
+         |  CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS found
+         | FROM exact e LEFT JOIN creported c
+         |  ON e.keep_id = c.id_a AND e.dup_id = c.id_b)
+         |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         | CAST(SUM(found) AS BIGINT) AS n_found,
+         | (100 * CAST(SUM(found) AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS recall_pct
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "qd5_embedding_neardup" ->
       """WITH nm AS (
         | SELECT vec_id, embedding,

@@ -618,8 +618,9 @@ object Relational {
     val sel = Tables.orders(s, d)
       .filter(col("o_totalprice") > 490000.0)
       .select(col("o_orderkey"), col("o_orderdate"))
-    // build over the selective side only: one small job, bits-sized result
-    val bf = sel.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+    // build over the selective side only, sized from its real
+    // cardinality (count + build: two small jobs, bits-sized result)
+    val bf = graft.functions.GraftFunctions.sizedBloomFilter(sel, "o_orderkey")
     Tables.lineitem(s, d)
       .filter(graft.functions.GraftFunctions.bloom_might_contain(col("l_orderkey"), bf))
       .join(sel, col("l_orderkey") === col("o_orderkey"))

@@ -31,6 +31,23 @@ object GraftFunctions {
   def bloom_might_contain(c: Column, bf: org.apache.spark.util.sketch.BloomFilter): Column =
     column(BloomMightContainExpr(expression(c), bf))
 
+  /** Build a Bloom filter over `df(colName)` sized from the ACTUAL
+    * build-side cardinality (one cheap count job over the — by
+    * construction — small/selective side) instead of a fixed capacity.
+    * A filter saturated past its expectedNumItems degrades toward
+    * fpp→1 and silently loses the map-side pruning that is a
+    * bloom-join's entire point; sizing from the data keeps the
+    * advertised fpp at any scale. `floorItems` guards the degenerate
+    * empty/near-empty build side. */
+  def sizedBloomFilter(
+      df: org.apache.spark.sql.DataFrame,
+      colName: String,
+      fpp: Double = 0.01,
+      floorItems: Long = 1024L): org.apache.spark.util.sketch.BloomFilter = {
+    val n = df.select(colName).count()
+    df.stat.bloomFilter(colName, math.max(n, floorItems), fpp)
+  }
+
   private def sqlMacro(spark: SparkSession, template: String): Seq[Expression] => Expression = {
     val parsed = spark.sessionState.sqlParser.parseExpression(template)
     exprs =>

@@ -54,10 +54,14 @@ object CorpusStats {
     toks.join(broadcast(cands), "tok")
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/stats_mg/epoch=$epochId")
+    // n_tokens comes from the SAME filtered token stream the MG sketch
+    // consumed (sk already counted it) — re-deriving via size(split())
+    // would count empty strings on whitespace-irregular text and bias
+    // any share computed as cnt/n_tokens
     batch.agg(
         count(lit(1)).as("n_docs"),
-        sum(size(split(lower(col("text")), " ")).cast("long")).as("n_tokens"),
         expr("hll_sketch_agg(md5(text))").as("content_sk"))
+      .crossJoin(sk.select(col("n_tokens")))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/stats_agg/epoch=$epochId")
   }
 

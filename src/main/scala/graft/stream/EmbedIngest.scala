@@ -237,6 +237,49 @@ object EmbedIngest {
       .write.mode(SaveMode.Overwrite).partitionBy("cell")
       .parquet(s"$dir/cells/epoch=$epochId")
 
+  /** Witness-side cap for the in-batch pair stage — per probe cell,
+    * only the first [[InBatchWitnessCap]] members (by vec_id) serve as
+    * rejection witnesses. See [[inBatchLoserIds]] for why the cap sits
+    * on ONE side here, unlike qd13's two-sided member prefix. */
+  private[graft] val InBatchWitnessCap = 512
+
+  /** In-batch losers: vec_ids with a SMALLER tau-near batch-mate
+    * sharing a probe cell. The witness (smaller-id) side is capped per
+    * cell at [[InBatchWitnessCap]], so the pair space is
+    * rows × nProbe × cap — LINEAR in the micro-batch with O(cap²) for a
+    * cap-sized batch — instead of quadratic when a degenerate batch
+    * collapses into one cell.
+    *
+    * The cap deliberately sits on one side, not on membership like
+    * qd13's CellCap: the a-side is already bounded by the micro-batch
+    * trigger (the property the batch operator doesn't have), and a
+    * one-sided cap keeps flood rejection LOSSLESS — a cell's min-id
+    * member is inside every cap prefix by construction and witnesses
+    * every later near-identical member, so a near-identical flood is
+    * fully rejected at linear cost, where a two-sided membership cap
+    * would leave everything past the prefix unchecked and ADMIT the
+    * flood. Recall loss exists only in the adversarial
+    * crowded-cell-with-late-witness shape, the same class qd13
+    * documents. */
+  /** The cap-prefix witness set per cell — split out so the flood spec
+    * can pin the pair-space bound on the exact frame the join uses. */
+  private[graft] def cappedWitnesses(probes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    probes
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cell").orderBy("vec_id")))
+      .filter(col("rk") <= InBatchWitnessCap).drop("rk", "pr")
+  }
+
+  private[graft] def inBatchLoserIds(probes: DataFrame, tau: Double): DataFrame = {
+    val a = probes.as("a"); val b = cappedWitnesses(probes).as("b")
+    a.join(b,
+        col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
+      .filter(dot(col("a.embedding"), col("b.embedding"))
+        / (col("a.nrm") * col("b.nrm")) >= tau)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+  }
+
   /** The batch's admitted vectors as a pure plan — (vec_id, embedding,
     * nrm, cell) with `cell` = the vector's nearest centroid. Split from
     * [[ingestBatch]] (IngestDedup.survivors' shape) so specs can pin
@@ -275,14 +318,7 @@ object EmbedIngest {
         col("pc.cid").as("cell"), (col("pos") + 1).cast("int").as("pr"))
       .localCheckpoint() // feeds in-batch pairs, corpus probe, and the write
 
-    // in-batch: a vector loses iff a SMALLER vec_id sharing any probe
-    // cell is tau-close (pair space bounded by batch × nProbe)
-    val a = probes.as("a"); val b = probes.as("b")
-    val inBatchLosers = a.join(b,
-        col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
-      .filter(dot(col("a.embedding"), col("b.embedding"))
-        / (col("a.nrm") * col("b.nrm")) >= tau)
-      .select(col("a.vec_id").as("vec_id")).distinct()
+    val inBatchLosers = inBatchLoserIds(probes, tau)
 
     // corpus probe: partition-pruned read of (epoch < N) × touched
     // cells; join on cell, never a corpus shuffle. Touched cells are

@@ -144,6 +144,40 @@ object StateMachine {
         OutputMode.Append())
   }
 
+  /** [[withDimTables]] with ST4's silence measured in EVENT time
+    * (SURVEY §2.10): the same [[Core]] transition hosted under
+    * `EventTimeTimeout` + `withWatermark`, so the silence clock is the
+    * stream's own watermark instead of the executor wall clock. What
+    * that buys at scale:
+    *  - deterministic replay/backfill: a historical silence gap closes
+    *    the run at the same stream position every run, even when the
+    *    backfill processes days of data in minutes (the
+    *    processing-time host would either never close or close by
+    *    wall-clock luck);
+    *  - late observations beyond `maxLateness` are dropped by the
+    *    engine (FlatMapGroupsWithStateExec's watermark predicate)
+    *    instead of resurrecting or corrupting an already-closed run —
+    *    the admission/gate logic never sees them.
+    * The close row is stamped lastTs + timeoutMs — pure event time,
+    * reproducible across runs, ordered after the run's last update for
+    * the newest-wins upsert exactly like the processing-time stamp. */
+  def withDimTablesEventTime(obs: Dataset[PartObservation],
+      parts: org.apache.spark.sql.DataFrame,
+      multipliers: org.apache.spark.sql.DataFrame,
+      records: org.apache.spark.sql.DataFrame,
+      timeoutMs: Long = 30000L,
+      maxLateness: String = "10 seconds"): Dataset[ActionRow] = {
+    val s = obs.sparkSession
+    import s.implicits._
+    enrichWithDims(obs, parts, multipliers, records)
+      .withWatermark("ts", maxLateness)
+      .groupByKey(o => (o.station, o.parte))
+      .flatMapGroupsWithState[ActiveRecord, ActionRow](
+        OutputMode.Append,
+        if (timeoutMs > 0) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout)(new Core(timeoutMs).processEventTime)
+  }
+
   /** The stream-static dimension joins shared by both stateful APIs. */
   private[stream] def enrichWithDims(obs: Dataset[PartObservation],
       parts: org.apache.spark.sql.DataFrame,
@@ -265,6 +299,35 @@ object StateMachine {
         if (state.exists) Some(state.get) else None, rows.toVector)
       next.foreach(state.update)
       if (timeoutMs > 0 && state.exists) state.setTimeoutDuration(timeoutMs)
+      out.iterator
+    }
+
+    /** The flatMapGroupsWithState adapter under EVENT-TIME timeout —
+      * identical transition, but ST4's silence clock is the stream's
+      * watermark, not the executor wall clock: the run closes when
+      * observed event time across the stream (minus allowed lateness)
+      * passes lastTs + timeoutMs. `setTimeoutTimestamp` is floored just
+      * above the current watermark — Spark rejects a timestamp at or
+      * below it, and a state whose deadline the watermark already
+      * passed should time out at the next opportunity, not crash the
+      * query. */
+    def processEventTime(key: (String, String), rows: Iterator[ObsEnriched],
+        state: GroupState[ActiveRecord]): Iterator[ActionRow] = {
+      val (station, parte) = key
+
+      if (!state.exists && !rows.hasNext && state.hasTimedOut) return Iterator.empty
+      if (state.hasTimedOut) {
+        val ar = state.get
+        state.remove()
+        return Iterator.single(closeRow(station, parte, ar))
+      }
+
+      val (next, out) = advance(station, parte,
+        if (state.exists) Some(state.get) else None, rows.toVector)
+      next.foreach(state.update)
+      if (timeoutMs > 0 && state.exists)
+        state.setTimeoutTimestamp(
+          math.max(state.get.lastTsMs + timeoutMs, state.getCurrentWatermarkMs() + 1))
       out.iterator
     }
 

@@ -31,15 +31,15 @@ class CellNearDupSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     }
     val single = pairsAtProbes(1)
-    val double_ = pairsAtProbes(2)
-    assert(single.subsetOf(double_), "probe-2 candidates must cover probe-1's")
-    assert(double_.size > single.size,
-      s"the boundary probe must add candidates (p1=${single.size}, p2=${double_.size})")
+    val multi = pairsAtProbes(Dedup.ProbeCells)
+    assert(single.subsetOf(multi), "multi-probe candidates must cover probe-1's")
+    assert(multi.size > single.size,
+      s"the boundary probes must add candidates (p1=${single.size}, p${Dedup.ProbeCells}=${multi.size})")
 
     // and qd13's reported pairs are exactly the ≥0.4 subset of its candidates
     val reported = Dedup.qd13_cell_neardup(spark, sf)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(reported.subsetOf(double_))
+    assert(reported.subsetOf(multi))
   }
 
   test("degenerate corpus collapsing into one cell is bounded by the member cap") {
@@ -60,7 +60,8 @@ class CellNearDupSpec extends SparkSpec {
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
     val probed = emb.crossJoin(broadcast(IvfIndex.centroidArray(cents)))
       .select(col("vec_id"),
-        explode(transform(IvfIndex.topCells(col("embedding"), col("nrm"), 2, rounded = true),
+        explode(transform(
+          IvfIndex.topCells(col("embedding"), col("nrm"), Dedup.ProbeCells, rounded = true),
           c => c.getField("cid"))).as("cell"))
     val capped = probed
       .withColumn("rk", row_number().over(Window.partitionBy("cell").orderBy("vec_id")))
@@ -69,9 +70,9 @@ class CellNearDupSpec extends SparkSpec {
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id")).count()
     val capBound = Dedup.CellCap.toLong * (Dedup.CellCap - 1) / 2
     // 20 centroids of identical vectors → ties broken by cid; every
-    // vector probes the same 2 cells, each capped
-    assert(nPairs <= 2 * capBound,
-      s"degenerate cell must stay cap-bounded: $nPairs pairs vs bound ${2 * capBound}")
+    // vector probes the same ProbeCells cells, each capped
+    assert(nPairs <= Dedup.ProbeCells * capBound,
+      s"degenerate cell must stay cap-bounded: $nPairs pairs vs bound ${Dedup.ProbeCells * capBound}")
     assert(nPairs < n.toLong * (n - 1) / 4, "must be far below the uncapped pair space")
   }
 }

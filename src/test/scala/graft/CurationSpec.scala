@@ -201,6 +201,33 @@ class CurationSpec extends SparkSpec {
     // verify join) is pinned on the same code path by BloomSpec/qd12
   }
 
+  test("qc2 embedding membrane: one-cell flood stays cap-bounded (O(cap²), not O(N²))") {
+    // 2000 near-identical vectors: every one lands in the same top-2
+    // probe cells and every pair has cosine ≈ 1 — the degenerate corpus
+    // qd13's CellCap exists for, driven through qc2's OWN seam
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+    val n = 2000
+    val dim = 8
+    val rows = (0 until n).map { i =>
+      Row(i.toLong, Array.tabulate(dim)(j => 1.0f + (if (j == 0) i * 1e-6f else 0f)))
+    }
+    val emb = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 4),
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("embedding", ArrayType(FloatType)))))
+      .withColumn("nrm",
+        sqrt(expr("aggregate(embedding, 0d, (a, x) -> a + double(x) * double(x))")))
+      .localCheckpoint()
+    val cents = emb.filter(pmod(col("doc_id"), lit(100)) === 7)
+      .select(col("doc_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val nPairs = Curation.embedCandidatePairs(emb, cents).count()
+    val capBound = Dedup.CellCap.toLong * (Dedup.CellCap - 1) / 2
+    assert(nPairs <= Dedup.ProbeCells * capBound,
+      s"degenerate cell must stay cap-bounded: $nPairs pairs vs bound ${Dedup.ProbeCells * capBound}")
+    assert(nPairs < n.toLong * (n - 1) / 4, "must be far below the uncapped pair space")
+  }
+
   test("curate admission is deterministic across runs") {
     val docs = Tables.documents(spark, d)
     val ev = docs.filter(pmod(col("doc_id"), lit(10)) === 7)

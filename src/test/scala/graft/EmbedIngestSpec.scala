@@ -110,6 +110,40 @@ class EmbedIngestSpec extends SparkSpec
       "min vec_id per identical embedding plus the distinct vector survive")
   }
 
+  test("near-identical flood: witness-capped pair stage rejects it fully at linear cost") {
+    import org.apache.spark.sql.functions._
+    // 2000 DISTINCT near-identical vectors (the exact-dup collapse
+    // can't help): all probe the same cells, all pairwise cosine ≈ 1.
+    // The witness cap must (a) bound the pair space per cell at
+    // rows × cap, and (b) still reject the whole flood — the min-id
+    // member sits inside every cap prefix and witnesses everyone.
+    val n = 2000
+    require(n > EmbedIngest.InBatchWitnessCap * 2, "flood must exceed the cap")
+    val flood = (0 until n).map(i => (100L + i, Seq(1f, i * 1e-7f)))
+
+    // cost shape, pinned on the exact frame the join consumes: one
+    // degenerate cell keeps only cap witnesses
+    val probes = flood.toDF("vec_id", "embedding")
+      .withColumn("nrm",
+        sqrt(expr("aggregate(embedding, 0d, (a, x) -> a + double(x) * double(x))")))
+      .withColumn("cell", lit(1L)).withColumn("pr", lit(1))
+    assert(EmbedIngest.cappedWitnesses(probes).count() ===
+      EmbedIngest.InBatchWitnessCap.toLong,
+      "pair space must be rows × cap, not rows²")
+    assert(EmbedIngest.inBatchLoserIds(probes, 0.99).count() === (n - 1).toLong,
+      "flood rejection is lossless under the one-sided cap")
+
+    // end-to-end through the real ingest path (cap binding), replay
+    // idempotence unchanged
+    val dir = freshDir()
+    EmbedIngest.ingestBatch(flood.toDF("vec_id", "embedding"), dir, epochId = 0,
+      tau = 0.99)
+    assert(ids(dir) == Seq(100L), "only the min-id flood member survives")
+    EmbedIngest.ingestBatch(flood.toDF("vec_id", "embedding"), dir, epochId = 0,
+      tau = 0.99)
+    assert(ids(dir) == Seq(100L), "replay with a binding cap is idempotent")
+  }
+
   test("an EMPTY first batch does not poison the cell store for batch two") {
     val dir = freshDir()
     EmbedIngest.ingestBatch(
