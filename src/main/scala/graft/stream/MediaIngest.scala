@@ -108,6 +108,69 @@ object MediaIngest {
     batch.join(keepIds, Seq("doc_id"))
   }
 
+  /** `(doc_id, dup_of, reason)` attribution for this stage's
+    * rejections — `batch` is the stage INPUT (the text survivors in
+    * the composed pipeline), `keep` its output. Computed POST-HOC over
+    * the rejected set only, like [[IngestDedup.rejectionLedger]]:
+    * [[survivors]]' plan is untouched and the extra work is sized by
+    * the rejection count. First match wins: `media_batch` (the
+    * smallest batch-mate inside the Hamming ball — covers the
+    * exact-hash collapse, distance 0) then `media_corpus` (the
+    * smallest admitted owner from the index, whose probe is the same
+    * constant-bounded ≤ 1024-literal IN). A dup_of may name a
+    * batch-mate a LATER membrane rejects — [[MultimodalIngest]]
+    * resolves cross-membrane chains before the write. */
+  private[graft] def rejectionLedger(batch: DataFrame, dir: String,
+      epochId: Long, keep: DataFrame, mediaCol: String = "media",
+      maxHamming: Int = DefaultMaxHamming): DataFrame = {
+    val s = batch.sparkSession
+    val rejected = batch.select(col("doc_id"))
+      .join(keep.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint() // batch-bounded; drives every probe below
+    import s.implicits._
+    val emptyLedger =
+      Seq.empty[(Long, Option[Long], String)].toDF("doc_id", "dup_of", "reason")
+    if (rejected.isEmpty) return emptyLedger
+
+    val bands = Multimodal.phash32(
+        batch.select(col("doc_id"), col(mediaCol).as("text")))
+      .select(col("doc_id"), col("phash"), explode(bandCol).as("bk"))
+      .localCheckpoint() // witness side + probe side below
+    val rejBands = bands.join(rejected, Seq("doc_id")).localCheckpoint()
+    // in-batch: smallest batch-mate within the Hamming ball (an
+    // unhashable payload is never rejected, so every rejected doc has
+    // band rows here)
+    val inBatch = rejBands.as("a").join(bands.as("b"),
+        col("a.bk") === col("b.bk") && col("b.doc_id") < col("a.doc_id"))
+      .filter(expr(s"bit_count(a.phash ^ b.phash) <= $maxHamming"))
+      .groupBy(col("a.doc_id")).agg(min(col("b.doc_id")).as("dup_of"))
+      .select(col("doc_id"), col("dup_of"), lit("media_batch").as("reason"))
+    val rem = rejBands
+      .join(inBatch.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val corpusAttr = readIfExists(s, s"$dir/media_idx") match {
+      case Some(idx0) =>
+        val idx = if (idx0.columns.contains("epoch"))
+          idx0.filter(col("epoch") < epochId) else idx0
+        val bks = rem.select(col("bk")).distinct()
+          .collect().map(_.getInt(0)).toSeq // ≤ 1024 by construction
+        val pre = if (bks.isEmpty) idx.limit(0)
+          else idx.filter(col("bk").isin(bks: _*))
+        pre.select(col("bk"), col("phash").as("c_phash"),
+            col("doc_id").as("dup_src"))
+          .join(broadcast(rem), Seq("bk"))
+          .filter(expr(s"bit_count(phash ^ c_phash) <= $maxHamming"))
+          .groupBy(col("doc_id")).agg(min(col("dup_src")).as("dup_of"))
+          .select(col("doc_id"), col("dup_of"), lit("media_corpus").as("reason"))
+      case None => emptyLedger
+    }
+    val attributed = inBatch.unionByName(corpusAttr)
+    val unattributed = rejected
+      .join(attributed.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(null).cast("long").as("dup_of"),
+        lit("unknown").as("reason")) // can't-happen guard, loud in specs
+    attributed.unionByName(unattributed)
+  }
+
   /** The index rows for a set of ADMITTED docs — one (bk, phash,
     * doc_id) row per band per distinct hash the admitted set carries.
     * Unhashable payloads contribute no rows ([[Multimodal.phash32]]

@@ -87,6 +87,7 @@ object MultimodalIngest {
         if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
           IngestDedup.compactIndexes(s, s"$dir/text", upTo = id)
           EpochFold.fold(s, s"$dir/metrics", upTo = id, 128L * 1024 * 1024)
+          EpochFold.fold(s, s"$dir/ledger", upTo = id, 128L * 1024 * 1024)
           EpochFold.fold(s, s"$dir/media/media_idx", upTo = id,
             128L * 1024 * 1024, Seq("bk")) // no-op when media mode is off
           // the stats stores are ≤(capacity rows + 1 row) per epoch —
@@ -132,6 +133,7 @@ object MultimodalIngest {
     IngestDedup.compactIndexes(s, s"$dir/text", upTo, targetBytes)
     EmbedIngest.compactCells(s, s"$dir/embed", upTo, targetBytes)
     EpochFold.fold(s, s"$dir/metrics", upTo, targetBytes)
+    EpochFold.fold(s, s"$dir/ledger", upTo, targetBytes)
     EpochFold.fold(s, s"$dir/media/media_idx", upTo, targetBytes, Seq("bk"))
   }
 
@@ -171,6 +173,29 @@ object MultimodalIngest {
       .localCheckpoint() // feeds the cells write and the id filter below
     val keep = mediaKeep.join(
       broadcast(embedKeep.select(col("vec_id").as("doc_id"))), Seq("doc_id"))
+
+    // the per-doc rejection ledger, spanning ALL membranes: each
+    // stage attributes its own rejections post-hoc (sized by the
+    // rejection count, not the batch), then dup_of chains are resolved
+    // ACROSS membranes — a text loser whose batch winner the embedding
+    // stage later rejects must point at that winner's terminal
+    // admitted target, so every dup_of names an ADMITTED doc and
+    // [[clusters]] can roll the composite up without a batch rebuild.
+    // Committed into this epoch's partition like every store — replays
+    // overwrite, exactly-once.
+    val textLedger =
+      IngestDedup.rejectionLedger(batch, s"$dir/text", epochId, textKeep)
+    val mediaLedger =
+      if (hasMedia)
+        MediaIngest.rejectionLedger(textKeep, s"$dir/media", epochId, mediaKeep)
+      else textLedger.limit(0)
+    val embedLedger = EmbedIngest.rejectionLedger(
+        mediaKeep.select(col("doc_id").as("vec_id"), col("embedding")),
+        s"$dir/embed", epochId, embedKeep, tau, nProbe)
+      .withColumnRenamed("vec_id", "doc_id")
+    IngestDedup.resolveChains(
+        textLedger.unionByName(mediaLedger).unionByName(embedLedger))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/ledger/epoch=$epochId")
 
     // per-batch observability: which membrane rejected how much. The
     // counts are near-free (the frames are already checkpointed) and
@@ -235,6 +260,31 @@ object MultimodalIngest {
       full.select(cols.map(col): _*)
     }
   }
+
+  /** The accumulated per-doc rejection ledger across ALL membranes:
+    * `(doc_id, dup_of, reason)` with reasons from the text stage
+    * (`exact_batch`/`exact_corpus`/`near_batch`/`near_corpus`), the
+    * media stage (`media_batch`/`media_corpus`) and the embedding
+    * stage (`embed_batch`/`embed_corpus`); every dup_of names an
+    * ADMITTED doc (cross-membrane chains are resolved at write time).
+    * Empty frame with the correct schema before the first batch. */
+  def ledger(spark: SparkSession, dir: String): DataFrame =
+    if (!EpochFold.hasDataFiles(spark, s"$dir/ledger")) {
+      import spark.implicits._
+      Seq.empty[(Long, Option[Long], String)].toDF("doc_id", "dup_of", "reason")
+    } else spark.read.parquet(s"$dir/ledger")
+      .select(col("doc_id"), col("dup_of"), col("reason"))
+
+  /** qd6-shaped duplicate clusters over the COMPOSED corpus — admitted
+    * docs plus every ledgered rejection from any membrane, grouped by
+    * the admitted doc it resolved to. Same rollup (and the same
+    * star-vs-chain semantics note) as [[IngestDedup.clusters]]; the
+    * difference is only that a cluster here can mix rejection
+    * modalities (a text dup and an embedding dup of the same admitted
+    * doc land in one cluster). */
+  def clusters(spark: SparkSession, dir: String): DataFrame =
+    IngestDedup.clustersOf(
+      corpus(spark, dir).select(col("doc_id")), ledger(spark, dir))
 
   /** Top-k cosine ANN over the admitted embeddings — the membrane's
     * vector store doubles as a searchable IVF index
