@@ -63,6 +63,14 @@ object Multimodal {
     withPhash(docs.filter(length(col("text")) >= 32))
       .select(col("doc_id"), col("phash"))
 
+  /** The `nBits`-block generalization (32 = [[phash32]] exactly; 64
+    * feeds 16-bit banding — see [[phashPairs]]' saturation note).
+    * Payloads shorter than `nBits` bytes are unhashable at that
+    * resolution and are dropped, like phash32's < 32 rule. */
+  private[graft] def phashWide(docs: DataFrame, nBits: Int): DataFrame =
+    withPhashN(docs.filter(length(col("text")) >= nBits), nBits)
+      .select(col("doc_id"), col("phash"))
+
   /** Adds a nullable `phash` column to any frame carrying `text` —
     * null when the payload is too short to hash (< 32 bytes). The
     * intermediate block array stays a materialized alias (multi-
@@ -71,18 +79,26 @@ object Multimodal {
     * single-reference rule). Bit-identical to [[phash32]] for
     * hashable rows (qm3's oracle pins it). */
   private[graft] def withPhash(docs: DataFrame): DataFrame =
+    withPhashN(docs, 32)
+
+  /** [[withPhash]] at any block count (32 reproduces it exactly —
+    * the templated SQL is string-identical at nBits = 32). Bit 63 via
+    * shiftleft wraps to Long.MinValue, which is the correct two's-
+    * complement bit pattern; the sum-accumulate is exact because each
+    * bit position contributes once. */
+  private[graft] def withPhashN(docs: DataFrame, nBits: Int): DataFrame =
     docs
       .withColumn("bs", expr(
-        "IF(length(text) >= 32, transform(sequence(0, 31), b -> named_struct(" +
-          "'i', aggregate(sequence(1, cast(((b + 1) * cast(length(text) as bigint)) div 32 " +
-          "- (b * cast(length(text) as bigint)) div 32 as int)), 0L, " +
-          "(acc, p) -> acc + ascii(substring(text, cast((b * cast(length(text) as bigint)) div 32 + p as int), 1)))," +
-          "'n', ((b + 1) * cast(length(text) as bigint)) div 32 - (b * cast(length(text) as bigint)) div 32)), " +
+        s"IF(length(text) >= $nBits, transform(sequence(0, ${nBits - 1}), b -> named_struct(" +
+          s"'i', aggregate(sequence(1, cast(((b + 1) * cast(length(text) as bigint)) div $nBits " +
+          s"- (b * cast(length(text) as bigint)) div $nBits as int)), 0L, " +
+          s"(acc, p) -> acc + ascii(substring(text, cast((b * cast(length(text) as bigint)) div $nBits + p as int), 1)))," +
+          s"'n', ((b + 1) * cast(length(text) as bigint)) div $nBits - (b * cast(length(text) as bigint)) div $nBits)), " +
           "CAST(NULL AS ARRAY<STRUCT<i: BIGINT, n: BIGINT>>))"))
       .withColumn("m", expr(
         "aggregate(bs, 0L, (acc, x) -> acc + x.i) div cast(length(text) as bigint)"))
       .withColumn("phash", expr(
-        "IF(bs IS NULL, CAST(NULL AS BIGINT), aggregate(transform(sequence(0, 31), b -> " +
+        s"IF(bs IS NULL, CAST(NULL AS BIGINT), aggregate(transform(sequence(0, ${nBits - 1}), b -> " +
           "IF(bs[b].i div bs[b].n > m, shiftleft(1L, b), 0L)), 0L, (acc, x) -> acc + x))"))
       .drop("bs", "m")
 
@@ -96,11 +112,25 @@ object Multimodal {
     * capped to its first `cap` members by doc_id (qd9's
     * WindowGroupLimit prefix + bucket-local pair generation — two
     * shuffles), then candidates verify the exact distance with
-    * bit_count(xor). */
-  private[graft] def phashPairs(ph: DataFrame, cap: Int): DataFrame = {
+    * bit_count(xor).
+    *
+    * `bandBits` is the SATURATION lever ScaleBench's qm4 measurement
+    * exposed: 8-bit bands give only 4 × 256 = 1024 buckets total, so a
+    * corpus past ~1024 × cap hashes makes the member cap bind on
+    * ordinary (non-flood) buckets and recall decays — at sf0.1 × 10
+    * the cap binds at ~122 members/bucket and pair output grows only
+    * 3× for 10× the frames. At production scale, feed a WIDER hash and
+    * band it at 16 bits (4 × 65536 buckets — saturation deferred
+    * 256×): the radius-3 pigeonhole guarantee only needs FOUR bands,
+    * not any particular width. MediaBandWidthSpec pins the trade:
+    * same cap, same corpus size, planted pairs lost under saturated
+    * 8-bit banding and complete under 16-bit. */
+  private[graft] def phashPairs(ph: DataFrame, cap: Int,
+      bandBits: Int = 8): DataFrame = {
     val bands = ph
       .select(col("doc_id"), col("phash"), posexplode(expr(
-        "transform(sequence(0, 3), k -> shiftright(phash, cast(8 * k as int)) & 255L)")))
+        s"transform(sequence(0, 3), k -> shiftright(phash, cast($bandBits * k as int))" +
+          s" & ${(1L << bandBits) - 1}L)")))
       .toDF("doc_id", "phash", "k", "v")
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy("k", "v").orderBy("doc_id")

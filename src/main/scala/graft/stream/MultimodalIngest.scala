@@ -71,7 +71,8 @@ object MultimodalIngest {
             trigger: Trigger = Trigger.ProcessingTime("1 second"),
             tau: Double = 0.95, nProbe: Int = 4,
             compactEvery: Int = 64, requantizeEvery: Int = 0,
-            statsOn: Boolean = false): StreamingQuery = {
+            statsOn: Boolean = false,
+            mediaBandBits: Int = 8): StreamingQuery = {
     // the quantizer's cell count is pinned at [[init]] and preserved by
     // requantize, so read it ONCE per query, not one extra centroids
     // job per cadence tick (memoized lazily — the stream may start
@@ -105,7 +106,7 @@ object MultimodalIngest {
           EmbedIngest.requantize(s, s"$dir/embed",
             nCells = nCellsCached, upTo = id)
         }
-        ingestBatch(batch, dir, id, tau, nProbe)
+        ingestBatch(batch, dir, id, tau, nProbe, mediaBandBits)
         if (statsOn) foldStats(s, dir, id)
       }
       .start()
@@ -147,7 +148,8 @@ object MultimodalIngest {
     * [[IngestDedup.ingestBatch]]: strictly increasing epochs,
     * replay-idempotent; backfill and streaming share this path). */
   def ingestBatch(batch: DataFrame, dir: String, epochId: Long,
-                  tau: Double = 0.95, nProbe: Int = 4): Unit = {
+                  tau: Double = 0.95, nProbe: Int = 4,
+                  mediaBandBits: Int = 8): Unit = {
     val s = batch.sparkSession
     Seq("corpus", "exact_idx", "band_idx")
       .foreach(t => EpochFold.migrateLegacyFlat(s, s"$dir/text/$t"))
@@ -162,7 +164,8 @@ object MultimodalIngest {
     // when the batch carries a media payload column)
     val mediaKeep =
       if (hasMedia)
-        MediaIngest.survivors(textKeep, s"$dir/media", epochId)
+        MediaIngest.survivors(textKeep, s"$dir/media", epochId,
+            bandBits = mediaBandBits)
           .localCheckpoint()
       else textKeep
     // stage 2 — embedding membrane over the earlier survivors; its
@@ -187,7 +190,8 @@ object MultimodalIngest {
       IngestDedup.rejectionLedger(batch, s"$dir/text", epochId, textKeep)
     val mediaLedger =
       if (hasMedia)
-        MediaIngest.rejectionLedger(textKeep, s"$dir/media", epochId, mediaKeep)
+        MediaIngest.rejectionLedger(textKeep, s"$dir/media", epochId, mediaKeep,
+          bandBits = mediaBandBits)
       else textLedger.limit(0)
     val embedLedger = EmbedIngest.rejectionLedger(
         mediaKeep.select(col("doc_id").as("vec_id"), col("embedding")),
@@ -232,7 +236,7 @@ object MultimodalIngest {
     // perceptual index rows for FULLY-admitted docs only, so the media
     // membrane's state keeps the corpus-describing invariant too
     if (hasMedia)
-      MediaIngest.indexRows(keep, "media")
+      MediaIngest.indexRows(keep, "media", mediaBandBits)
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/media/media_idx/epoch=$epochId")
   }
 
