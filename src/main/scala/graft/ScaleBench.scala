@@ -19,10 +19,17 @@ import org.apache.spark.sql.SparkSession
 object ScaleBench {
 
   /** The five heaviest queries by BASELINE.md steady time — the ones
-    * whose 100 TB claims the scaling rungs are meant to test. */
-  private val Queries = Seq(
-    "qc1_curation", "qc2_multimodal_curation", "qd13_cell_neardup",
-    "qd6_dup_clusters", "qm4_video_framedup")
+    * whose 100 TB claims the scaling rungs are meant to test.
+    * `SPARK_GRAFT_SCALE_QUERIES` overrides with any comma-separated
+    * subset of SparkEntry.queries that reads only documents/embeddings
+    * (the tables ScaleGen amplifies) — e.g. the banded/capped text
+    * family: qd2_minhash_lsh,qd8_lsh_capped,qd9_substring_dup,
+    * qd14_simhash_neardup,qt10_token_budget,qt16_chunk_windows. */
+  private val Queries = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    .getOrElse(Seq(
+      "qc1_curation", "qc2_multimodal_curation", "qd13_cell_neardup",
+      "qd6_dup_clusters", "qm4_video_framedup"))
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

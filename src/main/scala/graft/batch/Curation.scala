@@ -445,7 +445,8 @@ object Curation {
        |ORDER BY c.doc_id""".stripMargin
 
   private val sqlDot64 =
-    "(SELECT SUM(CAST(%s[i.i + 1] AS DOUBLE) * CAST(%s[i.i + 1] AS DOUBLE)) FROM range(64) i(i))"
+    "list_sum(list_transform(range(64), i -> CAST(%s[CAST(i AS INT) + 1]" +
+      " AS DOUBLE) * CAST(%s[CAST(i AS INT) + 1] AS DOUBLE)))"
 
   val oracle: Map[String, String] = Map(
     "qc1_curation" ->

@@ -1025,15 +1025,13 @@ object Dedup {
     "qd13_cell_neardup" ->
       s"""WITH nm AS (
          | SELECT vec_id, embedding,
-         |  sqrt((SELECT SUM(CAST(embedding[i.i + 1] AS DOUBLE) * CAST(embedding[i.i + 1] AS DOUBLE))
-         |        FROM range(64) i(i))) AS nrm
+         |  sqrt(list_sum(list_transform(range(64), i -> CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) * CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)))) AS nrm
          | FROM embeddings),
          |cents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM nm
          |          WHERE vec_id % 100 = 7),
          |scored AS (
          | SELECT nm.vec_id, cents.cid,
-         |  round((SELECT SUM(CAST(cents.ce[i.i + 1] AS DOUBLE) * CAST(nm.embedding[i.i + 1] AS DOUBLE))
-         |         FROM range(64) i(i)) / (cents.cn * nm.nrm), 6) AS crcos
+         |  round(list_sum(list_transform(range(64), i -> CAST(cents.ce[CAST(i AS INT) + 1] AS DOUBLE) * CAST(nm.embedding[CAST(i AS INT) + 1] AS DOUBLE))) / (cents.cn * nm.nrm), 6) AS crcos
          | FROM nm, cents),
          |probed AS (
          | SELECT vec_id, cid AS cell FROM scored
@@ -1045,32 +1043,26 @@ object Dedup {
          | SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          | FROM capped a JOIN capped b ON a.cell = b.cell AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b,
-         | round((SELECT SUM(CAST(na.embedding[i.i + 1] AS DOUBLE) * CAST(nb.embedding[i.i + 1] AS DOUBLE))
-         |        FROM range(64) i(i)) / (na.nrm * nb.nrm), 6) AS rcos
+         | round(list_sum(list_transform(range(64), i -> CAST(na.embedding[CAST(i AS INT) + 1] AS DOUBLE) * CAST(nb.embedding[CAST(i AS INT) + 1] AS DOUBLE))) / (na.nrm * nb.nrm), 6) AS rcos
          |FROM pairs JOIN nm na ON id_a = na.vec_id JOIN nm nb ON id_b = nb.vec_id
-         |WHERE round((SELECT SUM(CAST(na.embedding[i.i + 1] AS DOUBLE) * CAST(nb.embedding[i.i + 1] AS DOUBLE))
-         |       FROM range(64) i(i)) / (na.nrm * nb.nrm), 6) >= 0.4
+         |WHERE round(list_sum(list_transform(range(64), i -> CAST(na.embedding[CAST(i AS INT) + 1] AS DOUBLE) * CAST(nb.embedding[CAST(i AS INT) + 1] AS DOUBLE))) / (na.nrm * nb.nrm), 6) >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
     "qd15_cell_recall" ->
       s"""WITH nm AS (
          | SELECT vec_id, embedding,
-         |  sqrt((SELECT SUM(CAST(embedding[i.i + 1] AS DOUBLE) * CAST(embedding[i.i + 1] AS DOUBLE))
-         |        FROM range(64) i(i))) AS nrm
+         |  sqrt(list_sum(list_transform(range(64), i -> CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) * CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)))) AS nrm
          | FROM embeddings),
          |sm AS (SELECT * FROM nm WHERE vec_id % 2 = 1),
          |exact AS (
          | SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
-         |  round((SELECT SUM(CAST(a.embedding[i.i + 1] AS DOUBLE) * CAST(b.embedding[i.i + 1] AS DOUBLE))
-         |         FROM range(64) i(i)) / (a.nrm * b.nrm), 6) AS rcos
+         |  round(list_sum(list_transform(range(64), i -> CAST(a.embedding[CAST(i AS INT) + 1] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT) + 1] AS DOUBLE))) / (a.nrm * b.nrm), 6) AS rcos
          | FROM sm a JOIN sm b ON a.vec_id < b.vec_id
-         | WHERE round((SELECT SUM(CAST(a.embedding[i.i + 1] AS DOUBLE) * CAST(b.embedding[i.i + 1] AS DOUBLE))
-         |        FROM range(64) i(i)) / (a.nrm * b.nrm), 6) >= 0.4),
+         | WHERE round(list_sum(list_transform(range(64), i -> CAST(a.embedding[CAST(i AS INT) + 1] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT) + 1] AS DOUBLE))) / (a.nrm * b.nrm), 6) >= 0.4),
          |cents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM nm
          |          WHERE vec_id % 100 = 7),
          |scored AS (
          | SELECT nm.vec_id, cents.cid,
-         |  round((SELECT SUM(CAST(cents.ce[i.i + 1] AS DOUBLE) * CAST(nm.embedding[i.i + 1] AS DOUBLE))
-         |         FROM range(64) i(i)) / (cents.cn * nm.nrm), 6) AS crcos
+         |  round(list_sum(list_transform(range(64), i -> CAST(cents.ce[CAST(i AS INT) + 1] AS DOUBLE) * CAST(nm.embedding[CAST(i AS INT) + 1] AS DOUBLE))) / (cents.cn * nm.nrm), 6) AS crcos
          | FROM nm, cents),
          |probed AS (
          | SELECT vec_id, cid AS cell FROM scored
@@ -1084,8 +1076,7 @@ object Dedup {
          |creported AS (
          | SELECT c.id_a, c.id_b
          | FROM cpairs c JOIN nm na ON c.id_a = na.vec_id JOIN nm nb ON c.id_b = nb.vec_id
-         | WHERE round((SELECT SUM(CAST(na.embedding[i.i + 1] AS DOUBLE) * CAST(nb.embedding[i.i + 1] AS DOUBLE))
-         |        FROM range(64) i(i)) / (na.nrm * nb.nrm), 6) >= 0.4),
+         | WHERE round(list_sum(list_transform(range(64), i -> CAST(na.embedding[CAST(i AS INT) + 1] AS DOUBLE) * CAST(nb.embedding[CAST(i AS INT) + 1] AS DOUBLE))) / (na.nrm * nb.nrm), 6) >= 0.4),
          |j AS (
          | SELECT CAST(floor(e.rcos * 10) AS BIGINT) AS band,
          |  CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS found
@@ -1098,14 +1089,11 @@ object Dedup {
     "qd5_embedding_neardup" ->
       """WITH nm AS (
         | SELECT vec_id, embedding,
-        |  sqrt((SELECT SUM(CAST(embedding[i.i + 1] AS DOUBLE) * CAST(embedding[i.i + 1] AS DOUBLE))
-        |        FROM range(64) i(i))) AS nrm
+        |  sqrt(list_sum(list_transform(range(64), i -> CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) * CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)))) AS nrm
         | FROM embeddings WHERE vec_id % 2 = 1)
         |SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
-        | round((SELECT SUM(CAST(a.embedding[i.i + 1] AS DOUBLE) * CAST(b.embedding[i.i + 1] AS DOUBLE))
-        |        FROM range(64) i(i)) / (a.nrm * b.nrm), 6) AS rcos
+        | round(list_sum(list_transform(range(64), i -> CAST(a.embedding[CAST(i AS INT) + 1] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT) + 1] AS DOUBLE))) / (a.nrm * b.nrm), 6) AS rcos
         |FROM nm a JOIN nm b ON a.vec_id < b.vec_id
-        |WHERE round((SELECT SUM(CAST(a.embedding[i.i + 1] AS DOUBLE) * CAST(b.embedding[i.i + 1] AS DOUBLE))
-        |       FROM range(64) i(i)) / (a.nrm * b.nrm), 6) >= 0.4
+        |WHERE round(list_sum(list_transform(range(64), i -> CAST(a.embedding[CAST(i AS INT) + 1] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT) + 1] AS DOUBLE))) / (a.nrm * b.nrm), 6) >= 0.4
         |ORDER BY keep_id, dup_id""".stripMargin)
 }

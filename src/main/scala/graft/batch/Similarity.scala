@@ -252,10 +252,14 @@ object Similarity {
     "qs4_ann_multiprobe" -> (qs4_ann_multiprobe _),
     "qs5_ann_recall" -> (qs5_ann_recall _))
 
-  /** SQL fragment: dot product of two 64-dim list columns in double. */
+  /** SQL fragment: dot product of two list columns in double — the
+    * list_transform form, NOT a correlated `(SELECT SUM … FROM range)`
+    * subquery: ~4× faster in DuckDB at identical values (both
+    * accumulate in index order), which is what keeps the heavy
+    * oracles checkable at the ScaleGen rungs. */
   private def sqlDot(a: String, b: String): String =
-    s"""(SELECT SUM(CAST($a[i.i + 1] AS DOUBLE) * CAST($b[i.i + 1] AS DOUBLE))
-       |  FROM range($Dim) i(i))""".stripMargin
+    s"list_sum(list_transform(range($Dim), i -> CAST($a[CAST(i AS INT) + 1]" +
+      s" AS DOUBLE) * CAST($b[CAST(i AS INT) + 1] AS DOUBLE)))"
 
   /** Shared LSH-bucket prologue for the qs2/qs4 oracles (weights →
     * norms → projections → buckets → bucketed corpus `e`) — one
