@@ -391,16 +391,32 @@ object IngestDedup {
       val dupOf = new java.util.HashMap[Long, java.lang.Long](rows.length * 2)
       rows.foreach(r => dupOf.put(r.getLong(0),
         if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1))))
+      // Memoized path compression: each node's terminal is computed
+      // once, so total work is O(rows) no matter how deep the chains
+      // get (a chained-neighbor LSH cluster yields depth ∝ cluster
+      // DIAMETER, not stage count — the same adversarial shape qd6's
+      // large-star/small-star rounds exist for). The hop bound is a
+      // cycle guard only — chains are strictly id-decreasing so a
+      // cycle means corrupted input, not a long chain.
+      val memo = new java.util.HashMap[Long, java.lang.Long](rows.length * 2)
       def terminal(start: java.lang.Long): java.lang.Long = {
         var t = start
         var hops = 0
-        while (t != null && dupOf.containsKey(t.longValue()) &&
+        val path = new java.util.ArrayList[Long]()
+        while (t != null && !memo.containsKey(t.longValue()) &&
+            dupOf.containsKey(t.longValue()) &&
             dupOf.get(t.longValue()) != null) {
+          path.add(t.longValue())
           t = dupOf.get(t.longValue())
           hops += 1
-          require(hops <= 64, "ingest ledger: dup_of chain did not terminate")
+          require(hops <= dupOf.size,
+            "ingest ledger: dup_of chain cycled (corrupted batch frame)")
         }
-        t
+        val term = if (t != null && memo.containsKey(t.longValue()))
+          memo.get(t.longValue()) else t
+        var i = 0
+        while (i < path.size) { memo.put(path.get(i), term); i += 1 }
+        term
       }
       val s = cur0.sparkSession
       import s.implicits._
