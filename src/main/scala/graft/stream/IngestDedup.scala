@@ -383,10 +383,15 @@ object IngestDedup {
     * DAG, so chains are finite and strictly id-decreasing within a
     * batch; each row keeps ITS OWN rejection reason. Batch-bounded
     * ledgers resolve on the driver ([[ChainResolveDriverLimit]]);
-    * larger ones take the pointer-jump join loop. */
-  private[stream] def resolveChains(rej: DataFrame): DataFrame = {
+    * larger ones take the pointer-jump join loop, whose resolved
+    * depth DOUBLES per round so the round cap bounds depth at 2^40
+    * — the loop exits via the convergence check long before that on
+    * any real ledger. `driverLimit` is injectable for tests only. */
+  private[stream] def resolveChains(
+      rej: DataFrame,
+      driverLimit: Long = ChainResolveDriverLimit): DataFrame = {
     val cur0 = rej.localCheckpoint()
-    if (cur0.count() <= ChainResolveDriverLimit) {
+    if (cur0.count() <= driverLimit) {
       val rows = cur0.select(col("doc_id"), col("dup_of"), col("reason")).collect()
       val dupOf = new java.util.HashMap[Long, java.lang.Long](rows.length * 2)
       rows.foreach(r => dupOf.put(r.getLong(0),
@@ -430,7 +435,7 @@ object IngestDedup {
     var cur = cur0
     var done = false
     var rounds = 0
-    while (!done && rounds < 8) {
+    while (!done && rounds < 40) {
       val tgt = cur.select(col("doc_id").as("t_id"), col("dup_of").as("t_dup"))
       val next = cur.join(tgt, cur("dup_of") === tgt("t_id"), "left")
         .select(cur("doc_id"),

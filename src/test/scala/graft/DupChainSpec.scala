@@ -53,6 +53,20 @@ class DupChainSpec extends graft.SparkSpec {
     assert(out(9L) === ((Some(8L), "near_corpus")))
   }
 
+  test("the distributed join loop resolves chains deeper than 256") {
+    // Force the pointer-jump join path (driverLimit = 0) on a chain
+    // deeper than the old 8-round (2^8-depth) bound; resolved depth
+    // doubles per round so ~9 rounds suffice for depth 300.
+    val n = 300
+    val rej = (1 to n)
+      .map(k => (k.toLong, Option((k - 1).toLong), "near_batch"))
+      .toDF("doc_id", "dup_of", "reason")
+    val out = IngestDedup.resolveChains(rej, driverLimit = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.size === n)
+    assert(out.values.forall(_ == 0L), "every chain member resolves to doc 0")
+  }
+
   test("a cycle (corrupted input) fails loudly instead of spinning") {
     val rej = Seq(
       (1L, Some(2L), "near_batch"),
