@@ -448,6 +448,13 @@ object IngestDedup {
       rounds += 1
     }
     require(done, "ingest ledger: dup_of chain resolution did not converge")
+    // Even-length cycles (impossible from the strictly id-decreasing
+    // stage DAG, so corrupted input) don't spin the loop — pointer
+    // jumping collapses them to self-pointing rows in one round and
+    // the convergence check passes. Match the driver path's loudness:
+    // a resolved row must never name itself as its duplicate target.
+    require(cur.filter(col("dup_of") === col("doc_id")).isEmpty,
+      "ingest ledger: dup_of chain cycled (corrupted batch frame)")
     cur
   }
 

@@ -77,4 +77,22 @@ class DupChainSpec extends graft.SparkSpec {
     }
     assert(e.getMessage.contains("cycled"))
   }
+
+  test("the distributed join loop also fails loudly on a cycle") {
+    // An even-length cycle doesn't spin the pointer-jump loop — one
+    // round collapses it to self-pointing rows and convergence
+    // passes — so the loop must assert no row resolves to itself.
+    // driverLimit = 0 forces the distributed path; include a healthy
+    // chain alongside the 2-cycle so the failure is the cycle, not
+    // a degenerate frame.
+    val rej = Seq(
+      (1L, Some(2L), "near_batch"),
+      (2L, Some(1L), "near_batch"),
+      (5L, Some(4L), "exact_batch")
+    ).toDF("doc_id", "dup_of", "reason")
+    val e = intercept[IllegalArgumentException] {
+      IngestDedup.resolveChains(rej, driverLimit = 0L).collect()
+    }
+    assert(e.getMessage.contains("cycled"))
+  }
 }
