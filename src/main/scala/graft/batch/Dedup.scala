@@ -659,31 +659,31 @@ object Dedup {
       .localCheckpoint()
     val cents = emb.filter(pmod(col("vec_id"), lit(100)) === 7)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
-    val probed = emb.crossJoin(broadcast(IvfIndex.centroidArray(cents)))
-      .select(col("vec_id"),
-        explode(transform(
-          IvfIndex.topCells(col("embedding"), col("nrm"), ProbeCells, rounded = true),
-          c => c.getField("cid"))).as("cell"))
-    val capped = probed
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("cell").orderBy("vec_id")))
-      .filter(col("rk") <= CellCap).drop("rk")
-      // narrow (vec_id, cell) rows; without this the self-join
-      // re-derives the whole probe+cap chain — centroid aggregation
-      // included — once per side (PlanAudit showed the duplicated
-      // branch; qd2/qd6's materialize-before-self-join rule)
-      .localCheckpoint()
-    // a pair sharing both probe cells would surface twice → distinct
-    val pairs = capped.as("a").join(capped.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b")).distinct()
+    cellNearDup(emb, cents, tau = 0.4).orderBy("id_a", "id_b")
+  }
+
+  /** The whole cell-bucketed near-dup pass with the QUANTIZER
+    * INJECTED: capped multi-probe candidate generation (the seam
+    * [[Curation.embedCandidatePairs]] shares with qc2) followed by the
+    * exact rounded-cosine verify. `emb` must be `(vec_id, embedding,
+    * nrm)` and MATERIALIZED by the caller — it feeds the probe
+    * assignment and both verify-join sides. [[qd13_cell_neardup]]
+    * passes the fixture's deterministic `vec_id % 100 == 7` centroid
+    * sample (C ∝ N — an oracle device, and the one super-linear probe
+    * term ScaleBench measured); production passes a persisted
+    * [[IvfIndex]] quantizer built at `nCells ∝ √N`, which
+    * [[graft.IvfScaleBench]] measures at the scale rungs and
+    * IvfQuantizerSpec pins equivalent on identical centroid content. */
+  private[graft] def cellNearDup(emb: DataFrame, cents: DataFrame,
+      tau: Double): DataFrame = {
+    val edocs = emb.select(col("vec_id").as("doc_id"), col("embedding"), col("nrm"))
+    val pairs = Curation.embedCandidatePairs(edocs, cents)
     pairs
       .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na")), "id_a")
       .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb")), "id_b")
       .withColumn("rcos", round(Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
-      .filter(col("rcos") >= 0.4)
+      .filter(col("rcos") >= tau)
       .select(col("id_a"), col("id_b"), col("rcos"))
-      .orderBy("id_a", "id_b")
   }
 
   /** qd15: recall audit of the cell-bucketed scale path — quantify what
