@@ -251,23 +251,37 @@ object Curation {
     * corpus (CurationSpec floods one cell to prove it). */
   /** qd13-shaped candidate generation, the seam shared by [[qc2_multimodal_curation]]'s
     * embedding membrane and CurationSpec's one-cell flood: each
-    * (doc_id, embedding, nrm) row probes its [[Dedup.ProbeCells]] nearest centroids
-    * (row-local fold over one broadcast quantizer row), the
-    * [[Dedup.CellCap]] member prefix bounds every cell, and pairs are
-    * generated cell-locally — O(cap²) per cell even when a degenerate
-    * corpus collapses into one cell. `edocs` must be materialized by
-    * the caller (it also feeds the verify-join sides). */
-  private[graft] def embedCandidatePairs(edocs: DataFrame, cents: DataFrame): DataFrame = {
+    * (doc_id, embedding, nrm) row probes its `probes` nearest centroids
+    * (row-local fold over one broadcast quantizer row), the `cap`
+    * member prefix bounds every cell, and pairs are generated
+    * cell-locally — O(cap²) per cell even when a degenerate corpus
+    * collapses into one cell. `edocs` must be materialized by the
+    * caller (it also feeds the verify-join sides).
+    *
+    * The cap prefix is ordered by CONTENT HASH (md5 of the id, id
+    * tie-break), not by raw id: IvfScaleBench's planted-pair audit
+    * showed id-order eviction is catastrophic for a streaming corpus —
+    * once occupancy passes the cap, the HIGHEST ids (the newest
+    * documents) are evicted from every saturated cell and lose dedup
+    * coverage entirely (0/200 planted cos-0.95 pairs found at the 10×
+    * rung). Hash order keeps eviction unbiased — saturation degrades
+    * recall proportionally instead of zeroing it for the newest docs —
+    * and stays exactly reproducible in the DuckDB oracle (same md5,
+    * same hex collation). Callers who must not saturate at all size
+    * the cap from expected occupancy: [[Dedup.occupancyCap]]. */
+  private[graft] def embedCandidatePairs(edocs: DataFrame, cents: DataFrame,
+      cap: Int = Dedup.CellCap, probes: Int = Dedup.ProbeCells): DataFrame = {
     val probed = edocs.crossJoin(broadcast(IvfIndex.centroidArray(cents)))
       .select(col("doc_id"),
         explode(transform(
-          IvfIndex.topCells(col("embedding"), col("nrm"), Dedup.ProbeCells, rounded = true),
+          IvfIndex.topCells(col("embedding"), col("nrm"), probes, rounded = true),
           c => c.getField("cid"))).as("cell"))
     // narrow (doc_id, cell) rows; the self-join reads it twice
     val capped = probed
       .withColumn("rk", row_number().over(
-        Window.partitionBy("cell").orderBy("doc_id")))
-      .filter(col("rk") <= Dedup.CellCap).drop("rk")
+        Window.partitionBy("cell")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .filter(col("rk") <= cap).drop("rk")
       .localCheckpoint()
     // a pair sharing both probe cells would surface twice → distinct
     capped.as("a").join(capped.as("b"),
@@ -503,8 +517,8 @@ object Curation {
            |   ORDER BY crcos DESC, cid) <= ${Dedup.ProbeCells}),
            |ecapped AS (
            | SELECT doc_id, cell FROM eprobed
-           | QUALIFY row_number() OVER (PARTITION BY cell ORDER BY doc_id)
-           |   <= ${Dedup.CellCap}),
+           | QUALIFY row_number() OVER (PARTITION BY cell
+           |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= ${Dedup.CellCap}),
            |epairs AS (
            | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            | FROM ecapped a JOIN ecapped b

@@ -674,10 +674,27 @@ object Dedup {
     * [[IvfIndex]] quantizer built at `nCells ∝ √N`, which
     * [[graft.IvfScaleBench]] measures at the scale rungs and
     * IvfQuantizerSpec pins equivalent on identical centroid content. */
+  /** Flood-guard member cap sized from EXPECTED cell occupancy — the
+    * production sizing rule IvfScaleBench forced: a fixed cap under a
+    * √N-cell quantizer saturates ordinary cells once N·probes/C passes
+    * it (occupancy 5√N grows without bound), and a saturated cap
+    * silently drops documents from dedup coverage. `headroom` × mean
+    * occupancy binds only on genuinely skewed cells (the flood case
+    * the cap exists for) while pair cost stays Σcell² ≈
+    * headroom²·p²·N²/C — the standard N^1.5 IVF-dedup bill at
+    * C ∝ √N. */
+  private[graft] def occupancyCap(nVecs: Long, nCells: Int,
+      probes: Int = ProbeCells, headroom: Int = 4): Int =
+    math.max(CellCap,
+      (headroom.toLong * probes * nVecs / math.max(1, nCells))
+        .min(Int.MaxValue).toInt)
+
   private[graft] def cellNearDup(emb: DataFrame, cents: DataFrame,
-      tau: Double): DataFrame = {
+      tau: Double, cap: Int = CellCap, probes: Int = ProbeCells): DataFrame = {
     val edocs = emb.select(col("vec_id").as("doc_id"), col("embedding"), col("nrm"))
-    val pairs = Curation.embedCandidatePairs(edocs, cents)
+    // CellCap / ProbeCells named in the defaults (not just inside the
+    // seam) so tools/check_caps.py keeps attributing them to qd13/qd15
+    val pairs = Curation.embedCandidatePairs(edocs, cents, cap, probes)
     pairs
       .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na")), "id_a")
       .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb")), "id_b")
@@ -1038,7 +1055,8 @@ object Dedup {
          | QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY crcos DESC, cid) <= $ProbeCells),
          |capped AS (
          | SELECT vec_id, cell FROM probed
-         | QUALIFY row_number() OVER (PARTITION BY cell ORDER BY vec_id) <= $CellCap),
+         | QUALIFY row_number() OVER (PARTITION BY cell
+         |   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= $CellCap),
          |pairs AS (
          | SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          | FROM capped a JOIN capped b ON a.cell = b.cell AND a.vec_id < b.vec_id)
@@ -1069,7 +1087,8 @@ object Dedup {
          | QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY crcos DESC, cid) <= $ProbeCells),
          |capped AS (
          | SELECT vec_id, cell FROM probed
-         | QUALIFY row_number() OVER (PARTITION BY cell ORDER BY vec_id) <= $CellCap),
+         | QUALIFY row_number() OVER (PARTITION BY cell
+         |   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= $CellCap),
          |cpairs AS (
          | SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          | FROM capped a JOIN capped b ON a.cell = b.cell AND a.vec_id < b.vec_id),
