@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.batch.Multimodal
+
+/** The band-width rung evidence VERDICT r9 asked for: run the
+  * perceptual-dedup family on [[ScaleGen]]'s isomorphic rungs at BOTH
+  * band widths and measure what saturation costs —
+  *
+  *   - `narrow`: qm3/qm4 exactly as the oracle runs them — 32-bit
+  *     pHash, 8-bit bands, 4 × 256 = 1024 buckets total. Past
+  *     ~1024 × cap hashes the member-cap prefix binds on ORDINARY
+  *     buckets (not just floods) and recall decays silently — the
+  *     10× rung is where ScaleBench caught qm4's output growing only
+  *     3× for 10× the frames.
+  *   - `wide`: the production pin [[Multimodal.videoFrameDupWide]] —
+  *     64-byte frame windows hashed at 64 bits, banded at 16
+  *     (4 × 65536 buckets; saturation deferred 256×), same cap, same
+  *     radius-3 pigeonhole.
+  *
+  * Completeness is measured the MediaBandWidthSpec way, at rung scale:
+  * [[plant]] injects deterministic Hamming ≤ 3 twins for ~200 spread
+  * frame hashes into each width's REAL rung hash corpus, and the
+  * bench reports how many planted pairs each width's capped band join
+  * recovers. The planted set rides ids above the corpus range, which
+  * makes the loss mechanism visible: the cap's doc_id-ordered prefix
+  * evicts the HIGHEST ids from saturated buckets first, exactly what
+  * late-arriving documents experience in a streaming corpus.
+  *
+  * One JSON line per the Bench contract; BASELINE.md records the run.
+  */
+object MediaScaleBench {
+
+  /** Deterministic Hamming ≤ 3 twins for ~`target` spread hashes:
+    * twin id = id + `offset`, twin hash = hash ⊕ (up to 3 bit flips
+    * drawn from `hash(id, k)` — seed-free, rerun-stable). Flip
+    * positions may collide, so planted distance is ≤ 3, inside the
+    * verify radius either way. */
+  private def plant(ph: DataFrame, bits: Int, offset: Long,
+      baseMod: Long): DataFrame = {
+    def flip(k: Int) =
+      expr(s"shiftleft(1L, cast(pmod(hash(doc_id, $k), $bits) as int))")
+    ph.filter(pmod(col("doc_id"), lit(baseMod)) === 3)
+      .select((col("doc_id") + lit(offset)).as("doc_id"),
+        col("phash").bitwiseXOR(flip(1).bitwiseOR(flip(2)).bitwiseOR(flip(3)))
+          .as("phash"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outRoot = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale")
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,3,10")
+      .split(",").map(_.trim.toInt).toSeq.sorted
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime()
+      val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    val rungs = scales.map { n =>
+      val dir = s"$outRoot/x$n"
+      ScaleGen.amplify(spark, srcDir, dir, n)
+      val docs = Tables.spread(Tables.documents(spark, dir)).localCheckpoint()
+
+      def timedRows(df: => DataFrame): (Long, Double, Double) = {
+        var rows = -1L
+        val ts = (1 to math.max(1, reps)).map { _ =>
+          time { rows = df.queryExecution.toRdd.count() }._1
+        }
+        (rows, ts.head, ts.min)
+      }
+      val nw = timedRows(Multimodal.videoFrameDup(docs))
+      val wd = timedRows(Multimodal.videoFrameDupWide(docs))
+
+      // planted completeness over each width's real frame-hash corpus
+      def plantedRecall(ph0: DataFrame, bits: Int, bandBits: Int): (Long, Long) = {
+        val ph = ph0.localCheckpoint()
+        val maxId = ph.agg(max(col("doc_id"))).head.getLong(0)
+        val offset = (maxId / 100 + 1) * 100
+        val nHashes = ph.count()
+        val twins = plant(ph, bits, offset, math.max(1L, nHashes / 200))
+          .localCheckpoint()
+        val nPlanted = twins.count()
+        val found = Multimodal.phashPairs(ph.unionByName(twins),
+            Multimodal.PhashBandCap, bandBits)
+          .filter(col("id_b") === col("id_a") + lit(offset) &&
+            col("id_b") >= lit(offset))
+          .count()
+        (nPlanted, found)
+      }
+      val (p8, f8) = plantedRecall(
+        Multimodal.phash32(Multimodal.sampledFrames(docs, 32)), 32, 8)
+      val (p16, f16) = plantedRecall(
+        Multimodal.phashWide(Multimodal.sampledFrames(docs, 64), 64), 64, 16)
+
+      def armJson(a: (Long, Double, Double), p: Long, f: Long): String =
+        s"""{"rows":${a._1},"cold":${d3(a._2)},"steady":${d3(a._3)},""" +
+          s""""planted":$p,"planted_found":$f}"""
+
+      (n, s""""x$n":{"narrow":${armJson(nw, p8, f8)},""" +
+        s""""wide":${armJson(wd, p16, f16)}}""", nw._3, wd._3, nw._1, wd._1)
+    }
+
+    val lo = scales.head.toDouble
+    val hi = scales.last.toDouble
+    def expOf(f: ((Int, String, Double, Double, Long, Long)) => Double): Double =
+      math.log(f(rungs.last) / f(rungs.head)) / math.log(hi / lo)
+
+    println(s"""{"metric":"media_band_exponent","value":${d3(expOf(_._4))},"unit":"exponent","narrow_exponent":${d3(expOf(_._3))},"narrow_rows_exponent":${d3(
+      expOf(_._5.toDouble))},"wide_rows_exponent":${d3(expOf(_._6.toDouble))},"scales":"${scales.mkString(",")}","src":"$srcDir","rungs":{${rungs.map(_._2).mkString(",")}}}""")
+    spark.stop()
+  }
+}

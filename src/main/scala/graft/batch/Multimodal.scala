@@ -173,31 +173,62 @@ object Multimodal {
   def qm4_video_framedup(s: SparkSession, d: String): DataFrame =
     videoFrameDup(Tables.spread(Tables.documents(s, d)))
 
-  /** The frame-dedup core over any `(doc_id, text)` frame — separated
-    * so MediaPipelineSpec can drive byte-identical synthetic videos
-    * (the parquet fixtures hold no exact-dup payloads). */
-  private[graft] def videoFrameDup(docs: DataFrame): DataFrame = {
-    val frames = docs
+  /** qm2's sampled-frame schedule sliced into `frameLen`-byte stub
+    * payloads under collision-free synthetic frame ids — the input to
+    * both band-width regimes of the frame dedup. */
+  private[graft] def sampledFrames(docs: DataFrame, frameLen: Int): DataFrame =
+    docs
       .withColumn("nb", length(col("text")).cast("long"))
       .withColumn("n_frames", (pmod(col("nb"), lit(7)) + 1).cast("long"))
       .withColumn("frame", explode(sequence(lit(0L), col("n_frames") - 1, lit(2L))))
-      .filter(col("nb") >= col("frame") * 8 + 32)
+      .filter(col("nb") >= col("frame") * 8 + frameLen)
       .select((col("doc_id") * 64 + col("frame")).as("doc_id"),
-        expr("substring(text, cast(1 + frame * 8 as int), 32)").as("text"))
-    phashPairs(phash32(frames), PhashBandCap)
+        expr(s"substring(text, cast(1 + frame * 8 as int), $frameLen)").as("text"))
+
+  /** Per-video-pair rollup of frame-level pair hits. */
+  private def videoRollup(pairs: DataFrame): DataFrame =
+    pairs
       .withColumn("vid_a", expr("id_a div 64"))
       .withColumn("vid_b", expr("id_b div 64"))
       .filter(col("vid_a") < col("vid_b"))
       .groupBy(col("vid_a"), col("vid_b"))
       .agg(count(lit(1)).as("n_frame_pairs"), min(col("hamming")).as("min_hamming"))
       .orderBy("vid_a", "vid_b")
-  }
+
+  /** The frame-dedup core over any `(doc_id, text)` frame — separated
+    * so MediaPipelineSpec can drive byte-identical synthetic videos
+    * (the parquet fixtures hold no exact-dup payloads). */
+  private[graft] def videoFrameDup(docs: DataFrame): DataFrame =
+    videoRollup(phashPairs(phash32(sampledFrames(docs, 32)), PhashBandCap))
+
+  /** The frame dedup at PRODUCTION band width — 64-byte frame windows
+    * hashed at 64 bits and banded at 16 (4 × 65536 buckets): the
+    * saturation lever [[phashPairs]]' scaladoc prescribes once the
+    * corpus passes ~1024 × cap hashes, which ScaleBench's 10× rung
+    * measurement hit (cap binding at ~122 members/bucket, pair output
+    * growing only 3× for 10× the frames). Same radius-3 pigeonhole,
+    * same cap, same rollup; [[graft.MediaScaleBench]] measures both
+    * widths side by side at the scale rungs with planted pairs. */
+  private[graft] def videoFrameDupWide(docs: DataFrame): DataFrame =
+    videoRollup(phashPairs(phashWide(sampledFrames(docs, 64), 64),
+      PhashBandCap, bandBits = 16))
+
+  /** qm5: [[qm4_video_framedup]] at the production band width —
+    * oracle-checked so the 16-bit regime is a first-class, hash-pinned
+    * query rather than a bench-only lever. Same sampled-frame
+    * schedule, 64-byte windows, 64-bit average-hash, 4 × 16-bit bands
+    * (65536 buckets each — saturation deferred 256× past qm3/qm4's
+    * 8-bit regime, the decay [[graft.MediaScaleBench]] measures at the
+    * rungs), same [[PhashBandCap]], same radius-3 pigeonhole. */
+  def qm5_framedup_wide(s: SparkSession, d: String): DataFrame =
+    videoFrameDupWide(Tables.spread(Tables.documents(s, d)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qm1_multimodal" -> (qm1_multimodal _),
     "qm2_frame_sample" -> (qm2_frame_sample _),
     "qm3_phash_neardup" -> (qm3_phash_neardup _),
-    "qm4_video_framedup" -> (qm4_video_framedup _))
+    "qm4_video_framedup" -> (qm4_video_framedup _),
+    "qm5_framedup_wide" -> (qm5_framedup_wide _))
 
   val oracle: Map[String, String] = Map(
     "qm1_multimodal" ->
@@ -281,6 +312,54 @@ object Multimodal {
          | FROM inten i JOIN tot t ON i.doc_id = t.doc_id GROUP BY 1),
          |bands AS (
          | SELECT doc_id, phash, k.k AS k, (phash >> CAST(8 * k.k AS INT)) & 255 AS v
+         | FROM ph, range(4) k(k)),
+         |pruned AS (
+         | SELECT * FROM bands
+         | QUALIFY row_number() OVER (PARTITION BY k, v ORDER BY doc_id) <= $PhashBandCap),
+         |cand AS (
+         | SELECT DISTINCT a.doc_id AS id_a, a.phash AS ph_a, b.doc_id AS id_b, b.phash AS ph_b
+         | FROM pruned a JOIN pruned b ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id)
+         |SELECT id_a // 64 AS vid_a, id_b // 64 AS vid_b,
+         | COUNT(*) AS n_frame_pairs,
+         | CAST(MIN(bit_count(xor(ph_a, ph_b))) AS BIGINT) AS min_hamming
+         |FROM cand
+         |WHERE bit_count(xor(ph_a, ph_b)) <= 3 AND id_a // 64 <> id_b // 64
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // qm5 = qm4's chain at production width: 64-byte frame windows,
+    // 64-bit hash (bit 63 is BIGINT's sign bit — DuckDB refuses
+    // 1 << 63 as an overflow, so it rides the MIN_BIGINT literal; the
+    // arithmetic >> matches Spark's shiftright under the band mask),
+    // 16-bit bands
+    "qm5_framedup_wide" ->
+      s"""WITH v AS (
+         | SELECT doc_id, text,
+         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nb,
+         |  CAST(octet_length(CAST(text AS BLOB)) % 7 + 1 AS BIGINT) AS n_frames
+         | FROM documents),
+         |d AS (
+         | SELECT doc_id * 64 + f AS doc_id,
+         |  substr(text, CAST(1 + f * 8 AS INT), 64) AS text, 64::BIGINT AS L
+         | FROM (SELECT doc_id, text, nb, unnest(range(0, n_frames, 2)) AS f FROM v)
+         | WHERE nb >= f * 8 + 64),
+         |blocks AS (
+         | SELECT doc_id, text, L, b.b AS b,
+         |  (b.b * L) // 64 AS off, ((b.b + 1) * L) // 64 - (b.b * L) // 64 AS n
+         | FROM d, range(64) b(b)),
+         |inten AS (
+         | SELECT doc_id, L, b, n,
+         |  list_sum(list_transform(range(1, CAST(n + 1 AS INT)),
+         |    p -> ord(substr(text, CAST(off + p AS INT), 1)))) AS i
+         | FROM blocks),
+         |tot AS (SELECT doc_id, SUM(i) // MAX(L) AS m FROM inten GROUP BY 1),
+         |ph AS (
+         | SELECT i.doc_id,
+         |  CAST(SUM(CASE WHEN i.i // i.n > t.m
+         |   THEN CASE WHEN i.b = 63 THEN (-9223372036854775808)::BIGINT
+         |        ELSE 1::BIGINT << i.b END
+         |   ELSE 0::BIGINT END) AS BIGINT) AS phash
+         | FROM inten i JOIN tot t ON i.doc_id = t.doc_id GROUP BY 1),
+         |bands AS (
+         | SELECT doc_id, phash, k.k AS k, (phash >> CAST(16 * k.k AS INT)) & 65535 AS v
          | FROM ph, range(4) k(k)),
          |pruned AS (
          | SELECT * FROM bands
