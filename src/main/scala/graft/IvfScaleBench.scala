@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.batch.{Dedup, IvfIndex}
+import graft.functions.GraftFunctions
+
+/** The √N-quantizer scaling measurement VERDICT r9 asked for: run the
+  * cell-bucketed near-dup ([[Dedup.cellNearDup]], qd13/qc2's shared
+  * machinery) on [[ScaleGen]]'s isomorphic rungs under BOTH quantizer
+  * regimes and report cost AND recall side by side —
+  *
+  *   - `fix`: qd13's in-query `vec_id % 100` centroid sample. C ∝ N,
+  *     so the probe stage scores N×C = O(N²/100) — the super-linear
+  *     term ScaleBench measured behind qd13's 0.94 exponent — and cell
+  *     occupancy stays pinned at ~500 (N·p/C with C = N/100), which is
+  *     why the [[Dedup.CellCap]] never binds on the fixture.
+  *   - `ivf`: a persisted [[IvfIndex]] built fresh per rung at
+  *     `nCells = ⌈√N⌉` — the production regime the IvfIndex scaladoc
+  *     prescribes. Probe scoring drops to O(N^1.5).
+  *
+  * Recall is audited per rung per arm at TWO thresholds, because they
+  * scale differently and conflating them is how a dedup silently rots:
+  *
+  *   - **Weak pairs** (the fixture's τ = 0.4 band): the fixture
+  *     embeddings are random 64-dim vectors, so ~98% of τ ≥ 0.4 pairs
+  *     sit in band 4 — barely-correlated background pairs whose COUNT
+  *     itself grows ~N² under replication (cross-replica pairs arrive
+  *     at the corpus's own density; ScaleGen's scaladoc calls this
+  *     out). Finding them is a range search at low similarity — pair
+  *     output is Ω(N²·density), so NO sublinear index holds weak-band
+  *     recall as N grows; what degrades is candidate coverage, and the
+  *     audit quantifies exactly how much, for both quantizers. The
+  *     exact ground truth rides a BOUNDED sample (`vec_id % (2·scale)
+  *     == 1`, ~1000 vectors at every rung — qd5's odd-id rule at
+  *     scale 1), so the audit costs sample², never corpus².
+  *   - **Dup-grade pairs** (cos ≈ 0.95): the pairs an actual dedup
+  *     exists to catch, absent from the random fixture, so the bench
+  *     PLANTS them — [[plantTwins]] adds a deterministic ±ε/√d
+  *     perturbation twin for ~200 spread bases per rung (cos(v, twin)
+  *     ≈ 1/√(1+ε²) ≈ 0.949, band 9) and the audit reports the
+  *     fraction of planted pairs each arm's candidate generation
+  *     recovers. THIS is the recall that must hold at 100 TB, and it
+  *     holds at constant probe width because a cos-0.95 pair lands in
+  *     the same top cells with near certainty at any cell count.
+  *
+  * Both arms run in the SAME JVM on the SAME rung data with reps, so
+  * slot noise cancels out of the comparison; build time is reported
+  * separately (at 100 TB the index amortizes over many passes — the
+  * point of persisting it). One JSON line per the Bench contract;
+  * BASELINE.md records the run and the per-rung diagnosis.
+  */
+object IvfScaleBench {
+
+  private val Dim = 64
+  /** Perturbation scale: cos ≈ 1/√(1+ε²) ≈ 0.9487 at ε = 1/3. */
+  private val Eps = 1.0 / 3.0
+
+  private def withNrm(df: DataFrame): DataFrame =
+    df.withColumn("nrm",
+      sqrt(GraftFunctions.vec_dot(col("embedding"), col("embedding"))))
+
+  /** Exact rcos ≥ tau all-pairs over the bounded sample — qd5's
+    * computation with the sample modulus a parameter; planted twins
+    * (ids ≥ `idCeil`) excluded so the weak-band truth is fixture-only. */
+  private def exactPairs(emb: DataFrame, m: Int, tau: Double,
+      idCeil: Long): DataFrame = {
+    val nm = emb.filter(pmod(col("vec_id"), lit(m)) === 1 && col("vec_id") < idCeil)
+    val a = nm.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = nm.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("rcos", round(
+        GraftFunctions.vec_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .filter(col("rcos") >= tau)
+      .select(col("id_a"), col("id_b"), col("rcos"))
+  }
+
+  /** Deterministic dup-grade twins: for each base (spread by modulus,
+    * ~200 per rung) emit a copy at `plantOffset + vec_id` whose every
+    * coordinate is nudged by ±ε·‖v‖/√d, the sign drawn from
+    * `hash(vec_id, j)` parity — seed-free, so reruns plant the same
+    * twins. Planted pair cosine concentrates at 1/√(1+ε²). */
+  private def plantTwins(emb: DataFrame, baseMod: Long,
+      plantOffset: Long): DataFrame = {
+    val bases = emb.filter(pmod(col("vec_id"), lit(baseMod)) === 3)
+    bases.select(
+      (col("vec_id") + lit(plantOffset)).as("vec_id"),
+      array((0 until Dim).map { j =>
+        (element_at(col("embedding"), j + 1) +
+          (pmod(hash(col("vec_id"), lit(j)), lit(2)) * 2 - 1).cast("float") *
+            lit(Eps.toFloat) * (col("nrm") / lit(math.sqrt(Dim.toDouble))).cast("float"))
+          .cast("float")
+      }: _*).as("embedding"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outRoot = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale")
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,3,10")
+      .split(",").map(_.trim.toInt).toSeq.sorted
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val tau = 0.4
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime()
+      val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    val rungs = scales.map { n =>
+      val dir = s"$outRoot/x$n"
+      ScaleGen.amplify(spark, srcDir, dir, n)
+
+      val embRaw = withNrm(
+        Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+      val nVecs = embRaw.count()
+      val maxId = embRaw.agg(max(col("vec_id"))).head.getLong(0)
+      val plantOffset = (maxId / 100 + 1) * 100
+      val baseMod = math.max(1L, nVecs / 200)
+      val twins = withNrm(plantTwins(embRaw, baseMod, plantOffset))
+      val plantedPairs = twins.select(
+        (col("vec_id") - lit(plantOffset)).as("p_a"), col("vec_id").as("p_b"))
+        .localCheckpoint()
+      val nPlanted = plantedPairs.count()
+      // the corpus both arms dedup: fixture + its planted twins; feeds
+      // probe assignment and both verify-join sides (qd2's rule)
+      val emb = embRaw.unionByName(twins).localCheckpoint()
+
+      val nCells = math.ceil(math.sqrt(nVecs.toDouble)).toInt
+      val idxDir = s"$dir/ivf_sqrtn"
+      // index built BEFORE the twins arrive — the realistic order
+      // (quantizer persisted, queries keep coming); centroids are a
+      // deterministic md5 sample so the build is rerun-stable
+      val (tBuild, _) = time {
+        IvfIndex.build(Tables.embeddings(spark, dir), idxDir, nCells)
+      }
+      val ivfCents = spark.read.parquet(s"$idxDir/centroids").localCheckpoint()
+      val fixCents = embRaw.filter(pmod(col("vec_id"), lit(100)) === 7)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+        .localCheckpoint()
+
+      val exact = exactPairs(embRaw, 2 * n, tau, plantOffset).localCheckpoint()
+
+      def arm(cents: DataFrame, cap: Int): (Long, Double, Double, Long, Long, Long, Long) = {
+        var rows = -1L
+        val ts = (1 to math.max(1, reps)).map { _ =>
+          time { rows = Dedup.cellNearDup(emb, cents, tau, cap)
+            .queryExecution.toRdd.count() }._1
+        }
+        val found = Dedup.cellNearDup(emb, cents, tau, cap)
+          .select(col("id_a").as("f_a"), col("id_b").as("f_b"))
+          .localCheckpoint()
+        val weak = exact
+          .join(found, col("id_a") === col("f_a") && col("id_b") === col("f_b"), "left")
+          .select(floor(col("rcos") * 10).as("band"),
+            when(col("f_a").isNotNull, 1L).otherwise(0L).as("hit"))
+          .filter(col("band") === 4)
+          .agg(count(lit(1)).as("n"), sum(col("hit")).as("f"))
+          .head
+        val planted = plantedPairs
+          .join(found, col("p_a") === col("f_a") && col("p_b") === col("f_b"),
+            "left_semi").count()
+        (rows, ts.head, ts.min, weak.getLong(0), weak.getLong(1), nPlanted, planted)
+      }
+      // ivf arm = the PRODUCTION configuration: √N cells with the
+      // flood-guard cap sized from expected occupancy (the fixed
+      // CellCap saturates ordinary cells once occupancy 5·√N passes it
+      // — the r10 run measured 0/200 planted pairs at the 10× rung).
+      // fixture arm = the oracle path exactly as qd13 runs it.
+      val ivfCap = Dedup.occupancyCap(nVecs, nCells)
+      val ivf = arm(ivfCents, ivfCap)
+      val fix = arm(fixCents, Dedup.CellCap)
+
+      def armJson(a: (Long, Double, Double, Long, Long, Long, Long)): String =
+        s"""{"rows":${a._1},"cold":${d3(a._2)},"steady":${d3(a._3)},""" +
+          s""""b4_exact":${a._4},"b4_found":${a._5},""" +
+          s""""planted":${a._6},"planted_found":${a._7}}"""
+
+      (n, s""""x$n":{"n_vecs":$nVecs,"n_cells":$nCells,"ivf_cap":$ivfCap,"build":${d3(tBuild)},""" +
+        s""""ivf":${armJson(ivf)},"fix":${armJson(fix)}}""",
+        ivf._3, fix._3)
+    }
+
+    val lo = scales.head.toDouble
+    val hi = scales.last.toDouble
+    def expOf(f: ((Int, String, Double, Double)) => Double): Double =
+      math.log(f(rungs.last) / f(rungs.head)) / math.log(hi / lo)
+    val ivfExp = expOf(_._3)
+    val fixExp = expOf(_._4)
+
+    println(s"""{"metric":"ivf_dedup_exponent","value":${d3(ivfExp)},"unit":"exponent","fixture_exponent":${d3(fixExp)},"scales":"${scales.mkString(",")}","src":"$srcDir","rungs":{${rungs.map(_._2).mkString(",")}}}""")
+    spark.stop()
+  }
+}
