@@ -9,12 +9,23 @@ import graft.model._
 /** The production state machine on Spark 4's `transformWithState`
   * (arbitrary stateful processing v2) — the exact [[StateMachine.Core]]
   * transition, hosted behind the modern API: typed `ValueState` for the
-  * active record and an explicit per-key processing-time timer for the
-  * ST4 silence close (Prensas.py:663-685). One live timer per key: each
-  * successful update replaces the pending timer, so the close fires
-  * `timeoutMs` after the LAST update, once, and clears state — the same
+  * active record and an explicit per-key timer for the ST4 silence
+  * close (Prensas.py:663-685). One live timer per key: each successful
+  * update replaces the pending timer, so the close fires `timeoutMs`
+  * after the LAST update, once, and clears state — the same
   * edge-trigger the flatMapGroupsWithState adapter gets from
   * `setTimeoutDuration`/`hasTimedOut`.
+  *
+  * BOTH silence clocks ride the same processor — the host's `TimeMode`
+  * (captured at `init`) picks the deadline arithmetic, mirroring the
+  * `process`/`processEventTime` adapter pair on the legacy API:
+  *   - `ProcessingTime`: deadline = executor now + timeoutMs;
+  *   - `EventTime`: deadline = lastTs + timeoutMs, floored just above
+  *     the current watermark (a deadline the watermark already passed
+  *     must fire at the next opportunity, not sit forever below it) —
+  *     replay/backfill-deterministic, and stamped in stream time by
+  *     [[StateMachine.Core.closeRow]] exactly like the
+  *     `withDimTablesEventTime` host.
   *
   * transformWithState requires the RocksDB state store provider, which
   * is also the 100 TB configuration (off-heap keyed state, changelog
@@ -25,10 +36,13 @@ class ProductionStatefulProcessor(timeoutMs: Long)
 
   private val core = new StateMachine.Core(timeoutMs)
   @transient private var state: ValueState[ActiveRecord] = _
+  @transient private var eventTime: Boolean = false
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    eventTime = timeMode == TimeMode.EventTime()
     state = getHandle.getValueState[ActiveRecord]("active",
       Encoders.product[ActiveRecord], TTLConfig.NONE)
+  }
 
   override def handleInputRows(key: (String, String), rows: Iterator[ObsEnriched],
       timerValues: TimerValues): Iterator[ActionRow] = {
@@ -39,7 +53,11 @@ class ProductionStatefulProcessor(timeoutMs: Long)
       if (timeoutMs > 0) {
         // single silence timer per key: replace, don't accumulate
         getHandle.listTimers().foreach(getHandle.deleteTimer)
-        getHandle.registerTimer(timerValues.getCurrentProcessingTimeInMs() + timeoutMs)
+        val deadline =
+          if (eventTime)
+            math.max(ar.lastTsMs + timeoutMs, timerValues.getCurrentWatermarkInMs() + 1)
+          else timerValues.getCurrentProcessingTimeInMs() + timeoutMs
+        getHandle.registerTimer(deadline)
       }
     }
     out.iterator

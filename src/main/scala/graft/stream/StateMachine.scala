@@ -144,6 +144,29 @@ object StateMachine {
         OutputMode.Append())
   }
 
+  /** [[withDimTablesEventTime]] on `transformWithState`: the same
+    * event-time silence semantics — watermark-driven close stamped
+    * lastTs + timeoutMs, late rows dropped by the engine — hosted in a
+    * [[ProductionStatefulProcessor]] under `TimeMode.EventTime()`,
+    * where the per-key timer carries the deadline the legacy host
+    * derives from `setTimeoutTimestamp`. EventTimeTwsSpec pins the two
+    * event-time hosts action-for-action, late-row drop included. */
+  def withDimTablesEventTimeTws(obs: Dataset[PartObservation],
+      parts: org.apache.spark.sql.DataFrame,
+      multipliers: org.apache.spark.sql.DataFrame,
+      records: org.apache.spark.sql.DataFrame,
+      timeoutMs: Long = 30000L,
+      maxLateness: String = "10 seconds"): Dataset[ActionRow] = {
+    val s = obs.sparkSession
+    import s.implicits._
+    enrichWithDims(obs, parts, multipliers, records)
+      .withWatermark("ts", maxLateness)
+      .groupByKey(o => (o.station, o.parte))
+      .transformWithState(new ProductionStatefulProcessor(timeoutMs),
+        if (timeoutMs > 0) TimeMode.EventTime() else TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** [[withDimTables]] with ST4's silence measured in EVENT time
     * (SURVEY §2.10): the same [[Core]] transition hosted under
     * `EventTimeTimeout` + `withWatermark`, so the silence clock is the
