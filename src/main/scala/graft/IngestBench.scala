@@ -131,6 +131,15 @@ object IngestBench {
       // (per-epoch MG + HLL + totals over each batch's ADMITTED docs)
       // so the bench records what live corpus observability costs
       val statsOn = sys.env.get("GRAFT_INGEST_STATS").contains("1")
+      // GRAFT_INGEST_COMPACT=N folds every store's accumulated epoch
+      // partitions every N epochs — the production cadence `start()`
+      // wires (compactEvery = 64 there), so a long bench run measures
+      // ingest WITH the accretion countermeasure on, not the
+      // ever-growing epoch-dir listing the 200k-doc r9 run showed
+      // degrading throughput. 0 = off (the r9 configuration).
+      val compactEvery = sys.env.getOrElse("GRAFT_INGEST_COMPACT", "0").toInt
+      var compactSecs = 0.0
+      var compactions = 0
       var tickSecs = 0.0
       var ticks = 0
       var lastTick = -1
@@ -138,6 +147,12 @@ object IngestBench {
       val batchSecs = Array.ofDim[Double](nBatches)
       val t0 = System.nanoTime()
       (0 until nBatches).foreach { b =>
+        if (compactEvery > 0 && b > 0 && b % compactEvery == 0) {
+          val tc = System.nanoTime()
+          stream.MultimodalIngest.compact(spark, mmDir, upTo = b)
+          compactSecs += (System.nanoTime() - tc) / 1e9
+          compactions += 1
+        }
         if (requantEvery > 0 && b > 0 && b % requantEvery == 0) {
           val tt = System.nanoTime()
           stream.MultimodalIngest.requantize(spark, mmDir, nCells = 8, upTo = b)
@@ -204,7 +219,18 @@ object IngestBench {
         val topTok = mg.limit(1).collect().headOption.map(_.getString(0)).getOrElse("")
         s""","stats_secs":${jd(statsSecs, 1)},"stats_docs":${t.getAs[Long]("n_docs")},"stats_est_distinct":${t.getAs[Long]("est_distinct_content")},"stats_top_tok":${jq(topTok)}"""
       }
-      println(s"""{"metric":"multimodal_ingest_docs_per_sec","value":${jd(nDocs / secs, 1)},"docs":$nDocs,"batches":$nBatches,"kept":$kept,"expected_kept":$expectedKept,"media":${if (withMedia) 1 else 0},"media_rejected":$nMediaRej,"secs":${jd(secs, 1)},"cluster_secs":${jd(clSecs, 1)},"n_clusters":${cl.values.map(_._1).sum},"requant_every":$requantEvery,"requant_ticks":$ticks,"requant_secs_per_tick":${jd(if (ticks == 0) 0.0 else tickSecs / ticks, 2)},"post_requant_docs_per_sec":${jd(postRate, 1)}$statsJson}""")
+      // flat-cost evidence: per-quartile ingest rate over the batch
+      // sequence (compaction/requant/stats ticks excluded — batchSecs
+      // times only ingestBatch) — a healthy cadence keeps Q4 within
+      // noise of Q1 instead of the monotone accretion slide
+      val quartileRates = (0 until 4).map { qi =>
+        val loB = nBatches * qi / 4
+        val hiB = if (qi == 3) nBatches else nBatches * (qi + 1) / 4
+        val qSecs = (loB until hiB).map(batchSecs).sum
+        val qDocs = (if (qi == 3) nDocs else hiB * batchSize) - loB * batchSize
+        if (qSecs == 0) 0.0 else qDocs / qSecs
+      }
+      println(s"""{"metric":"multimodal_ingest_docs_per_sec","value":${jd(nDocs / secs, 1)},"docs":$nDocs,"batches":$nBatches,"kept":$kept,"expected_kept":$expectedKept,"media":${if (withMedia) 1 else 0},"media_rejected":$nMediaRej,"secs":${jd(secs, 1)},"cluster_secs":${jd(clSecs, 1)},"n_clusters":${cl.values.map(_._1).sum},"q_docs_per_sec":[${quartileRates.map(jd(_, 1)).mkString(",")}],"compact_every":$compactEvery,"compactions":$compactions,"compact_secs_per_tick":${jd(if (compactions == 0) 0.0 else compactSecs / compactions, 2)},"requant_every":$requantEvery,"requant_ticks":$ticks,"requant_secs_per_tick":${jd(if (ticks == 0) 0.0 else tickSecs / ticks, 2)},"post_requant_docs_per_sec":${jd(postRate, 1)}$statsJson}""")
     } else if (mode == "regimes") {
       // force each probe regime over the identical workload; the limits
       // are read per batch, so setting them before a run is enough
