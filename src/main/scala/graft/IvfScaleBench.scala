@@ -101,6 +101,8 @@ object IvfScaleBench {
       .split(",").map(_.trim.toInt).toSeq.sorted
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val armNames = sys.env.getOrElse("SPARK_GRAFT_IVF_ARMS", "ivf,fix,dup")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val tau = 0.4
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -152,13 +154,14 @@ object IvfScaleBench {
 
       val exact = exactPairs(embRaw, 2 * n, tau, plantOffset).localCheckpoint()
 
-      def arm(cents: DataFrame, cap: Int): (Long, Double, Double, Long, Long, Long, Long) = {
+      def arm(cents: DataFrame, cap: Int, armTau: Double,
+          probes: Int): (Long, Double, Double, Long, Long, Long, Long) = {
         var rows = -1L
         val ts = (1 to math.max(1, reps)).map { _ =>
-          time { rows = Dedup.cellNearDup(emb, cents, tau, cap)
+          time { rows = Dedup.cellNearDup(emb, cents, armTau, cap, probes)
             .queryExecution.toRdd.count() }._1
         }
-        val found = Dedup.cellNearDup(emb, cents, tau, cap)
+        val found = Dedup.cellNearDup(emb, cents, armTau, cap, probes)
           .select(col("id_a").as("f_a"), col("id_b").as("f_b"))
           .localCheckpoint()
         val weak = exact
@@ -173,14 +176,31 @@ object IvfScaleBench {
             "left_semi").count()
         (rows, ts.head, ts.min, weak.getLong(0), weak.getLong(1), nPlanted, planted)
       }
-      // ivf arm = the PRODUCTION configuration: √N cells with the
-      // flood-guard cap sized from expected occupancy (the fixed
-      // CellCap saturates ordinary cells once occupancy 5·√N passes it
-      // — the r10 run measured 0/200 planted pairs at the 10× rung).
-      // fixture arm = the oracle path exactly as qd13 runs it.
+      // Three regimes (subset via SPARK_GRAFT_IVF_ARMS):
+      //  - ivf: the range-search configuration at the PRODUCTION
+      //    quantizer — √N cells, the fixture's τ = 0.4 / p = 5, cap
+      //    sized from occupancy (the fixed CellCap saturates ordinary
+      //    cells once occupancy 5·√N passes it — the r10 run measured
+      //    0/200 planted pairs at the 10× rung under the old cap);
+      //  - fix: the oracle path exactly as qd13 runs it (C ∝ N);
+      //  - dup: the SemDeDup-shaped production DEDUP configuration —
+      //    τ = 0.9, single-probe, occupancy cap: high-cosine pairs
+      //    land in the same best cell with near certainty, so one
+      //    probe suffices, occupancy is √N and the pair space is
+      //    C·occ²/2 = N^1.5/2 — the genuinely sublinear-per-pair
+      //    regime. The weak-band audit is vacuous here by design
+      //    (no τ ≥ 0.9 pairs exist between fixture vectors); the
+      //    planted cos ≈ 0.949 twins are its recall signal.
       val ivfCap = Dedup.occupancyCap(nVecs, nCells)
-      val ivf = arm(ivfCents, ivfCap)
-      val fix = arm(fixCents, Dedup.CellCap)
+      val armDefs = Seq(
+        ("ivf", ivfCents, ivfCap, tau, Dedup.ProbeCells),
+        ("fix", fixCents, Dedup.CellCap, tau, Dedup.ProbeCells),
+        ("dup", ivfCents, Dedup.occupancyCap(nVecs, nCells, probes = 1),
+          0.9, 1))
+        .filter(a => armNames.contains(a._1))
+      val ran = armDefs.map { case (nm, cents, cap, t, p) =>
+        nm -> arm(cents, cap, t, p)
+      }
 
       def armJson(a: (Long, Double, Double, Long, Long, Long, Long)): String =
         s"""{"rows":${a._1},"cold":${d3(a._2)},"steady":${d3(a._3)},""" +
@@ -188,18 +208,22 @@ object IvfScaleBench {
           s""""planted":${a._6},"planted_found":${a._7}}"""
 
       (n, s""""x$n":{"n_vecs":$nVecs,"n_cells":$nCells,"ivf_cap":$ivfCap,"build":${d3(tBuild)},""" +
-        s""""ivf":${armJson(ivf)},"fix":${armJson(fix)}}""",
-        ivf._3, fix._3)
+        ran.map { case (nm, a) => s""""$nm":${armJson(a)}""" }.mkString(",") + "}",
+        ran.toMap.view.mapValues(_._3).toMap)
     }
 
     val lo = scales.head.toDouble
     val hi = scales.last.toDouble
-    def expOf(f: ((Int, String, Double, Double)) => Double): Double =
-      math.log(f(rungs.last) / f(rungs.head)) / math.log(hi / lo)
-    val ivfExp = expOf(_._3)
-    val fixExp = expOf(_._4)
+    def expFor(armNm: String): Option[Double] =
+      for {
+        tHi <- rungs.last._3.get(armNm)
+        tLo <- rungs.head._3.get(armNm)
+      } yield math.log(tHi / tLo) / math.log(hi / lo)
+    val expJson = Seq("ivf", "fix", "dup").flatMap(nm =>
+      expFor(nm).map(e => s""""${nm}_exponent":${d3(e)}""")).mkString(",")
 
-    println(s"""{"metric":"ivf_dedup_exponent","value":${d3(ivfExp)},"unit":"exponent","fixture_exponent":${d3(fixExp)},"scales":"${scales.mkString(",")}","src":"$srcDir","rungs":{${rungs.map(_._2).mkString(",")}}}""")
+    println(s"""{"metric":"ivf_dedup_exponent","value":${d3(
+      expFor(armNames.head).getOrElse(Double.NaN))},"unit":"exponent",$expJson,"scales":"${scales.mkString(",")}","src":"$srcDir","rungs":{${rungs.map(_._2).mkString(",")}}}""")
     spark.stop()
   }
 }

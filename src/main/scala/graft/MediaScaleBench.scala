@@ -42,7 +42,9 @@ object MediaScaleBench {
       baseMod: Long): DataFrame = {
     def flip(k: Int) =
       expr(s"shiftleft(1L, cast(pmod(hash(doc_id, $k), $bits) as int))")
-    ph.filter(pmod(col("doc_id"), lit(baseMod)) === 3)
+    // residue 4, not 3: frame ids are doc·64 + an EVEN frame index, so
+    // an odd residue matches nothing whenever baseMod is even
+    ph.filter(pmod(col("doc_id"), lit(baseMod)) === 4)
       .select((col("doc_id") + lit(offset)).as("doc_id"),
         col("phash").bitwiseXOR(flip(1).bitwiseOR(flip(2)).bitwiseOR(flip(3)))
           .as("phash"))

@@ -492,7 +492,8 @@ object Curation {
            | FROM mph, range(4) k(k)),
            |mpruned AS (
            | SELECT * FROM mbands
-           | QUALIFY row_number() OVER (PARTITION BY k, v ORDER BY doc_id) <= ${Multimodal.PhashBandCap}),
+           | QUALIFY row_number() OVER (PARTITION BY k, v
+           |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= ${Multimodal.PhashBandCap}),
            |mlosers AS (
            | SELECT DISTINCT b.doc_id FROM mpruned a JOIN mpruned b
            |  ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id

@@ -132,8 +132,17 @@ object Multimodal {
         s"transform(sequence(0, 3), k -> shiftright(phash, cast($bandBits * k as int))" +
           s" & ${(1L << bandBits) - 1}L)")))
       .toDF("doc_id", "phash", "k", "v")
+    // Content-hash cap order (id tie-break), not raw id order: the
+    // IvfScaleBench planted-pair audit showed id-ordered prefixes
+    // evict the HIGHEST ids from every saturated bucket — a streaming
+    // corpus's newest media silently loses dedup coverage — while hash
+    // order makes saturation loss unbiased. Reproducible in the
+    // DuckDB oracle (same md5, same hex collation); non-binding on
+    // the fixtures (max bucket 120 < cap at sf0.1), so qm3/qm4/qm5
+    // outputs are unchanged there.
     val wB = org.apache.spark.sql.expressions.Window
-      .partitionBy("k", "v").orderBy("doc_id")
+      .partitionBy("k", "v")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
     val pruned = bands.withColumn("rk", row_number().over(wB))
       .filter(col("rk") <= cap)
     pruned.groupBy(col("k"), col("v"))
@@ -273,7 +282,8 @@ object Multimodal {
          | FROM ph, range(4) k(k)),
          |pruned AS (
          | SELECT * FROM bands
-         | QUALIFY row_number() OVER (PARTITION BY k, v ORDER BY doc_id) <= $PhashBandCap),
+         | QUALIFY row_number() OVER (PARTITION BY k, v
+         |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= $PhashBandCap),
          |cand AS (
          | SELECT DISTINCT a.doc_id AS id_a, a.phash AS ph_a, b.doc_id AS id_b, b.phash AS ph_b
          | FROM pruned a JOIN pruned b ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id)
@@ -315,7 +325,8 @@ object Multimodal {
          | FROM ph, range(4) k(k)),
          |pruned AS (
          | SELECT * FROM bands
-         | QUALIFY row_number() OVER (PARTITION BY k, v ORDER BY doc_id) <= $PhashBandCap),
+         | QUALIFY row_number() OVER (PARTITION BY k, v
+         |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= $PhashBandCap),
          |cand AS (
          | SELECT DISTINCT a.doc_id AS id_a, a.phash AS ph_a, b.doc_id AS id_b, b.phash AS ph_b
          | FROM pruned a JOIN pruned b ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id)
@@ -363,7 +374,8 @@ object Multimodal {
          | FROM ph, range(4) k(k)),
          |pruned AS (
          | SELECT * FROM bands
-         | QUALIFY row_number() OVER (PARTITION BY k, v ORDER BY doc_id) <= $PhashBandCap),
+         | QUALIFY row_number() OVER (PARTITION BY k, v
+         |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= $PhashBandCap),
          |cand AS (
          | SELECT DISTINCT a.doc_id AS id_a, a.phash AS ph_a, b.doc_id AS id_b, b.phash AS ph_b
          | FROM pruned a JOIN pruned b ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id)
