@@ -58,8 +58,19 @@ class MediaPipelineSpec extends SparkSpec {
     val out = Multimodal.phashPairs(Multimodal.phash32(docs), cap = 8).collect()
     assert(out.length == 28, s"C(8,2)=28 capped pairs expected, got ${out.length}")
     assert(out.forall(_.getAs[Long]("hamming") == 0L))
-    assert(out.forall(r => r.getAs[Long]("id_a") < 8L && r.getAs[Long]("id_b") < 8L),
-      "pairs must come from the doc_id-ordered bucket prefix")
+    // the cap prefix is CONTENT-HASH ordered (unbiased eviction under
+    // flood — an id-ordered prefix would always evict the newest docs,
+    // the IvfScaleBench planted-audit finding), so the surviving 8 are
+    // the smallest md5(id), not the smallest ids
+    val expected = (0L until 300L)
+      .sortBy(i => (java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, i))
+      .take(8).toSet
+    val members = out.flatMap(r =>
+      Seq(r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(members == expected,
+      s"pairs must come from the md5-ordered bucket prefix: $members vs $expected")
   }
 
   test("phash banding finds EVERY pair within Hamming radius 3 (fixture)") {
