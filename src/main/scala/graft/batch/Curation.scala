@@ -487,17 +487,29 @@ object Curation {
            |  CAST(SUM(CASE WHEN i.i // i.n > t.m
            |   THEN 1::BIGINT << i.b ELSE 0::BIGINT END) AS BIGINT) AS phash
            | FROM minten i JOIN mtot t ON i.doc_id = t.doc_id GROUP BY 1),
+           |mgm AS (
+           | SELECT doc_id, phash, row_number() OVER (PARTITION BY phash
+           |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS g_rk FROM mph),
+           |mmem AS (SELECT doc_id, phash FROM mgm WHERE g_rk <= ${Multimodal.PhashBandCap}),
+           |mwithin AS (
+           | SELECT b.doc_id FROM mmem a JOIN mmem b
+           |  ON a.phash = b.phash AND a.doc_id < b.doc_id),
            |mbands AS (
-           | SELECT doc_id, phash, k.k AS k, (phash >> CAST(8 * k.k AS INT)) & 255 AS v
-           | FROM mph, range(4) k(k)),
+           | SELECT phash, k.k AS k, (phash >> CAST(8 * k.k AS INT)) & 255 AS v
+           | FROM (SELECT DISTINCT phash FROM mph) dh, range(4) k(k)),
            |mpruned AS (
            | SELECT * FROM mbands
            | QUALIFY row_number() OVER (PARTITION BY k, v
-           |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= ${Multimodal.PhashBandCap}),
-           |mlosers AS (
-           | SELECT DISTINCT b.doc_id FROM mpruned a JOIN mpruned b
-           |  ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id
+           |   ORDER BY md5(CAST(phash AS VARCHAR)), phash) <= ${Multimodal.PhashBandCap}),
+           |mhp AS (
+           | SELECT DISTINCT a.phash AS ha, b.phash AS hb
+           | FROM mpruned a JOIN mpruned b ON a.k = b.k AND a.v = b.v AND a.phash < b.phash
            | WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+           |mlosers AS (
+           | SELECT doc_id FROM mwithin
+           | UNION
+           | SELECT CASE WHEN ma.doc_id < mb.doc_id THEN mb.doc_id ELSE ma.doc_id END AS doc_id
+           | FROM mhp JOIN mmem ma ON ma.phash = mhp.ha JOIN mmem mb ON mb.phash = mhp.hb),
            |am AS (SELECT doc_id, source, n_tok FROM clean
            |       WHERE doc_id NOT IN (SELECT doc_id FROM mlosers)),
            |enm AS (

@@ -108,54 +108,83 @@ object Multimodal {
     * agrees exactly on at least one band, so banding IS the exact
     * Hamming-ball candidate generator at radius 3 (the band-join form
     * of Similarity's multi-probe bucket walk, scaled to corpus
-    * self-join instead of query explosion). Each band bucket is
-    * capped to its first `cap` members by doc_id (qd9's
-    * WindowGroupLimit prefix + bucket-local pair generation — two
-    * shuffles), then candidates verify the exact distance with
-    * bit_count(xor).
+    * self-join instead of query explosion). Identical hashes collapse
+    * to exact-dup GROUPS before banding (within-group pairs need no
+    * candidate generation and survive any saturation; member prefix
+    * hash-ordered per the eviction-bias rule), the band join runs over
+    * DISTINCT hashes with its own capped buckets, and surviving hash
+    * pairs verify bit_count(xor) then expand to doc pairs through the
+    * capped groups — see the in-body note for the rung measurements
+    * that forced this shape.
     *
     * `bandBits` is the SATURATION lever ScaleBench's qm4 measurement
     * exposed: 8-bit bands give only 4 × 256 = 1024 buckets total, so a
-    * corpus past ~1024 × cap hashes makes the member cap bind on
-    * ordinary (non-flood) buckets and recall decays — at sf0.1 × 10
-    * the cap binds at ~122 members/bucket and pair output grows only
-    * 3× for 10× the frames. At production scale, feed a WIDER hash and
-    * band it at 16 bits (4 × 65536 buckets — saturation deferred
-    * 256×): the radius-3 pigeonhole guarantee only needs FOUR bands,
-    * not any particular width. MediaBandWidthSpec pins the trade:
-    * same cap, same corpus size, planted pairs lost under saturated
-    * 8-bit banding and complete under 16-bit. */
+    * corpus whose DISTINCT hash count passes ~1024 × cap makes the
+    * bucket cap bind on ordinary (non-flood) buckets and cross-group
+    * recall decays. At production scale, feed a WIDER hash and band it
+    * at 16 bits (4 × 65536 buckets — saturation deferred 256×): the
+    * radius-3 pigeonhole guarantee only needs FOUR bands, not any
+    * particular width. MediaBandWidthSpec pins the trade; exact-dup
+    * (distance-0) recall is width-independent by construction. */
   private[graft] def phashPairs(ph: DataFrame, cap: Int,
       bandBits: Int = 8): DataFrame = {
-    val bands = ph
-      .select(col("doc_id"), col("phash"), posexplode(expr(
+    // COLLAPSE-THEN-BAND (the r10 rung audit's second finding): real
+    // perceptual hashes are heavily skewed — at the 10× rung, 113k
+    // frame hashes collapse to 21.5k DISTINCT values and the hottest
+    // raw 8-bit band bucket holds 20,659 members against a cap of 128,
+    // so a cap on RAW bucket membership silently drops most pairs, at
+    // any band width. Exact-dup pairs (identical phash — the dominant
+    // duplicate mode) never needed banding at all: a groupBy on the
+    // hash yields them linearly, capped per GROUP (hash-ordered,
+    // unbiased — the IvfScaleBench eviction-bias rule), at FULL recall
+    // regardless of band saturation. The band join then runs over
+    // DISTINCT hashes only (7× smaller hot buckets at the rung, and
+    // at 16-bit width effectively unsaturated), with its cap on
+    // distinct hashes per bucket, md5-ordered; surviving hash pairs
+    // verify Hamming 1–3 and expand back to doc pairs through the
+    // capped group members. With no cap binding, output is EXACTLY
+    // every doc pair within Hamming ≤ 3 — the same contract as
+    // before, now with saturation hitting the far smaller distinct
+    // space instead of the raw corpus.
+    val mem = ph
+      .withColumn("g_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("phash")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .filter(col("g_rk") <= cap).drop("g_rk")
+      // referenced three times (within-pairs self-join + both
+      // expansion sides) — qd2's materialize rule
+      .localCheckpoint()
+    val within = mem.as("a").join(mem.as("b"),
+        col("a.phash") === col("b.phash") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("a.phash").as("ph_a"),
+        col("b.doc_id").as("id_b"), col("b.phash").as("ph_b"))
+      .withColumn("hamming", lit(0L))
+    val bands = ph.select(col("phash")).distinct()
+      .select(col("phash"), posexplode(expr(
         s"transform(sequence(0, 3), k -> shiftright(phash, cast($bandBits * k as int))" +
           s" & ${(1L << bandBits) - 1}L)")))
-      .toDF("doc_id", "phash", "k", "v")
-    // Content-hash cap order (id tie-break), not raw id order: the
-    // IvfScaleBench planted-pair audit showed id-ordered prefixes
-    // evict the HIGHEST ids from every saturated bucket — a streaming
-    // corpus's newest media silently loses dedup coverage — while hash
-    // order makes saturation loss unbiased. Reproducible in the
-    // DuckDB oracle (same md5, same hex collation); non-binding on
-    // the fixtures (max bucket 120 < cap at sf0.1), so qm3/qm4/qm5
-    // outputs are unchanged there.
-    val wB = org.apache.spark.sql.expressions.Window
-      .partitionBy("k", "v")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    val pruned = bands.withColumn("rk", row_number().over(wB))
+      .toDF("phash", "k", "v")
+    val pruned = bands.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("k", "v")
+          .orderBy(md5(col("phash").cast("string")), col("phash"))))
       .filter(col("rk") <= cap)
-    pruned.groupBy(col("k"), col("v"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("phash")))).as("ids"))
-      .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), " +
-          "y -> struct(x.doc_id AS id_a, x.phash AS ph_a, y.doc_id AS id_b, y.phash AS ph_b))))")).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.ph_a").as("ph_a"),
-        col("p.id_b").as("id_b"), col("p.ph_b").as("ph_b"))
-      .distinct() // a pair may collide in several bands
-      .withColumn("hamming", expr("cast(bit_count(ph_a ^ ph_b) as long)"))
+    val hashPairs = pruned.as("a").join(pruned.as("b"),
+        col("a.k") === col("b.k") && col("a.v") === col("b.v")
+          && col("a.phash") < col("b.phash"))
+      .select(col("a.phash").as("ha"), col("b.phash").as("hb"))
+      .distinct() // a hash pair may collide in several bands
+      .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as long)"))
       .filter(col("hamming") <= 3)
-      .orderBy("id_a", "id_b")
+    val cross = hashPairs
+      .join(mem.select(col("phash").as("ha"), col("doc_id").as("da")), "ha")
+      .join(mem.select(col("phash").as("hb"), col("doc_id").as("db")), "hb")
+      .select(
+        least(col("da"), col("db")).as("id_a"),
+        when(col("da") < col("db"), col("ha")).otherwise(col("hb")).as("ph_a"),
+        greatest(col("da"), col("db")).as("id_b"),
+        when(col("da") < col("db"), col("hb")).otherwise(col("ha")).as("ph_b"),
+        col("hamming"))
+    within.unionByName(cross).orderBy("id_a", "id_b")
   }
 
   def qm3_phash_neardup(s: SparkSession, d: String): DataFrame =
@@ -277,19 +306,34 @@ object Multimodal {
          |  CAST(SUM(CASE WHEN i.i // i.n > t.m
          |   THEN 1::BIGINT << i.b ELSE 0::BIGINT END) AS BIGINT) AS phash
          | FROM inten i JOIN tot t ON i.doc_id = t.doc_id GROUP BY 1),
+         |gm AS (
+         | SELECT doc_id, phash, row_number() OVER (PARTITION BY phash
+         |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS g_rk FROM ph),
+         |mem AS (SELECT doc_id, phash FROM gm WHERE g_rk <= $PhashBandCap),
+         |within AS (
+         | SELECT a.doc_id AS id_a, a.phash AS ph_a,
+         |  b.doc_id AS id_b, b.phash AS ph_b, 0::BIGINT AS hamming
+         | FROM mem a JOIN mem b ON a.phash = b.phash AND a.doc_id < b.doc_id),
          |bands AS (
-         | SELECT doc_id, phash, k.k AS k, (phash >> CAST(8 * k.k AS INT)) & 255 AS v
-         | FROM ph, range(4) k(k)),
+         | SELECT phash, k.k AS k, (phash >> CAST(8 * k.k AS INT)) & 255 AS v
+         | FROM (SELECT DISTINCT phash FROM ph) dh, range(4) k(k)),
          |pruned AS (
          | SELECT * FROM bands
          | QUALIFY row_number() OVER (PARTITION BY k, v
-         |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= $PhashBandCap),
-         |cand AS (
-         | SELECT DISTINCT a.doc_id AS id_a, a.phash AS ph_a, b.doc_id AS id_b, b.phash AS ph_b
-         | FROM pruned a JOIN pruned b ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id)
-         |SELECT id_a, ph_a, id_b, ph_b,
-         | CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
-         |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3
+         |   ORDER BY md5(CAST(phash AS VARCHAR)), phash) <= $PhashBandCap),
+         |hp AS (
+         | SELECT DISTINCT a.phash AS ha, b.phash AS hb
+         | FROM pruned a JOIN pruned b ON a.k = b.k AND a.v = b.v AND a.phash < b.phash
+         | WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+         |crossp AS (
+         | SELECT CASE WHEN ma.doc_id < mb.doc_id THEN ma.doc_id ELSE mb.doc_id END AS id_a,
+         |  CASE WHEN ma.doc_id < mb.doc_id THEN hp.ha ELSE hp.hb END AS ph_a,
+         |  CASE WHEN ma.doc_id < mb.doc_id THEN mb.doc_id ELSE ma.doc_id END AS id_b,
+         |  CASE WHEN ma.doc_id < mb.doc_id THEN hp.hb ELSE hp.ha END AS ph_b,
+         |  CAST(bit_count(xor(hp.ha, hp.hb)) AS BIGINT) AS hamming
+         | FROM hp JOIN mem ma ON ma.phash = hp.ha JOIN mem mb ON mb.phash = hp.hb),
+         |allp AS (SELECT * FROM within UNION ALL SELECT * FROM crossp)
+         |SELECT id_a, ph_a, id_b, ph_b, hamming FROM allp
          |ORDER BY id_a, id_b""".stripMargin,
     // qm4 = qm2's sampled-frame schedule sliced into 32-byte stub
     // payloads, then qm3's phash/band/cap/verify chain over synthetic
@@ -320,21 +364,38 @@ object Multimodal {
          |  CAST(SUM(CASE WHEN i.i // i.n > t.m
          |   THEN 1::BIGINT << i.b ELSE 0::BIGINT END) AS BIGINT) AS phash
          | FROM inten i JOIN tot t ON i.doc_id = t.doc_id GROUP BY 1),
+         |gm AS (
+         | SELECT doc_id, phash, row_number() OVER (PARTITION BY phash
+         |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS g_rk FROM ph),
+         |mem AS (SELECT doc_id, phash FROM gm WHERE g_rk <= $PhashBandCap),
+         |within AS (
+         | SELECT a.doc_id AS id_a, a.phash AS ph_a,
+         |  b.doc_id AS id_b, b.phash AS ph_b, 0::BIGINT AS hamming
+         | FROM mem a JOIN mem b ON a.phash = b.phash AND a.doc_id < b.doc_id),
          |bands AS (
-         | SELECT doc_id, phash, k.k AS k, (phash >> CAST(8 * k.k AS INT)) & 255 AS v
-         | FROM ph, range(4) k(k)),
+         | SELECT phash, k.k AS k, (phash >> CAST(8 * k.k AS INT)) & 255 AS v
+         | FROM (SELECT DISTINCT phash FROM ph) dh, range(4) k(k)),
          |pruned AS (
          | SELECT * FROM bands
          | QUALIFY row_number() OVER (PARTITION BY k, v
-         |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= $PhashBandCap),
-         |cand AS (
-         | SELECT DISTINCT a.doc_id AS id_a, a.phash AS ph_a, b.doc_id AS id_b, b.phash AS ph_b
-         | FROM pruned a JOIN pruned b ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id)
+         |   ORDER BY md5(CAST(phash AS VARCHAR)), phash) <= $PhashBandCap),
+         |hp AS (
+         | SELECT DISTINCT a.phash AS ha, b.phash AS hb
+         | FROM pruned a JOIN pruned b ON a.k = b.k AND a.v = b.v AND a.phash < b.phash
+         | WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+         |crossp AS (
+         | SELECT CASE WHEN ma.doc_id < mb.doc_id THEN ma.doc_id ELSE mb.doc_id END AS id_a,
+         |  CASE WHEN ma.doc_id < mb.doc_id THEN hp.ha ELSE hp.hb END AS ph_a,
+         |  CASE WHEN ma.doc_id < mb.doc_id THEN mb.doc_id ELSE ma.doc_id END AS id_b,
+         |  CASE WHEN ma.doc_id < mb.doc_id THEN hp.hb ELSE hp.ha END AS ph_b,
+         |  CAST(bit_count(xor(hp.ha, hp.hb)) AS BIGINT) AS hamming
+         | FROM hp JOIN mem ma ON ma.phash = hp.ha JOIN mem mb ON mb.phash = hp.hb),
+         |allp AS (SELECT * FROM within UNION ALL SELECT * FROM crossp)
          |SELECT id_a // 64 AS vid_a, id_b // 64 AS vid_b,
          | COUNT(*) AS n_frame_pairs,
-         | CAST(MIN(bit_count(xor(ph_a, ph_b))) AS BIGINT) AS min_hamming
-         |FROM cand
-         |WHERE bit_count(xor(ph_a, ph_b)) <= 3 AND id_a // 64 <> id_b // 64
+         | CAST(MIN(hamming) AS BIGINT) AS min_hamming
+         |FROM allp
+         |WHERE id_a // 64 <> id_b // 64
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // qm5 = qm4's chain at production width: 64-byte frame windows,
     // 64-bit hash (bit 63 is BIGINT's sign bit — DuckDB refuses
@@ -369,20 +430,37 @@ object Multimodal {
          |        ELSE 1::BIGINT << i.b END
          |   ELSE 0::BIGINT END) AS BIGINT) AS phash
          | FROM inten i JOIN tot t ON i.doc_id = t.doc_id GROUP BY 1),
+         |gm AS (
+         | SELECT doc_id, phash, row_number() OVER (PARTITION BY phash
+         |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS g_rk FROM ph),
+         |mem AS (SELECT doc_id, phash FROM gm WHERE g_rk <= $PhashBandCap),
+         |within AS (
+         | SELECT a.doc_id AS id_a, a.phash AS ph_a,
+         |  b.doc_id AS id_b, b.phash AS ph_b, 0::BIGINT AS hamming
+         | FROM mem a JOIN mem b ON a.phash = b.phash AND a.doc_id < b.doc_id),
          |bands AS (
-         | SELECT doc_id, phash, k.k AS k, (phash >> CAST(16 * k.k AS INT)) & 65535 AS v
-         | FROM ph, range(4) k(k)),
+         | SELECT phash, k.k AS k, (phash >> CAST(16 * k.k AS INT)) & 65535 AS v
+         | FROM (SELECT DISTINCT phash FROM ph) dh, range(4) k(k)),
          |pruned AS (
          | SELECT * FROM bands
          | QUALIFY row_number() OVER (PARTITION BY k, v
-         |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= $PhashBandCap),
-         |cand AS (
-         | SELECT DISTINCT a.doc_id AS id_a, a.phash AS ph_a, b.doc_id AS id_b, b.phash AS ph_b
-         | FROM pruned a JOIN pruned b ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id)
+         |   ORDER BY md5(CAST(phash AS VARCHAR)), phash) <= $PhashBandCap),
+         |hp AS (
+         | SELECT DISTINCT a.phash AS ha, b.phash AS hb
+         | FROM pruned a JOIN pruned b ON a.k = b.k AND a.v = b.v AND a.phash < b.phash
+         | WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+         |crossp AS (
+         | SELECT CASE WHEN ma.doc_id < mb.doc_id THEN ma.doc_id ELSE mb.doc_id END AS id_a,
+         |  CASE WHEN ma.doc_id < mb.doc_id THEN hp.ha ELSE hp.hb END AS ph_a,
+         |  CASE WHEN ma.doc_id < mb.doc_id THEN mb.doc_id ELSE ma.doc_id END AS id_b,
+         |  CASE WHEN ma.doc_id < mb.doc_id THEN hp.hb ELSE hp.ha END AS ph_b,
+         |  CAST(bit_count(xor(hp.ha, hp.hb)) AS BIGINT) AS hamming
+         | FROM hp JOIN mem ma ON ma.phash = hp.ha JOIN mem mb ON mb.phash = hp.hb),
+         |allp AS (SELECT * FROM within UNION ALL SELECT * FROM crossp)
          |SELECT id_a // 64 AS vid_a, id_b // 64 AS vid_b,
          | COUNT(*) AS n_frame_pairs,
-         | CAST(MIN(bit_count(xor(ph_a, ph_b))) AS BIGINT) AS min_hamming
-         |FROM cand
-         |WHERE bit_count(xor(ph_a, ph_b)) <= 3 AND id_a // 64 <> id_b // 64
+         | CAST(MIN(hamming) AS BIGINT) AS min_hamming
+         |FROM allp
+         |WHERE id_a // 64 <> id_b // 64
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }
