@@ -43,6 +43,27 @@ import org.apache.spark.sql.functions._
   */
 object ScaleGen {
 
+  /** Standalone rung generation: `runMain graft.ScaleGen <srcDir>
+    * <outDir> <replicas>` amplifies the FULL fixture surface —
+    * documents/embeddings (isomorphic bijection/isometry) AND the
+    * relational tables (join-closed key-offset replicas) — so the
+    * entire oracle query set can run at a scale rung, not just the
+    * document family. */
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, outDir, replicas) = args.take(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    amplify(spark, srcDir, outDir, replicas.toInt)
+    amplifyRelational(spark, srcDir, outDir, replicas.toInt)
+    spark.stop()
+  }
+
   private[graft] val Letters = "abcdefghijklmnopqrstuvwxyz"
 
   /** Replica k's image of [[Letters]] under the seeded bijection;
@@ -127,6 +148,92 @@ object ScaleGen {
       .drop("k")
       .select(emb.columns.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
+
+    java.nio.file.Files.write(manifest.toPath,
+      params.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** LCM of every modulus any query applies to a relational key
+    * (2,3,10,50,100,256,500,997 — grep-audited): key offsets that are
+    * multiples of this preserve ALL residue classes, so modular
+    * samples/filters select the same per-replica subsets and the
+    * amplified workload stays isomorphic. */
+  private[graft] val KeyResidueLcm = 95712000L
+
+  private def keyOffset(df: DataFrame, key: String): Long = {
+    val maxKey = df.agg(max(col(key).cast("long"))).head.getLong(0)
+    (maxKey / KeyResidueLcm + 1) * KeyResidueLcm
+  }
+
+  /** Amplify the RELATIONAL fixture tables into `outDir` at
+    * `replicas`× so the full oracle surface — not just the
+    * document/embedding queries — can run at a scale rung.
+    *
+    * Shape: every foreign-key domain gets its own offset (a multiple
+    * of [[KeyResidueLcm]], past the domain's max), applied to the key
+    * on BOTH sides of each join — so each replica is a disjoint,
+    * join-closed copy of the source (customer↔orders↔lineitem,
+    * part/supplier↔lineitem, events.user sessions). The fixed dims
+    * `region`/`nation` are copied untouched: they model a closed
+    * 5-region/25-nation world whose cardinality does NOT grow with
+    * the corpus, exactly as at 100 TB. Non-key payload columns ride
+    * unchanged — group labels, dates and value distributions repeat
+    * per replica, so per-group counts scale by R while group
+    * cardinality holds, the normal shape of a scaled fact table. */
+  def amplifyRelational(spark: SparkSession, srcDir: String,
+                        outDir: String, replicas: Int): Unit = {
+    val manifest = new java.io.File(s"$outDir/SCALEGEN_REL.json")
+    val params =
+      s"""{"src":"$srcDir","replicas":$replicas,"version":1}"""
+    if (manifest.isFile &&
+      new String(java.nio.file.Files.readAllBytes(manifest.toPath),
+        java.nio.charset.StandardCharsets.UTF_8) == params) return
+
+    val reps = broadcast(
+      spark.range(replicas).select(col("id").cast("int").as("k")))
+
+    def write(df: DataFrame, name: String, offsets: (String, Long)*): Unit = {
+      val amplified = offsets.foldLeft(df.crossJoin(reps)) {
+        case (cur, (key, off)) =>
+          cur.withColumn(key, col(key) + col("k") * off)
+      }
+      amplified.drop("k").select(df.columns.map(col): _*)
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
+    }
+
+    val customer = Tables.customer(spark, srcDir)
+    val supplier = Tables.supplier(spark, srcDir)
+    val part     = Tables.part(spark, srcDir)
+    val orders   = Tables.orders(spark, srcDir)
+    val events   = Tables.events(spark, srcDir)
+    val custOff  = keyOffset(customer, "c_custkey")
+    val suppOff  = keyOffset(supplier, "s_suppkey")
+    val partOff  = keyOffset(part, "p_partkey")
+    val orderOff = keyOffset(orders, "o_orderkey")
+    val eventOff = keyOffset(events, "event_id")
+    val userOff  = keyOffset(events, "user_id")
+
+    // fixed-cardinality dims: byte-copy semantics via a 1-replica pass
+    Tables.region(spark, srcDir)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/region.parquet")
+    Tables.nation(spark, srcDir)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/nation.parquet")
+
+    write(customer, "customer", "c_custkey" -> custOff)
+    write(supplier, "supplier", "s_suppkey" -> suppOff)
+    write(part, "part", "p_partkey" -> partOff)
+    write(orders, "orders",
+      "o_orderkey" -> orderOff, "o_custkey" -> custOff)
+    write(Tables.lineitem(spark, srcDir), "lineitem",
+      "l_orderkey" -> orderOff, "l_partkey" -> partOff,
+      "l_suppkey" -> suppOff)
+    // Tables.events normalizes ts to session-zone TIMESTAMP on read;
+    // write the rung back as naive µs (timestamp_ntz — value-identity
+    // under the UTC session zone) so the rung file matches the µs
+    // fixture generation and DuckDB/Tables read it the same way they
+    // read a driver fixture
+    write(events.withColumn("ts", col("ts").cast("timestamp_ntz")),
+      "events", "event_id" -> eventOff, "user_id" -> userOff)
 
     java.nio.file.Files.write(manifest.toPath,
       params.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -549,24 +549,23 @@ object Relational {
     * cycles; qd6's min-label loop is the scalable form anyway.) */
   def q37_recursive_chain(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
-    // materialize the linked view once: every recursion level re-reads
-    // it, and 20 levels x (scan + window) would dominate the walk
-    Tables.orders(s, d).filter(pmod(col("o_custkey"), lit(50)) === 0)
+    // Walk the per-customer order chain by POINTER DOUBLING (shared
+    // engine, PointerJump.rank) instead of Spark's WITH RECURSIVE: the
+    // recursion schedules one join round per hop (depth-D chain → D
+    // driver barriers — 2.7 s of pure scheduling at sf0.1), while
+    // doubling resolves the same walk in ceil(log2 D)+1 rounds. The
+    // predecessor pointer is the exact graph inverse of the reference
+    // chain's k_next link (one window pass builds it); hop = distance
+    // to the chain head + 1, identical to the recursion's hop counter.
+    val state = Tables.orders(s, d).filter(pmod(col("o_custkey"), lit(50)) === 0)
       .select(col("o_custkey"), col("o_orderkey"))
-      .withColumn("k_next", lead(col("o_orderkey"), 1).over(w))
-      .withColumn("rn", row_number().over(w))
-      .localCheckpoint()
-      .createOrReplaceTempView("q37_edges")
-    s.sql(
-      """WITH RECURSIVE chain AS (
-        |  SELECT o_custkey AS custkey, o_orderkey, k_next, 1 AS hop
-        |  FROM q37_edges WHERE rn = 1
-        |  UNION ALL
-        |  SELECT /*+ BROADCAST(e) */ e.o_custkey, e.o_orderkey, e.k_next, c.hop + 1
-        |  FROM chain c JOIN q37_edges e
-        |    ON e.o_custkey = c.custkey AND e.o_orderkey = c.k_next)
-        |SELECT custkey, o_orderkey, hop FROM chain
-        |ORDER BY custkey, hop""".stripMargin)
+      .withColumn("ptr", lag(col("o_orderkey"), 1).over(w))
+      .withColumn("dist", when(col("ptr").isNull, 0L).otherwise(1L))
+    val (ranked, _) = PointerJump.rank(state, Seq("o_custkey"),
+      idCol = "o_orderkey", ptrCol = "ptr", distCol = "dist")
+    ranked.select(col("o_custkey").as("custkey"), col("o_orderkey"),
+        (col("dist") + 1).cast("int").as("hop"))
+      .orderBy("custkey", "hop")
   }
 
   // ---------------------------------------------------------------- q39

@@ -432,30 +432,13 @@ object IngestDedup {
           r.getString(2))
       }.toDF("doc_id", "dup_of", "reason")
     }
-    var cur = cur0
-    var done = false
-    var rounds = 0
-    while (!done && rounds < 40) {
-      val tgt = cur.select(col("doc_id").as("t_id"), col("dup_of").as("t_dup"))
-      val next = cur.join(tgt, cur("dup_of") === tgt("t_id"), "left")
-        .select(cur("doc_id"),
-          coalesce(col("t_dup"), cur("dup_of")).as("dup_of"), cur("reason"))
-        .localCheckpoint()
-      done = next.select(col("doc_id"), col("dup_of").as("new_dup"))
-        .join(cur.select(col("doc_id"), col("dup_of").as("old_dup")), "doc_id")
-        .filter(!(col("new_dup") <=> col("old_dup"))).isEmpty
-      cur = next
-      rounds += 1
-    }
-    require(done, "ingest ledger: dup_of chain resolution did not converge")
-    // Even-length cycles (impossible from the strictly id-decreasing
-    // stage DAG, so corrupted input) don't spin the loop — pointer
-    // jumping collapses them to self-pointing rows in one round and
-    // the convergence check passes. Match the driver path's loudness:
-    // a resolved row must never name itself as its duplicate target.
-    require(cur.filter(col("dup_of") === col("doc_id")).isEmpty,
-      "ingest ledger: dup_of chain cycled (corrupted batch frame)")
-    cur
+    // Pointer-doubling join loop (shared engine, batch.PointerJump):
+    // resolved depth doubles per round, convergence fails loudly on
+    // odd cycles (no fixpoint) and even cycles (collapse to
+    // self-pointing rows, rejected by the engine's post-loop guard).
+    graft.batch.PointerJump.resolveTerminal(cur0,
+      idCol = "doc_id", ptrCol = "dup_of", carry = Seq("reason"),
+      what = "ingest ledger: dup_of")
   }
 
   /** The accumulated rejection ledger (all epochs); empty frame with

@@ -87,4 +87,56 @@ class ScaleGenSpec extends SparkSpec {
       assert(got.toSeq == want.toSeq, s"vec $id replica-1 image mismatch")
     }
   }
+
+  test("relational x2 rung is join-closed, residue-preserving, dims fixed") {
+    val dir = Files.createTempDirectory("graft_scale_rel").toString
+    ScaleGen.amplifyRelational(spark, src, dir, replicas = 2)
+
+    // fixed dims: byte-equal content, cardinality does NOT scale
+    assert(Tables.nation(spark, dir).collect().toSet
+      == Tables.nation(spark, src).collect().toSet)
+    assert(Tables.region(spark, dir).count() == 5)
+
+    // fact/dim counts scale by R; key domains stay disjoint per replica
+    Seq("customer", "supplier", "part", "orders", "lineitem", "events")
+      .foreach { t =>
+        assert(Tables(spark, dir, t).count() == 2 * Tables(spark, src, t).count(),
+          s"$t count must double")
+      }
+    assert(Tables.orders(spark, dir).select("o_orderkey").distinct().count()
+      == 2 * Tables.orders(spark, src).count(), "replica orderkeys must be disjoint")
+
+    // join closure: each replica is a complete copy of the FK graph,
+    // so the 3-way join count scales exactly by R (no cross-replica edges)
+    def join3(d: String) = Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+      .count()
+    assert(join3(dir) == 2 * join3(src))
+
+    // residue classes survive the offset (offsets are multiples of the
+    // moduli LCM), so modular samples select isomorphic subsets
+    assert(ScaleGen.KeyResidueLcm % 997 == 0 && ScaleGen.KeyResidueLcm % 256 == 0
+      && ScaleGen.KeyResidueLcm % 500 == 0 && ScaleGen.KeyResidueLcm % 3 == 0)
+    def res997(d: String) = Tables.lineitem(spark, d)
+      .filter(pmod(col("l_orderkey"), lit(997)) === 0).count()
+    assert(res997(dir) == 2 * res997(src))
+
+    // events ts round-trips as naive µs: Tables.events must read the
+    // rung exactly as it reads a driver fixture (same values)
+    val srcTs = Tables.events(spark, src).orderBy("event_id")
+      .select("ts").limit(5).collect().map(_.getTimestamp(0)).toSeq
+    val rungTs = Tables.events(spark, dir).orderBy("event_id")
+      .select("ts").limit(5).collect().map(_.getTimestamp(0)).toSeq
+    assert(rungTs == srcTs)
+
+    // a relational oracle query's per-group counts double exactly while
+    // group cardinality holds (the normal shape of a scaled fact table)
+    def q1counts(d: String) = SparkEntry.queries("q1_agg")(spark, d)
+      .select("l_returnflag", "l_linestatus", "count_order")
+      .as[(String, String, Long)].collect()
+      .map { case (f, st, n) => (f, st) -> n }.toMap
+    val b1 = q1counts(src).map { case ((f, st), n) => (f, st) -> 2 * n }
+    assert(q1counts(dir) == b1, "q1 per-group counts must exactly double")
+  }
 }
