@@ -25,7 +25,13 @@ object Relational {
 
   /** Exact, order-independent sum of a money-like double: decimal(18,2). */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
-  /** Same, 6 decimal places for products of doubles. */
+  /** Same, 6 decimal places for products of doubles. Oracle-side
+    * caveat: once the sum's UNSCALED value passes 2^53 (≈ 9e9 at 6 dp,
+    * reached by the 10× rung), DuckDB's decimal→double (unscaled-int
+    * to double, then divide) can land one ulp off the correctly
+    * rounded value Spark's BigDecimal conversion produces — route the
+    * oracle cast through VARCHAR (`CAST(CAST(sum AS VARCHAR) AS
+    * DOUBLE)`, correctly-rounded strtod) as q1/q18 do. */
   private def dsum6(c: Column): Column = sum(c.cast("decimal(18,6)")).cast("double")
 
   // ---------------------------------------------------------------- q1
@@ -798,7 +804,7 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        | CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
         | COUNT(*) AS count_order,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_qty
         |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
@@ -924,7 +930,7 @@ object Relational {
         |FROM orders GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q18_math" ->
       """SELECT l_returnflag,
-        | CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS charge,
+        | CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS charge,
         | MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
         | CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sum_ln,
         | CAST(SUM(l_linenumber % 3) AS BIGINT) AS sum_mod,
