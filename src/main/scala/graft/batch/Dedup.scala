@@ -189,9 +189,15 @@ object Dedup {
     val bands = bandKeysOf(sigs)
     val dCap = pairPrefix(cap)
     val wBucket = Window.partitionBy("band", "key")
+    // member prefix ordered by content hash, not id — the IvfScaleBench
+    // eviction-bias rule: an id-ordered prefix evicts the NEWEST docs
+    // from every saturated bucket, so a streaming corpus's latest
+    // arrivals silently lose near-dup coverage; md5-order makes the
+    // binding cap's loss unbiased (and stays oracle-reproducible)
     val sized = bands
       .withColumn("m", count(lit(1)).over(wBucket))
-      .withColumn("rk", row_number().over(wBucket.orderBy("doc_id")))
+      .withColumn("rk", row_number().over(
+        wBucket.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
     val prefix = sized.filter(col("rk") <= dCap)
     val a = prefix.as("a"); val b = prefix.as("b")
     val paired = a.join(b, col("a.band") === col("b.band")
@@ -288,8 +294,11 @@ object Dedup {
   private[graft] def substringPairsCapped(docs: DataFrame, dfCap: Int): DataFrame = {
     require(dfCap >= 2, "dfCap must be at least 2 to form any pair")
     val w = substringFps(docs)
+      // hash-ordered prefix (the eviction-bias rule): a binding df cap
+      // drops an unbiased member subset instead of every late doc
       .withColumn("rk",
-        row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+        row_number().over(Window.partitionBy("fp")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
       .filter(col("rk") <= dfCap)
     val pairs = w.groupBy(col("fp"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -600,8 +609,12 @@ object Dedup {
           "transform(sequence(0, 3), b -> shiftright(simhash, b * 4) % 16)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
     val capped = banded
+      // hash-ordered prefix per the eviction-bias rule (see
+      // lshPairsCapped) — a flooded band bucket loses an unbiased
+      // subset, not its newest members
       .withColumn("rk", row_number().over(
-        Window.partitionBy("band", "key").orderBy("doc_id")))
+        Window.partitionBy("band", "key")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
       .filter(col("rk") <= SimBandCap).drop("rk")
     val pairs = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key")
@@ -914,7 +927,8 @@ object Dedup {
         |  FROM documents WHERE length(text) >= 32)),
         |p AS (
         | SELECT doc_id, fp FROM w
-        | QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) <= $SubstringDfCap)
+        | QUALIFY row_number() OVER (PARTITION BY fp
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= $SubstringDfCap)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
         |FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
@@ -950,7 +964,8 @@ object Dedup {
          |sized AS (
          | SELECT doc_id, band, key,
          |  COUNT(*) OVER (PARTITION BY band, key) AS m,
-         |  row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rk
+         |  row_number() OVER (PARTITION BY band, key
+         |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
          | FROM bands),
          |prefix AS (SELECT * FROM sized WHERE rk <= ${pairPrefix(1000)}),
          |pairs AS (
@@ -983,7 +998,8 @@ object Dedup {
         | FROM sim, range(4) b(b) WHERE doc_id % 5 = 0),
         |capped AS (
         | SELECT doc_id, simhash, band, key FROM bands
-        | QUALIFY row_number() OVER (PARTITION BY band, key ORDER BY doc_id) <= $SimBandCap),
+        | QUALIFY row_number() OVER (PARTITION BY band, key
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= $SimBandCap),
         |pairs AS (
         | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
         |  a.simhash AS sa, b.simhash AS sb

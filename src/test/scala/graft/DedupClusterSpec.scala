@@ -81,11 +81,17 @@ class DedupClusterSpec extends SparkSpec {
     val docs = (0L until 1000L).map(i => (i, s"$span padpad tail$i"))
       .toDF("doc_id", "text")
     val out = Dedup.substringPairsCapped(docs, dfCap = 4).collect()
-    // pairs only among each fingerprint's first 4 members by doc_id:
-    // docs 0-3 share all 9 span fingerprints → C(4,2) = 6 pairs
+    // pairs only among each fingerprint's 4-member md5-ordered prefix
+    // (the eviction-bias rule): all 1000 docs share all 9 span
+    // fingerprints, so every fingerprint keeps the SAME 4 docs —
+    // those with the smallest md5(doc_id) — and C(4,2) = 6 pairs
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val prefix = (0L until 1000L).sortBy(i => (md5hex(i.toString), i)).take(4).toSet
     assert(out.length == 6, s"expected C(4,2)=6 capped pairs, got ${out.length}")
-    assert(out.forall(r => r.getAs[Long]("id_a") < 4L && r.getAs[Long]("id_b") < 4L),
-      "capped pairs must come from the doc_id-ordered prefix")
+    assert(out.forall(r => prefix(r.getAs[Long]("id_a")) && prefix(r.getAs[Long]("id_b"))),
+      "capped pairs must come from the hash-ordered prefix")
     assert(out.forall(_.getAs[Long]("n_shared") >= 9L),
       "prefix members share all 9 aligned span fingerprints")
 
