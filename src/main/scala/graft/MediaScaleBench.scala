@@ -19,6 +19,10 @@ import graft.batch.Multimodal
   *     64-byte frame windows hashed at 64 bits, banded at 16
   *     (4 × 65536 buckets; saturation deferred 256×), same cap, same
   *     radius-3 pigeonhole.
+  *   - `wide_cap<N>`: the wide regime with the distinct-hash bucket
+  *     cap swept to `SPARK_GRAFT_MEDIA_CAP2` (default 1024) — the
+  *     residual dial after width, priced against the per-rung
+  *     `hot_bucket` profile the other two arms report.
   *
   * Completeness is measured the MediaBandWidthSpec way, at rung scale:
   * [[plant]] injects deterministic Hamming ≤ 3 twins for ~200 spread
@@ -87,9 +91,18 @@ object MediaScaleBench {
       }
       val nw = timedRows(Multimodal.videoFrameDup(docs))
       val wd = timedRows(Multimodal.videoFrameDupWide(docs))
+      // third arm — the residual dial after width: the same wide
+      // regime with the DISTINCT-hash bucket cap swept up (default
+      // 1024). 16-bit mean occupancy stays far under any cap, so what
+      // the cap drops at x30 is genuinely hot buckets; this arm prices
+      // recovering them (bucket-local cost is m², so the bill is
+      // hot-bucket-bounded, not corpus-bounded).
+      val sweepCap = sys.env.getOrElse("SPARK_GRAFT_MEDIA_CAP2", "1024").toInt
+      val wo = timedRows(Multimodal.videoFrameDupWide(docs, sweepCap))
 
       // planted completeness over each width's real frame-hash corpus
-      def plantedRecall(ph0: DataFrame, bits: Int, bandBits: Int): (Long, Long) = {
+      def plantedRecall(ph0: DataFrame, bits: Int, bandBits: Int,
+          cap: Int): (Long, Long, Long) = {
         val ph = ph0.localCheckpoint()
         val maxId = ph.agg(max(col("doc_id"))).head.getLong(0)
         val offset = (maxId / 100 + 1) * 100
@@ -97,24 +110,34 @@ object MediaScaleBench {
         val twins = plant(ph, bits, offset, math.max(1L, nHashes / 200))
           .localCheckpoint()
         val nPlanted = twins.count()
-        val found = Multimodal.phashPairs(ph.unionByName(twins),
-            Multimodal.PhashBandCap, bandBits)
+        val found = Multimodal.phashPairs(ph.unionByName(twins), cap, bandBits)
           .filter(col("id_b") === col("id_a") + lit(offset) &&
             col("id_b") >= lit(offset))
           .count()
-        (nPlanted, found)
+        // the profile the cap fights: hottest DISTINCT-hash band
+        // bucket in this width's real corpus (planted set excluded)
+        val hot = ph.select(col("phash")).distinct()
+          .select(posexplode(expr(
+            s"transform(sequence(0, 3), k -> shiftright(phash, cast($bandBits * k as int))" +
+              s" & ${(1L << bandBits) - 1}L)")))
+          .toDF("k", "v").groupBy("k", "v").count()
+          .agg(max(col("count"))).head.getLong(0)
+        (nPlanted, found, hot)
       }
-      val (p8, f8) = plantedRecall(
-        Multimodal.phash32(Multimodal.sampledFrames(docs, 32)), 32, 8)
-      val (p16, f16) = plantedRecall(
-        Multimodal.phashWide(Multimodal.sampledFrames(docs, 64), 64), 64, 16)
+      val ph8 = Multimodal.phash32(Multimodal.sampledFrames(docs, 32))
+      val ph16 = Multimodal.phashWide(Multimodal.sampledFrames(docs, 64), 64)
+      val (p8, f8, hot8) = plantedRecall(ph8, 32, 8, Multimodal.PhashBandCap)
+      val (p16, f16, hot16) = plantedRecall(ph16, 64, 16, Multimodal.PhashBandCap)
+      val (po, fo, _) = plantedRecall(ph16, 64, 16, sweepCap)
 
-      def armJson(a: (Long, Double, Double), p: Long, f: Long): String =
+      def armJson(a: (Long, Double, Double), p: Long, f: Long,
+          extra: String = ""): String =
         s"""{"rows":${a._1},"cold":${d3(a._2)},"steady":${d3(a._3)},""" +
-          s""""planted":$p,"planted_found":$f}"""
+          s""""planted":$p,"planted_found":$f$extra}"""
 
-      (n, s""""x$n":{"narrow":${armJson(nw, p8, f8)},""" +
-        s""""wide":${armJson(wd, p16, f16)}}""", nw._3, wd._3, nw._1, wd._1)
+      (n, s""""x$n":{"narrow":${armJson(nw, p8, f8, s""","hot_bucket":$hot8""")},""" +
+        s""""wide":${armJson(wd, p16, f16, s""","hot_bucket":$hot16""")},""" +
+        s""""wide_cap$sweepCap":${armJson(wo, po, fo)}}""", nw._3, wd._3, nw._1, wd._1)
     }
 
     val lo = scales.head.toDouble

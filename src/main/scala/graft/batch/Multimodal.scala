@@ -245,11 +245,19 @@ object Multimodal {
     * corpus passes ~1024 × cap hashes, which ScaleBench's 10× rung
     * measurement hit (cap binding at ~122 members/bucket, pair output
     * growing only 3× for 10× the frames). Same radius-3 pigeonhole,
-    * same cap, same rollup; [[graft.MediaScaleBench]] measures both
-    * widths side by side at the scale rungs with planted pairs. */
-  private[graft] def videoFrameDupWide(docs: DataFrame): DataFrame =
+    * same rollup; [[graft.MediaScaleBench]] measures both widths side
+    * by side at the scale rungs with planted pairs. `cap` is the
+    * residual cost↔recall dial on the DISTINCT-hash band space: at
+    * 16-bit width mean bucket occupancy stays ≪ the default cap at any
+    * realistic corpus (so the mean-occupancy sizing rule of
+    * [[Dedup.occupancyCap]] floors at the default and buys nothing
+    * here), and what the cap binds on is genuinely hot buckets — size
+    * it from the measured bucket profile the bench's cap sweep
+    * records, not from the mean. */
+  private[graft] def videoFrameDupWide(docs: DataFrame,
+      cap: Int = PhashBandCap): DataFrame =
     videoRollup(phashPairs(phashWide(sampledFrames(docs, 64), 64),
-      PhashBandCap, bandBits = 16))
+      cap, bandBits = 16))
 
   /** qm5: [[qm4_video_framedup]] at the production band width —
     * oracle-checked so the 16-bit regime is a first-class, hash-pinned

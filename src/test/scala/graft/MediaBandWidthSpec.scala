@@ -83,6 +83,42 @@ class MediaBandWidthSpec extends SparkSpec {
     assert(f8 == 20, s"8-bit found $f8")
   }
 
+  test("hot-bucket skew at 16-bit width: the bucket cap is the residual recall dial") {
+    // one genuinely hot band-0 bucket (shared low-16 value) holding
+    // 720 DISTINCT hashes — the x30-rung shape where width no longer
+    // helps and the cap binds. Planted twins differ by one bit in each
+    // of bands 1..3, so the hot bucket is the ONLY band they share:
+    // a capped prefix there is their single path to candidacy.
+    val rnd = new scala.util.Random(13)
+    val band0 = 0xBEEFL
+    def hot(hi48: Long) = band0 | (hi48 << 16)
+    val fill = (0 until 600).map(i => (i.toLong, hot(rnd.nextLong() >>> 16)))
+    val planted = (0 until 60).flatMap { g =>
+      val base = hot(rnd.nextLong() >>> 16)
+      Seq((1000000L + 2 * g, base),
+        (1000001L + 2 * g, base ^ (1L << 20) ^ (1L << 36) ^ (1L << 52)))
+    }
+    // plus exact-dup doc pairs riding ONE shared hash: collapse-then-
+    // band makes distance-0 recall cap-independent — pin that too
+    val exact = Seq((2000000L, hot(42L)), (2000001L, hot(42L)))
+    val ph = (fill ++ planted ++ exact).toDF("doc_id", "phash")
+    val at128 = Multimodal.phashPairs(ph, 128, bandBits = 16)
+    val at1024 = Multimodal.phashPairs(ph, 1024, bandBits = 16)
+    // restrict to the planted id range — the exact-dup pair at 2e6
+    // would otherwise satisfy the id_b = id_a + 1 filter too
+    def plantedIn(pairs: org.apache.spark.sql.DataFrame): Long =
+      plantedFound(pairs.filter(col("id_a") < 2000000L))
+    val lost = 60 - plantedIn(at128)
+    assert(lost > 0, "expected the 128-cap prefix of a 720-member bucket to drop planted pairs")
+    assert(plantedIn(at1024) == 60,
+      "a cap above the hot bucket's occupancy recovers every planted pair")
+    // distance-0 pairs survive ANY cap: they ride the group collapse,
+    // never the band join
+    for (pairs <- Seq(at128, at1024))
+      assert(pairs.filter(col("id_a") === 2000000L && col("id_b") === 2000001L
+        && col("hamming") === 0L).count() == 1)
+  }
+
   // ---- streaming membrane: the same width flows through MediaIngest
 
   // 64 blocks of 10 chars (phashWide at 64 bits): flipping block b
