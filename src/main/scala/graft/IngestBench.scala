@@ -155,7 +155,10 @@ object IngestBench {
         }
         if (requantEvery > 0 && b > 0 && b % requantEvery == 0) {
           val tt = System.nanoTime()
-          stream.MultimodalIngest.requantize(spark, mmDir, nCells = 8, upTo = b)
+          // auto-sized (0): C = max(current, ⌈√corpus⌉) per tick — the
+          // √N rule; a pinned C makes per-batch probe cost grow
+          // linearly with the corpus (the 1M-doc run's quartile slide)
+          stream.MultimodalIngest.requantize(spark, mmDir, nCells = 0, upTo = b)
           tickSecs += (System.nanoTime() - tt) / 1e9
           ticks += 1
           lastTick = b

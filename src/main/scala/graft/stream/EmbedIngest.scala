@@ -76,8 +76,10 @@ object EmbedIngest {
         // checkpoint-committed (IngestDedup.start's cadence rule)
         val s = batch.sparkSession
         if (requantizeEvery > 0 && id > 0 && id % requantizeEvery == 0)
-          requantize(s, dir, nCells = s.read.parquet(s"$dir/centroids").count().toInt,
-            upTo = id)
+          // auto-sized: C grows as √corpus (floored at the current
+          // count) so per-batch probe cost stays Θ(batch × √n) instead
+          // of decaying linearly under an init-pinned C
+          requantize(s, dir, nCells = 0, upTo = id)
         else if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
           compactCells(s, dir, upTo = id)
         ingestBatch(batch, dir, id, tau, nProbe)
@@ -121,13 +123,31 @@ object EmbedIngest {
     * crash before the marker leaves the old layout untouched (the next
     * entry discards the partial snapshot); after it, [[recoverRequant]]
     * — run at every entry point — finishes the install, each step
-    * conditional on its tmp subdir so resumption is idempotent. */
+    * conditional on its tmp subdir so resumption is idempotent.
+    *
+    * `nCells ≤ 0` sizes the new quantizer from the corpus itself:
+    * `max(current cell count, ⌈√n⌉)` over the n committed vectors —
+    * the C ∝ √N rule IvfScaleBench measured for the batch dedup path,
+    * applied at the cadence where the streaming membrane can act on
+    * it. Per-batch probe cost is Θ(batch × n/C), so a quantizer whose
+    * C was pinned at init makes ingest throughput decay LINEARLY in
+    * the corpus (the 1M-doc IngestBench run measured exactly that:
+    * quartile rates 363→193 docs/s with compaction on); √N cells turn
+    * the same term into Θ(batch × √n). The floor at the current count
+    * means auto never shrinks a hand-built quantizer. */
   def requantize(s: SparkSession, dir: String, nCells: Int, upTo: Long): Unit = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     recoverRequant(s, dir)
     if (!EpochFold.hasDataFiles(s, s"$dir/cells")) return
-    writeRequantSnapshot(s, dir, nCells, upTo)
+    val c =
+      if (nCells > 0) nCells
+      else {
+        val n = s.read.parquet(s"$dir/cells").filter(col("epoch") < upTo).count()
+        val cur = s.read.parquet(s"$dir/centroids").count().toInt
+        math.max(cur, math.ceil(math.sqrt(n.toDouble)).toInt)
+      }
+    writeRequantSnapshot(s, dir, c, upTo)
     installRequant(fs, root, upTo)
   }
 

@@ -73,11 +73,6 @@ object MultimodalIngest {
             compactEvery: Int = 64, requantizeEvery: Int = 0,
             statsOn: Boolean = false,
             mediaBandBits: Int = 8): StreamingQuery = {
-    // the quantizer's cell count is pinned at [[init]] and preserved by
-    // requantize, so read it ONCE per query, not one extra centroids
-    // job per cadence tick (memoized lazily — the stream may start
-    // before the first batch needs it)
-    var nCellsCached = -1
     docs.writeStream.trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -100,12 +95,11 @@ object MultimodalIngest {
           }
           if (!requantNow) EmbedIngest.compactCells(s, s"$dir/embed", upTo = id)
         }
-        if (requantNow) {
-          if (nCellsCached < 0)
-            nCellsCached = s.read.parquet(s"$dir/embed/centroids").count().toInt
-          EmbedIngest.requantize(s, s"$dir/embed",
-            nCells = nCellsCached, upTo = id)
-        }
+        // auto-sized (nCells = 0): the rebuilt quantizer carries
+        // max(current C, ⌈√corpus⌉) cells — see EmbedIngest.requantize
+        // for why a pinned C decays ingest throughput linearly
+        if (requantNow)
+          EmbedIngest.requantize(s, s"$dir/embed", nCells = 0, upTo = id)
         ingestBatch(batch, dir, id, tau, nProbe, mediaBandBits)
         if (statsOn) foldStats(s, dir, id)
       }

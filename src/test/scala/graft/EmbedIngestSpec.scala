@@ -181,6 +181,26 @@ class EmbedIngestSpec extends SparkSpec
     assert(ids(dir) == Seq(5L, 6L, 7L, 11L))
   }
 
+  test("requantize auto-sizing (nCells = 0): C = ceil(sqrt(corpus)), floored at the current count") {
+    val dir = freshDir() // 2-cell axis quantizer
+    // 25 pairwise-distant unit vectors; tau > 1 admits them all
+    val vecs = (0 until 25).map { i =>
+      (i.toLong, Seq(math.cos(i * 0.251).toFloat, math.sin(i * 0.251).toFloat))
+    }.toDF("vec_id", "embedding")
+    EmbedIngest.ingestBatch(vecs, dir, epochId = 0, tau = 1.1)
+    EmbedIngest.requantize(spark, dir, nCells = 0, upTo = 1)
+    assert(spark.read.parquet(s"$dir/centroids").count() == 5L,
+      "auto C must be ceil(sqrt(25)) = 5")
+    // fixed point: re-running auto on the same corpus keeps C (the
+    // floor at the current count also means auto never shrinks a
+    // hand-built quantizer)
+    EmbedIngest.requantize(spark, dir, nCells = 0, upTo = 1)
+    assert(spark.read.parquet(s"$dir/centroids").count() == 5L)
+    val cells = spark.read.parquet(s"$dir/cells")
+    assert(cells.count() == 25L && cells.select("vec_id").distinct().count() == 25L,
+      "every admitted vector re-celled exactly once")
+  }
+
   test("crash between requantize commit and install: old layout intact, next entry completes") {
     val dir = freshDir()
     EmbedIngest.ingestBatch(Seq(
