@@ -740,6 +740,43 @@ object Dedup {
       .orderBy("band")
   }
 
+  /** qd16: the PRODUCTION-SIZED cell near-dup — [[cellNearDup]] under
+    * every at-scale rule the round-10 IvfScaleBench audit forced, now
+    * oracle-gated rather than bench-asserted: the quantizer carries
+    * `C = ⌈√N⌉` cells (the standard IVF sizing that keeps the probe
+    * term N^1.5 instead of qd13's fixture N², BASELINE.md r10 row),
+    * the flood cap is [[occupancyCap]] (headroom·p·N/C — sized from
+    * mean occupancy so ordinary cells never saturate; a FIXED cap
+    * under √N cells saturates at occupancy 5√N and starts dropping
+    * docs), and the cap prefix orders by md5(id) so any binding evicts
+    * an unbiased subset instead of the corpus's newest documents.
+    *
+    * The centroid selection — first ⌈√N⌉ corpus vectors by
+    * md5(vec_id) order — is [[IvfIndex.build]]'s exact rule
+    * (IvfIndex.scala:93-96), so this query runs the production
+    * quantizer end to end; IvfQuantizerSpec pins it pair-for-pair
+    * identical to a persisted built index, and the IvfScaleBench
+    * `ivf` arm measured the shape at the 1×/3×/10×/30× rungs
+    * (planted dup-pair recall 199–200/200 at every rung).
+    *
+    * Scale shape: one count + a √N-row TakeOrdered for the centroid
+    * sample (driver holds √N rows — 31k for a 1e9-doc corpus), then
+    * [[cellNearDup]]'s broadcast-quantizer probe / capped cell-local
+    * self-join / id-join verify. */
+  def qd16_ivf_neardup(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .withColumn("nrm", sqrt(Similarity.norm2(col("embedding"))))
+      .localCheckpoint()
+    val n = emb.count()
+    val nCells = math.ceil(math.sqrt(n.toDouble)).toInt
+    val cents = emb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    cellNearDup(emb, cents, tau = 0.4, cap = occupancyCap(n, nCells))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Connected components by alternating large-star / small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14) — the loop body qd6's scaladoc promises for adversarial
@@ -822,6 +859,7 @@ object Dedup {
     "qd13_cell_neardup" -> (qd13_cell_neardup _),
     "qd14_simhash_neardup" -> (qd14_simhash_neardup _),
     "qd15_cell_recall" -> (qd15_cell_recall _),
+    "qd16_ivf_neardup" -> (qd16_ivf_neardup _),
     "qd6_dup_clusters" -> (qd6_dup_clusters _))
 
   private val shingleSql =
@@ -1073,6 +1111,41 @@ object Dedup {
          | SELECT vec_id, cell FROM probed
          | QUALIFY row_number() OVER (PARTITION BY cell
          |   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= $CellCap),
+         |pairs AS (
+         | SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         | FROM capped a JOIN capped b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b,
+         | round(list_sum(list_transform(range(64), i -> CAST(na.embedding[CAST(i AS INT) + 1] AS DOUBLE) * CAST(nb.embedding[CAST(i AS INT) + 1] AS DOUBLE))) / (na.nrm * nb.nrm), 6) AS rcos
+         |FROM pairs JOIN nm na ON id_a = na.vec_id JOIN nm nb ON id_b = nb.vec_id
+         |WHERE round(list_sum(list_transform(range(64), i -> CAST(na.embedding[CAST(i AS INT) + 1] AS DOUBLE) * CAST(nb.embedding[CAST(i AS INT) + 1] AS DOUBLE))) / (na.nrm * nb.nrm), 6) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+    // qd16: same pair machinery as qd13 but the quantizer carries the
+    // PRODUCTION sizing — C = ceil(sqrt(N)) md5-sampled centroids and
+    // the occupancy-sized flood cap GREATEST(CellCap, 4·p·N/C) —
+    // both computed from the data inside the SQL so the oracle tracks
+    // any fixture size. Integer division: Scala Long `/` truncates,
+    // DuckDB `//` floors; identical on the positive operands here.
+    "qd16_ivf_neardup" ->
+      s"""WITH nm AS (
+         | SELECT vec_id, embedding,
+         |  sqrt(list_sum(list_transform(range(64), i -> CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) * CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)))) AS nrm
+         | FROM embeddings),
+         |st AS (SELECT COUNT(*) AS n, CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS nc FROM nm),
+         |cents AS (
+         | SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM nm, st
+         | QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= nc),
+         |scored AS (
+         | SELECT nm.vec_id, cents.cid,
+         |  round(list_sum(list_transform(range(64), i -> CAST(cents.ce[CAST(i AS INT) + 1] AS DOUBLE) * CAST(nm.embedding[CAST(i AS INT) + 1] AS DOUBLE))) / (cents.cn * nm.nrm), 6) AS crcos
+         | FROM nm, cents),
+         |probed AS (
+         | SELECT vec_id, cid AS cell FROM scored
+         | QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY crcos DESC, cid) <= $ProbeCells),
+         |capped AS (
+         | SELECT vec_id, cell FROM probed, st
+         | QUALIFY row_number() OVER (PARTITION BY cell
+         |   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+         |  <= GREATEST($CellCap, (4 * $ProbeCells * n) // nc)),
          |pairs AS (
          | SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          | FROM capped a JOIN capped b ON a.cell = b.cell AND a.vec_id < b.vec_id)

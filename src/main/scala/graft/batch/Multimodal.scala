@@ -50,6 +50,19 @@ object Multimodal {
     * bucket and the SAME prefix is encoded in the oracle SQL. */
   private[graft] val PhashBandCap = 128
 
+  /** The 16-bit path's production cap, sized from the MEASURED hot-
+    * bucket profile rather than mean occupancy (MediaScaleBench's cap
+    * sweep, BASELINE.md r10 row): at 16-bit width mean bucket
+    * occupancy stays ≪ any cap, so [[Dedup.occupancyCap]]'s
+    * size-from-mean rule floors at the default and what binds is
+    * genuine skew — the sweep measured hot distinct-hash buckets up to
+    * ~1.7k at the 30× rung, and cap 1024 ≳ that profile bought PERFECT
+    * planted completeness at every rung for times within noise of cap
+    * 128 (the pair stage is bucket-local m², so only the few hot
+    * buckets pay). qm5 carries it so the first-class oracle query runs
+    * the full production pin, not just the band width. */
+  private[graft] val PhashHotCap = 1024
+
   /** 32-bit perceptual hash of the media payload, entirely ROW-LOCAL
     * (qd3's zero-shuffle shape): the stub codec's "pixels" are the
     * payload's byte values, block-averaged into 32 equal slices —
@@ -255,7 +268,7 @@ object Multimodal {
     * it from the measured bucket profile the bench's cap sweep
     * records, not from the mean. */
   private[graft] def videoFrameDupWide(docs: DataFrame,
-      cap: Int = PhashBandCap): DataFrame =
+      cap: Int = PhashHotCap): DataFrame =
     videoRollup(phashPairs(phashWide(sampledFrames(docs, 64), 64),
       cap, bandBits = 16))
 
@@ -265,7 +278,8 @@ object Multimodal {
     * schedule, 64-byte windows, 64-bit average-hash, 4 × 16-bit bands
     * (65536 buckets each — saturation deferred 256× past qm3/qm4's
     * 8-bit regime, the decay [[graft.MediaScaleBench]] measures at the
-    * rungs), same [[PhashBandCap]], same radius-3 pigeonhole. */
+    * rungs), the skew-sized [[PhashHotCap]], same radius-3
+    * pigeonhole. */
   def qm5_framedup_wide(s: SparkSession, d: String): DataFrame =
     videoFrameDupWide(Tables.spread(Tables.documents(s, d)))
 
@@ -441,7 +455,7 @@ object Multimodal {
          |gm AS (
          | SELECT doc_id, phash, row_number() OVER (PARTITION BY phash
          |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS g_rk FROM ph),
-         |mem AS (SELECT doc_id, phash FROM gm WHERE g_rk <= $PhashBandCap),
+         |mem AS (SELECT doc_id, phash FROM gm WHERE g_rk <= $PhashHotCap),
          |within AS (
          | SELECT a.doc_id AS id_a, a.phash AS ph_a,
          |  b.doc_id AS id_b, b.phash AS ph_b, 0::BIGINT AS hamming
@@ -452,7 +466,7 @@ object Multimodal {
          |pruned AS (
          | SELECT * FROM bands
          | QUALIFY row_number() OVER (PARTITION BY k, v
-         |   ORDER BY md5(CAST(phash AS VARCHAR)), phash) <= $PhashBandCap),
+         |   ORDER BY md5(CAST(phash AS VARCHAR)), phash) <= $PhashHotCap),
          |hp AS (
          | SELECT DISTINCT a.phash AS ha, b.phash AS hb
          | FROM pruned a JOIN pruned b ON a.k = b.k AND a.v = b.v AND a.phash < b.phash

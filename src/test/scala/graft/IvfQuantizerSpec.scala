@@ -82,4 +82,23 @@ class IvfQuantizerSpec extends SparkSpec {
     assert(recalled * 100 >= exact.size * 80,
       s"sqrt(N)-cell recall too low: $recalled of ${exact.size}")
   }
+
+  test("qd16 is exactly cellNearDup over a persisted built index with the occupancy cap") {
+    // the oracle-gated production query (sqrt(N) md5-sampled cells,
+    // occupancy-sized cap) must be bit-identical to running the seam
+    // over an IvfIndex.build quantizer read back from disk — i.e. the
+    // in-query centroid rule IS build's rule, not a lookalike
+    val dir = java.nio.file.Files.createTempDirectory("ivfqd16").toString
+    val emb = fixtureEmb
+    val n = emb.count()
+    val nCells = math.ceil(math.sqrt(n.toDouble)).toInt
+    IvfIndex.build(Tables.embeddings(spark, sf), dir, nCells)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val cap = Dedup.occupancyCap(n, nCells)
+    assert(cap >= Dedup.CellCap, "occupancy cap never drops below the default floor")
+    val viaIndex = pairSet(Dedup.cellNearDup(emb, cents, tau = 0.4, cap = cap))
+    val viaQuery = pairSet(Dedup.qd16_ivf_neardup(spark, sf))
+    assert(viaIndex === viaQuery)
+    assert(viaQuery.nonEmpty, "the production-sized quantizer must produce pairs")
+  }
 }
