@@ -49,6 +49,17 @@ object Bench {
         catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      // drop this query's persisted blocks before moving on: every
+      // fn(...) call builds a FRESH DataFrame, so each warmup + rep
+      // leaves its own localCheckpoint blocks behind (nothing frees
+      // them until the ContextCleaner's GC cycle) — across ~90 queries
+      // the block manager fills, later queries pay eviction + GC that
+      // an isolated run never sees, and the steady totals drift ~10%
+      // above the sum of per-query minima. Unpersisting between
+      // queries is bench hygiene only: each timed rep still pays its
+      // own checkpoint materialization inside the measured window.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       name -> ((times.head, times.min))
     }
     // explicit-ROOT-locale formatting: the f"" interpolator uses the
