@@ -128,7 +128,11 @@ object IngestDedup {
     * through a driver-collected literal IN filter (bounded by this
     * constant, not by data) that pushes down to the parquet scans.
     * Default for [[isinKeyLimit]]; override per session with
-    * `spark.graft.ingest.isinKeyLimit`. */
+    * `spark.graft.ingest.isinKeyLimit`. Sizing note: the limit is
+    * compared against KEY counts, and the band probe carries ~2 keys
+    * per doc — so a batch rides trickle on ALL text probes only at
+    * ≤ limit/2 docs (4096 at the default); between limit/2 and limit
+    * the regime is mixed (content-key trickle, band-key broadcast). */
   private[graft] val IsinKeyLimit = 8192L
   /** Micro-batch regime: batches up to this size probe by broadcasting
     * their key set into a map-side join against the index. Beyond it

@@ -139,4 +139,48 @@ class ProbeRegimeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         "expected the index probe to be a plain shuffle join in the bulk regime")
     }
   }
+
+  test("mixed regime between limit/2 and limit: content trickle, bands broadcast") {
+    // the limit compares KEY counts and the band probe carries ~2 keys
+    // per doc, so a batch in (limit/2, limit] docs rides trickle on the
+    // content index but broadcast on the band index — the boundary a
+    // deployment sizing its micro-batches for full-trickle IO must
+    // clear by 2×, pinned here so the 2-keys-per-doc contract can't
+    // drift silently (batch = 4 docs, limit = 5: 4 ≤ 5 but 2·4 > 5)
+    withConf("spark.graft.ingest.isinKeyLimit" -> "5") {
+      val (ids, plan) = run(seedIndex())
+      assert(ids == Seq(10L), "regimes must agree on the survivor set")
+      val contentScans = collectWithSubqueries(plan) {
+        case sc: FileSourceScanExec if isIndexScan(sc) &&
+          sc.relation.location.rootPaths.exists(_.toString.contains("exact_idx")) => sc
+      }
+      assert(contentScans.exists(sc => Seq("In(content_key", "EqualTo(content_key")
+          .exists(sc.metadata("PushedFilters").contains)),
+        s"content probe must stay trickle at batch ≤ limit: ${
+          contentScans.map(_.metadata("PushedFilters"))}")
+      val bandScans = collectWithSubqueries(plan) {
+        case sc: FileSourceScanExec if isIndexScan(sc) &&
+          sc.relation.location.rootPaths.exists(_.toString.contains("band_idx")) => sc
+      }
+      assert(bandScans.nonEmpty)
+      assert(!bandScans.exists(sc => Seq("In(key", "EqualTo(key")
+          .exists(sc.metadata("PushedFilters").contains)),
+        "band probe must NOT collect an IN list once 2·batch exceeds the limit")
+      // still the broadcast shape: band index streamed, never build-side
+      val probeJoins = collectWithSubqueries(plan) {
+        case j: BroadcastHashJoinExec => j
+      }
+      assert(probeJoins.exists { j =>
+        val streamed = j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.right
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.left
+        }
+        streamed.collect { case sc: FileSourceScanExec if isIndexScan(sc) &&
+          sc.relation.location.rootPaths.exists(_.toString.contains("band_idx")) => sc
+        }.nonEmpty
+      }, "expected a broadcast probe with the band index on the streamed side")
+      assert(indexBoundedBelowEveryShuffle(plan),
+        "the raw index must be bounded below any shuffle")
+    }
+  }
 }
