@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.batch.{Dedup, IvfIndex, Similarity}
+import graft.functions.GraftFunctions
+
+/** Rung-level recall audit for the ANN *search* path — VERDICT r10's
+  * ask #3: the dedup side of the IVF machinery got planted-pair audits
+  * at four rungs (IvfScaleBench); this applies the same method to
+  * [[IvfIndex.search]], the top-k path qs3/qs5 pin only at fixture
+  * scale. Per [[ScaleGen]] rung (1×/3×/10×/30×), under the production
+  * √N cell sizing and the audited probe width:
+  *
+  *   - **recall@k vs brute force** for ~200 md5-spread corpus queries:
+  *     |IVF top-k ∩ exact top-k| / k, averaged. Exact ground truth is
+  *     [[Similarity.knnTopK]] (broadcast queries, map-side scoring,
+  *     GroupTopK pre-reduce) over the SAME rung corpus — the audit
+  *     cost is nQ·N score evaluations, bounded by the fixed query
+  *     sample exactly like qs5's 1%-sliver design.
+  *   - **planted-twin hit rate** for ~200 out-of-corpus queries: each
+  *     twin is a base vector nudged by ±ε·‖v‖/√d per coordinate
+  *     (IvfScaleBench's seed-free construction, cos ≈ 0.949), NOT
+  *     inserted into the index; its true nearest neighbor is its base
+  *     with near certainty (cross-replica cosines decorrelate to the
+  *     random baseline — ScaleGen's isometry note). `twin@1` = the
+  *     search returns the base at rank 1; `twin@k` = anywhere in
+  *     top-k. This is the query-side analog of the dedup audit's
+  *     planted-pair recall: the number that must hold at 100 TB.
+  *
+  * Probe width is swept at p = 1 and p = [[Dedup.ProbeCells]] so the
+  * recall↔cost dial is measured, not asserted (reference anchor: the
+  * scan-coalescing hand-optimization — read only what the index prunes
+  * to). Search times are reported per arm (reps; min = steady). One
+  * JSON line per the Bench contract; BASELINE.md records the run.
+  */
+object AnnScaleBench {
+
+  private val Dim = 64
+  private val K = 10
+  /** cos ≈ 1/√(1+ε²) ≈ 0.9487 at ε = 1/3 — IvfScaleBench's pin. */
+  private val Eps = 1.0 / 3.0
+
+  private def withNrm(df: DataFrame): DataFrame =
+    df.withColumn("nrm",
+      sqrt(GraftFunctions.vec_dot(col("embedding"), col("embedding"))))
+
+  /** IvfScaleBench.plantTwins, re-stated for the QUERY side: the twin
+    * keeps the base's id + plantOffset so the expected neighbor is
+    * recoverable by subtraction. Seed-free (hash-parity signs). */
+  private def plantTwins(emb: DataFrame, baseMod: Long,
+      plantOffset: Long): DataFrame = {
+    val bases = emb.filter(pmod(col("vec_id"), lit(baseMod)) === 3)
+    bases.select(
+      (col("vec_id") + lit(plantOffset)).as("vec_id"),
+      array((0 until Dim).map { j =>
+        (element_at(col("embedding"), j + 1) +
+          (pmod(hash(col("vec_id"), lit(j)), lit(2)) * 2 - 1).cast("float") *
+            lit(Eps.toFloat) * (col("nrm") / lit(math.sqrt(Dim.toDouble))).cast("float"))
+          .cast("float")
+      }: _*).as("embedding"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outRoot = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale")
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,3,10")
+      .split(",").map(_.trim.toInt).toSeq.sorted
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime()
+      val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    val rungs = scales.map { n =>
+      val dir = s"$outRoot/x$n"
+      ScaleGen.amplify(spark, srcDir, dir, n)
+
+      val embRaw = withNrm(
+        Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+        .localCheckpoint()
+      val nVecs = embRaw.count()
+      val maxId = embRaw.agg(max(col("vec_id"))).head.getLong(0)
+      val plantOffset = (maxId / 100 + 1) * 100
+      val baseMod = math.max(1L, nVecs / 200)
+
+      val nCells = math.ceil(math.sqrt(nVecs.toDouble)).toInt
+      val idxDir = s"$dir/ivf_sqrtn"
+      val (tBuild, _) = time {
+        IvfIndex.build(Tables.embeddings(spark, dir), idxDir, nCells)
+      }
+
+      // corpus-sample queries (in-index) — md5-free modulus spread, the
+      // same ~200-query budget as the dedup audit's planted bases
+      val sampleQ = embRaw.filter(pmod(col("vec_id"), lit(baseMod)) === 1)
+        .select("vec_id", "embedding").localCheckpoint()
+      val nQ = sampleQ.count()
+      val exact = Similarity.knnTopK(
+          Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+          sampleQ.select("vec_id"), K)
+        .select(col("qid"), col("neighbor_id")).localCheckpoint()
+
+      // out-of-corpus twin queries: expected neighbor = vec_id − offset
+      val twinQ = plantTwins(embRaw, baseMod, plantOffset)
+        .localCheckpoint()
+      val nTwin = twinQ.count()
+
+      def searchArm(p: Int): String = {
+        var rows = -1L
+        val ts = (1 to math.max(1, reps)).map { _ =>
+          time { rows = IvfIndex.search(spark, idxDir, sampleQ, K, p)
+            .queryExecution.toRdd.count() }._1
+        }
+        val found = IvfIndex.search(spark, idxDir, sampleQ, K, p)
+          .select(col("qid"), col("neighbor_id"))
+        // recall@k: intersection size per query / k, averaged over the
+        // sample (queries whose exact list is shorter than k — only
+        // possible at a sub-k corpus — would cap at their list size)
+        val inter = exact.join(found, Seq("qid", "neighbor_id"), "left_semi")
+          .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+        val recallAtK = sampleQ.select(col("vec_id").as("qid"))
+          .join(inter, Seq("qid"), "left")
+          .agg(avg(coalesce(col("n_hit"), lit(0L)) / lit(K.toDouble)))
+          .head.getDouble(0)
+        val twinFound = IvfIndex.search(spark, idxDir, twinQ, K, p)
+          .withColumn("expected", col("qid") - lit(plantOffset))
+          .filter(col("neighbor_id") === col("expected"))
+        val twinAt1 = twinFound.filter(col("rank") === 1).count()
+        val twinAtK = twinFound.count()
+        s"""{"cold":${d3(ts.head)},"steady":${d3(ts.min)},""" +
+          s""""recall_at_$K":${d3(recallAtK)},""" +
+          s""""twin_at_1":$twinAt1,"twin_at_$K":$twinAtK}"""
+      }
+
+      val arms = Seq(1, Dedup.ProbeCells).distinct
+        .map(p => s""""p$p":${searchArm(p)}""").mkString(",")
+      s""""x$n":{"n_vecs":$nVecs,"n_cells":$nCells,"n_queries":$nQ,""" +
+        s""""n_twins":$nTwin,"build":${d3(tBuild)},$arms}"""
+    }
+
+    println(s"""{"metric":"ann_search_recall","value":$K,"unit":"k",""" +
+      s""""scales":"${scales.mkString(",")}","src":"$srcDir",""" +
+      s""""rungs":{${rungs.mkString(",")}}}""")
+    spark.stop()
+  }
+}

@@ -37,6 +37,10 @@ object Bench {
     // single-shot contract (cold == steady in that case).
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(2)
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // scope the post-query unpersist to blocks THIS query created:
+      // unpersisting a shared localCheckpoint would truncate its
+      // lineage unrecoverably for every later query that reuses it
+      val preExisting = spark.sparkContext.getPersistentRDDs.keySet
       warmDir.foreach { d =>
         try { fn(spark, d).queryExecution.toRdd.count() }
         catch { case _: Throwable => () }
@@ -58,8 +62,9 @@ object Bench {
       // above the sum of per-query minima. Unpersisting between
       // queries is bench hygiene only: each timed rep still pays its
       // own checkpoint materialization inside the measured window.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !preExisting(id) }
+        .values.foreach(_.unpersist(blocking = false))
       name -> ((times.head, times.min))
     }
     // explicit-ROOT-locale formatting: the f"" interpolator uses the

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DecodePlcWordsExpr, VectorDotExpr}
+import graft.functions.{DecodePlcWordsExpr, PhashExpr, VectorDotExpr}
 import graft.plans.{AsOfJoinStrategy, PushProbeFilterThroughAsOfJoin}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
@@ -25,6 +25,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorDotExpr].getName, "vec_dot"),
       (exprs: Seq[Expression]) => { val a = arity("vec_dot", 2, exprs); VectorDotExpr(a(0), a(1)) }))
+    e.injectFunction((
+      FunctionIdentifier("phash_blocks"),
+      new ExpressionInfo(classOf[PhashExpr].getName, "phash_blocks"),
+      (exprs: Seq[Expression]) => {
+        val a = arity("phash_blocks", 2, exprs)
+        PhashExpr(a(0), a(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"phash_blocks nBits must be an integer literal, got $other")
+        })
+      }))
     e.injectPlannerStrategy(_ => new AsOfJoinStrategy)
     e.injectOptimizerRule(_ => PushProbeFilterThroughAsOfJoin)
   }

@@ -23,8 +23,29 @@ object SparkEntry {
       batch.Similarity.queries ++ batch.Multimodal.queries ++ batch.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * Every CTE is forced `AS MATERIALIZED`: DuckDB inlines CTEs by
+    * default, so a CTE referenced k times re-evaluates k times — qc2's
+    * composed oracle (quality → dedup → decontam → phash chain
+    * referenced multiply downstream) ran 1,629 s at sf0.01 under
+    * inlining vs 0.3 s materialized, and the round-10 driver recorded
+    * an empty correctness artifact because of it. Materialization is
+    * semantics-preserving (same rows); it only pins single evaluation.
+    */
   def oracleSql: Map[String, String] =
-    batch.Relational.oracle ++ batch.Dedup.oracle ++ batch.TextOps.oracle ++
-      batch.Similarity.oracle ++ batch.Multimodal.oracle ++ batch.Curation.oracle
+    (batch.Relational.oracle ++ batch.Dedup.oracle ++ batch.TextOps.oracle ++
+      batch.Similarity.oracle ++ batch.Multimodal.oracle ++ batch.Curation.oracle)
+      .map { case (k, sql) => k -> materializeCtes(sql) }
+
+  /** Rewrite bare-name CTE heads (`name AS (` at line start or after
+    * `WITH `) to `name AS MATERIALIZED (`. Column-list heads
+    * (`reach(id, lbl) AS (`) are left inlined — DuckDB rejects
+    * MATERIALIZED on a self-referencing CTE — and any statement using
+    * RECURSIVE is left untouched entirely (all are sub-second). */
+  private def materializeCtes(sql: String): String =
+    if (sql.contains("RECURSIVE")) sql
+    else sql.replaceAll(
+      "(?m)(^|WITH )([a-zA-Z_][a-zA-Z0-9_]*) AS \\(",
+      "$1$2 AS MATERIALIZED (")
 }

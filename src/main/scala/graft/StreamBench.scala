@@ -23,18 +23,28 @@ import graft.stream.{Sinks, StateMachine}
   * stations served at the reference's own cadence.
   *
   * `sbt "runMain graft.StreamBench [nObs] [nStations] [rocksdb]
-  * [dimjoin]"` — prints one JSON line. The optional `rocksdb` arg runs
-  * the same load on the RocksDB state store (the large-state
-  * production config); `dimjoin` routes the dimension lookups through
-  * the stream-static-join path (`StateMachine.withDimTables`, the
-  * scale configuration) instead of the in-memory snapshot maps.
+  * [dimjoin|eventtime|tws]"` — prints one JSON line. The optional
+  * `rocksdb` arg runs the same load on the RocksDB state store (the
+  * large-state production config); `dimjoin` routes the dimension
+  * lookups through the stream-static-join path
+  * (`StateMachine.withDimTables`, the scale configuration) instead of
+  * the in-memory snapshot maps; `eventtime` / `tws` run the dim-join
+  * path under the EVENT-TIME hosts (watermark + event-time timers —
+  * `flatMapGroupsWithState`'s EventTimeTimeout or the
+  * `transformWithState` processor respectively), the production
+  * replay/backfill configuration, with the final state-store size
+  * reported so per-key state growth is a measured number (VERDICT r10
+  * ask #6: state must stay FLAT per key — the machine keeps one
+  * ActiveRecord per (station, parte), never an observation log).
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toInt else 200000
     val stations = if (args.length > 1) args(1).toInt else 200
     val rocksdb = args.contains("rocksdb")
-    val dimjoin = args.contains("dimjoin")
+    val eventtime = args.contains("eventtime")
+    val tws = args.contains("tws")
+    val dimjoin = args.contains("dimjoin") || eventtime || tws
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       String.valueOf(Runtime.getRuntime.availableProcessors())).toInt
     val spark = SparkSession.builder()
@@ -69,8 +79,17 @@ object StreamBench {
       val mults = Seq(("AAA", 2L)).toDF("parte", "multiplier")
       val records = Seq.empty[(String, Long, Int, Long)]
         .toDF("record_id", "produced", "status_id", "planned")
-      val actions = StateMachine.withDimTables(input.toDS(), parts, mults, records,
-        timeoutMs = 0)
+      // event-time hosts get a real timer horizon (30 s of event time —
+      // the default production silence window); the processing-time
+      // host keeps timers off as before (AvailableNow would race a
+      // wall-clock timeout)
+      val actions =
+        if (tws) StateMachine.withDimTablesEventTimeTws(
+          input.toDS(), parts, mults, records, timeoutMs = 30000L)
+        else if (eventtime) StateMachine.withDimTablesEventTime(
+          input.toDS(), parts, mults, records, timeoutMs = 30000L)
+        else StateMachine.withDimTables(input.toDS(), parts, mults, records,
+          timeoutMs = 0)
       actions.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.model.ActionRow], _: Long) =>
@@ -87,12 +106,23 @@ object StreamBench {
     q.awaitTermination()
     val sec = (System.nanoTime() - t0) / 1e9
     val rate = n / sec
+    // final state-store footprint: ONE ActiveRecord per live
+    // (station, parte) key is the design contract — rows ≈ stations
+    // and bytes/key flat regardless of nObs proves state doesn't
+    // accumulate an observation log
+    val stateOps = q.recentProgress.reverse
+      .find(p => p != null && p.stateOperators.nonEmpty)
+      .map(_.stateOperators.toSeq).getOrElse(Seq.empty)
+    val stateRows = stateOps.map(_.numRowsTotal).sum
+    val stateBytes = stateOps.map(_.memoryUsedBytes).sum
     val records = spark.read.parquet(s"$outDir/production_records").count()
     // explicit-ROOT-locale formatting keeps the line valid JSON under
     // comma-decimal default locales
     def jd(v: Double, dec: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
-    println(s"""{"metric":"stream_obs_per_sec","value":${jd(rate, 0)},"unit":"obs/sec","n_obs":$n,"stations":$stations,"state_store":"${if (rocksdb) "rocksdb" else "hdfs"}","lookup_path":"${if (dimjoin) "dimjoin" else "map"}","wall_sec":${jd(sec, 2)},"records":$records,"equiv_stations_at_reference_cadence":${(rate / 2).toLong}}""")
+    val host = if (tws) "tws-eventtime" else if (eventtime) "fmgws-eventtime"
+      else if (dimjoin) "dimjoin" else "map"
+    println(s"""{"metric":"stream_obs_per_sec","value":${jd(rate, 0)},"unit":"obs/sec","n_obs":$n,"stations":$stations,"state_store":"${if (rocksdb) "rocksdb" else "hdfs"}","lookup_path":"$host","wall_sec":${jd(sec, 2)},"records":$records,"state_rows":$stateRows,"state_bytes":$stateBytes,"equiv_stations_at_reference_cadence":${(rate / 2).toLong}}""")
     spark.stop()
   }
 }

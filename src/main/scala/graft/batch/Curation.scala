@@ -104,17 +104,20 @@ object Curation {
     * relational semantics DuckDB can reproduce. */
   private[graft] def admitted(docs: DataFrame, eval: DataFrame,
       p: Params): DataFrame =
-    mixtureAdmit(cleanedSignals(docs, eval, p, withPhash = false), p)
+    mixtureAdmit(cleanedSignals(docs, eval, p, phashBits = 0), p)
 
   /** Text-side membrane chain — quality gates → exact dedup → band
     * near-dedup → span decontamination — returning the narrow signal
     * frame `(doc_id, source, n_tok [, phash])` of the surviving docs.
-    * `withPhash = true` additionally computes qm3's 32-bit perceptual
-    * hash of the payload INSIDE the same single text pass (row-local;
-    * null when too short to hash), so a multimodal curation run gets
-    * its media signal without a second scan. */
+    * `phashBits > 0` additionally computes qm3's perceptual hash of
+    * the payload at that block count INSIDE the same single text pass
+    * (row-local; null when too short to hash), so a multimodal
+    * curation run gets its media signal without a second scan — 32 is
+    * the fixture regime, 64 feeds [[qc4_multimodal_wide]]'s 16-bit
+    * production banding. */
   private[graft] def cleanedSignals(docs: DataFrame, eval: DataFrame,
-      p: Params, withPhash: Boolean): DataFrame = {
+      p: Params, phashBits: Int): DataFrame = {
+    val withPhash = phashBits > 0
     // PASS 1 — the only full-text scan. Quality gates run as map-side
     // filters fused into this same pass; everything downstream needs
     // is computed row-local and checkpointed narrow (no text column).
@@ -147,7 +150,7 @@ object Curation {
     val keep = Seq(col("doc_id"), col("source"), col("n_tok"),
       col("content_key"), col("bands"), col("fps")) ++
       (if (withPhash) Seq(col("phash")) else Nil)
-    val sig = (if (withPhash) Multimodal.withPhash(sig0) else sig0)
+    val sig = (if (withPhash) Multimodal.withPhashN(sig0, phashBits) else sig0)
       .select(keep: _*)
       .localCheckpoint()
 
@@ -290,18 +293,42 @@ object Curation {
   }
 
   def qc2_multimodal_curation(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame = {
+      d: String): DataFrame =
+    multimodalAdmitted(s, d,
+      phashBits = 32, mediaCap = Multimodal.PhashBandCap, bandBits = 8)
+
+  /** qc4: [[qc2_multimodal_curation]] with its media membrane at the
+    * PRODUCTION pins — 64-bit payload hash, 16-bit bands (4 × 65536
+    * buckets: saturation deferred 256× past the 8-bit fixture regime
+    * that the round-10 rung audit measured decaying), and the
+    * skew-sized [[Multimodal.PhashHotCap]] — so the flagship composed
+    * query is oracle-checked under the regime a 100 TB corpus actually
+    * runs, not just the fixture one. Same composed chain, same embed
+    * membrane, same mixture tail; only the media levers move (qm5's
+    * relationship to qm4, applied to the composed pipeline). */
+  def qc4_multimodal_wide(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    multimodalAdmitted(s, d,
+      phashBits = 64, mediaCap = Multimodal.PhashHotCap, bandBits = 16)
+
+  /** The shared composed multimodal chain behind qc2 (fixture media
+    * pins) and qc4 (production media pins): text membrane with the
+    * phash riding pass 1 at `phashBits` blocks → capped band media
+    * dedup at `bandBits`-bit bands / `mediaCap` members → capped
+    * embedding near-dup → mixture admission. */
+  private[graft] def multimodalAdmitted(s: org.apache.spark.sql.SparkSession,
+      d: String, phashBits: Int, mediaCap: Int, bandBits: Int): DataFrame = {
     val all = graft.Tables.spread(graft.Tables.documents(s, d))
     val corpus = all.filter(pmod(col("doc_id"), lit(10)) =!= 7)
     val ev = all.filter(pmod(col("doc_id"), lit(10)) === 7)
       .select(col("doc_id"), col("text"))
     val p = Params()
-    val clean = cleanedSignals(corpus, ev, p, withPhash = true)
+    val clean = cleanedSignals(corpus, ev, p, phashBits)
 
     // media membrane: qm3's capped band pairs over the clean set
     val mediaLosers = Multimodal.phashPairs(
         clean.filter(col("phash").isNotNull).select(col("doc_id"), col("phash")),
-        Multimodal.PhashBandCap)
+        mediaCap, bandBits)
       .select(col("id_b").as("doc_id")).distinct()
     val afterMedia = clean.join(mediaLosers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"), col("n_tok"))
@@ -385,7 +412,8 @@ object Curation {
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
     Map("qc1_curation" -> (qc1_curation _),
       "qc2_multimodal_curation" -> (qc2_multimodal_curation _),
-      "qc3_semantic_balance" -> (qc3_semantic_balance _))
+      "qc3_semantic_balance" -> (qc3_semantic_balance _),
+      "qc4_multimodal_wide" -> (qc4_multimodal_wide _))
 
   /** The text-membrane CTE chain (corpus split → quality → exact/band
     * dedup → span decontam), shared verbatim by the qc1 and qc2
@@ -462,6 +490,99 @@ object Curation {
     "list_sum(list_transform(range(64), i -> CAST(%s[CAST(i AS INT) + 1]" +
       " AS DOUBLE) * CAST(%s[CAST(i AS INT) + 1] AS DOUBLE)))"
 
+  /** qm3's phash/band/cap CTE chain over `clean`, parameterized by the
+    * media levers exactly as [[multimodalAdmitted]] is: block count
+    * (`nBits`), band width, member cap. Ends at `am` (the media
+    * survivors). Bit 63 of a 64-bit hash is BIGINT's sign bit — DuckDB
+    * refuses `1 << 63` as an overflow, so it rides the MIN_BIGINT
+    * literal (qm5's rule). */
+  private def mediaMembraneSql(nBits: Int, bandBits: Int, cap: Int) = {
+    val bit =
+      if (nBits == 64)
+        "CASE WHEN i.b = 63 THEN (-9223372036854775808)::BIGINT ELSE 1::BIGINT << i.b END"
+      else "1::BIGINT << i.b"
+    s"""mph0 AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L
+       |         FROM clean WHERE length(text) >= $nBits),
+       |mblk AS (
+       | SELECT doc_id, text, L, b.b AS b,
+       |  (b.b * L) // $nBits AS off, ((b.b + 1) * L) // $nBits - (b.b * L) // $nBits AS n
+       | FROM mph0, range($nBits) b(b)),
+       |minten AS (
+       | SELECT doc_id, L, b, n,
+       |  list_sum(list_transform(range(1, CAST(n + 1 AS INT)),
+       |    p -> ord(substr(text, CAST(off + p AS INT), 1)))) AS i
+       | FROM mblk),
+       |mtot AS (SELECT doc_id, SUM(i) // MAX(L) AS m FROM minten GROUP BY 1),
+       |mph AS (
+       | SELECT i.doc_id,
+       |  CAST(SUM(CASE WHEN i.i // i.n > t.m
+       |   THEN $bit ELSE 0::BIGINT END) AS BIGINT) AS phash
+       | FROM minten i JOIN mtot t ON i.doc_id = t.doc_id GROUP BY 1),
+       |mgm AS (
+       | SELECT doc_id, phash, row_number() OVER (PARTITION BY phash
+       |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS g_rk FROM mph),
+       |mmem AS (SELECT doc_id, phash FROM mgm WHERE g_rk <= $cap),
+       |mwithin AS (
+       | SELECT b.doc_id FROM mmem a JOIN mmem b
+       |  ON a.phash = b.phash AND a.doc_id < b.doc_id),
+       |mbands AS (
+       | SELECT phash, k.k AS k,
+       |  (phash >> CAST($bandBits * k.k AS INT)) & ${(1L << bandBits) - 1} AS v
+       | FROM (SELECT DISTINCT phash FROM mph) dh, range(4) k(k)),
+       |mpruned AS (
+       | SELECT * FROM mbands
+       | QUALIFY row_number() OVER (PARTITION BY k, v
+       |   ORDER BY md5(CAST(phash AS VARCHAR)), phash) <= $cap),
+       |mhp AS (
+       | SELECT DISTINCT a.phash AS ha, b.phash AS hb
+       | FROM mpruned a JOIN mpruned b ON a.k = b.k AND a.v = b.v AND a.phash < b.phash
+       | WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+       |mlosers AS (
+       | SELECT doc_id FROM mwithin
+       | UNION
+       | SELECT CASE WHEN ma.doc_id < mb.doc_id THEN mb.doc_id ELSE ma.doc_id END AS doc_id
+       | FROM mhp JOIN mmem ma ON ma.phash = mhp.ha JOIN mmem mb ON mb.phash = mhp.hb),
+       |am AS (SELECT doc_id, source, n_tok FROM clean
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM mlosers)),""".stripMargin
+  }
+
+  /** The embed-membrane + mixture tail shared verbatim by the qc2 and
+    * qc4 oracles (the media levers are the ONLY difference between the
+    * two composed queries). */
+  private def multimodalTailSql: String =
+    s"""enm AS (
+       | SELECT vec_id, embedding,
+       |  sqrt(${sqlDot64.format("embedding", "embedding")}) AS nrm
+       | FROM embeddings),
+       |ecents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM enm
+       |           WHERE vec_id % 100 = 7),
+       |edocs AS (SELECT am.doc_id, e.embedding, e.nrm
+       |          FROM am JOIN enm e ON am.doc_id = e.vec_id),
+       |escored AS (
+       | SELECT d.doc_id, c.cid,
+       |  round(${sqlDot64.format("c.ce", "d.embedding")} / (c.cn * d.nrm), 6) AS crcos
+       | FROM edocs d, ecents c),
+       |eprobed AS (
+       | SELECT doc_id, cid AS cell FROM escored
+       | QUALIFY row_number() OVER (PARTITION BY doc_id
+       |   ORDER BY crcos DESC, cid) <= ${Dedup.ProbeCells}),
+       |ecapped AS (
+       | SELECT doc_id, cell FROM eprobed
+       | QUALIFY row_number() OVER (PARTITION BY cell
+       |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= ${Dedup.CellCap}),
+       |epairs AS (
+       | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       | FROM ecapped a JOIN ecapped b
+       |  ON a.cell = b.cell AND a.doc_id < b.doc_id),
+       |elosers AS (
+       | SELECT DISTINCT id_b AS doc_id
+       | FROM epairs JOIN edocs da ON id_a = da.doc_id
+       |             JOIN edocs db ON id_b = db.doc_id
+       | WHERE round(${sqlDot64.format("da.embedding", "db.embedding")}
+       |       / (da.nrm * db.nrm), 6) >= 0.4),
+       |ae AS (SELECT * FROM am WHERE doc_id NOT IN (SELECT doc_id FROM elosers)),
+       |""".stripMargin + mixtureTailSql("ae")
+
   val oracle: Map[String, String] = Map(
     "qc1_curation" ->
       (textChainSql + ",\n" + mixtureTailSql("clean")),
@@ -470,80 +591,14 @@ object Curation {
     // pairs, then the same mixture tail
     "qc2_multimodal_curation" ->
       (textChainSql + ",\n" +
-        s"""mph0 AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L
-           |         FROM clean WHERE length(text) >= 32),
-           |mblk AS (
-           | SELECT doc_id, text, L, b.b AS b,
-           |  (b.b * L) // 32 AS off, ((b.b + 1) * L) // 32 - (b.b * L) // 32 AS n
-           | FROM mph0, range(32) b(b)),
-           |minten AS (
-           | SELECT doc_id, L, b, n,
-           |  list_sum(list_transform(range(1, CAST(n + 1 AS INT)),
-           |    p -> ord(substr(text, CAST(off + p AS INT), 1)))) AS i
-           | FROM mblk),
-           |mtot AS (SELECT doc_id, SUM(i) // MAX(L) AS m FROM minten GROUP BY 1),
-           |mph AS (
-           | SELECT i.doc_id,
-           |  CAST(SUM(CASE WHEN i.i // i.n > t.m
-           |   THEN 1::BIGINT << i.b ELSE 0::BIGINT END) AS BIGINT) AS phash
-           | FROM minten i JOIN mtot t ON i.doc_id = t.doc_id GROUP BY 1),
-           |mgm AS (
-           | SELECT doc_id, phash, row_number() OVER (PARTITION BY phash
-           |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS g_rk FROM mph),
-           |mmem AS (SELECT doc_id, phash FROM mgm WHERE g_rk <= ${Multimodal.PhashBandCap}),
-           |mwithin AS (
-           | SELECT b.doc_id FROM mmem a JOIN mmem b
-           |  ON a.phash = b.phash AND a.doc_id < b.doc_id),
-           |mbands AS (
-           | SELECT phash, k.k AS k, (phash >> CAST(8 * k.k AS INT)) & 255 AS v
-           | FROM (SELECT DISTINCT phash FROM mph) dh, range(4) k(k)),
-           |mpruned AS (
-           | SELECT * FROM mbands
-           | QUALIFY row_number() OVER (PARTITION BY k, v
-           |   ORDER BY md5(CAST(phash AS VARCHAR)), phash) <= ${Multimodal.PhashBandCap}),
-           |mhp AS (
-           | SELECT DISTINCT a.phash AS ha, b.phash AS hb
-           | FROM mpruned a JOIN mpruned b ON a.k = b.k AND a.v = b.v AND a.phash < b.phash
-           | WHERE bit_count(xor(a.phash, b.phash)) <= 3),
-           |mlosers AS (
-           | SELECT doc_id FROM mwithin
-           | UNION
-           | SELECT CASE WHEN ma.doc_id < mb.doc_id THEN mb.doc_id ELSE ma.doc_id END AS doc_id
-           | FROM mhp JOIN mmem ma ON ma.phash = mhp.ha JOIN mmem mb ON mb.phash = mhp.hb),
-           |am AS (SELECT doc_id, source, n_tok FROM clean
-           |       WHERE doc_id NOT IN (SELECT doc_id FROM mlosers)),
-           |enm AS (
-           | SELECT vec_id, embedding,
-           |  sqrt(${sqlDot64.format("embedding", "embedding")}) AS nrm
-           | FROM embeddings),
-           |ecents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM enm
-           |           WHERE vec_id % 100 = 7),
-           |edocs AS (SELECT am.doc_id, e.embedding, e.nrm
-           |          FROM am JOIN enm e ON am.doc_id = e.vec_id),
-           |escored AS (
-           | SELECT d.doc_id, c.cid,
-           |  round(${sqlDot64.format("c.ce", "d.embedding")} / (c.cn * d.nrm), 6) AS crcos
-           | FROM edocs d, ecents c),
-           |eprobed AS (
-           | SELECT doc_id, cid AS cell FROM escored
-           | QUALIFY row_number() OVER (PARTITION BY doc_id
-           |   ORDER BY crcos DESC, cid) <= ${Dedup.ProbeCells}),
-           |ecapped AS (
-           | SELECT doc_id, cell FROM eprobed
-           | QUALIFY row_number() OVER (PARTITION BY cell
-           |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= ${Dedup.CellCap}),
-           |epairs AS (
-           | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           | FROM ecapped a JOIN ecapped b
-           |  ON a.cell = b.cell AND a.doc_id < b.doc_id),
-           |elosers AS (
-           | SELECT DISTINCT id_b AS doc_id
-           | FROM epairs JOIN edocs da ON id_a = da.doc_id
-           |             JOIN edocs db ON id_b = db.doc_id
-           | WHERE round(${sqlDot64.format("da.embedding", "db.embedding")}
-           |       / (da.nrm * db.nrm), 6) >= 0.4),
-           |ae AS (SELECT * FROM am WHERE doc_id NOT IN (SELECT doc_id FROM elosers)),
-           |""".stripMargin + mixtureTailSql("ae")),
+        mediaMembraneSql(32, 8, Multimodal.PhashBandCap) + "\n" +
+        multimodalTailSql),
+    // qc4 = qc2 with the media membrane at the production pins:
+    // 64-bit hash, 16-bit bands, the skew-sized hot cap
+    "qc4_multimodal_wide" ->
+      (textChainSql + ",\n" +
+        mediaMembraneSql(64, 16, Multimodal.PhashHotCap) + "\n" +
+        multimodalTailSql),
     // qc3 = qs3's centroid-cell assignment over the whole embeddings
     // table, then a per-cell md5-ranked cap (the GroupTopK path on the
     // Spark side; a plain window here — the oracle states semantics,

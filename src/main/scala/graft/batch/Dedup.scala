@@ -752,9 +752,10 @@ object Dedup {
     * an unbiased subset instead of the corpus's newest documents.
     *
     * The centroid selection — first ⌈√N⌉ corpus vectors by
-    * md5(vec_id) order — is [[IvfIndex.build]]'s exact rule
-    * (IvfIndex.scala:93-96), so this query runs the production
-    * quantizer end to end; IvfQuantizerSpec pins it pair-for-pair
+    * md5(vec_id) order — is [[IvfIndex.sampleCentroids]], the SAME
+    * code path [[IvfIndex.build]] runs, so this query runs the
+    * production quantizer end to end and cannot drift from the
+    * persisted index; IvfQuantizerSpec pins it pair-for-pair
     * identical to a persisted built index, and the IvfScaleBench
     * `ivf` arm measured the shape at the 1×/3×/10×/30× rungs
     * (planted dup-pair recall 199–200/200 at every rung).
@@ -769,10 +770,7 @@ object Dedup {
       .localCheckpoint()
     val n = emb.count()
     val nCells = math.ceil(math.sqrt(n.toDouble)).toInt
-    val cents = emb
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(nCells)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val cents = IvfIndex.sampleCentroids(emb, nCells)
     cellNearDup(emb, cents, tau = 0.4, cap = occupancyCap(n, nCells))
       .orderBy("id_a", "id_b")
   }

@@ -76,24 +76,29 @@ object IvfIndex {
   private[graft] def topCells(emb: Column, nrm: Column, p: Int, rounded: Boolean): Column =
     slice(array_sort(scoredCells(emb, nrm, rounded)), 1, p)
 
-  /** Build the index from an (vec_id, embedding) frame. Centroids are
-    * a deterministic md5-ranked sample of `nCells` corpus vectors
-    * (content-addressed like q36's sampler: rebuilds pick the same
-    * centroids, so incremental re-indexing is stable). */
-  def build(emb: DataFrame, dir: String, nCells: Int): Unit = {
-    val nm = withNorm(emb)
-    // global orderBy + limit plans as TakeOrderedAndProject: each corpus
-    // partition keeps only its nCells best rows in a bounded heap and a
-    // single tiny merge picks the winners — the exact distributed top-k,
-    // in ONE corpus job (the previous hash-admission cut needed two
-    // corpus-wide count() actions first). nCells stays ≤ a few thousand
-    // by design (the quantizer must broadcast); beyond
-    // spark.sql.execution.topKSortFallbackThreshold Spark would fall
-    // back to a full sort — raise that conf before raising nCells.
-    val cents = nm
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+  /** The centroid-sample rule, shared by [[build]] and
+    * [[Dedup.qd16_ivf_neardup]] so the ad-hoc production query and the
+    * persisted index cannot drift: the first `nCells` corpus vectors in
+    * md5(vec_id) order (content-addressed like q36's sampler — rebuilds
+    * pick the same centroids, so incremental re-indexing is stable).
+    * Global orderBy + limit plans as TakeOrderedAndProject: each corpus
+    * partition keeps only its nCells best rows in a bounded heap and a
+    * single tiny merge picks the winners — the exact distributed top-k,
+    * in ONE corpus job. nCells stays ≤ tens of thousands by design (the
+    * quantizer must broadcast); beyond
+    * spark.sql.execution.topKSortFallbackThreshold Spark would fall
+    * back to a full sort — raise that conf before raising nCells.
+    * Input must carry (vec_id, embedding, nrm). */
+  private[graft] def sampleCentroids(nm: DataFrame, nCells: Int): DataFrame =
+    nm.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(nCells)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+
+  /** Build the index from an (vec_id, embedding) frame. Centroids are
+    * the deterministic md5-ranked sample of [[sampleCentroids]]. */
+  def build(emb: DataFrame, dir: String, nCells: Int): Unit = {
+    val nm = withNorm(emb)
+    val cents = sampleCentroids(nm, nCells)
     cents.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
 
     nm.crossJoin(broadcast(centroidArray(cents)))

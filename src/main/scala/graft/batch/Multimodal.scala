@@ -94,12 +94,27 @@ object Multimodal {
   private[graft] def withPhash(docs: DataFrame): DataFrame =
     withPhashN(docs, 32)
 
-  /** [[withPhash]] at any block count (32 reproduces it exactly —
-    * the templated SQL is string-identical at nBits = 32). Bit 63 via
-    * shiftleft wraps to Long.MinValue, which is the correct two's-
-    * complement bit pattern; the sum-accumulate is exact because each
-    * bit position contributes once. */
+  /** [[withPhash]] at any block count. Since round 11 this binds the
+    * NATIVE fused expression ([[graft.functions.PhashExpr]], SQL
+    * `phash_blocks`) — the SQL HOF chain it replaces was the hottest
+    * interpreted lambda chain in the 87-query sweep (VERDICT r10's
+    * megamorphic-dispatch measurement), and the native form is one
+    * allocation-free byte pass inside whole-stage codegen.
+    * [[withPhashNSql]] keeps the original chain; PhashExprSpec pins
+    * them value-identical per row on the fixture corpus at both
+    * production block counts and on randomized payloads. */
   private[graft] def withPhashN(docs: DataFrame, nBits: Int): DataFrame =
+    docs.withColumn("phash",
+      graft.functions.GraftFunctions.phash_blocks(col("text"), nBits))
+
+  /** The original SQL-HOF form of [[withPhashN]] (32 reproduces
+    * [[withPhash]] exactly — the templated SQL is string-identical at
+    * nBits = 32). Bit 63 via shiftleft wraps to Long.MinValue, which
+    * is the correct two's-complement bit pattern; the sum-accumulate
+    * is exact because each bit position contributes once. Kept as the
+    * readable spec of what [[graft.functions.PhashExpr]] computes —
+    * the equivalence test's oracle side. */
+  private[graft] def withPhashNSql(docs: DataFrame, nBits: Int): DataFrame =
     docs
       .withColumn("bs", expr(
         s"IF(length(text) >= $nBits, transform(sequence(0, ${nBits - 1}), b -> named_struct(" +

@@ -25,6 +25,9 @@ object GraftFunctions {
   /** Column API for the native dot product ([[VectorDotExpr]]). */
   def vec_dot(a: Column, b: Column): Column = column(VectorDotExpr(expression(a), expression(b)))
 
+  /** Column API for the native block average-hash ([[PhashExpr]]). */
+  def phash_blocks(c: Column, nBits: Int): Column = column(PhashExpr(expression(c), nBits))
+
   /** Column API for the native Bloom membership test
     * ([[BloomMightContainExpr]]); no SQL registration — the filter is a
     * runtime object, not something SQL literals can carry. */
@@ -82,6 +85,16 @@ object GraftFunctions {
       exprs => DecodePlcWordsExpr(arity("decode_plc_words", 1, exprs).head), "scala_udf")
     reg.createOrReplaceTempFunction("vec_dot",
       exprs => { val e = arity("vec_dot", 2, exprs); VectorDotExpr(e(0), e(1)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("phash_blocks",
+      exprs => {
+        val e = arity("phash_blocks", 2, exprs)
+        PhashExpr(e(0), e(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"phash_blocks nBits must be an integer literal, got $other")
+        })
+      }, "scala_udf")
     reg.createOrReplaceTempFunction("encode_plc_words", macroFn(
       s"""if(length(__a0) = 0, cast(array() as array<int>),
          | transform(sequence(0, cast(length($Padded) / 2 as int) - 1),

@@ -126,7 +126,7 @@ class CurationSpec extends SparkSpec {
     val ev = all.filter(pmod(col("doc_id"), lit(10)) === 7)
       .select(col("doc_id"), col("text"))
     Curation.cleanedSignals(corpus.filter(tick()), ev,
-      Curation.Params(), withPhash = true).count()
+      Curation.Params(), phashBits = 32).count()
     assert(passes.value == nCorpus,
       s"corpus text scanned ${passes.value.toDouble / nCorpus}x with phash — must be once")
 

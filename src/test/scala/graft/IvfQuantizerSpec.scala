@@ -95,7 +95,13 @@ class IvfQuantizerSpec extends SparkSpec {
     IvfIndex.build(Tables.embeddings(spark, sf), dir, nCells)
     val cents = spark.read.parquet(s"$dir/centroids")
     val cap = Dedup.occupancyCap(n, nCells)
-    assert(cap >= Dedup.CellCap, "occupancy cap never drops below the default floor")
+    // pin the actual sizing rule (max of the floor and headroom·p·N/C),
+    // so a regression in the headroom/probes formula is caught — the
+    // floor-only comparison was tautological (occupancyCap already
+    // takes math.max with CellCap)
+    assert(cap === math.max(Dedup.CellCap,
+      (4L * Dedup.ProbeCells * n / math.max(1, nCells)).toInt),
+      "occupancy cap = max(floor, headroom(4) * probes * N / C)")
     val viaIndex = pairSet(Dedup.cellNearDup(emb, cents, tau = 0.4, cap = cap))
     val viaQuery = pairSet(Dedup.qd16_ivf_neardup(spark, sf))
     assert(viaIndex === viaQuery)

@@ -13,9 +13,17 @@ import json
 import math
 import os
 import sys
+import time
 
 import duckdb
 import pandas as pd
+
+# A single slow oracle once zeroed an entire round's correctness
+# artifact (r10: qc2's CTE-inlined DuckDB plan ran 1,629 s and the
+# driver's compare died inside it, recording {} for all 87 queries).
+# Any oracle slower than this budget is a FAIL in its own right, even
+# if the values match — a slow oracle is a latent artifact-killer.
+ORACLE_BUDGET_SEC = 30.0
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -81,13 +89,20 @@ def main():
         try:
             a = norm(con.execute(
                 f"SELECT * FROM read_parquet('{spark_path}/*.parquet')").df())
+            t0 = time.monotonic()
             b = norm(con.execute(sql).df())
+            oracle_sec = time.monotonic() - t0
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
-        if cmp(a, b, name):
-            print(f"PASS {name} ({len(a)} rows)")
+        if oracle_sec > ORACLE_BUDGET_SEC:
+            print(f"FAIL {name}: oracle took {oracle_sec:.1f}s "
+                  f"(budget {ORACLE_BUDGET_SEC:.0f}s) — a slow oracle can "
+                  f"zero the driver's whole correctness artifact")
+            n_fail += 1
+        elif cmp(a, b, name):
+            print(f"PASS {name} ({len(a)} rows, oracle {oracle_sec:.2f}s)")
             n_pass += 1
         else:
             print(f"FAIL {name}")
