@@ -48,8 +48,10 @@ object AnnScaleBench {
 
   /** IvfScaleBench.plantTwins, re-stated for the QUERY side: the twin
     * keeps the base's id + plantOffset so the expected neighbor is
-    * recoverable by subtraction. Seed-free (hash-parity signs). */
-  private def plantTwins(emb: DataFrame, baseMod: Long,
+    * recoverable by subtraction. Seed-free (hash-parity signs).
+    * private[graft] so AnnRecallSpec pins the fixture-scale floor with
+    * the same construction the rung bench measures. */
+  private[graft] def plantTwins(emb: DataFrame, baseMod: Long,
       plantOffset: Long): DataFrame = {
     val bases = emb.filter(pmod(col("vec_id"), lit(baseMod)) === 3)
     bases.select(

@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DecodePlcWordsExpr, PhashExpr, VectorDotExpr}
+import graft.functions.{BandKeysExpr, DecodePlcWordsExpr, PhashExpr,
+  SpanFingerprintsExpr, VectorDotExpr}
 import graft.plans.{AsOfJoinStrategy, PushProbeFilterThroughAsOfJoin}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
@@ -16,7 +17,7 @@ import graft.plans.{AsOfJoinStrategy, PushProbeFilterThroughAsOfJoin}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    import graft.functions.GraftFunctions.arity
+    import graft.functions.GraftFunctions.{arity, intLiteral}
     e.injectFunction((
       FunctionIdentifier("decode_plc_words"),
       new ExpressionInfo(classOf[DecodePlcWordsExpr].getName, "decode_plc_words"),
@@ -30,12 +31,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PhashExpr].getName, "phash_blocks"),
       (exprs: Seq[Expression]) => {
         val a = arity("phash_blocks", 2, exprs)
-        PhashExpr(a(0), a(1).eval() match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"phash_blocks nBits must be an integer literal, got $other")
-        })
+        PhashExpr(a(0), intLiteral("phash_blocks nBits", a(1)))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("band_keys"),
+      new ExpressionInfo(classOf[BandKeysExpr].getName, "band_keys"),
+      (exprs: Seq[Expression]) => BandKeysExpr(arity("band_keys", 1, exprs).head)))
+    e.injectFunction((
+      FunctionIdentifier("span_fps"),
+      new ExpressionInfo(classOf[SpanFingerprintsExpr].getName, "span_fps"),
+      (exprs: Seq[Expression]) => {
+        val a = arity("span_fps", 3, exprs)
+        SpanFingerprintsExpr(a(0), intLiteral("span_fps window", a(1)),
+          intLiteral("span_fps stride", a(2)))
       }))
     e.injectPlannerStrategy(_ => new AsOfJoinStrategy)
     e.injectOptimizerRule(_ => PushProbeFilterThroughAsOfJoin)

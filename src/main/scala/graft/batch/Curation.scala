@@ -142,11 +142,11 @@ object Curation {
         col("top_bg_pct") <= p.maxTopBigramPct)
       .withColumn("content_key", md5(col("text").cast("binary")))
       .withColumn("bands", Dedup.bandKeys(col("text")))
-      .withColumn("fps", expr(
-        // qd10's corpus-side stride-16 window fingerprints; empty for
-        // docs too short to hold one window
-        "IF(length(text) >= 32, transform(sequence(0, cast((length(text) - 32) div 16 as int)), " +
-          "i -> md5(cast(substring(text, 1 + 16 * i, 32) as binary))), array())"))
+      // qd10's corpus-side stride-16 window fingerprints; the native
+      // expression returns array() for docs too short to hold one
+      // window (the old IF guard, now intrinsic)
+      .withColumn("fps",
+        graft.functions.GraftFunctions.span_fps(col("text"), 32, 16))
     val keep = Seq(col("doc_id"), col("source"), col("n_tok"),
       col("content_key"), col("bands"), col("fps")) ++
       (if (withPhash) Seq(col("phash")) else Nil)
@@ -171,9 +171,8 @@ object Curation {
     // decontamination: eval emits stride-1 fingerprints (exact for any
     // shared span ≥ 47 chars against the corpus's stride-16 windows)
     val evFps = eval.filter(length(col("text")) >= 32)
-      .select(explode(expr(
-        "transform(sequence(0, length(text) - 32), " +
-          "i -> md5(cast(substring(text, 1 + i, 32) as binary)))")).as("fp"))
+      .select(explode(
+        graft.functions.GraftFunctions.span_fps(col("text"), 32, 1)).as("fp"))
       .distinct()
     val corpusFps = deduped.select(col("doc_id"), explode(col("fps")).as("fp"))
     val contaminated =

@@ -31,8 +31,19 @@ object Dedup {
     * per-row and probe a static bucket index without any streaming
     * aggregation ([[graft.stream.IngestDedup]]).
     * Returns `array<struct<band:int, key:string>>`.
-    */
-  private[graft] def bandKeys(text: Column): Column = {
+    *
+    * Since round 11 this binds the NATIVE fused expression
+    * ([[graft.functions.BandKeysExpr]], SQL `band_keys`) — one
+    * zero-copy byte pass instead of the interpreted
+    * tokenize/shingle/min-md5 lambda chain; [[bandKeysSql]] keeps the
+    * original HOF form as the readable spec, and BandKeysExprSpec pins
+    * them value-identical on fixture and randomized payloads. */
+  private[graft] def bandKeys(text: Column): Column =
+    graft.functions.GraftFunctions.band_keys(text)
+
+  /** The original SQL-HOF form of [[bandKeys]] — the equivalence
+    * test's oracle side. */
+  private[graft] def bandKeysSql(text: Column): Column = {
     val toks = split(lower(substring(text, 1, ShingleChars)), " ")
     val shingles = filter(
       transform(sequence(lit(0), greatest(size(toks) - 3, lit(0))),
@@ -260,9 +271,8 @@ object Dedup {
     * (Generate + distinct), ⌈len/16⌉ fingerprints per doc. */
   private[graft] def substringFps(docs: DataFrame): DataFrame =
     docs.filter(length(col("text")) >= 32)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, cast((length(text) - 32) div 16 as int)), " +
-          "i -> md5(cast(substring(text, 1 + 16 * i, 32) as binary)))")).as("fp"))
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.span_fps(col("text"), 32, 16)).as("fp"))
       .distinct()
 
   def qd9_substring_dup(s: SparkSession, d: String): DataFrame =
@@ -353,14 +363,12 @@ object Dedup {
   def qd10_decontam_spans(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.spread(Tables.documents(s, d)).filter(length(col("text")) >= 32)
     val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
-      .select(col("doc_id").as("corpus_id"), explode(expr(
-        "transform(sequence(0, cast((length(text) - 32) div 16 as int)), " +
-          "i -> md5(cast(substring(text, 1 + 16 * i, 32) as binary)))")).as("fp"))
+      .select(col("doc_id").as("corpus_id"),
+        explode(graft.functions.GraftFunctions.span_fps(col("text"), 32, 16)).as("fp"))
       .distinct()
     val ev = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
-      .select(col("doc_id").as("eval_id"), explode(expr(
-        "transform(sequence(0, length(text) - 32), " +
-          "i -> md5(cast(substring(text, 1 + i, 32) as binary)))")).as("fp"))
+      .select(col("doc_id").as("eval_id"),
+        explode(graft.functions.GraftFunctions.span_fps(col("text"), 32, 1)).as("fp"))
       .distinct()
     corpus.join(broadcast(ev), Seq("fp"))
       .groupBy(col("corpus_id"), col("eval_id"))

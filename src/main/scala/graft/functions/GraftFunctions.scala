@@ -28,6 +28,13 @@ object GraftFunctions {
   /** Column API for the native block average-hash ([[PhashExpr]]). */
   def phash_blocks(c: Column, nBits: Int): Column = column(PhashExpr(expression(c), nBits))
 
+  /** Column API for the native LSH band keys ([[BandKeysExpr]]). */
+  def band_keys(c: Column): Column = column(BandKeysExpr(expression(c)))
+
+  /** Column API for the native span fingerprints ([[SpanFingerprintsExpr]]). */
+  def span_fps(c: Column, window: Int, stride: Int): Column =
+    column(SpanFingerprintsExpr(expression(c), window, stride))
+
   /** Column API for the native Bloom membership test
     * ([[BloomMightContainExpr]]); no SQL registration — the filter is a
     * runtime object, not something SQL literals can carry. */
@@ -77,6 +84,14 @@ object GraftFunctions {
     exprs
   }
 
+  /** Fold a foldable int argument of a native-expression builder. */
+  private[graft] def intLiteral(what: String, e: Expression): Int = e.eval() match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     def macroFn(template: String) = sqlMacro(spark, template)
@@ -88,12 +103,15 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("phash_blocks",
       exprs => {
         val e = arity("phash_blocks", 2, exprs)
-        PhashExpr(e(0), e(1).eval() match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"phash_blocks nBits must be an integer literal, got $other")
-        })
+        PhashExpr(e(0), intLiteral("phash_blocks nBits", e(1)))
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("band_keys",
+      exprs => BandKeysExpr(arity("band_keys", 1, exprs).head), "scala_udf")
+    reg.createOrReplaceTempFunction("span_fps",
+      exprs => {
+        val e = arity("span_fps", 3, exprs)
+        SpanFingerprintsExpr(e(0), intLiteral("span_fps window", e(1)),
+          intLiteral("span_fps stride", e(2)))
       }, "scala_udf")
     reg.createOrReplaceTempFunction("encode_plc_words", macroFn(
       s"""if(length(__a0) = 0, cast(array() as array<int>),

@@ -23,7 +23,10 @@ import pandas as pd
 # driver's compare died inside it, recording {} for all 87 queries).
 # Any oracle slower than this budget is a FAIL in its own right, even
 # if the values match — a slow oracle is a latent artifact-killer.
-ORACLE_BUDGET_SEC = 30.0
+# The default guards the DRIVER gate (sf0.01, where every oracle runs
+# sub-second); scale-rung runs, where the exact embedding oracles
+# legitimately take minutes, raise it: ORACLE_BUDGET_SEC=600.
+ORACLE_BUDGET_SEC = float(os.environ.get("ORACLE_BUDGET_SEC", "30"))
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -96,12 +99,14 @@ def main():
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
+        ok = cmp(a, b, name)
         if oracle_sec > ORACLE_BUDGET_SEC:
             print(f"FAIL {name}: oracle took {oracle_sec:.1f}s "
                   f"(budget {ORACLE_BUDGET_SEC:.0f}s) — a slow oracle can "
-                  f"zero the driver's whole correctness artifact")
+                  f"zero the driver's whole correctness artifact "
+                  f"(values {'matched' if ok else 'DIFFER'}, {len(a)} rows)")
             n_fail += 1
-        elif cmp(a, b, name):
+        elif ok:
             print(f"PASS {name} ({len(a)} rows, oracle {oracle_sec:.2f}s)")
             n_pass += 1
         else:
