@@ -60,18 +60,43 @@ object StreamBench {
     implicit val ctx = spark.sqlContext
 
     // deterministic synthetic load: `stations` stations, one part each,
-    // strictly rising counters — every observation hits the state path
+    // strictly rising counters — every observation hits the state path.
+    // Above the MemoryStream ceiling the load rides a PARQUET-backed
+    // stream instead: MemoryStream serializes the WHOLE driver-side
+    // Seq into every task binary (~2.3 GB at 5M obs — OOM at any
+    // reasonable heap), while the file source generates distributed
+    // (spark.range, no driver materialization) and streams it back with
+    // AvailableNow — the production replay shape, same state path.
     val base = Timestamp.valueOf("2024-03-05 09:00:00").getTime
-    val obs = (0 until n).map { i =>
-      PartObservation(s"ST${i % stations}", "AAA", "AAA",
-        (i / stations).toLong, 1.0,
-        new Timestamp(base + (i / stations) * 1000L))
-    }
     val outDir = Files.createTempDirectory("graft_sbench_out").toString
     val ckpt = Files.createTempDirectory("graft_sbench_ckpt").toString
+    val useFiles = n >= 1000000
 
-    val input = MemoryStream[PartObservation]
-    input.addData(obs)
+    val obsStream: org.apache.spark.sql.Dataset[PartObservation] =
+      if (useFiles) {
+        import org.apache.spark.sql.functions.{col, concat, lit, timestamp_millis}
+        val dir = Files.createTempDirectory("graft_sbench_in").toString
+        spark.range(n).select(
+          concat(lit("ST"), (col("id") % stations).cast("string")).as("station"),
+          lit("AAA").as("parte"),
+          lit("AAA").as("original"),
+          (col("id") / stations).cast("long").as("contador"),
+          lit(1.0).as("tiempo"),
+          timestamp_millis(
+            lit(base) + (col("id") / stations).cast("long") * 1000L).as("ts"))
+          .write.mode("overwrite").parquet(dir)
+        spark.readStream.schema(
+          org.apache.spark.sql.Encoders.product[PartObservation].schema)
+          .parquet(dir).as[PartObservation]
+      } else {
+        val input = MemoryStream[PartObservation]
+        input.addData((0 until n).map { i =>
+          PartObservation(s"ST${i % stations}", "AAA", "AAA",
+            (i / stations).toLong, 1.0,
+            new Timestamp(base + (i / stations) * 1000L))
+        })
+        input.toDS()
+      }
     val t0 = System.nanoTime()
     val q = if (dimjoin) {
       val parts = (0 until stations).map(s => (s"ST$s", "AAA", s + 1L))
@@ -85,10 +110,10 @@ object StreamBench {
       // wall-clock timeout)
       val actions =
         if (tws) StateMachine.withDimTablesEventTimeTws(
-          input.toDS(), parts, mults, records, timeoutMs = 30000L)
+          obsStream, parts, mults, records, timeoutMs = 30000L)
         else if (eventtime) StateMachine.withDimTablesEventTime(
-          input.toDS(), parts, mults, records, timeoutMs = 30000L)
-        else StateMachine.withDimTables(input.toDS(), parts, mults, records,
+          obsStream, parts, mults, records, timeoutMs = 30000L)
+        else StateMachine.withDimTables(obsStream, parts, mults, records,
           timeoutMs = 0)
       actions.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow())
@@ -101,7 +126,7 @@ object StreamBench {
         multipliers = Map("AAA" -> 2L),
         priorRecords = Map.empty,
         timeoutMs = 0)
-      Sinks.startPipeline(input.toDS(), machine, outDir, ckpt, Trigger.AvailableNow())
+      Sinks.startPipeline(obsStream, machine, outDir, ckpt, Trigger.AvailableNow())
     }
     q.awaitTermination()
     val sec = (System.nanoTime() - t0) / 1e9
