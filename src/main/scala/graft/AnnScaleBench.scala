@@ -104,6 +104,13 @@ object AnnScaleBench {
       val (tBuild, _) = time {
         IvfIndex.build(Tables.embeddings(spark, dir), idxDir, nCells)
       }
+      // the multi-assignment lever: same quantizer, every vector stored
+      // in its 2 nearest cells — 2×p chances for a query to meet its
+      // neighbor, at 2× cells storage (IvfIndex.build's scaladoc trade)
+      val idx2Dir = s"$dir/ivf_sqrtn_q2"
+      val (tBuild2, _) = time {
+        IvfIndex.build(Tables.embeddings(spark, dir), idx2Dir, nCells, assign = 2)
+      }
 
       // corpus-sample queries (in-index) — md5-free modulus spread, the
       // same ~200-query budget as the dedup audit's planted bases
@@ -120,13 +127,13 @@ object AnnScaleBench {
         .localCheckpoint()
       val nTwin = twinQ.count()
 
-      def searchArm(p: Int): String = {
+      def searchArm(ixDir: String, p: Int): String = {
         var rows = -1L
         val ts = (1 to math.max(1, reps)).map { _ =>
-          time { rows = IvfIndex.search(spark, idxDir, sampleQ, K, p)
+          time { rows = IvfIndex.search(spark, ixDir, sampleQ, K, p)
             .queryExecution.toRdd.count() }._1
         }
-        val found = IvfIndex.search(spark, idxDir, sampleQ, K, p)
+        val found = IvfIndex.search(spark, ixDir, sampleQ, K, p)
           .select(col("qid"), col("neighbor_id"))
         // recall@k: intersection size per query / k, averaged over the
         // sample (queries whose exact list is shorter than k — only
@@ -137,7 +144,7 @@ object AnnScaleBench {
           .join(inter, Seq("qid"), "left")
           .agg(avg(coalesce(col("n_hit"), lit(0L)) / lit(K.toDouble)))
           .head.getDouble(0)
-        val twinFound = IvfIndex.search(spark, idxDir, twinQ, K, p)
+        val twinFound = IvfIndex.search(spark, ixDir, twinQ, K, p)
           .withColumn("expected", col("qid") - lit(plantOffset))
           .filter(col("neighbor_id") === col("expected"))
         val twinAt1 = twinFound.filter(col("rank") === 1).count()
@@ -147,10 +154,12 @@ object AnnScaleBench {
           s""""twin_at_1":$twinAt1,"twin_at_$K":$twinAtK}"""
       }
 
-      val arms = Seq(1, Dedup.ProbeCells).distinct
-        .map(p => s""""p$p":${searchArm(p)}""").mkString(",")
+      val arms = (for {
+        (tag, ix) <- Seq("q1" -> idxDir, "q2" -> idx2Dir)
+        p <- Seq(1, Dedup.ProbeCells).distinct
+      } yield s""""${tag}_p$p":${searchArm(ix, p)}""").mkString(",")
       s""""x$n":{"n_vecs":$nVecs,"n_cells":$nCells,"n_queries":$nQ,""" +
-        s""""n_twins":$nTwin,"build":${d3(tBuild)},$arms}"""
+        s""""n_twins":$nTwin,"build":${d3(tBuild)},"build_q2":${d3(tBuild2)},$arms}"""
     }
 
     println(s"""{"metric":"ann_search_recall","value":$K,"unit":"k",""" +

@@ -95,16 +95,58 @@ object IvfIndex {
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
 
   /** Build the index from an (vec_id, embedding) frame. Centroids are
-    * the deterministic md5-ranked sample of [[sampleCentroids]]. */
-  def build(emb: DataFrame, dir: String, nCells: Int): Unit = {
+    * the deterministic md5-ranked sample of [[sampleCentroids]].
+    *
+    * `assign` > 1 stores every vector in its `assign` nearest cells —
+    * MULTI-ASSIGNMENT, the storage↔recall lever AnnScaleBench's rung
+    * audit priced: with single assignment a query finds a dup-grade
+    * neighbor iff that neighbor's ONE home cell is among the query's p
+    * probes (measured 92–98.5% planted-twin hit@1 at p = 5, decaying
+    * as cells refine), while q-assignment gives the pair q×p chances
+    * to meet — the same both-sides multi-probing that buys the dedup
+    * seam its ~100%. Costs: cells storage and append work ×q, search
+    * candidates ×~q (measured, not ~: a probed cell holds every
+    * vector assigned there). The trade is recorded per rung in
+    * BASELINE.md; `meta.json` persists the choice so [[appendBatch]]
+    * and [[search]] follow it without the caller re-stating it. */
+  def build(emb: DataFrame, dir: String, nCells: Int, assign: Int = 1): Unit = {
     val nm = withNorm(emb)
     val cents = sampleCentroids(nm, nCells)
     cents.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
 
-    nm.crossJoin(broadcast(centroidArray(cents)))
-      .withColumn("cell", bestCell(col("embedding"), col("nrm"), rounded = true))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+    assignCells(nm, cents, assign)
       .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$dir/cells")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/meta.json"),
+      s"""{"nCells":$nCells,"assign":$assign}""")
+  }
+
+  /** Map-side cell assignment shared by [[build]] and [[appendBatch]]:
+    * one broadcast quantizer row, the row-local argmax fold at
+    * assign = 1 (bit-identical to the historical layout) or the sorted
+    * top-`assign` slice beyond. */
+  private def assignCells(nm: DataFrame, cents: DataFrame, assign: Int): DataFrame = {
+    val withQ = nm.crossJoin(broadcast(centroidArray(cents)))
+    if (assign <= 1)
+      withQ.withColumn("cell", bestCell(col("embedding"), col("nrm"), rounded = true))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+    else
+      withQ.select(col("vec_id"), col("embedding"), col("nrm"),
+          explode(transform(
+            topCells(col("embedding"), col("nrm"), assign, rounded = true),
+            c => c.getField("cid"))).as("cell"))
+  }
+
+  /** The persisted assignment multiplicity (1 when the index predates
+    * meta.json — every historical layout was single-assignment). */
+  private def assignOf(dir: String): Int = {
+    val p = java.nio.file.Paths.get(s"$dir/meta.json")
+    if (!java.nio.file.Files.isRegularFile(p)) 1
+    else {
+      val m = """"assign"\s*:\s*(\d+)""".r
+        .findFirstMatchIn(java.nio.file.Files.readString(p))
+      m.map(_.group(1).toInt).getOrElse(1)
+    }
   }
 
   /** Incremental maintenance: assign a NEW batch of (vec_id, embedding)
@@ -117,9 +159,7 @@ object IvfIndex {
     * (content-addressed centroids make rebuilds reproducible). */
   def appendBatch(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
     val cents = spark.read.parquet(s"$dir/centroids")
-    withNorm(batch).crossJoin(broadcast(centroidArray(cents)))
-      .withColumn("cell", bestCell(col("embedding"), col("nrm"), rounded = true))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+    assignCells(withNorm(batch), cents, assignOf(dir))
       .write.mode(SaveMode.Append).partitionBy("cell").parquet(s"$dir/cells")
   }
 
@@ -141,8 +181,14 @@ object IvfIndex {
     val cand = cells.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("rcos", round(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
-    graft.plans.GroupTopK.topK(
-      cand.select(col("qid").cast("long"), col("vec_id").cast("long"), col("rcos").cast("double")),
+    // a multi-assigned vector reached through two probed cells would
+    // otherwise occupy two of the k ranks (identical triples) — dedupe
+    // only when the layout can produce them (single-assignment keeps
+    // the historical no-extra-exchange plan)
+    val triples = cand
+      .select(col("qid").cast("long"), col("vec_id").cast("long"), col("rcos").cast("double"))
+    val distinctTriples = if (assignOf(dir) > 1) triples.distinct() else triples
+    graft.plans.GroupTopK.topK(distinctTriples,
       keys = Seq("qid"), order = Seq(col("rcos").desc, col("vec_id").asc), k = k)
       .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("rcos"))
   }

@@ -65,6 +65,29 @@ class IvfIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(got == brute)
   }
 
+  test("multi-assignment (assign=2): all-cell probe still exact, duplicates deduped, append follows meta") {
+    val d = Files.createTempDirectory("ivf_q2").toString
+    IvfIndex.build(emb, d, nCells = 16, assign = 2)
+    // every vector now lives in exactly 2 cells…
+    val cells = spark.read.parquet(s"$d/cells")
+    assert(cells.count() === 2 * emb.count())
+    assert(cells.groupBy("vec_id").count().filter(col("count") =!= 2).count() === 0L)
+    // …and probing all cells is STILL exact brute force: the search-side
+    // dedupe collapses a vector reached through both its homes, so k
+    // ranks hold k distinct neighbors
+    val got = IvfIndex.search(spark, d, queries, k = 3, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = Similarity.knnTopK(emb, queries.select("vec_id"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == brute)
+    // appends adopt the persisted multiplicity without the caller
+    // re-stating it (meta.json carries assign)
+    val d2 = Files.createTempDirectory("ivf_q2_inc").toString
+    IvfIndex.build(emb.filter(pmod(col("vec_id"), lit(2)) === 0), d2, nCells = 16, assign = 2)
+    IvfIndex.appendBatch(spark, d2, emb.filter(pmod(col("vec_id"), lit(2)) === 1))
+    assert(spark.read.parquet(s"$d2/cells").count() === 2 * emb.count())
+  }
+
   test("bestCell fold ≡ crossJoin+window assignment over the whole sf0.01 corpus") {
     // the row-local argmax fold replaced a row_number window at seven
     // sites; this pins the two forms bit-identical on real data so the
