@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BandKeysExpr, DecodePlcWordsExpr, PhashExpr,
-  SpanFingerprintsExpr, VectorDotExpr}
+import graft.functions.{BandKeysExpr, DecodePlcWordsExpr, NearestCellsExpr,
+  PhashExpr, SpanFingerprintsExpr, VectorDotExpr}
 import graft.plans.{AsOfJoinStrategy, PushProbeFilterThroughAsOfJoin}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
@@ -37,6 +37,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("band_keys"),
       new ExpressionInfo(classOf[BandKeysExpr].getName, "band_keys"),
       (exprs: Seq[Expression]) => BandKeysExpr(arity("band_keys", 1, exprs).head)))
+    e.injectFunction((
+      FunctionIdentifier("nearest_cells"),
+      new ExpressionInfo(classOf[NearestCellsExpr].getName, "nearest_cells"),
+      (exprs: Seq[Expression]) => {
+        val a = arity("nearest_cells", 4, exprs)
+        NearestCellsExpr(a(0), a(1), a(2), intLiteral("nearest_cells p", a(3)))
+      }))
     e.injectFunction((
       FunctionIdentifier("span_fps"),
       new ExpressionInfo(classOf[SpanFingerprintsExpr].getName, "span_fps"),

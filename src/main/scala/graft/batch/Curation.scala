@@ -275,9 +275,8 @@ object Curation {
       cap: Int = Dedup.CellCap, probes: Int = Dedup.ProbeCells): DataFrame = {
     val probed = edocs.crossJoin(broadcast(IvfIndex.centroidArray(cents)))
       .select(col("doc_id"),
-        explode(transform(
-          IvfIndex.topCells(col("embedding"), col("nrm"), probes, rounded = true),
-          c => c.getField("cid"))).as("cell"))
+        explode(IvfIndex.nearestCells(col("embedding"), col("nrm"), probes,
+          rounded = true)).as("cell"))
     // narrow (doc_id, cell) rows; the self-join reads it twice
     val capped = probed
       .withColumn("rk", row_number().over(

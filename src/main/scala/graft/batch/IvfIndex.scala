@@ -59,20 +59,43 @@ object IvfIndex {
         c.getField("cid").as("cid"))
     })
 
-  /** Nearest-centroid id: an argmax fold over the scored array —
-    * strictly-less replacement keeps the FIRST minimum, and the array
-    * is cid-sorted, so the smallest cid wins exact ties. −1 when the
-    * quantizer is empty (callers filter if that state is reachable). */
+  /** Nearest-centroid id — since round 11 the NATIVE probe
+    * ([[nearestCells]]) at p = 1, with [[bestCellHof]]'s −1
+    * empty-quantizer sentinel preserved via a null-safe element get
+    * (callers filter if that state is reachable). */
   private[graft] def bestCell(emb: Column, nrm: Column, rounded: Boolean): Column =
+    coalesce(get(nearestCells(emb, nrm, 1, rounded), lit(0)), lit(-1L))
+
+  /** The original HOF argmax fold — strictly-less replacement keeps the
+    * FIRST minimum, and the array is cid-sorted, so the smallest cid
+    * wins exact ties. Kept as the readable spec of what the native
+    * probe computes at p = 1 (IvfIndexSpec pins the equivalence). */
+  private[graft] def bestCellHof(emb: Column, nrm: Column, rounded: Boolean): Column =
     aggregate(scoredCells(emb, nrm, rounded),
       struct(lit(2d).as("nrc"), lit(-1L).as("cid")),
       (acc, s) => when(s.getField("nrc") < acc.getField("nrc"), s).otherwise(acc))
       .getField("cid")
 
-  /** The `p` nearest centroids in probe order: sort the scored array
-    * (struct order = cosine DESC, cid ASC) and slice. posexplode at the
-    * call site for (rank − 1, struct); shorter than `p` when the
-    * quantizer is — exactly the rows `rn <= p` kept. */
+  /** The `p` nearest cell ids in probe order as `array<long>` — the
+    * NATIVE fused probe ([[graft.functions.NearestCellsExpr]], SQL
+    * `nearest_cells`): one pass over the broadcast quantizer per row,
+    * a primitive top-p insertion instead of the interpreted
+    * per-centroid lambda + struct allocation + C-element sort that
+    * [[topCells]] paid — the hot inner loop of every embedding
+    * operator's probe stage. Shorter than `p` when the quantizer is. */
+  private[graft] def nearestCells(emb: Column, nrm: Column, p: Int,
+      rounded: Boolean): Column =
+    // GRAFT_PROBE_HOF=1 routes through the HOF twin — the same-slot A/B
+    // lever TimeQuery uses to price the native probe without a rebuild
+    if (sys.env.contains("GRAFT_PROBE_HOF"))
+      transform(topCells(emb, nrm, p, rounded), c => c.getField("cid"))
+    else
+      graft.functions.GraftFunctions.nearest_cells(col("cs"), emb, nrm, p, rounded)
+
+  /** The original HOF probe: sort the scored array (struct order =
+    * cosine DESC, cid ASC) and slice. Kept as the readable spec twin of
+    * [[nearestCells]] — IvfIndexSpec pins them id-for-id identical on
+    * the full fixture corpus at both rounding modes. */
   private[graft] def topCells(emb: Column, nrm: Column, p: Int, rounded: Boolean): Column =
     slice(array_sort(scoredCells(emb, nrm, rounded)), 1, p)
 
@@ -132,9 +155,8 @@ object IvfIndex {
         .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
     else
       withQ.select(col("vec_id"), col("embedding"), col("nrm"),
-          explode(transform(
-            topCells(col("embedding"), col("nrm"), assign, rounded = true),
-            c => c.getField("cid"))).as("cell"))
+          explode(nearestCells(col("embedding"), col("nrm"), assign,
+            rounded = true)).as("cell"))
   }
 
   /** The persisted assignment multiplicity (1 when the index predates
@@ -176,8 +198,7 @@ object IvfIndex {
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
     val probes = q.crossJoin(broadcast(centroidArray(cents)))
       .select(col("qid"), col("qe"), col("qn"),
-        explode(topCells(col("qe"), col("qn"), nProbe, rounded = true)).as("pc"))
-      .select(col("qid"), col("qe"), col("qn"), col("pc.cid").as("cell"))
+        explode(nearestCells(col("qe"), col("qn"), nProbe, rounded = true)).as("cell"))
     val cand = cells.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("rcos", round(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))

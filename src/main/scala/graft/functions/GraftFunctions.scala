@@ -31,6 +31,11 @@ object GraftFunctions {
   /** Column API for the native LSH band keys ([[BandKeysExpr]]). */
   def band_keys(c: Column): Column = column(BandKeysExpr(expression(c)))
 
+  /** Column API for the native top-p centroid probe ([[NearestCellsExpr]]). */
+  def nearest_cells(cs: Column, emb: Column, nrm: Column, p: Int,
+      rounded: Boolean = true): Column =
+    column(NearestCellsExpr(expression(cs), expression(emb), expression(nrm), p, rounded))
+
   /** Column API for the native span fingerprints ([[SpanFingerprintsExpr]]). */
   def span_fps(c: Column, window: Int, stride: Int): Column =
     column(SpanFingerprintsExpr(expression(c), window, stride))
@@ -107,6 +112,11 @@ object GraftFunctions {
       }, "scala_udf")
     reg.createOrReplaceTempFunction("band_keys",
       exprs => BandKeysExpr(arity("band_keys", 1, exprs).head), "scala_udf")
+    reg.createOrReplaceTempFunction("nearest_cells",
+      exprs => {
+        val e = arity("nearest_cells", 4, exprs)
+        NearestCellsExpr(e(0), e(1), e(2), intLiteral("nearest_cells p", e(3)))
+      }, "scala_udf")
     reg.createOrReplaceTempFunction("span_fps",
       exprs => {
         val e = arity("span_fps", 3, exprs)

@@ -332,10 +332,10 @@ object EmbedIngest {
     // row explosion, no vec_id exchange)
     val probes = nm.crossJoin(broadcast(IvfIndex.centroidArray(cents)))
       .select(col("vec_id"), col("embedding"), col("nrm"),
-        posexplode(IvfIndex.topCells(col("embedding"), col("nrm"), nProbe,
-          rounded = false)).as(Seq("pos", "pc")))
+        posexplode(IvfIndex.nearestCells(col("embedding"), col("nrm"), nProbe,
+          rounded = false)).as(Seq("pos", "cell")))
       .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("pc.cid").as("cell"), (col("pos") + 1).cast("int").as("pr"))
+        col("cell"), (col("pos") + 1).cast("int").as("pr"))
       .localCheckpoint() // feeds in-batch pairs, corpus probe, and the write
 
     val inBatchLosers = inBatchLoserIds(probes, tau)
@@ -393,10 +393,8 @@ object EmbedIngest {
     val probes = withNorm(vecs)
       .crossJoin(broadcast(IvfIndex.centroidArray(cents)))
       .select(col("vec_id"), col("embedding"), col("nrm"),
-        explode(transform(
-          IvfIndex.topCells(col("embedding"), col("nrm"), nProbe,
-            rounded = false),
-          c => c.getField("cid"))).as("cell"))
+        explode(IvfIndex.nearestCells(col("embedding"), col("nrm"), nProbe,
+          rounded = false)).as("cell"))
       .localCheckpoint() // witness side + probe side below
     val rejProbes = probes.join(rejected, Seq("vec_id")).localCheckpoint()
     val inBatch = rejProbes.as("a").join(probes.as("b"),
@@ -458,9 +456,8 @@ object EmbedIngest {
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
     val probes = q.crossJoin(broadcast(IvfIndex.centroidArray(cents)))
       .select(col("qid"), col("qe"), col("qn"),
-        explode(IvfIndex.topCells(col("qe"), col("qn"), nProbe,
-          rounded = false)).as("pc"))
-      .select(col("qid"), col("qe"), col("qn"), col("pc.cid").as("cell"))
+        explode(IvfIndex.nearestCells(col("qe"), col("qn"), nProbe,
+          rounded = false)).as("cell"))
     val cand = cells.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("rcos", round(dot(col("qe"), col("embedding"))

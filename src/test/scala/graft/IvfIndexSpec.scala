@@ -65,6 +65,41 @@ class IvfIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(got == brute)
   }
 
+  test("native nearest_cells ≡ HOF topCells/bestCell over the whole corpus, both rounding modes") {
+    // the native probe must reproduce the HOF fold id-for-id — same
+    // rounding (BigDecimal HALF_UP at 6 dp), same (rcos DESC, cid ASC)
+    // order, same −1 sentinel at p = 1 — on every fixture vector
+    val cents = IvfIndex.sampleCentroids(
+      emb.withColumn("nrm", sqrt(graft.functions.GraftFunctions.vec_dot(
+        col("embedding"), col("embedding")))), 23)
+    val nm = emb
+      .withColumn("nrm", sqrt(graft.functions.GraftFunctions.vec_dot(
+        col("embedding"), col("embedding"))))
+      .crossJoin(broadcast(IvfIndex.centroidArray(cents)))
+    for (rounded <- Seq(true, false); p <- Seq(1, 3, 5)) {
+      val diff = nm.select(
+          IvfIndex.nearestCells(col("embedding"), col("nrm"), p, rounded).as("native"),
+          transform(IvfIndex.topCells(col("embedding"), col("nrm"), p, rounded),
+            c => c.getField("cid")).as("hof"))
+        .filter(!(col("native").cast("string") <=> col("hof").cast("string")))
+      assert(diff.count() === 0L, s"rounded=$rounded p=$p: ${diff.take(2).mkString(",")}")
+    }
+    val bc = nm.select(
+        IvfIndex.bestCell(col("embedding"), col("nrm"), rounded = true).as("native"),
+        IvfIndex.bestCellHof(col("embedding"), col("nrm"), rounded = true).as("hof"))
+      .filter(!(col("native") <=> col("hof")))
+    assert(bc.count() === 0L)
+    // empty quantizer: bestCell keeps the −1 sentinel
+    val empty = IvfIndex.centroidArray(cents.filter(lit(false)))
+    val sentinel = emb.limit(1)
+      .withColumn("nrm", sqrt(graft.functions.GraftFunctions.vec_dot(
+        col("embedding"), col("embedding"))))
+      .crossJoin(broadcast(empty))
+      .select(IvfIndex.bestCell(col("embedding"), col("nrm"), rounded = true))
+      .head.getLong(0)
+    assert(sentinel === -1L)
+  }
+
   test("multi-assignment (assign=2): all-cell probe still exact, duplicates deduped, append follows meta") {
     val d = Files.createTempDirectory("ivf_q2").toString
     IvfIndex.build(emb, d, nCells = 16, assign = 2)
