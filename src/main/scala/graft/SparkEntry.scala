@@ -43,7 +43,7 @@ object SparkEntry {
     * (`reach(id, lbl) AS (`) are left inlined — DuckDB rejects
     * MATERIALIZED on a self-referencing CTE — and any statement using
     * RECURSIVE is left untouched entirely (all are sub-second). */
-  private def materializeCtes(sql: String): String =
+  private[graft] def materializeCtes(sql: String): String =
     if (sql.contains("RECURSIVE")) sql
     else sql.replaceAll(
       "(?m)(^|WITH )([a-zA-Z_][a-zA-Z0-9_]*) AS \\(",

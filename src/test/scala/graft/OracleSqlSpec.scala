@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the oracle-SQL materialization rewrite — the round-11 fix for
+  * the artifact killer: DuckDB inlines CTEs by default, so a CTE
+  * referenced k times re-evaluates k times, and qc2's composed oracle
+  * ran 1,629 s at sf0.01 inlined vs 0.2 s materialized (it zeroed the
+  * whole round-10 correctness artifact). These tests are pure string
+  * checks — no Spark session — so a regression in the rewrite (or a
+  * new oracle written in a shape the rewrite misses) fails in
+  * milliseconds, not in a 27-minute driver run. */
+class OracleSqlSpec extends AnyFunSuite {
+
+  test("every multi-CTE oracle is emitted with materialized CTEs") {
+    val sqls = SparkEntry.oracleSql
+    // the composed artifact-killer and its production twin
+    for (q <- Seq("qc1_curation", "qc2_multimodal_curation", "qc4_multimodal_wide")) {
+      val sql = sqls(q)
+      assert(sql.contains("WITH corpus AS MATERIALIZED ("), q)
+      assert(!sql.matches("(?s).*\\bclean AS \\(.*"),
+        s"$q still has an unmaterialized CTE head")
+    }
+    // across the whole map: a bare-name CTE head (line start or after
+    // WITH) that is NOT materialized may only appear in RECURSIVE
+    // statements, which the rewrite deliberately skips
+    val bareHead = "(?m)(^|WITH )([a-zA-Z_][a-zA-Z0-9_]*) AS \\(".r
+    for ((name, sql) <- sqls if !sql.contains("RECURSIVE")) {
+      assert(bareHead.findFirstIn(sql).isEmpty,
+        s"$name has an unmaterialized bare-name CTE head")
+    }
+  }
+
+  test("RECURSIVE statements and column-list heads stay untouched") {
+    val qd6 = SparkEntry.oracleSql("qd6_dup_clusters")
+    assert(qd6.contains("WITH RECURSIVE"))
+    // the self-referencing CTE keeps its plain head — DuckDB rejects
+    // MATERIALIZED on a recursive CTE
+    assert(qd6.contains("reach(id, lbl) AS ("))
+    assert(!qd6.contains("reach(id, lbl) AS MATERIALIZED"))
+    // column-list heads elsewhere (VALUES tables, seeds) stay plain
+    val qt1 = SparkEntry.oracleSql.values.find(_.contains("prof(plang, word)"))
+    qt1.foreach(sql => assert(!sql.contains("prof(plang, word) AS MATERIALIZED")))
+  }
+
+  test("materializeCtes is idempotent and leaves non-CTE AS alone") {
+    val once = SparkEntry.materializeCtes("WITH a AS (SELECT 1), b AS (SELECT 2)\nSELECT x AS (weird) FROM a")
+    assert(once.startsWith("WITH a AS MATERIALIZED (SELECT 1)"))
+    assert(SparkEntry.materializeCtes(once) === once,
+      "re-running the rewrite must not double-materialize")
+  }
+}
