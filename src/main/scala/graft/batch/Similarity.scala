@@ -245,12 +245,51 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** qs6: int8 scalar quantization of the embedding store + fidelity
+    * audit — the storage lever a 100 TB embedding corpus pulls first
+    * (4 bytes → 1 byte per dimension, the standard serving-store
+    * compression): per-vector symmetric scale max|x|/127,
+    * q = floor(x/scale + 0.5) — the explicit floor-plus-half form so
+    * both engines round identically (never `round()`, whose half-case
+    * mode differs cross-engine), |q| ≤ 127 by construction (the
+    * max_abs_q column PROVES the clamp is never needed), dequantized
+    * fidelity = round(cos(q·scale, x), 6). Output per label: vector
+    * count, Σq checksum (integer-exact — pins every quantized value),
+    * the |q| ceiling, and how many vectors reconstruct at cosine ≥
+    * 0.999. All cross-engine aggregates are integers; floats are
+    * row-local and 6-dp-rounded (qt9's rule). Zero vectors (scale 0)
+    * are unquantizable and excluded in both engines.
+    *
+    * Scale shape: entirely row-local until one label-sized aggregate —
+    * a single map-side pass over the store, no shuffle beyond the
+    * 10-row summary; at 100 TB this runs as the compaction pass that
+    * rewrites the store (same plan + a write instead of the audit). */
+  def qs6_int8_quant(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .withColumn("xd", expr("transform(embedding, v -> cast(v as double))"))
+      .withColumn("scale", expr("array_max(transform(xd, v -> abs(v))) / 127"))
+      .filter(col("scale") > 0)
+      .withColumn("q", expr("transform(xd, v -> cast(floor(v / scale + 0.5d) as bigint))"))
+      .withColumn("dq", expr("transform(q, v -> v * scale)"))
+      .withColumn("rcos", expr(
+        "round(aggregate(zip_with(dq, xd, (a, b) -> a * b), 0d, (acc, v) -> acc + v) / " +
+          "(sqrt(aggregate(zip_with(dq, dq, (a, b) -> a * b), 0d, (acc, v) -> acc + v)) * " +
+          "sqrt(aggregate(zip_with(xd, xd, (a, b) -> a * b), 0d, (acc, v) -> acc + v))), 6)"))
+    emb.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(expr("aggregate(q, 0L, (acc, v) -> acc + v)")).as("sum_q"),
+        max(expr("array_max(transform(q, v -> abs(v)))")).as("max_abs_q"),
+        sum(when(col("rcos") >= 0.999, 1L).otherwise(0L)).as("n_hi_fidelity"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qs1_knn_bruteforce" -> (qs1_knn_bruteforce _),
     "qs2_ann_lsh" -> (qs2_ann_lsh _),
     "qs3_ivf_ann" -> (qs3_ivf_ann _),
     "qs4_ann_multiprobe" -> (qs4_ann_multiprobe _),
-    "qs5_ann_recall" -> (qs5_ann_recall _))
+    "qs5_ann_recall" -> (qs5_ann_recall _),
+    "qs6_int8_quant" -> (qs6_int8_quant _))
 
   /** SQL fragment: dot product of two list columns in double — the
     * list_transform form, NOT a correlated `(SELECT SUM … FROM range)`
@@ -287,6 +326,34 @@ object Similarity {
        |      FROM nm JOIN bk ON nm.vec_id = bk.vec_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // qs6: quantize → dequantize → fidelity, restated in DuckDB list
+    // lambdas. Multiplication ORDER matters for bit-exactness: both
+    // engines compute (q·scale)·x and (q·scale)·(q·scale) left to
+    // right, and both list sums accumulate in index order.
+    "qs6_int8_quant" ->
+      s"""WITH x AS (
+         | SELECT vec_id, label,
+         |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+         | FROM embeddings),
+         |s AS (
+         | SELECT vec_id, label, xd,
+         |  list_max(list_transform(xd, v -> abs(v))) / 127 AS scale
+         | FROM x),
+         |q AS (
+         | SELECT vec_id, label, xd, scale,
+         |  list_transform(xd, v -> CAST(floor(v / scale + 0.5) AS BIGINT)) AS qv
+         | FROM s WHERE scale > 0),
+         |r AS (
+         | SELECT label, qv,
+         |  round(list_sum(list_transform(range($Dim), i -> (qv[CAST(i AS INT) + 1] * scale) * xd[CAST(i AS INT) + 1]))
+         |   / (sqrt(list_sum(list_transform(range($Dim), i -> (qv[CAST(i AS INT) + 1] * scale) * (qv[CAST(i AS INT) + 1] * scale))))
+         |    * sqrt(list_sum(list_transform(range($Dim), i -> xd[CAST(i AS INT) + 1] * xd[CAST(i AS INT) + 1])))), 6) AS rcos
+         | FROM q)
+         |SELECT label, COUNT(*) AS n_vecs,
+         | CAST(SUM(list_sum(qv)) AS BIGINT) AS sum_q,
+         | CAST(MAX(list_max(list_transform(qv, v -> abs(v)))) AS BIGINT) AS max_abs_q,
+         | CAST(SUM(CASE WHEN rcos >= 0.999 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_fidelity
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "qs3_ivf_ann" ->
       s"""WITH nm AS (
          | SELECT vec_id, embedding,
