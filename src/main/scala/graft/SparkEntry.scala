@@ -38,14 +38,21 @@ object SparkEntry {
       batch.Similarity.oracle ++ batch.Multimodal.oracle ++ batch.Curation.oracle)
       .map { case (k, sql) => k -> materializeCtes(sql) }
 
-  /** Rewrite bare-name CTE heads (`name AS (` at line start or after
-    * `WITH `) to `name AS MATERIALIZED (`. Column-list heads
+  /** Rewrite bare-name CTE heads to `name AS MATERIALIZED (`. Matched
+    * head positions: line start, after `WITH `, after a closing paren +
+    * comma (`), name AS (` — a CTE list continued on one line), and a
+    * leading-comma line (`  , name AS (`). Column-list heads
     * (`reach(id, lbl) AS (`) are left inlined — DuckDB rejects
     * MATERIALIZED on a self-referencing CTE — and any statement using
-    * RECURSIVE is left untouched entirely (all are sub-second). */
+    * RECURSIVE is left untouched entirely (all are sub-second).
+    * OracleSqlSpec's whole-map guard uses a STRICTLY BROADER regex
+    * (any `, name AS (`), so a head shape this rewrite misses fails
+    * the spec instead of silently re-inlining (the round-10 failure
+    * class). The only non-CTE `name AS (` in the corpus is a single
+    * `WINDOW w AS (…)` clause, which none of these contexts match. */
   private[graft] def materializeCtes(sql: String): String =
     if (sql.contains("RECURSIVE")) sql
     else sql.replaceAll(
-      "(?m)(^|WITH )([a-zA-Z_][a-zA-Z0-9_]*) AS \\(",
+      "(?m)(^[ \\t]*,[ \\t]*|^|WITH |\\),[ \\t\\n]*)([a-zA-Z_][a-zA-Z0-9_]*) AS \\(",
       "$1$2 AS MATERIALIZED (")
 }

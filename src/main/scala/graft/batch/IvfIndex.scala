@@ -50,12 +50,21 @@ object IvfIndex {
     * ASC) — the ORDER BY every window this replaces used. Subtracting
     * from +0.0 (rather than negating) collapses ±0.0 into +0.0, so a
     * round()-produced −0.0 cannot win a tie the normalized window/
-    * oracle comparison would break by cid. `cs` is referenced exactly
-    * once (the single-reference HOF rule — PLANS.md). */
+    * oracle comparison would break by cid. A malformed centroid (dim
+    * mismatch or null element — vec_dot returns null) scores NaN and is
+    * EXCLUDED from the probe list by every consumer: [[topCells]]
+    * filters NaN entries, [[bestCellHof]]'s strict `<` never lets NaN
+    * beat the accumulator (so all-malformed keeps the −1 sentinel), and
+    * the native twin skips NaN candidates in its insertion loop —
+    * pinned equivalent on a malformed fixture by IvfIndexSpec. Bad
+    * metadata can never win a probe slot in either path. `cs` is
+    * referenced exactly once (the single-reference HOF rule —
+    * PLANS.md). */
   private def scoredCells(emb: Column, nrm: Column, rounded: Boolean): Column =
     transform(col("cs"), c => {
       val rc = dot(c.getField("ce"), emb) / (c.getField("cn") * nrm)
-      struct((lit(0d) - (if (rounded) round(rc, 6) else rc)).as("nrc"),
+      struct((lit(0d) - coalesce(if (rounded) round(rc, 6) else rc,
+        lit(Double.NaN))).as("nrc"),
         c.getField("cid").as("cid"))
     })
 
@@ -92,12 +101,14 @@ object IvfIndex {
     else
       graft.functions.GraftFunctions.nearest_cells(col("cs"), emb, nrm, p, rounded)
 
-  /** The original HOF probe: sort the scored array (struct order =
-    * cosine DESC, cid ASC) and slice. Kept as the readable spec twin of
-    * [[nearestCells]] — IvfIndexSpec pins them id-for-id identical on
-    * the full fixture corpus at both rounding modes. */
+  /** The original HOF probe: drop NaN-scored (malformed) entries, sort
+    * the scored array (struct order = cosine DESC, cid ASC) and slice.
+    * Kept as the readable spec twin of [[nearestCells]] — IvfIndexSpec
+    * pins them id-for-id identical on the full fixture corpus at both
+    * rounding modes, and on a malformed-centroid fixture. */
   private[graft] def topCells(emb: Column, nrm: Column, p: Int, rounded: Boolean): Column =
-    slice(array_sort(scoredCells(emb, nrm, rounded)), 1, p)
+    slice(array_sort(filter(scoredCells(emb, nrm, rounded),
+      s => !isnan(s.getField("nrc")))), 1, p)
 
   /** The centroid-sample rule, shared by [[build]] and
     * [[Dedup.qd16_ivf_neardup]] so the ad-hoc production query and the
@@ -139,9 +150,21 @@ object IvfIndex {
 
     assignCells(nm, cents, assign)
       .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$dir/cells")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$dir/meta.json"),
-      s"""{"nCells":$nCells,"assign":$assign}""")
+    writeMeta(emb.sparkSession, dir, s"""{"nCells":$nCells,"assign":$assign}""")
+  }
+
+  // meta.json goes through the same Hadoop FS layer as the parquet
+  // parts, so the index layout works wherever Spark can write (hdfs://,
+  // s3a://, file:) — a java.nio side-channel would silently break the
+  // format on any non-local dir (round-11 ADVICE).
+  private def metaPath(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/meta.json")
+
+  private def writeMeta(spark: SparkSession, dir: String, json: String): Unit = {
+    val p = metaPath(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Map-side cell assignment shared by [[build]] and [[appendBatch]]:
@@ -159,16 +182,25 @@ object IvfIndex {
             rounded = true)).as("cell"))
   }
 
-  /** The persisted assignment multiplicity (1 when the index predates
-    * meta.json — every historical layout was single-assignment). */
-  private def assignOf(dir: String): Int = {
-    val p = java.nio.file.Paths.get(s"$dir/meta.json")
-    if (!java.nio.file.Files.isRegularFile(p)) 1
-    else {
-      val m = """"assign"\s*:\s*(\d+)""".r
-        .findFirstMatchIn(java.nio.file.Files.readString(p))
-      m.map(_.group(1).toInt).getOrElse(1)
-    }
+  /** The persisted assignment multiplicity. [[build]] always writes
+    * meta.json, so an index dir without a readable one is NOT a graft
+    * IVF layout — fail loudly rather than default to 1: a silent
+    * single-assign default on a q=2 index would disable the
+    * search-side dedupe and let [[appendBatch]] mix multiplicities with
+    * no error (round-11 ADVICE). Read through the Hadoop FS layer like
+    * everything else in the layout. */
+  private def assignOf(spark: SparkSession, dir: String): Int = {
+    val p = metaPath(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) throw new IllegalStateException(
+      s"$dir/meta.json missing — not an IvfIndex.build layout (or a partial write)")
+    val in = fs.open(p)
+    val txt = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    """"assign"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"""$dir/meta.json has no "assign" field: $txt"""))
   }
 
   /** Incremental maintenance: assign a NEW batch of (vec_id, embedding)
@@ -181,7 +213,7 @@ object IvfIndex {
     * (content-addressed centroids make rebuilds reproducible). */
   def appendBatch(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
     val cents = spark.read.parquet(s"$dir/centroids")
-    assignCells(withNorm(batch), cents, assignOf(dir))
+    assignCells(withNorm(batch), cents, assignOf(spark, dir))
       .write.mode(SaveMode.Append).partitionBy("cell").parquet(s"$dir/cells")
   }
 
@@ -208,7 +240,7 @@ object IvfIndex {
     // the historical no-extra-exchange plan)
     val triples = cand
       .select(col("qid").cast("long"), col("vec_id").cast("long"), col("rcos").cast("double"))
-    val distinctTriples = if (assignOf(dir) > 1) triples.distinct() else triples
+    val distinctTriples = if (assignOf(spark, dir) > 1) triples.distinct() else triples
     graft.plans.GroupTopK.topK(distinctTriples,
       keys = Seq("qid"), order = Seq(col("rcos").desc, col("vec_id").asc), k = k)
       .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("rcos"))

@@ -89,12 +89,20 @@ object GraftFunctions {
     exprs
   }
 
-  /** Fold a foldable int argument of a native-expression builder. */
-  private[graft] def intLiteral(what: String, e: Expression): Int = e.eval() match {
-    case i: Int => i
-    case l: Long => l.toInt
-    case other => throw new IllegalArgumentException(
-      s"$what must be an integer literal, got $other")
+  /** Fold a foldable int argument of a native-expression builder.
+    * Guarded on `foldable` so a column argument (e.g.
+    * `nearest_cells(…, p_col)`) raises the intended message instead of
+    * an eval-on-unevaluable crash; a Long literal is range-checked
+    * rather than silently truncated. */
+  private[graft] def intLiteral(what: String, e: Expression): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$what must be an integer literal, got non-foldable expression ${e.sql}")
+    e.eval() match {
+      case i: Int => i
+      case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal in int range, got $other")
+    }
   }
 
   def register(spark: SparkSession): Unit = {

@@ -27,13 +27,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - rounded to 6 dp with the same BigDecimal.valueOf(...).setScale
   *     (HALF_UP) path Spark's `round` takes (NaN/Inf pass through), so
   *     near-ties collapse identically in both engines;
-  *   - order = (rcos DESC, cid ASC) with NaN scores last — Spark's
-  *     nan-safe double ordering, where −0.0 == +0.0 so a
+  *   - order = (rcos DESC, cid ASC), where −0.0 == +0.0 so a
   *     round()-produced −0.0 cannot steal a tie (the +0.0-subtraction
   *     trick in scoredCells, inherited);
-  *   - output = the first min(p, C) cids in that order, `array<long>`
-  *     (empty when the quantizer is — callers explode to zero rows, or
-  *     coalesce element 1 to −1 for bestCell's sentinel).
+  *   - a malformed centroid (dim mismatch or null element — where the
+  *     HOF's VectorDotExpr dot is null) is EXCLUDED from the result,
+  *     exactly like topCells' NaN filter and bestCellHof's strict-<
+  *     fold — a partial or fabricated score can never win a probe slot;
+  *   - output = the first min(p, C) well-formed cids in that order,
+  *     `array<long>` (empty when the quantizer is, or when every entry
+  *     is malformed — callers explode to zero rows, or coalesce
+  *     element 1 to −1 for bestCell's sentinel).
   *
   * One pass per row, two small primitive arrays of insertion state,
   * zero per-centroid allocation beyond the rounding BigDecimal (which
@@ -116,22 +120,31 @@ object NearestCellsExpr {
       val cid = row.getLong(0)
       val ce = row.getArray(1)
       val cn = row.getDouble(2)
+      // malformed centroid (dim mismatch or null element — where the
+      // HOF twin's VectorDotExpr returns null) → NaN score, which the
+      // insertion below EXCLUDES, mirroring topCells' NaN filter and
+      // bestCellHof's strict-< (a partial dot would silently mis-rank)
       var dot = 0.0
+      var ok = ce.numElements() == d
       var j = 0
-      val nd = math.min(d, ce.numElements())
-      while (j < nd) {
-        val x = if (ceFloat) ce.getFloat(j).toDouble else ce.getDouble(j)
-        val y = if (embFloat) emb.getFloat(j).toDouble else emb.getDouble(j)
-        dot += x * y
-        j += 1
+      while (ok && j < d) {
+        if (ce.isNullAt(j) || emb.isNullAt(j)) ok = false
+        else {
+          val x = if (ceFloat) ce.getFloat(j).toDouble else ce.getDouble(j)
+          val y = if (embFloat) emb.getFloat(j).toDouble else emb.getDouble(j)
+          dot += x * y
+          j += 1
+        }
       }
-      var rc = dot / (cn * nrm)
-      if (rounded) rc = round6(rc)
+      var rc = if (ok) dot / (cn * nrm) else Double.NaN
+      if (ok && rounded) rc = round6(rc)
       val nrc = 0d - rc
-      // candidate beats slot s iff (nrc, cid) < (nrcs(s), cids(s))
+      // candidate beats slot s iff (nrc, cid) < (nrcs(s), cids(s));
+      // the insertion state never holds NaN (excluded below), so plain
+      // == covers the ±0.0 tie and nanSafeLess reduces to <
       def beats(s: Int): Boolean =
         nanSafeLess(nrc, nrcs(s)) || (nrc == nrcs(s) && cid < cids(s))
-      if (count < k || beats(count - 1)) {
+      if (!java.lang.Double.isNaN(nrc) && (count < k || beats(count - 1))) {
         var pos = if (count < k) count else k - 1
         while (pos > 0 && beats(pos - 1)) {
           nrcs(pos) = nrcs(pos - 1); cids(pos) = cids(pos - 1)

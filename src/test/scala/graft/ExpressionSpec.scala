@@ -46,6 +46,23 @@ class ExpressionSpec extends SparkSpec {
     assert(r.getDate(4).toString == "2024-03-04")
   }
 
+  test("non-literal int args to native builders raise the intended message, not an eval crash") {
+    GraftFunctions.register(spark)
+    // a COLUMN where a literal is required: foldable guard fires with
+    // the 'must be an integer literal' message instead of Spark's
+    // eval-on-unevaluable internal error (round-11 ADVICE)
+    val colArg = intercept[Exception] {
+      spark.sql("SELECT phash_blocks(t, n) FROM VALUES ('ab', 4) AS v(t, n)").collect()
+    }
+    assert(colArg.getMessage.contains("must be an integer literal"),
+      colArg.getMessage)
+    // an out-of-int-range Long literal is rejected, not truncated
+    val big = intercept[Exception] {
+      spark.sql("SELECT phash_blocks('ab', 5000000000)").collect()
+    }
+    assert(big.getMessage.contains("integer literal"), big.getMessage)
+  }
+
   test("native expression runs inside whole-stage codegen over a table") {
     // non-literal input through a real scan + projection (codegen path)
     val df = spark.range(1000)

@@ -201,6 +201,63 @@ class IvfIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("malformed centroids are excluded from probes in BOTH paths (no partial-dot mis-rank)") {
+    import spark.implicits._
+    // cid 3 has the wrong dimensionality, cid 4 a null element — in the
+    // HOF path VectorDotExpr scores them null→NaN and topCells filters
+    // them; the native path must EXCLUDE them too, not dot over the
+    // common prefix and hand bad metadata a silently-partial score
+    // (round-11 ADVICE). cid 9 is orthogonal (worst well-formed score)
+    // and must still outrank both malformed entries.
+    val cents = Seq(
+      (1L, Array(Option(1f), Option(0f)), 1d),
+      (9L, Array(Option(0f), Option(1f)), 1d),
+      (3L, Array(Option(1f)), 1d),
+      (4L, Array(Option(1f), Option.empty[Float]), 1d))
+      .toDF("cid", "ce", "cn")
+    val q = Seq((1L, Array(1f, 0f), 1d)).toDF("vec_id", "embedding", "nrm")
+    val base = q.crossJoin(broadcast(IvfIndex.centroidArray(cents)))
+    for (rounded <- Seq(true, false)) {
+      val row = base.select(
+        IvfIndex.nearestCells(col("embedding"), col("nrm"), 4, rounded).as("native"),
+        transform(IvfIndex.topCells(col("embedding"), col("nrm"), 4, rounded),
+          c => c.getField("cid")).as("hof"),
+        IvfIndex.bestCellHof(col("embedding"), col("nrm"), rounded).as("bh"),
+        IvfIndex.bestCell(col("embedding"), col("nrm"), rounded).as("bn"))
+        .collect().head
+      assert(row.getSeq[Long](0) == Seq(1L, 9L), s"native ${row.getSeq[Long](0)}")
+      assert(row.getSeq[Long](1) == Seq(1L, 9L), s"hof ${row.getSeq[Long](1)}")
+      assert(row.getLong(2) == 1L && row.getLong(3) == 1L)
+    }
+    // every centroid malformed → empty probe list, −1 sentinel in both
+    val allBad = q.crossJoin(broadcast(IvfIndex.centroidArray(
+      cents.filter(col("cid").isin(3L, 4L)))))
+      .select(IvfIndex.nearestCells(col("embedding"), col("nrm"), 2, rounded = true).as("n"),
+        IvfIndex.bestCell(col("embedding"), col("nrm"), rounded = true).as("bn"),
+        IvfIndex.bestCellHof(col("embedding"), col("nrm"), rounded = true).as("bh"))
+      .collect().head
+    assert(allBad.getSeq[Long](0).isEmpty)
+    assert(allBad.getLong(1) == -1L && allBad.getLong(2) == -1L)
+  }
+
+  test("a dir without meta.json fails loudly instead of defaulting to single-assignment") {
+    // build always writes meta.json; its absence means the layout is
+    // not ours (or a partial write) — a silent assign=1 default would
+    // disable the q=2 search dedupe and corrupt appends (round-11
+    // ADVICE)
+    val d = Files.createTempDirectory("ivf_nometa").toString
+    IvfIndex.build(emb.limit(200), d, nCells = 4, assign = 2)
+    Files.delete(java.nio.file.Paths.get(s"$d/meta.json"))
+    val ex = intercept[IllegalStateException] {
+      IvfIndex.search(spark, d, queries.limit(2), k = 2, nProbe = 2).collect()
+    }
+    assert(ex.getMessage.contains("meta.json"))
+    val ex2 = intercept[IllegalStateException] {
+      IvfIndex.appendBatch(spark, d, emb.limit(10))
+    }
+    assert(ex2.getMessage.contains("meta.json"))
+  }
+
   test("rebuild picks identical centroids (content-addressed sampling)") {
     val d2 = Files.createTempDirectory("ivf2").toString
     IvfIndex.build(emb, d2, nCells = 16)

@@ -21,14 +21,39 @@ class OracleSqlSpec extends AnyFunSuite {
       assert(!sql.matches("(?s).*\\bclean AS \\(.*"),
         s"$q still has an unmaterialized CTE head")
     }
-    // across the whole map: a bare-name CTE head (line start or after
-    // WITH) that is NOT materialized may only appear in RECURSIVE
-    // statements, which the rewrite deliberately skips
-    val bareHead = "(?m)(^|WITH )([a-zA-Z_][a-zA-Z0-9_]*) AS \\(".r
+    // across the whole map: a bare-name CTE head that is NOT
+    // materialized may only appear in RECURSIVE statements, which the
+    // rewrite deliberately skips. This guard is STRICTLY BROADER than
+    // the rewrite regex — it also flags `, name AS (` after ANY comma,
+    // not just the shapes the rewrite knows — so a new oracle written
+    // in a head shape the rewrite misses fails here in milliseconds
+    // instead of re-inlining silently (the round-10 artifact killer).
+    val bareHead = "(?m)(^|WITH |,[ \\t\\n]*)([a-zA-Z_][a-zA-Z0-9_]*) AS \\(".r
     for ((name, sql) <- sqls if !sql.contains("RECURSIVE")) {
       assert(bareHead.findFirstIn(sql).isEmpty,
         s"$name has an unmaterialized bare-name CTE head")
     }
+  }
+
+  test("mid-line CTE heads after a comma are materialized too") {
+    // the round-11 ADVICE gap: `WITH a AS (...), b AS (...)` on one
+    // line left b inlined; both leading-comma and after-paren-comma
+    // styles must now be rewritten
+    val oneLine = SparkEntry.materializeCtes(
+      "WITH a AS (SELECT 1), b AS (SELECT 2) SELECT * FROM b")
+    assert(oneLine.contains("a AS MATERIALIZED (SELECT 1)"))
+    assert(oneLine.contains("b AS MATERIALIZED (SELECT 2)"), oneLine)
+    val leadingComma = SparkEntry.materializeCtes(
+      "WITH a AS (\n  SELECT 1\n)\n, b AS (SELECT 2)\nSELECT * FROM b")
+    assert(leadingComma.contains("b AS MATERIALIZED (SELECT 2)"), leadingComma)
+    // a column-list head after a comma stays plain (DuckDB seeds)
+    val colList = SparkEntry.materializeCtes(
+      "WITH a AS (SELECT 1), seed(x, y) AS (VALUES (1, 2)) SELECT * FROM seed")
+    assert(colList.contains("seed(x, y) AS (VALUES"), colList)
+    // the single WINDOW clause shape in the corpus is untouched
+    val win = SparkEntry.materializeCtes(
+      "SELECT sum(x) OVER w FROM t\nWINDOW w AS (PARTITION BY k ORDER BY x)")
+    assert(!win.contains("MATERIALIZED"), win)
   }
 
   test("RECURSIVE statements and column-list heads stay untouched") {
@@ -46,6 +71,8 @@ class OracleSqlSpec extends AnyFunSuite {
   test("materializeCtes is idempotent and leaves non-CTE AS alone") {
     val once = SparkEntry.materializeCtes("WITH a AS (SELECT 1), b AS (SELECT 2)\nSELECT x AS (weird) FROM a")
     assert(once.startsWith("WITH a AS MATERIALIZED (SELECT 1)"))
+    // round 11 documented this miss; round 12 closes it
+    assert(once.contains("b AS MATERIALIZED (SELECT 2)"), once)
     assert(SparkEntry.materializeCtes(once) === once,
       "re-running the rewrite must not double-materialize")
   }
