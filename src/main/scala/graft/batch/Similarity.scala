@@ -283,13 +283,59 @@ object Similarity {
       .orderBy("label")
   }
 
+  // ---- the PRODUCTION persisted-index search configuration (qs7) ----
+  // The recall-critical constants the round-11 AnnScaleBench rung audit
+  // settled: q = 2 multi-assignment (each vector stored in its 2
+  // nearest cells — the layout change that made planted-twin recall
+  // flat across the 1×→30× rungs, BASELINE.md), p = 5 probes (the
+  // probe width every embedding membrane uses). Named vals so
+  // tools/check_caps.py attributes them to qs7's oracle.
+  private[batch] val IndexAssign = 2
+  private[batch] val SearchProbes = 5
+
+  /** Deterministic per-dataset scratch dir for persisted-index queries:
+    * same input dir → same index path, so steady-state bench reps
+    * overwrite rather than accumulate. */
+  private def indexDir(tag: String, d: String): String = {
+    val h = MessageDigest.getInstance("MD5").digest(d.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_$h"
+  }
+
+  /** qs7: the production ANN search shape, oracle-gated end to end —
+    * [[IvfIndex.build]] at the round-11-audited recall configuration
+    * (q = [[IndexAssign]] multi-assignment, `C = ⌈√N⌉` md5-sampled
+    * centroids — both sizing rules computed from the data in BOTH
+    * engines, qd16's pattern) followed by [[IvfIndex.search]] at
+    * p = [[SearchProbes]] probes over the PERSISTED hive-partitioned
+    * cell layout, so the hash-exact gate covers exactly what a
+    * production query runs: partition-pruned cell reads (IvfIndexSpec
+    * pins the PartitionFilters), the broadcast-quantizer native probe,
+    * the multi-assign triple dedupe, and the native GroupTopK ranking.
+    * Until this round that configuration lived only in
+    * AnnScaleBench/IvfIndexSpec; every other production pin (qd16, qm5,
+    * qc4) already had a first-class green row. Reference anchor: the
+    * scan-coalescing hand-optimization (Prensas.py:201, 505-509) — read
+    * only what the index prunes to, never the whole corpus. */
+  def qs7_ivf_search(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val n = emb.count()
+    val nCells = math.ceil(math.sqrt(n.toDouble)).toInt
+    val dir = indexDir("qs7", d)
+    IvfIndex.build(emb, dir, nCells, assign = IndexAssign)
+    val queryVecs = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+    IvfIndex.search(s, dir, queryVecs, k = 3, nProbe = SearchProbes)
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qs1_knn_bruteforce" -> (qs1_knn_bruteforce _),
     "qs2_ann_lsh" -> (qs2_ann_lsh _),
     "qs3_ivf_ann" -> (qs3_ivf_ann _),
     "qs4_ann_multiprobe" -> (qs4_ann_multiprobe _),
     "qs5_ann_recall" -> (qs5_ann_recall _),
-    "qs6_int8_quant" -> (qs6_int8_quant _))
+    "qs6_int8_quant" -> (qs6_int8_quant _),
+    "qs7_ivf_search" -> (qs7_ivf_search _))
 
   /** SQL fragment: dot product of two list columns in double — the
     * list_transform form, NOT a correlated `(SELECT SUM … FROM range)`
@@ -326,6 +372,47 @@ object Similarity {
        |      FROM nm JOIN bk ON nm.vec_id = bk.vec_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // qs7: the persisted-index production search, restated from the
+    // embeddings table: C = ceil(sqrt(N)) md5-ranked centroids (qd16's
+    // sizing-from-data pattern), every vector assigned to its
+    // IndexAssign nearest cells, each query probing its SearchProbes
+    // nearest, DISTINCT over the multi-assign∩multi-probe candidate
+    // pairs, exact top-3 by (rcos DESC, vec_id). The oracle never sees
+    // the on-disk layout — determinism of the sample/assignment rules
+    // makes the persisted path and this restatement agree hash-exactly.
+    "qs7_ivf_search" ->
+      s"""WITH nm AS (
+         | SELECT vec_id, embedding,
+         |  sqrt((SELECT SUM(CAST(embedding[i.i + 1] AS DOUBLE) * CAST(embedding[i.i + 1] AS DOUBLE))
+         |        FROM range($Dim) i(i))) AS nrm
+         | FROM embeddings),
+         |st AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS nc FROM nm),
+         |cents AS (
+         | SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM nm, st
+         | QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= nc),
+         |cscored AS (
+         | SELECT nm.vec_id, cents.cid,
+         |  round(${sqlDot("cents.ce", "nm.embedding")} / (cents.cn * nm.nrm), 6) AS crcos
+         | FROM nm, cents),
+         |assigned AS (
+         | SELECT vec_id, cid AS cell FROM cscored
+         | QUALIFY row_number() OVER (PARTITION BY vec_id
+         |   ORDER BY crcos DESC, cid ASC) <= $IndexAssign),
+         |probes AS (
+         | SELECT vec_id AS qid, cid AS cell FROM cscored WHERE vec_id % 100 = 0
+         | QUALIFY row_number() OVER (PARTITION BY vec_id
+         |   ORDER BY crcos DESC, cid ASC) <= $SearchProbes),
+         |cand AS (
+         | SELECT DISTINCT p.qid, a.vec_id
+         | FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.qid),
+         |scored AS (
+         | SELECT c.qid, c.vec_id,
+         |  round(${sqlDot("q.embedding", "v.embedding")} / (q.nrm * v.nrm), 6) AS rcos
+         | FROM cand c JOIN nm q ON c.qid = q.vec_id JOIN nm v ON c.vec_id = v.vec_id)
+         |SELECT qid, CAST(rn AS INT) AS rank, vec_id AS neighbor_id, rcos FROM (
+         | SELECT qid, vec_id, rcos, ROW_NUMBER() OVER (PARTITION BY qid
+         |   ORDER BY rcos DESC, vec_id ASC) AS rn FROM scored) t
+         |WHERE rn <= 3 ORDER BY qid, rank""".stripMargin,
     // qs6: quantize → dequantize → fidelity, restated in DuckDB list
     // lambdas. Multiplication ORDER matters for bit-exactness: both
     // engines compute (q·scale)·x and (q·scale)·(q·scale) left to

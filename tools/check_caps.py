@@ -32,8 +32,10 @@ def main() -> int:
                         "src", "main", "scala")
     sources = glob.glob(os.path.join(root, "**", "*.scala"), recursive=True)
 
-    # constant name -> int value (caps and tuned probe widths)
-    const_re = re.compile(r"val\s+(\w*Cap|ProbeCells)\s*=\s*(\d+)")
+    # constant name -> int value (caps, tuned probe widths, and the
+    # index-layout multiplicity/probe constants the production search
+    # queries pin — qs7's IndexAssign/SearchProbes)
+    const_re = re.compile(r"val\s+(\w*Cap|ProbeCells|\w*Probes|\w*Assign)\s*=\s*(\d+)")
     consts = {}
     text_by_file = {}
     # strip comments before any scanning: a scaladoc block sits between
