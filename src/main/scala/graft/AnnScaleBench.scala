@@ -111,6 +111,23 @@ object AnnScaleBench {
       val (tBuild2, _) = time {
         IvfIndex.build(Tables.embeddings(spark, dir), idx2Dir, nCells, assign = 2)
       }
+      // the int8 storage lever at the SAME q=2 layout: cells carry
+      // 1-byte-per-dim blobs instead of float arrays; searchInt8's
+      // integer-dot funnel + RescoreCap float rescore must keep the
+      // twin/recall numbers of the float q2 arm (VERDICT r11 ask #2)
+      val idx8Dir = s"$dir/ivf_sqrtn_q2i8"
+      val (tBuild8, _) = time {
+        IvfIndex.build(Tables.embeddings(spark, dir), idx8Dir, nCells,
+          assign = 2, int8 = true)
+      }
+      def dirBytes(path: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isFile) f.length
+          else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+        walk(new java.io.File(path))
+      }
+      val bytesF32 = dirBytes(s"$idx2Dir/cells")
+      val bytesI8 = dirBytes(s"$idx8Dir/cells")
 
       // corpus-sample queries (in-index) — md5-free modulus spread, the
       // same ~200-query budget as the dedup audit's planted bases
@@ -154,12 +171,42 @@ object AnnScaleBench {
           s""""twin_at_1":$twinAt1,"twin_at_$K":$twinAtK}"""
       }
 
-      val arms = (for {
+      // int8 arm: identical metrics through the quantized store at the
+      // production probe width + rescore funnel
+      def searchArm8(p: Int): String = {
+        val corpus = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+        def s8(qs: org.apache.spark.sql.DataFrame) =
+          IvfIndex.searchInt8(spark, idx8Dir, qs, corpus, K, p, Similarity.RescoreCap)
+        var rows = -1L
+        val ts = (1 to math.max(1, reps)).map { _ =>
+          time { rows = s8(sampleQ).queryExecution.toRdd.count() }._1
+        }
+        val found = s8(sampleQ).select(col("qid"), col("neighbor_id"))
+        val inter = exact.join(found, Seq("qid", "neighbor_id"), "left_semi")
+          .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+        val recallAtK = sampleQ.select(col("vec_id").as("qid"))
+          .join(inter, Seq("qid"), "left")
+          .agg(avg(coalesce(col("n_hit"), lit(0L)) / lit(K.toDouble)))
+          .head.getDouble(0)
+        val twinFound = s8(twinQ)
+          .withColumn("expected", col("qid") - lit(plantOffset))
+          .filter(col("neighbor_id") === col("expected"))
+        val twinAt1 = twinFound.filter(col("rank") === 1).count()
+        val twinAtK = twinFound.count()
+        s"""{"cold":${d3(ts.head)},"steady":${d3(ts.min)},""" +
+          s""""recall_at_$K":${d3(recallAtK)},""" +
+          s""""twin_at_1":$twinAt1,"twin_at_$K":$twinAtK}"""
+      }
+
+      val arms = ((for {
         (tag, ix) <- Seq("q1" -> idxDir, "q2" -> idx2Dir)
         p <- Seq(1, Dedup.ProbeCells).distinct
-      } yield s""""${tag}_p$p":${searchArm(ix, p)}""").mkString(",")
+      } yield s""""${tag}_p$p":${searchArm(ix, p)}""") :+
+        s""""q2i8_p${Dedup.ProbeCells}":${searchArm8(Dedup.ProbeCells)}""").mkString(",")
       s""""x$n":{"n_vecs":$nVecs,"n_cells":$nCells,"n_queries":$nQ,""" +
-        s""""n_twins":$nTwin,"build":${d3(tBuild)},"build_q2":${d3(tBuild2)},$arms}"""
+        s""""n_twins":$nTwin,"build":${d3(tBuild)},"build_q2":${d3(tBuild2)},""" +
+        s""""build_q2i8":${d3(tBuild8)},"cells_bytes_f32":$bytesF32,""" +
+        s""""cells_bytes_i8":$bytesI8,$arms}"""
     }
 
     println(s"""{"metric":"ann_search_recall","value":$K,"unit":"k",""" +

@@ -23,10 +23,10 @@ import graft.stream.{Sinks, StateMachine}
   * stations served at the reference's own cadence.
   *
   * `sbt "runMain graft.StreamBench [nObs] [nStations] [rocksdb]
-  * [dimjoin|eventtime|tws]"` — prints one JSON line. The optional
-  * `rocksdb` arg runs the same load on the RocksDB state store (the
-  * large-state production config); `dimjoin` routes the dimension
-  * lookups through the stream-static-join path
+  * [dimjoin|eventtime|tws] [recover]"` — prints one JSON line. The
+  * optional `rocksdb` arg runs the same load on the RocksDB state
+  * store (the large-state production config); `dimjoin` routes the
+  * dimension lookups through the stream-static-join path
   * (`StateMachine.withDimTables`, the scale configuration) instead of
   * the in-memory snapshot maps; `eventtime` / `tws` run the dim-join
   * path under the EVENT-TIME hosts (watermark + event-time timers —
@@ -36,6 +36,19 @@ import graft.stream.{Sinks, StateMachine}
   * reported so per-key state growth is a measured number (VERDICT r10
   * ask #6: state must stay FLAT per key — the machine keeps one
   * ActiveRecord per (station, parte), never an observation log).
+  *
+  * `recover` (VERDICT r11 ask #4 — the recovery SLA at rung scale):
+  * process roughly half the input in bounded micro-batches, STOP the
+  * query abruptly (in-flight batch uncommitted — the in-JVM analog of
+  * an executor-loss kill; the checkpoint holds only committed state),
+  * then restart from the same checkpoint and measure
+  * `recovery_first_batch_sec` — start() to the first post-restart
+  * batch COMMIT, which pays checkpoint offset-log replay + state-store
+  * reload (RocksDB snapshot/changelog) + the replayed batch itself —
+  * plus the full drain time. Correctness is gold-standard: the crashed
+  * +recovered run's production_records must EQUAL an uninterrupted
+  * run of the same load through a fresh checkpoint, row for row
+  * (StreamingSpec's restart scenario, at 5000× the scale).
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
@@ -71,6 +84,94 @@ object StreamBench {
     val outDir = Files.createTempDirectory("graft_sbench_out").toString
     val ckpt = Files.createTempDirectory("graft_sbench_ckpt").toString
     val useFiles = n >= 1000000
+    val recover = args.contains("recover")
+
+    if (recover) {
+      require(useFiles,
+        "recover arm measures the rung configuration — run with n >= 1000000")
+      import org.apache.spark.sql.functions.{col, concat, lit, timestamp_millis}
+      val inDir = Files.createTempDirectory("graft_sbench_in").toString
+      val nFiles = 32
+      spark.range(n).select(
+        concat(lit("ST"), (col("id") % stations).cast("string")).as("station"),
+        lit("AAA").as("parte"),
+        lit("AAA").as("original"),
+        (col("id") / stations).cast("long").as("contador"),
+        lit(1.0).as("tiempo"),
+        timestamp_millis(
+          lit(base) + (col("id") / stations).cast("long") * 1000L).as("ts"))
+        .repartition(nFiles)
+        .write.mode("overwrite").parquet(inDir)
+      val maxFiles = 4 // 8 data batches over 32 files
+      def mkObs() = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[PartObservation].schema)
+        .option("maxFilesPerTrigger", maxFiles)
+        .parquet(inDir).as[PartObservation]
+      val parts = (0 until stations).map(s => (s"ST$s", "AAA", s + 1L))
+        .toDF("station", "parte", "part_id")
+      val mults = Seq(("AAA", 2L)).toDF("parte", "multiplier")
+      val recs = Seq.empty[(String, Long, Int, Long)]
+        .toDF("record_id", "produced", "status_id", "planned")
+      def startRun(ckptDir: String, out: String) = {
+        val actions =
+          if (tws) StateMachine.withDimTablesEventTimeTws(
+            mkObs(), parts, mults, recs, timeoutMs = 30000L)
+          else StateMachine.withDimTablesEventTime(
+            mkObs(), parts, mults, recs, timeoutMs = 30000L)
+        actions.writeStream.outputMode("append")
+          .option("checkpointLocation", ckptDir).trigger(Trigger.AvailableNow())
+          // epochId wired through → exactly-once histories, so the
+          // replayed post-crash epoch overwrites instead of doubling
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.model.ActionRow], id: Long) =>
+            Sinks.applyActions(batch, out, epochId = id)
+          }.start()
+      }
+      // ---- phase 1: run to ~half the input, then kill abruptly
+      val killAfter = 4
+      val q1 = startRun(ckpt, outDir)
+      while (q1.isActive &&
+        q1.recentProgress.count(_.numInputRows > 0) < killAfter) Thread.sleep(100)
+      val batchesBeforeKill = q1.recentProgress.count(_.numInputRows > 0)
+      q1.stop() // in-flight batch dies uncommitted — the crash
+      try q1.awaitTermination() catch { case _: Throwable => () }
+      // ---- phase 2: restart from the checkpoint
+      val tR = System.nanoTime()
+      val q2 = startRun(ckpt, outDir)
+      while (q2.isActive && q2.recentProgress.isEmpty) Thread.sleep(50)
+      val recoverySec = (System.nanoTime() - tR) / 1e9
+      q2.awaitTermination()
+      val drainSec = (System.nanoTime() - tR) / 1e9
+      // ---- reference: the same load, uninterrupted, fresh checkpoint
+      val ckptRef = Files.createTempDirectory("graft_sbench_ckpt_ref").toString
+      val outRef = Files.createTempDirectory("graft_sbench_out_ref").toString
+      val tRef = System.nanoTime()
+      val qRef = startRun(ckptRef, outRef)
+      qRef.awaitTermination()
+      val refSec = (System.nanoTime() - tRef) / 1e9
+      // ---- gold-standard correctness: crashed+recovered ≡ uninterrupted
+      def table(root: String, name: String, dropEpoch: Boolean) = {
+        val df = spark.read.parquet(s"$root/$name")
+        if (dropEpoch) df.drop("epoch") else df
+      }
+      def diffCount(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame): Long =
+        a.exceptAll(b).count() + b.exceptAll(a).count()
+      val recDiff = diffCount(
+        table(outDir, "production_records", dropEpoch = false),
+        table(outRef, "production_records", dropEpoch = false))
+      val histDiff = diffCount(
+        table(outDir, "histories", dropEpoch = true),
+        table(outRef, "histories", dropEpoch = true))
+      require(recDiff == 0 && histDiff == 0,
+        s"recovered output differs from uninterrupted run: records=$recDiff histories=$histDiff")
+      val nRecords = spark.read.parquet(s"$outDir/production_records").count()
+      def jd2(v: Double): String =
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      val host2 = if (tws) "tws-eventtime" else "fmgws-eventtime"
+      println(s"""{"metric":"stream_recovery_sec","value":${jd2(recoverySec)},"unit":"sec","n_obs":$n,"stations":$stations,"state_store":"${if (rocksdb) "rocksdb" else "hdfs"}","lookup_path":"$host2","batches_before_kill":$batchesBeforeKill,"recovery_first_batch_sec":${jd2(recoverySec)},"recovered_drain_sec":${jd2(drainSec)},"uninterrupted_sec":${jd2(refSec)},"records":$nRecords,"records_diff":$recDiff,"histories_diff":$histDiff}""")
+      spark.stop()
+      return
+    }
 
     val obsStream: org.apache.spark.sql.Dataset[PartObservation] =
       if (useFiles) {

@@ -143,14 +143,37 @@ object IvfIndex {
     * vector assigned there). The trade is recorded per rung in
     * BASELINE.md; `meta.json` persists the choice so [[appendBatch]]
     * and [[search]] follow it without the caller re-stating it. */
-  def build(emb: DataFrame, dir: String, nCells: Int, assign: Int = 1): Unit = {
+  /** qs6's per-vector symmetric quantization scale, max|x| / 127 —
+    * shared by [[build]]'s int8 store and [[searchInt8]]'s query-side
+    * pack so the two sides can never round differently. */
+  private def int8Scale(emb: Column): Column =
+    array_max(transform(emb, v => abs(v.cast("double")))) / lit(127)
+
+  def build(emb: DataFrame, dir: String, nCells: Int, assign: Int = 1,
+      int8: Boolean = false): Unit = {
     val nm = withNorm(emb)
     val cents = sampleCentroids(nm, nCells)
     cents.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
 
-    assignCells(nm, cents, assign)
-      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$dir/cells")
-    writeMeta(emb.sparkSession, dir, s"""{"nCells":$nCells,"assign":$assign}""")
+    val assigned = assignCells(nm, cents, assign)
+    val cells =
+      if (!int8) assigned
+      else assigned
+        // int8 layout: the float embedding NEVER reaches the cells —
+        // 1 byte/dim in one plain-encoded BINARY blob + two doubles,
+        // vs 4 bytes/dim of float array (the 4× IO lever; the measured
+        // ratio is a BASELINE.md row). Zero vectors (scale ≤ 0) are
+        // cosine-undefined and unquantizable: excluded, like the qs6
+        // audit and the qs8 oracle (`WHERE scale > 0`).
+        .withColumn("scale", int8Scale(col("embedding")))
+        .filter(col("scale") > 0)
+        .select(col("vec_id"),
+          graft.functions.GraftFunctions.int8_pack(col("embedding"), col("scale")).as("q8"),
+          col("scale"), col("nrm"), col("cell"))
+    cells.write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$dir/cells")
+    val quant = if (int8) "int8" else "float32"
+    writeMeta(emb.sparkSession, dir,
+      s"""{"nCells":$nCells,"assign":$assign,"quant":"$quant"}""")
   }
 
   // meta.json goes through the same Hadoop FS layer as the parquet
@@ -189,19 +212,29 @@ object IvfIndex {
     * search-side dedupe and let [[appendBatch]] mix multiplicities with
     * no error (round-11 ADVICE). Read through the Hadoop FS layer like
     * everything else in the layout. */
-  private def assignOf(spark: SparkSession, dir: String): Int = {
+  private def metaText(spark: SparkSession, dir: String): String = {
     val p = metaPath(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) throw new IllegalStateException(
       s"$dir/meta.json missing — not an IvfIndex.build layout (or a partial write)")
     val in = fs.open(p)
-    val txt = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  private def assignOf(spark: SparkSession, dir: String): Int = {
+    val txt = metaText(spark, dir)
     """"assign"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
       .map(_.group(1).toInt)
       .getOrElse(throw new IllegalStateException(
         s"""$dir/meta.json has no "assign" field: $txt"""))
   }
+
+  /** The persisted storage format ("float32" when the field predates
+    * this round — float was the only historical layout). */
+  private def quantOf(spark: SparkSession, dir: String): String =
+    """"quant"\s*:\s*"(\w+)"""".r.findFirstMatchIn(metaText(spark, dir))
+      .map(_.group(1)).getOrElse("float32")
 
   /** Incremental maintenance: assign a NEW batch of (vec_id, embedding)
     * rows to the existing centroids and append into the cell layout —
@@ -224,6 +257,9 @@ object IvfIndex {
     * directories. Output: (qid, rank, neighbor_id, rcos). */
   def search(spark: SparkSession, dir: String, queries: DataFrame,
              k: Int, nProbe: Int): DataFrame = {
+    val q8 = quantOf(spark, dir)
+    if (q8 != "float32") throw new IllegalStateException(
+      s"$dir stores $q8 cells — use searchInt8 (float search would misread the layout)")
     val cents = spark.read.parquet(s"$dir/centroids")
     val cells = spark.read.parquet(s"$dir/cells")
     val q = withNorm(queries)
@@ -244,5 +280,66 @@ object IvfIndex {
     graft.plans.GroupTopK.topK(distinctTriples,
       keys = Seq("qid"), order = Seq(col("rcos").desc, col("vec_id").asc), k = k)
       .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("rcos"))
+  }
+
+  /** Top-k search over an int8-quantized index ([[build]] with
+    * `int8 = true`): probe selection is unchanged (float query ×
+    * float centroids — the quantizer is tiny and stays exact, so the
+    * probed cell set is IDENTICAL to the float layout's), candidate
+    * scoring is the exact INTEGER dot over the packed blobs
+    * (score8 = idot·scale_q·scale_c / (‖q‖·‖c‖), the dequantized
+    * cosine), the top-`rescore` int8 survivors per query are then
+    * re-scored in float against `corpus` (the source-of-truth float
+    * table the index was built from — at 100 TB a ≤ queries×rescore
+    * broadcast semi-join, while the 4×-smaller cells carry ALL the
+    * scan volume), and the exact float top-k of the survivors is
+    * emitted. Output: (qid, rank, neighbor_id, idot, rcos) — idot is
+    * the integer-exact int8 score (cross-engine hashable with no
+    * float-order caveat), rcos the float rescue score that ranked it.
+    *
+    * Recall: the int8 funnel can only lose a true neighbor if
+    * quantization reorders it below rank `rescore` in its candidate
+    * set — AnnScaleBench's `int8` arm measures planted-twin recall
+    * unchanged at the rungs (BASELINE.md). */
+  def searchInt8(spark: SparkSession, dir: String, queries: DataFrame,
+      corpus: DataFrame, k: Int, nProbe: Int, rescore: Int): DataFrame = {
+    val fmt = quantOf(spark, dir)
+    if (fmt != "int8") throw new IllegalStateException(
+      s"$dir stores $fmt cells — searchInt8 needs an int8 layout (build with int8 = true)")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val cells = spark.read.parquet(s"$dir/cells") // (vec_id, q8, scale, nrm, cell)
+    val q0 = withNorm(queries)
+      .withColumn("qscale", int8Scale(col("embedding")))
+      .filter(col("qscale") > 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"),
+        col("qscale"),
+        graft.functions.GraftFunctions.int8_pack(col("embedding"), col("qscale")).as("qq8"))
+    val probes = q0.crossJoin(broadcast(centroidArray(cents)))
+      .select(col("qid"), col("qn"), col("qscale"), col("qq8"),
+        explode(nearestCells(col("qe"), col("qn"), nProbe, rounded = true)).as("cell"))
+    val cand = cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("idot", graft.functions.GraftFunctions.int8_dot(col("qq8"), col("q8")))
+      // ((idot·sq)·sc)/(qn·cn) — the qs8 oracle states the same
+      // association so the rounded funnel scores match bit-for-bit
+      .withColumn("score8", round(col("idot").cast("double") * col("qscale") * col("scale")
+        / (col("qn") * col("nrm")), 6))
+    val quads = cand.select(col("qid").cast("long"), col("vec_id").cast("long"),
+      col("idot").cast("long"), col("score8").cast("double"))
+    val dq = if (assignOf(spark, dir) > 1) quads.distinct() else quads
+    val funnel = graft.plans.GroupTopK.topK(dq,
+      keys = Seq("qid"), order = Seq(col("score8").desc, col("vec_id").asc), k = rescore)
+      .select(col("qid"), col("vec_id"), col("idot"))
+    // float rescore: survivors are tiny — broadcast them against the
+    // full-precision corpus, never the other way around
+    val cn = withNorm(corpus).select(col("vec_id"), col("embedding"), col("nrm"))
+    val rescored = cn.join(broadcast(funnel), Seq("vec_id"))
+      .join(broadcast(q0.select(col("qid"), col("qe"), col("qn"))), Seq("qid"))
+      .withColumn("rcos", round(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+      .select(col("qid"), col("vec_id"), col("idot"), col("rcos"))
+    graft.plans.GroupTopK.topK(rescored,
+      keys = Seq("qid"), order = Seq(col("rcos").desc, col("vec_id").asc), k = k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("idot"), col("rcos"))
   }
 }

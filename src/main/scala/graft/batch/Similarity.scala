@@ -290,8 +290,14 @@ object Similarity {
   // flat across the 1×→30× rungs, BASELINE.md), p = 5 probes (the
   // probe width every embedding membrane uses). Named vals so
   // tools/check_caps.py attributes them to qs7's oracle.
-  private[batch] val IndexAssign = 2
-  private[batch] val SearchProbes = 5
+  private[graft] val IndexAssign = 2
+  private[graft] val SearchProbes = 5
+  // qs8's int8→float rescore funnel width: the int8 scores pick the
+  // top-RescoreCap candidates per query, the float pass re-ranks only
+  // those. Sized ≳3× k so a quantization reorder inside the funnel
+  // cannot change the final top-k (AnnScaleBench's int8 arm measures
+  // the planted-twin recall consequence at the rungs).
+  private[graft] val RescoreCap = 10
 
   /** Deterministic per-dataset scratch dir for persisted-index queries:
     * same input dir → same index path, so steady-state bench reps
@@ -328,6 +334,29 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** qs8: the int8-quantized index store, searched end to end — the
+    * storage-side sequel to qs6 (which proved quantization fidelity but
+    * had no consumer) and the 4×-IO variant of qs7: [[IvfIndex.build]]
+    * with `int8 = true` persists cells as 1-byte-per-dim binary blobs
+    * (no float embedding on disk), [[IvfIndex.searchInt8]] scores
+    * candidates with the exact INTEGER dot, funnels the top
+    * [[RescoreCap]] per query into a float rescore against the
+    * source-of-truth corpus, and emits the float top-3. The result
+    * carries `idot`, the raw integer int8 score — integer-exact across
+    * engines, so the oracle pins the quantized scoring path itself,
+    * not just the funnel's membership. Same q/p/C sizing as qs7. */
+  def qs8_int8_search(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val n = emb.count()
+    val nCells = math.ceil(math.sqrt(n.toDouble)).toInt
+    val dir = indexDir("qs8", d)
+    IvfIndex.build(emb, dir, nCells, assign = IndexAssign, int8 = true)
+    val queryVecs = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+    IvfIndex.searchInt8(s, dir, queryVecs, emb,
+      k = 3, nProbe = SearchProbes, rescore = RescoreCap)
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qs1_knn_bruteforce" -> (qs1_knn_bruteforce _),
     "qs2_ann_lsh" -> (qs2_ann_lsh _),
@@ -335,7 +364,8 @@ object Similarity {
     "qs4_ann_multiprobe" -> (qs4_ann_multiprobe _),
     "qs5_ann_recall" -> (qs5_ann_recall _),
     "qs6_int8_quant" -> (qs6_int8_quant _),
-    "qs7_ivf_search" -> (qs7_ivf_search _))
+    "qs7_ivf_search" -> (qs7_ivf_search _),
+    "qs8_int8_search" -> (qs8_int8_search _))
 
   /** SQL fragment: dot product of two list columns in double — the
     * list_transform form, NOT a correlated `(SELECT SUM … FROM range)`
@@ -380,6 +410,69 @@ object Similarity {
     // pairs, exact top-3 by (rcos DESC, vec_id). The oracle never sees
     // the on-disk layout — determinism of the sample/assignment rules
     // makes the persisted path and this restatement agree hash-exactly.
+    // qs8: qs7's index restated over the int8 store — every vector's q
+    // list re-derived with qs6's quantization rule, candidates scored
+    // by the INTEGER dot (CAST to BIGINT: DuckDB sums BIGINT lists into
+    // HUGEINT), the rounded dequantized score funnels RescoreCap
+    // survivors per query, float rescore picks the top 3. The emitted
+    // idot column is the integer int8 score itself — hash-exact with
+    // no float-order caveat (qs6's Σq trick applied to search).
+    "qs8_int8_search" ->
+      s"""WITH nm AS (
+         | SELECT vec_id, embedding,
+         |  sqrt((SELECT SUM(CAST(embedding[i.i + 1] AS DOUBLE) * CAST(embedding[i.i + 1] AS DOUBLE))
+         |        FROM range($Dim) i(i))) AS nrm
+         | FROM embeddings),
+         |st AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS nc FROM nm),
+         |cents AS (
+         | SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM nm, st
+         | QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= nc),
+         |cscored AS (
+         | SELECT nm.vec_id, cents.cid,
+         |  round(${sqlDot("cents.ce", "nm.embedding")} / (cents.cn * nm.nrm), 6) AS crcos
+         | FROM nm, cents),
+         |qt AS (
+         | SELECT vec_id,
+         |  list_transform(xd, v -> CAST(floor(v / scale + 0.5) AS BIGINT)) AS qv, scale
+         | FROM (
+         |  SELECT vec_id, xd,
+         |   list_max(list_transform(xd, v -> abs(v))) / 127 AS scale
+         |  FROM (SELECT vec_id,
+         |         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+         |        FROM embeddings) raw) scaled
+         | WHERE scale > 0),
+         |assigned AS (
+         | SELECT cs.vec_id, cs.cid AS cell FROM cscored cs JOIN qt ON cs.vec_id = qt.vec_id
+         | QUALIFY row_number() OVER (PARTITION BY cs.vec_id
+         |   ORDER BY cs.crcos DESC, cs.cid ASC) <= $IndexAssign),
+         |probes AS (
+         | SELECT cs.vec_id AS qid, cs.cid AS cell FROM cscored cs JOIN qt ON cs.vec_id = qt.vec_id
+         | WHERE cs.vec_id % 100 = 0
+         | QUALIFY row_number() OVER (PARTITION BY cs.vec_id
+         |   ORDER BY cs.crcos DESC, cs.cid ASC) <= $SearchProbes),
+         |cand AS (
+         | SELECT DISTINCT p.qid, a.vec_id
+         | FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.qid),
+         |i8 AS (
+         | SELECT c.qid, c.vec_id,
+         |  CAST(list_sum(list_transform(range($Dim),
+         |    i -> qa.qv[CAST(i AS INT) + 1] * qb.qv[CAST(i AS INT) + 1])) AS BIGINT) AS idot,
+         |  qa.scale AS qscale, qb.scale AS cscale
+         | FROM cand c JOIN qt qa ON c.qid = qa.vec_id JOIN qt qb ON c.vec_id = qb.vec_id),
+         |funnel AS (
+         | SELECT i8.qid, i8.vec_id, i8.idot FROM i8
+         |  JOIN nm q ON i8.qid = q.vec_id JOIN nm v ON i8.vec_id = v.vec_id
+         | QUALIFY row_number() OVER (PARTITION BY i8.qid
+         |   ORDER BY round(CAST(i8.idot AS DOUBLE) * i8.qscale * i8.cscale
+         |     / (q.nrm * v.nrm), 6) DESC, i8.vec_id ASC) <= $RescoreCap),
+         |rescored AS (
+         | SELECT f.qid, f.vec_id, f.idot,
+         |  round(${sqlDot("q.embedding", "v.embedding")} / (q.nrm * v.nrm), 6) AS rcos
+         | FROM funnel f JOIN nm q ON f.qid = q.vec_id JOIN nm v ON f.vec_id = v.vec_id)
+         |SELECT qid, CAST(rn AS INT) AS rank, vec_id AS neighbor_id, idot, rcos FROM (
+         | SELECT qid, vec_id, idot, rcos, ROW_NUMBER() OVER (PARTITION BY qid
+         |   ORDER BY rcos DESC, vec_id ASC) AS rn FROM rescored) t
+         |WHERE rn <= 3 ORDER BY qid, rank""".stripMargin,
     "qs7_ivf_search" ->
       s"""WITH nm AS (
          | SELECT vec_id, embedding,

@@ -25,6 +25,15 @@ object GraftFunctions {
   /** Column API for the native dot product ([[VectorDotExpr]]). */
   def vec_dot(a: Column, b: Column): Column = column(VectorDotExpr(expression(a), expression(b)))
 
+  /** Quantize+pack a float/double vector into one int8 binary blob
+    * (scale = caller-chosen, conventionally max|x|/127 — qs6's rule). */
+  def int8_pack(vec: Column, scale: Column): Column =
+    column(Int8PackExpr(expression(vec), expression(scale)))
+
+  /** Exact integer dot of two int8_pack blobs. */
+  def int8_dot(a: Column, b: Column): Column =
+    column(Int8DotExpr(expression(a), expression(b)))
+
   /** Column API for the native block average-hash ([[PhashExpr]]). */
   def phash_blocks(c: Column, nBits: Int): Column = column(PhashExpr(expression(c), nBits))
 
@@ -113,6 +122,10 @@ object GraftFunctions {
       exprs => DecodePlcWordsExpr(arity("decode_plc_words", 1, exprs).head), "scala_udf")
     reg.createOrReplaceTempFunction("vec_dot",
       exprs => { val e = arity("vec_dot", 2, exprs); VectorDotExpr(e(0), e(1)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("int8_pack",
+      exprs => { val e = arity("int8_pack", 2, exprs); Int8PackExpr(e(0), e(1)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("int8_dot",
+      exprs => { val e = arity("int8_dot", 2, exprs); Int8DotExpr(e(0), e(1)) }, "scala_udf")
     reg.createOrReplaceTempFunction("phash_blocks",
       exprs => {
         val e = arity("phash_blocks", 2, exprs)
