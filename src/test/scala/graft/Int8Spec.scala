@@ -10,7 +10,8 @@ import graft.functions.GraftFunctions
 /** Pins the int8 storage pair (Int8PackExpr / Int8DotExpr) against the
   * built-in Column composition they compress — qs6's quantization rule
   * — and the int8 IVF layout end to end. */
-class Int8Spec extends SparkSpec {
+class Int8Spec extends SparkSpec
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
   import spark.implicits._
 
   private lazy val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
@@ -109,6 +110,24 @@ class Int8Spec extends SparkSpec {
     val want = IvfIndex.search(spark, df, qs, k = 3, nProbe = 16)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
     assert(got == want)
+  }
+
+  test("searchInt8's cells scan treats cell as partition metadata (probes open directories)") {
+    // same PartitionFilters contract IvfIndexSpec pins for the float
+    // path: the 3x-smaller int8 cells carry ALL the per-query IO, so
+    // losing the pruning would silently re-read the whole store
+    val d = Files.createTempDirectory("ivf_i8p").toString
+    IvfIndex.build(emb, d, nCells = 16, assign = 2, int8 = true)
+    val qs = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+    val res = IvfIndex.searchInt8(spark, d, qs, emb, k = 3, nProbe = 2, rescore = 10)
+    val scans = collectWithSubqueries(res.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.head.toString.contains("cells") => s
+    }
+    assert(scans.nonEmpty, "no cells scan found")
+    assert(scans.head.relation.partitionSchema.fieldNames.contains("cell"),
+      s"int8 cells not partitioned by cell: ${scans.head.relation.partitionSchema}")
+    res.queryExecution.toRdd.count()
   }
 
   test("the int8 funnel at production width keeps the float top-k on the fixture corpus") {
