@@ -156,25 +156,28 @@ object IvfIndex {
     cents.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
 
     val assigned = assignCells(nm, cents, assign)
-    val cells =
-      if (!int8) assigned
-      else assigned
-        // int8 layout: the float embedding NEVER reaches the cells —
-        // 1 byte/dim in one plain-encoded BINARY blob + two doubles,
-        // vs 4 bytes/dim of float array (the 4× IO lever; the measured
-        // ratio is a BASELINE.md row). Zero vectors (scale ≤ 0) are
-        // cosine-undefined and unquantizable: excluded, like the qs6
-        // audit and the qs8 oracle (`WHERE scale > 0`).
-        .withColumn("scale", int8Scale(col("embedding")))
-        .filter(col("scale") > 0)
-        .select(col("vec_id"),
-          graft.functions.GraftFunctions.int8_pack(col("embedding"), col("scale")).as("q8"),
-          col("scale"), col("nrm"), col("cell"))
+    val cells = if (int8) toInt8Cells(assigned) else assigned
     cells.write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$dir/cells")
     val quant = if (int8) "int8" else "float32"
     writeMeta(emb.sparkSession, dir,
       s"""{"nCells":$nCells,"assign":$assign,"quant":"$quant"}""")
   }
+
+  /** The int8 cell projection, shared by [[build]] and [[appendBatch]]
+    * so an append can never write the wrong layout: the float
+    * embedding NEVER reaches the cells — 1 byte/dim in one
+    * plain-encoded BINARY blob + two doubles, vs 4 bytes/dim of float
+    * array (the measured 2.7–3.1× IO lever; BASELINE.md r12 row). Zero
+    * vectors (scale ≤ 0) are cosine-undefined and unquantizable:
+    * excluded, like the qs6 audit and the qs8 oracle (`WHERE
+    * scale > 0`). */
+  private def toInt8Cells(assigned: DataFrame): DataFrame =
+    assigned
+      .withColumn("scale", int8Scale(col("embedding")))
+      .filter(col("scale") > 0)
+      .select(col("vec_id"),
+        graft.functions.GraftFunctions.int8_pack(col("embedding"), col("scale")).as("q8"),
+        col("scale"), col("nrm"), col("cell"))
 
   // meta.json goes through the same Hadoop FS layer as the parquet
   // parts, so the index layout works wherever Spark can write (hdfs://,
@@ -243,11 +246,15 @@ object IvfIndex {
     * Centroids stay fixed between rebuilds, so appends are one
     * broadcast map-side pass + a partitioned append; searchers see new
     * vectors immediately and drift is handled by periodic [[build]]
-    * (content-addressed centroids make rebuilds reproducible). */
+    * (content-addressed centroids make rebuilds reproducible).
+    * Follows the persisted storage format from meta.json — an append
+    * into an int8 index quantizes the batch ([[toInt8Cells]]); it can
+    * never mix float rows into a quantized layout. */
   def appendBatch(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
     val cents = spark.read.parquet(s"$dir/centroids")
-    assignCells(withNorm(batch), cents, assignOf(spark, dir))
-      .write.mode(SaveMode.Append).partitionBy("cell").parquet(s"$dir/cells")
+    val assigned = assignCells(withNorm(batch), cents, assignOf(spark, dir))
+    val rows = if (quantOf(spark, dir) == "int8") toInt8Cells(assigned) else assigned
+    rows.write.mode(SaveMode.Append).partitionBy("cell").parquet(s"$dir/cells")
   }
 
   /** Top-k cosine neighbors for each (vec_id, embedding) query row,

@@ -130,6 +130,29 @@ class Int8Spec extends SparkSpec
     res.queryExecution.toRdd.count()
   }
 
+  test("appendBatch follows the persisted int8 format: incremental index ≡ full build for search") {
+    // without the format check an append would mix float rows into the
+    // quantized layout and corrupt every later search
+    val full = Files.createTempDirectory("ivf_i8_full").toString
+    val inc = Files.createTempDirectory("ivf_i8_inc").toString
+    val first = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val rest = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    IvfIndex.build(emb, full, nCells = 16, assign = 2, int8 = true)
+    IvfIndex.build(first, inc, nCells = 16, assign = 2, int8 = true)
+    IvfIndex.appendBatch(spark, inc, rest)
+    val appended = spark.read.parquet(s"$inc/cells")
+    assert(appended.columns.sorted.toSeq == Seq("cell", "nrm", "q8", "scale", "vec_id"))
+    val qs = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+    def run(d: String) =
+      IvfIndex.searchInt8(spark, d, qs, emb, k = 3, nProbe = 16, rescore = 10)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    // the two indexes sample different centroids (different build
+    // corpus → different md5-ranked prefix), but an ALL-cell probe is
+    // centroid-independent and int8 scores are index-independent, so
+    // the appended index must search identically to the full build
+    assert(run(inc) == run(full))
+  }
+
   test("the int8 funnel at production width keeps the float top-k on the fixture corpus") {
     // RescoreCap ≳ 3k: a quantization reorder strictly inside the
     // funnel cannot change the emitted top-3 — measured here at the
