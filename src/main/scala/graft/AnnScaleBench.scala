@@ -144,14 +144,16 @@ object AnnScaleBench {
         .localCheckpoint()
       val nTwin = twinQ.count()
 
-      def searchArm(ixDir: String, p: Int): String = {
+      // one metric harness for every arm (float AND int8 — a fix to
+      // the recall/twin computation can never apply to one and not the
+      // other); `run` is the search under measurement
+      def searchArm(run: org.apache.spark.sql.DataFrame
+          => org.apache.spark.sql.DataFrame): String = {
         var rows = -1L
         val ts = (1 to math.max(1, reps)).map { _ =>
-          time { rows = IvfIndex.search(spark, ixDir, sampleQ, K, p)
-            .queryExecution.toRdd.count() }._1
+          time { rows = run(sampleQ).queryExecution.toRdd.count() }._1
         }
-        val found = IvfIndex.search(spark, ixDir, sampleQ, K, p)
-          .select(col("qid"), col("neighbor_id"))
+        val found = run(sampleQ).select(col("qid"), col("neighbor_id"))
         // recall@k: intersection size per query / k, averaged over the
         // sample (queries whose exact list is shorter than k — only
         // possible at a sub-k corpus — would cap at their list size)
@@ -161,7 +163,7 @@ object AnnScaleBench {
           .join(inter, Seq("qid"), "left")
           .agg(avg(coalesce(col("n_hit"), lit(0L)) / lit(K.toDouble)))
           .head.getDouble(0)
-        val twinFound = IvfIndex.search(spark, ixDir, twinQ, K, p)
+        val twinFound = run(twinQ)
           .withColumn("expected", col("qid") - lit(plantOffset))
           .filter(col("neighbor_id") === col("expected"))
         val twinAt1 = twinFound.filter(col("rank") === 1).count()
@@ -171,38 +173,14 @@ object AnnScaleBench {
           s""""twin_at_1":$twinAt1,"twin_at_$K":$twinAtK}"""
       }
 
-      // int8 arm: identical metrics through the quantized store at the
-      // production probe width + rescore funnel
-      def searchArm8(p: Int): String = {
-        val corpus = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-        def s8(qs: org.apache.spark.sql.DataFrame) =
-          IvfIndex.searchInt8(spark, idx8Dir, qs, corpus, K, p, Similarity.RescoreCap)
-        var rows = -1L
-        val ts = (1 to math.max(1, reps)).map { _ =>
-          time { rows = s8(sampleQ).queryExecution.toRdd.count() }._1
-        }
-        val found = s8(sampleQ).select(col("qid"), col("neighbor_id"))
-        val inter = exact.join(found, Seq("qid", "neighbor_id"), "left_semi")
-          .groupBy("qid").agg(count(lit(1)).as("n_hit"))
-        val recallAtK = sampleQ.select(col("vec_id").as("qid"))
-          .join(inter, Seq("qid"), "left")
-          .agg(avg(coalesce(col("n_hit"), lit(0L)) / lit(K.toDouble)))
-          .head.getDouble(0)
-        val twinFound = s8(twinQ)
-          .withColumn("expected", col("qid") - lit(plantOffset))
-          .filter(col("neighbor_id") === col("expected"))
-        val twinAt1 = twinFound.filter(col("rank") === 1).count()
-        val twinAtK = twinFound.count()
-        s"""{"cold":${d3(ts.head)},"steady":${d3(ts.min)},""" +
-          s""""recall_at_$K":${d3(recallAtK)},""" +
-          s""""twin_at_1":$twinAt1,"twin_at_$K":$twinAtK}"""
-      }
-
+      val corpus = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      val p8 = Dedup.ProbeCells
       val arms = ((for {
         (tag, ix) <- Seq("q1" -> idxDir, "q2" -> idx2Dir)
         p <- Seq(1, Dedup.ProbeCells).distinct
-      } yield s""""${tag}_p$p":${searchArm(ix, p)}""") :+
-        s""""q2i8_p${Dedup.ProbeCells}":${searchArm8(Dedup.ProbeCells)}""").mkString(",")
+      } yield s""""${tag}_p$p":${searchArm(qs => IvfIndex.search(spark, ix, qs, K, p))}""") :+
+        s""""q2i8_p$p8":${searchArm(qs =>
+          IvfIndex.searchInt8(spark, idx8Dir, qs, corpus, K, p8, Similarity.RescoreCap))}""").mkString(",")
       s""""x$n":{"n_vecs":$nVecs,"n_cells":$nCells,"n_queries":$nQ,""" +
         s""""n_twins":$nTwin,"build":${d3(tBuild)},"build_q2":${d3(tBuild2)},""" +
         s""""build_q2i8":${d3(tBuild8)},"cells_bytes_f32":$bytesF32,""" +

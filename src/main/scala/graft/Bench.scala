@@ -90,10 +90,16 @@ object Bench {
     // of re-measuring (qd8 pin ~0.81–0.90, qt3 ~0.29–0.32, qm2
     // ~0.15–0.17 s on a clean slot; see BASELINE.md). Trailing position
     // keeps them inside the driver's ~2000-char output tail.
-    val anchors = Seq("qd8_lsh_capped", "qt3_tokens", "qm2_frame_sample")
-      .flatMap(n => results.get(n).map { case (_, st) => s""""anchor_$n":${d3(st)}""" })
-      .mkString(",")
-    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"queries_steady":$qsSteady,"sf":"$sfDir","n_queries":${results.size},"total_sec":${d3(total)},"steady_sec":${d3(steady)},$anchors}""")
+    val anchorNames = Seq("qd8_lsh_capped", "qt3_tokens", "qm2_frame_sample")
+    // a renamed anchor must fail loudly, not silently drop out of the
+    // artifact; and an empty list must not leave a trailing comma
+    // (invalid JSON for every downstream reader of BENCH_r*.json)
+    require(anchorNames.forall(results.contains),
+      s"anchor queries missing from SparkEntry.queries: " +
+        anchorNames.filterNot(results.contains).mkString(", "))
+    val anchors = anchorNames
+      .map(n => s""","anchor_$n":${d3(results(n)._2)}""").mkString
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"queries_steady":$qsSteady,"sf":"$sfDir","n_queries":${results.size},"total_sec":${d3(total)},"steady_sec":${d3(steady)}$anchors}""")
     spark.stop()
   }
 }

@@ -132,6 +132,12 @@ object StreamBench {
       while (q1.isActive &&
         q1.recentProgress.count(_.numInputRows > 0) < killAfter) Thread.sleep(100)
       val batchesBeforeKill = q1.recentProgress.count(_.numInputRows > 0)
+      // the kill must land MID-RUN or the "recovery" measures an empty
+      // restart and the SLA is vacuous (records_diff==0 would pass
+      // trivially): the query must still be live with input remaining
+      require(q1.isActive && batchesBeforeKill < nFiles / maxFiles,
+        s"load drained before the kill ($batchesBeforeKill of ${nFiles / maxFiles} " +
+          "batches done) — raise n or lower killAfter; this run proves nothing")
       q1.stop() // in-flight batch dies uncommitted — the crash
       try q1.awaitTermination() catch { case _: Throwable => () }
       // ---- phase 2: restart from the checkpoint

@@ -225,19 +225,24 @@ object IvfIndex {
     finally in.close()
   }
 
-  private def assignOf(spark: SparkSession, dir: String): Int = {
+  /** The persisted layout facts every operation needs. Parsed from ONE
+    * meta.json read per operation — a second read per field would
+    * double the remote-FS round trips (two GETs per search on s3a) and
+    * let a concurrent rebuild serve the two fields from DIFFERENT
+    * index generations. `quant` defaults to "float32" when the field
+    * predates this round (float was the only historical layout). */
+  private case class Meta(assign: Int, quant: String)
+
+  private def metaOf(spark: SparkSession, dir: String): Meta = {
     val txt = metaText(spark, dir)
-    """"assign"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+    val assign = """"assign"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
       .map(_.group(1).toInt)
       .getOrElse(throw new IllegalStateException(
         s"""$dir/meta.json has no "assign" field: $txt"""))
-  }
-
-  /** The persisted storage format ("float32" when the field predates
-    * this round — float was the only historical layout). */
-  private def quantOf(spark: SparkSession, dir: String): String =
-    """"quant"\s*:\s*"(\w+)"""".r.findFirstMatchIn(metaText(spark, dir))
+    val quant = """"quant"\s*:\s*"(\w+)"""".r.findFirstMatchIn(txt)
       .map(_.group(1)).getOrElse("float32")
+    Meta(assign, quant)
+  }
 
   /** Incremental maintenance: assign a NEW batch of (vec_id, embedding)
     * rows to the existing centroids and append into the cell layout —
@@ -251,9 +256,10 @@ object IvfIndex {
     * into an int8 index quantizes the batch ([[toInt8Cells]]); it can
     * never mix float rows into a quantized layout. */
   def appendBatch(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
+    val meta = metaOf(spark, dir)
     val cents = spark.read.parquet(s"$dir/centroids")
-    val assigned = assignCells(withNorm(batch), cents, assignOf(spark, dir))
-    val rows = if (quantOf(spark, dir) == "int8") toInt8Cells(assigned) else assigned
+    val assigned = assignCells(withNorm(batch), cents, meta.assign)
+    val rows = if (meta.quant == "int8") toInt8Cells(assigned) else assigned
     rows.write.mode(SaveMode.Append).partitionBy("cell").parquet(s"$dir/cells")
   }
 
@@ -264,9 +270,9 @@ object IvfIndex {
     * directories. Output: (qid, rank, neighbor_id, rcos). */
   def search(spark: SparkSession, dir: String, queries: DataFrame,
              k: Int, nProbe: Int): DataFrame = {
-    val q8 = quantOf(spark, dir)
-    if (q8 != "float32") throw new IllegalStateException(
-      s"$dir stores $q8 cells — use searchInt8 (float search would misread the layout)")
+    val meta = metaOf(spark, dir)
+    if (meta.quant != "float32") throw new IllegalStateException(
+      s"$dir stores ${meta.quant} cells — use searchInt8 (float search would misread the layout)")
     val cents = spark.read.parquet(s"$dir/centroids")
     val cells = spark.read.parquet(s"$dir/cells")
     val q = withNorm(queries)
@@ -283,7 +289,7 @@ object IvfIndex {
     // the historical no-extra-exchange plan)
     val triples = cand
       .select(col("qid").cast("long"), col("vec_id").cast("long"), col("rcos").cast("double"))
-    val distinctTriples = if (assignOf(spark, dir) > 1) triples.distinct() else triples
+    val distinctTriples = if (meta.assign > 1) triples.distinct() else triples
     graft.plans.GroupTopK.topK(distinctTriples,
       keys = Seq("qid"), order = Seq(col("rcos").desc, col("vec_id").asc), k = k)
       .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("rcos"))
@@ -310,9 +316,9 @@ object IvfIndex {
     * unchanged at the rungs (BASELINE.md). */
   def searchInt8(spark: SparkSession, dir: String, queries: DataFrame,
       corpus: DataFrame, k: Int, nProbe: Int, rescore: Int): DataFrame = {
-    val fmt = quantOf(spark, dir)
-    if (fmt != "int8") throw new IllegalStateException(
-      s"$dir stores $fmt cells — searchInt8 needs an int8 layout (build with int8 = true)")
+    val meta = metaOf(spark, dir)
+    if (meta.quant != "int8") throw new IllegalStateException(
+      s"$dir stores ${meta.quant} cells — searchInt8 needs an int8 layout (build with int8 = true)")
     val cents = spark.read.parquet(s"$dir/centroids")
     val cells = spark.read.parquet(s"$dir/cells") // (vec_id, q8, scale, nrm, cell)
     val q0 = withNorm(queries)
@@ -333,7 +339,7 @@ object IvfIndex {
         / (col("qn") * col("nrm")), 6))
     val quads = cand.select(col("qid").cast("long"), col("vec_id").cast("long"),
       col("idot").cast("long"), col("score8").cast("double"))
-    val dq = if (assignOf(spark, dir) > 1) quads.distinct() else quads
+    val dq = if (meta.assign > 1) quads.distinct() else quads
     val funnel = graft.plans.GroupTopK.topK(dq,
       keys = Seq("qid"), order = Seq(col("score8").desc, col("vec_id").asc), k = rescore)
       .select(col("qid"), col("vec_id"), col("idot"))

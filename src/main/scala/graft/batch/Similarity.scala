@@ -410,6 +410,11 @@ object Similarity {
     // pairs, exact top-3 by (rcos DESC, vec_id). The oracle never sees
     // the on-disk layout — determinism of the sample/assignment rules
     // makes the persisted path and this restatement agree hash-exactly.
+    // The cn/nrm > 0 guard mirrors the native probe's NaN EXCLUSION: a
+    // zero-norm vector or centroid scores NaN in Spark and vanishes
+    // from assignment and probes, while DuckDB would rank its NaN
+    // crcos FIRST under ORDER BY DESC — fixture-absent today, but the
+    // restatement must not depend on that (same guard in qs8).
     // qs8: qs7's index restated over the int8 store — every vector's q
     // list re-derived with qs6's quantization rule, candidates scored
     // by the INTEGER dot (CAST to BIGINT: DuckDB sums BIGINT lists into
@@ -430,7 +435,8 @@ object Similarity {
          |cscored AS (
          | SELECT nm.vec_id, cents.cid,
          |  round(${sqlDot("cents.ce", "nm.embedding")} / (cents.cn * nm.nrm), 6) AS crcos
-         | FROM nm, cents),
+         | FROM nm, cents
+         | WHERE cents.cn > 0 AND nm.nrm > 0),
          |qt AS (
          | SELECT vec_id,
          |  list_transform(xd, v -> CAST(floor(v / scale + 0.5) AS BIGINT)) AS qv, scale
@@ -486,7 +492,8 @@ object Similarity {
          |cscored AS (
          | SELECT nm.vec_id, cents.cid,
          |  round(${sqlDot("cents.ce", "nm.embedding")} / (cents.cn * nm.nrm), 6) AS crcos
-         | FROM nm, cents),
+         | FROM nm, cents
+         | WHERE cents.cn > 0 AND nm.nrm > 0),
          |assigned AS (
          | SELECT vec_id, cid AS cell FROM cscored
          | QUALIFY row_number() OVER (PARTITION BY vec_id

@@ -56,6 +56,23 @@ class OracleSqlSpec extends AnyFunSuite {
     assert(!win.contains("MATERIALIZED"), win)
   }
 
+  test("the rewrite never corrupts a WINDOW clause (over-rewrite guard)") {
+    // the after-paren-comma alternative WOULD match a multi-definition
+    // window list ('WINDOW w1 AS (...), w2 AS (...)') and emit invalid
+    // SQL; the corpus has only single-definition WINDOW clauses, and
+    // this pins both facts so a future multi-window oracle fails here
+    // in milliseconds instead of at DuckDB execution time
+    val overRewrite = "(?is)WINDOW\\s+\\w+\\s+AS\\s+MATERIALIZED".r
+    val multiWindow = "(?is)WINDOW\\s+\\w+\\s+AS\\s*\\([^()]*\\)\\s*,\\s*\\w+\\s+AS\\s*\\(".r
+    for ((name, sql) <- SparkEntry.oracleSql) {
+      assert(overRewrite.findFirstIn(sql).isEmpty,
+        s"$name: materializeCtes corrupted a WINDOW clause")
+      assert(multiWindow.findFirstIn(sql).isEmpty,
+        s"$name: multi-definition WINDOW clause — the CTE rewrite would corrupt it; " +
+          "split into separate WINDOW clauses or extend materializeCtes first")
+    }
+  }
+
   test("RECURSIVE statements and column-list heads stay untouched") {
     val qd6 = SparkEntry.oracleSql("qd6_dup_clusters")
     assert(qd6.contains("WITH RECURSIVE"))

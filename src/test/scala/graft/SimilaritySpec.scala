@@ -9,6 +9,25 @@ import graft.batch.Similarity
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("fixtures contain no zero-norm embedding (the quantizer oracles' standing assumption)") {
+    // Spark's probe EXCLUDES a zero-norm vector/centroid (NaN score)
+    // while a DuckDB ORDER BY would rank its NaN crcos first — qs7/qs8
+    // guard this explicitly (cn/nrm > 0 in their oracles), the older
+    // embedding oracles (qs3/qs5, qd13/qd15/qd16, qc2-qc4) rely on the
+    // fixtures having none. Pin the assumption so a fixture
+    // regeneration that violates it fails HERE with a pointer, not as
+    // an inscrutable hash mismatch in eight oracles.
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val zeros = Tables.embeddings(spark, s"/root/testdata/$sf")
+        .filter(org.apache.spark.sql.functions.expr(
+          "array_max(transform(embedding, v -> abs(cast(v as double)))) <= 0"))
+        .count()
+      assert(zeros === 0L,
+        s"$sf has $zeros zero-norm embeddings — add cn/nrm > 0 guards to the " +
+          "older quantizer oracles (qs7/qs8's pattern) before trusting the gate")
+    }
+  }
+
   private val dir = "/root/testdata/sf0.001"
 
   test("LSH ANN: never beats brute force, always prunes, finds true neighbors") {
