@@ -31,7 +31,22 @@ import graft.batch.IvfIndex
   * broadcast, the corpus side is read partition-pruned and joined on
   * `cell` — the corpus is never shuffled, mirroring the text indexes'
   * probe regimes.
-  */
+  *
+  * STORAGE-FORMAT DECISION (round 12): the membrane's cells stay
+  * FLOAT32, deliberately, even though [[graft.batch.IvfIndex]] now
+  * ships an int8 layout with rung-measured recall parity. The
+  * membrane's admit/reject decisions are exactness-pinned (kept =
+  * expected at the 1M-doc IngestBench runs; the τ comparison is an
+  * exact cosine against the corpus vectors) and the cells are the
+  * corpus's ONLY embedding copy — int8 cells would either change the
+  * decision boundary (int8 cosine ≠ float cosine at the τ margin) or
+  * require a parallel float store for the verify step, negating the
+  * IO saving. The int8 lever belongs on the SERVING side: build the
+  * read-optimized index from [[corpus]] on any cadence —
+  * `IvfIndex.build(corpus(s, dir), servingDir, nCells, assign = 2,
+  * int8 = true)` — and point search traffic at
+  * [[graft.batch.IvfIndex.searchInt8]]; ingest keeps its exact
+  * membrane, readers get the 3× cheaper scans (BASELINE.md r12). */
 object EmbedIngest {
 
   private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
@@ -313,7 +328,20 @@ object EmbedIngest {
     // probe the wrong cells silently
     recoverRequant(s, dir)
     val cents = s.read.parquet(s"$dir/centroids")
-    val nm0 = withNorm(batch).localCheckpoint() // bounded: one micro-batch
+    // loud dim guard (annTopK's pattern): a quantizer whose dims don't
+    // match the batch would have every probe EXCLUDE every centroid
+    // (malformed scores are NaN-dropped since round 12) — the membrane
+    // would silently admit NOTHING and write empty epochs forever, the
+    // worst failure mode for an ingest path. One tiny head() on the
+    // already-read quantizer per batch buys the check.
+    val cdim = cents.select(size(col("ce"))).head.getInt(0)
+    val guarded = batch.withColumn("embedding",
+      when(size(col("embedding")) === cdim, col("embedding"))
+        .otherwise(raise_error(concat(
+          lit(s"EmbedIngest: quantizer dim is $cdim but batch embedding has "),
+          size(col("embedding")), lit(" elements — wrong index dir?")))
+          .cast(batch.schema("embedding").dataType)))
+    val nm0 = withNorm(guarded).localCheckpoint() // bounded: one micro-batch
 
     // exact-dup collapse FIRST (linear, map-side hash): a crawl flood of
     // byte-identical embeddings would otherwise meet the pairwise tau

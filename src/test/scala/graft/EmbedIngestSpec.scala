@@ -50,6 +50,59 @@ class EmbedIngestSpec extends SparkSpec
       e0.listFiles().exists(f => f.isDirectory && f.getName.startsWith("cell=")))
   }
 
+  test("the documented serving-index handoff: int8 IvfIndex built FROM the ingest corpus, searched") {
+    // EmbedIngest's scaladoc routes read traffic to an int8 serving
+    // index rebuilt from corpus() on a cadence (the membrane's cells
+    // stay float because its τ decisions are exactness-pinned); this
+    // pins that the handoff actually composes — corpus → build(int8)
+    // → searchInt8 — and that an all-cell probe over the serving index
+    // returns every admitted vector's true in-corpus neighbors
+    import org.apache.spark.sql.functions.{col, lit, pmod, sqrt}
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select("vec_id", "embedding")
+    // a REAL 64-dim quantizer (freshDir's 2-d fixture would be
+    // dimension-malformed against this corpus and the probe now
+    // correctly excludes malformed centroids → empty membrane)
+    val dir = Files.createTempDirectory("graft_embed_h").toString + "/idx"
+    EmbedIngest.init(spark, dir,
+      emb.filter(pmod(col("vec_id"), lit(50)) === 7)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          sqrt(graft.functions.GraftFunctions.vec_dot(
+            col("embedding"), col("embedding"))).as("cn")))
+    EmbedIngest.ingestBatch(emb, dir, epochId = 0, tau = 0.9999)
+    val corpus = EmbedIngest.corpus(spark, dir)
+    val serving = Files.createTempDirectory("graft_embed_srv").toString
+    graft.batch.IvfIndex.build(corpus, serving,
+      nCells = math.ceil(math.sqrt(corpus.count().toDouble)).toInt,
+      assign = 2, int8 = true)
+    val qs = corpus.filter(org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.lit(100)) === 0)
+    val got = graft.batch.IvfIndex.searchInt8(spark, serving, qs, corpus,
+        k = 3, nProbe = Int.MaxValue min 1000, rescore = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = graft.batch.Similarity.knnTopK(corpus, qs.select("vec_id"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // all-cell probe + ≥3k funnel: the serving path must agree with
+    // brute force over the admitted corpus on final ranks
+    assert(got == brute)
+  }
+
+  test("a dim-mismatched batch fails LOUDLY, never an empty membrane") {
+    // since the round-12 malformed-centroid exclusion, a wrong-dim
+    // quantizer would score every centroid NaN and silently admit
+    // nothing — the guard turns that into an error naming both dims
+    val dir = freshDir() // 2-d quantizer
+    val ex = intercept[Exception] {
+      EmbedIngest.ingestBatch(
+        Seq((1L, Seq(1f, 0f, 0f))).toDF("vec_id", "embedding"),
+        dir, epochId = 0, tau = 0.99)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("quantizer dim")), msgs(ex).mkString(" | "))
+  }
+
   test("streaming entry: two micro-batches through start()") {
     val root = Files.createTempDirectory("graft_embed_s").toString
     val dir = s"$root/idx"
