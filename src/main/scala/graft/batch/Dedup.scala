@@ -459,6 +459,19 @@ object Dedup {
     * on this operator's own graph; the contract is unchanged.
     */
   def qd6_dup_clusters(s: SparkSession, d: String): DataFrame = {
+    val labels = dupLabels(s, d)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        (col("id") === col("label")).as("is_canonical"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** The LSH near-dup graph's component labels (id, label = component
+    * min id) — qd6's pointer-jump loop, extracted so
+    * [[qd17_quality_canonical]] shares the exact same graph and
+    * convergence machinery. */
+  private[graft] def dupLabels(s: SparkSession, d: String): DataFrame = {
     // checkpoint the minhash signatures BEFORE the band self-join and
     // the edge union: Spark does not share common subtrees, so without
     // this the full shingle→signature pipeline (the expensive part)
@@ -504,11 +517,45 @@ object Dedup {
     }
     require(converged, s"qd6 label propagation did not converge in $rounds rounds" +
       " (raise graft.qd6.maxRounds)")
-    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "label")
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
-        (col("id") === col("label")).as("is_canonical"), col("cluster_size"))
-      .orderBy("doc_id")
+    labels
+  }
+
+  /** qd17: quality-aware cluster canonicalization — the keep-decision a
+    * real dedup pipeline actually ships: within each near-dup cluster
+    * ([[dupLabels]] — qd6's exact graph), keep the HIGHEST-QUALITY
+    * member (qt2's integer stopword-ratio score; tie → smallest
+    * doc_id), not the arbitrary min-id representative. The min-id rule
+    * (qd6's `is_canonical`) is the right CLUSTER KEY — stable,
+    * content-addressed — but a curation pass wants the best copy of
+    * the duplicated content, and which member wins is a per-cluster
+    * argmax that the native [[graft.plans.GroupTopK]] computes with a
+    * bounded heap (k = 1) instead of a per-cluster sort. `displaced`
+    * marks clusters where quality moved the keep off the min id — the
+    * rows where this operator differs from qd6.
+    *
+    * Scale shape: the graph side is pair-space-sized (qd6's property),
+    * the quality side one corpus map-pass joined id-to-id, the argmax
+    * map-side pre-reduced to one row per cluster per partition. */
+  def qd17_quality_canonical(s: SparkSession, d: String): DataFrame = {
+    val labels = dupLabels(s, d)
+    val quality = Tables.documents(s, d)
+      .withColumn("toks", split(lower(col("text")), " "))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => t.isin("the", "and", "of", "a", "to"))).cast("long"))
+      .select(col("doc_id").as("id"),
+        floor(col("n_stop") * 100 / col("n_tok")).as("quality"))
+    val members = labels.join(quality, "id").localCheckpoint()
+    val sizes = members.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    val keep = graft.plans.GroupTopK.topK(
+      members.select(col("label").cast("long"), col("id").cast("long"),
+        col("quality").cast("long")),
+      keys = Seq("label"), order = Seq(col("quality").desc, col("id").asc), k = 1)
+    keep.join(sizes, "label")
+      .select(col("label").as("cluster_id"), col("id").as("keep_id"),
+        col("quality").as("keep_quality"), col("cluster_size"),
+        (col("id") =!= col("label")).as("displaced"))
+      .orderBy("cluster_id")
   }
 
   /** qd7: eval-set decontamination — the cross-set variant of
@@ -866,7 +913,8 @@ object Dedup {
     "qd14_simhash_neardup" -> (qd14_simhash_neardup _),
     "qd15_cell_recall" -> (qd15_cell_recall _),
     "qd16_ivf_neardup" -> (qd16_ivf_neardup _),
-    "qd6_dup_clusters" -> (qd6_dup_clusters _))
+    "qd6_dup_clusters" -> (qd6_dup_clusters _),
+    "qd17_quality_canonical" -> (qd17_quality_canonical _))
 
   private val shingleSql =
     s"""shingles AS (
@@ -876,6 +924,36 @@ object Dedup {
        |  FROM (SELECT doc_id, string_split(lower(substr(text, 1, $ShingleChars)), ' ') AS toks
        |        FROM documents))
        | WHERE length(concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])) > 0)""".stripMargin
+
+  /** The LSH graph → component labels CTE chain (sigs → bands → pairs
+    * → edges → recursive reach → labels), shared by the qd6 and qd17
+    * oracles so the two state the SAME graph; must appear under
+    * `WITH RECURSIVE $shingleSql` (the reach CTE is self-referencing,
+    * which is also why the materializer skips these statements). */
+  private val clusterLabelsSql =
+    """sigs AS (
+      | SELECT doc_id,
+      |  MIN(md5('0|' || shingle)) AS h0, MIN(md5('1|' || shingle)) AS h1,
+      |  MIN(md5('2|' || shingle)) AS h2, MIN(md5('3|' || shingle)) AS h3,
+      |  MIN(md5('4|' || shingle)) AS h4, MIN(md5('5|' || shingle)) AS h5
+      | FROM shingles GROUP BY 1),
+      |bands AS (
+      | SELECT doc_id, 0 AS band, md5(h0 || h1 || h2) AS key FROM sigs
+      | UNION ALL
+      | SELECT doc_id, 1 AS band, md5(h3 || h4 || h5) AS key FROM sigs),
+      |pairs AS (
+      | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      | FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+      |  AND a.doc_id < b.doc_id),
+      |edges AS (
+      | SELECT id_a AS src, id_b AS dst FROM pairs
+      | UNION ALL SELECT id_b, id_a FROM pairs),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach(id, lbl) AS (
+      | SELECT id, id FROM nodes
+      | UNION
+      | SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.lbl),
+      |labels AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1)""".stripMargin
 
   // shared by qd3 (fingerprints) and qd14 (pair generation over them)
   private val simhashCtes =
@@ -1071,34 +1149,33 @@ object Dedup {
          |ORDER BY id_a, id_b""".stripMargin,
     "qd6_dup_clusters" ->
       s"""WITH RECURSIVE $shingleSql,
-         |sigs AS (
-         | SELECT doc_id,
-         |  MIN(md5('0|' || shingle)) AS h0, MIN(md5('1|' || shingle)) AS h1,
-         |  MIN(md5('2|' || shingle)) AS h2, MIN(md5('3|' || shingle)) AS h3,
-         |  MIN(md5('4|' || shingle)) AS h4, MIN(md5('5|' || shingle)) AS h5
-         | FROM shingles GROUP BY 1),
-         |bands AS (
-         | SELECT doc_id, 0 AS band, md5(h0 || h1 || h2) AS key FROM sigs
-         | UNION ALL
-         | SELECT doc_id, 1 AS band, md5(h3 || h4 || h5) AS key FROM sigs),
-         |pairs AS (
-         | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         | FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-         |  AND a.doc_id < b.doc_id),
-         |edges AS (
-         | SELECT id_a AS src, id_b AS dst FROM pairs
-         | UNION ALL SELECT id_b, id_a FROM pairs),
-         |nodes AS (SELECT DISTINCT src AS id FROM edges),
-         |reach(id, lbl) AS (
-         | SELECT id, id FROM nodes
-         | UNION
-         | SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.lbl),
-         |labels AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1),
+         |$clusterLabelsSql,
          |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY 1)
          |SELECT l.id AS doc_id, l.cluster_id, l.id = l.cluster_id AS is_canonical,
          | s.cluster_size
          |FROM labels l JOIN sizes s ON l.cluster_id = s.cluster_id
          |ORDER BY doc_id""".stripMargin,
+    // qd17: qd6's exact graph (one shared labels fragment — the two
+    // oracles cannot drift), keep = per-cluster argmax by qt2's integer
+    // stopword-ratio quality (tie → min id)
+    "qd17_quality_canonical" ->
+      s"""WITH RECURSIVE $shingleSql,
+         |$clusterLabelsSql,
+         |q AS (
+         | SELECT doc_id AS id,
+         |  CAST(floor(CAST(len(list_filter(string_split(lower(text), ' '),
+         |    t -> t IN ('the','and','of','a','to'))) AS BIGINT) * 100
+         |   / CAST(len(string_split(lower(text), ' ')) AS BIGINT)) AS BIGINT) AS quality
+         | FROM documents),
+         |m AS (SELECT l.cluster_id, l.id, q.quality
+         |      FROM labels l JOIN q ON l.id = q.id),
+         |msizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM m GROUP BY 1)
+         |SELECT m.cluster_id, m.id AS keep_id, m.quality AS keep_quality,
+         | msizes.cluster_size, m.id <> m.cluster_id AS displaced
+         |FROM m JOIN msizes ON m.cluster_id = msizes.cluster_id
+         |QUALIFY row_number() OVER (PARTITION BY m.cluster_id
+         |  ORDER BY m.quality DESC, m.id ASC) = 1
+         |ORDER BY m.cluster_id""".stripMargin,
     "qd13_cell_neardup" ->
       s"""WITH nm AS (
          | SELECT vec_id, embedding,

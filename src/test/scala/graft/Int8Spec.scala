@@ -44,6 +44,36 @@ class Int8Spec extends SparkSpec
     assert(pairs.count() === 0L)
   }
 
+  test("int8_pack/int8_dot interpreted evaluation == codegen evaluation") {
+    // the vec_dot parity treatment: both execution paths of each
+    // expression must agree bit-for-bit (incl. null results on the
+    // malformed fixtures), since a store written under codegen is read
+    // back under whatever path the consumer's plan compiles to
+    val rnd = new scala.util.Random(12)
+    val rows = Seq.fill(50)((
+      Seq.fill(16)(rnd.nextFloat() * 2 - 1), Seq.fill(16)(rnd.nextFloat() * 2 - 1))) :+
+      ((Seq.fill(16)(0f), Seq.fill(16)(1f))) // zero vector → null pack
+    val df = rows.toDF("a", "b")
+      .withColumn("sa", expr("array_max(transform(a, v -> abs(cast(v as double)))) / 127"))
+      .withColumn("sb", expr("array_max(transform(b, v -> abs(cast(v as double)))) / 127"))
+    val out = df.select(
+      GraftFunctions.int8_dot(
+        GraftFunctions.int8_pack(col("a"), col("sa")),
+        GraftFunctions.int8_pack(col("b"), col("sb"))).as("d"))
+    def vals(frame: org.apache.spark.sql.DataFrame) =
+      frame.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    val codegen = vals(out)
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(vals(out) === codegen)
+    finally prevFactory match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    assert(codegen.last.isEmpty, "zero-scale row must pack to null in both paths")
+    assert(codegen.init.forall(_.nonEmpty))
+  }
+
   test("|q| <= 127 for the max|x|/127 scale, and blob length == dims") {
     val q = emb.withColumn("scale", scaleCol).filter(col("scale") > 0)
       .select(GraftFunctions.int8_pack(col("embedding"), col("scale")).as("q8"),
