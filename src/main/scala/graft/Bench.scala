@@ -36,6 +36,13 @@ object Bench {
     // calibration. SPARK_GRAFT_BENCH_REPS=1 restores the old
     // single-shot contract (cold == steady in that case).
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(2)
+    // validate the anchor names BEFORE the multi-minute measurement
+    // loop — a renamed anchor must fail loudly without discarding a
+    // full measured run
+    val anchorNames = Seq("qd8_lsh_capped", "qt3_tokens", "qm2_frame_sample")
+    require(anchorNames.forall(SparkEntry.queries.contains),
+      s"anchor queries missing from SparkEntry.queries: " +
+        anchorNames.filterNot(SparkEntry.queries.contains).mkString(", "))
     val results = SparkEntry.queries.map { case (name, fn) =>
       // scope the post-query unpersist to blocks THIS query created:
       // unpersisting a shared localCheckpoint would truncate its
@@ -90,13 +97,8 @@ object Bench {
     // of re-measuring (qd8 pin ~0.81–0.90, qt3 ~0.29–0.32, qm2
     // ~0.15–0.17 s on a clean slot; see BASELINE.md). Trailing position
     // keeps them inside the driver's ~2000-char output tail.
-    val anchorNames = Seq("qd8_lsh_capped", "qt3_tokens", "qm2_frame_sample")
-    // a renamed anchor must fail loudly, not silently drop out of the
-    // artifact; and an empty list must not leave a trailing comma
-    // (invalid JSON for every downstream reader of BENCH_r*.json)
-    require(anchorNames.forall(results.contains),
-      s"anchor queries missing from SparkEntry.queries: " +
-        anchorNames.filterNot(results.contains).mkString(", "))
+    // per-element leading commas: an empty list can never leave a
+    // trailing comma (invalid JSON for every BENCH_r*.json reader)
     val anchors = anchorNames
       .map(n => s""","anchor_$n":${d3(results(n)._2)}""").mkString
     println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"queries_steady":$qsSteady,"sf":"$sfDir","n_queries":${results.size},"total_sec":${d3(total)},"steady_sec":${d3(steady)}$anchors}""")

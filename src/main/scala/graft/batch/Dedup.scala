@@ -538,13 +538,10 @@ object Dedup {
     * map-side pre-reduced to one row per cluster per partition. */
   def qd17_quality_canonical(s: SparkSession, d: String): DataFrame = {
     val labels = dupLabels(s, d)
-    val quality = Tables.documents(s, d)
-      .withColumn("toks", split(lower(col("text")), " "))
-      .withColumn("n_tok", size(col("toks")).cast("long"))
-      .withColumn("n_stop",
-        size(filter(col("toks"), t => t.isin("the", "and", "of", "a", "to"))).cast("long"))
-      .select(col("doc_id").as("id"),
-        floor(col("n_stop") * 100 / col("n_tok")).as("quality"))
+    // qt2's EXACT scoring, via the shared TextOps helpers — the
+    // stopword list and formula live in one place
+    val quality = TextOps.withStopwordStats(Tables.documents(s, d))
+      .select(col("doc_id").as("id"), TextOps.stopwordQuality.as("quality"))
     val members = labels.join(quality, "id").localCheckpoint()
     val sizes = members.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     val keep = graft.plans.GroupTopK.topK(

@@ -1,6 +1,6 @@
 package graft.batch
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -51,13 +51,25 @@ object TextOps {
 
   /** qt2: quality scoring — integer-exact metrics (token count,
     * stopword count, mean token length), bucketed. */
-  def qt2_quality(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  /** The stopword stats behind qt2's quality score, shared with
+    * [[Dedup.qd17_quality_canonical]]'s keep decision so the two
+    * cannot drift (tokenization, stopword list, and the integer
+    * floor(n_stop·100/n_tok) formula all live HERE): adds
+    * (toks, n_tok, n_stop) to a frame with a `text` column. */
+  private[batch] def withStopwordStats(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(lower(col("text")), " "))
       .withColumn("n_tok", size(col("toks")).cast("long"))
       .withColumn("n_stop",
         size(filter(col("toks"), t => t.isin("the", "and", "of", "a", "to"))).cast("long"))
-      .withColumn("score", floor(col("n_stop") * 100 / col("n_tok")))
+
+  /** qt2/qd17's integer quality: floor(stopword-per-100-token rate). */
+  private[batch] def stopwordQuality: Column =
+    floor(col("n_stop") * 100 / col("n_tok"))
+
+  def qt2_quality(s: SparkSession, d: String): DataFrame =
+    withStopwordStats(Tables.documents(s, d))
+      .withColumn("score", stopwordQuality)
       .withColumn("bucket", least(floor(col("score") / 5), lit(9L)))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"),

@@ -55,6 +55,15 @@ object EmbedIngest {
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
 
+  // quantizer dimensionality per index dir, cached on the driver: it
+  // is invariant for a dir's lifetime (requantize rebuilds from the
+  // same-dim corpus), so the tiny head() job runs once per dir per
+  // driver instead of once per micro-batch on the ingest hot path
+  private val dimCache = scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  private def quantizerDim(s: SparkSession, dir: String, cents: DataFrame): Int =
+    dimCache.getOrElseUpdate(dir, cents.select(size(col("ce"))).head.getInt(0))
+
   /** Pin the coarse quantizer. `centroids` must be (cid, ce: embedding,
     * cn: norm)-shaped — typically `IvfIndex.build`'s centroids from a
     * seed corpus, or any deterministic subset. One-time; refuses to
@@ -328,20 +337,25 @@ object EmbedIngest {
     // probe the wrong cells silently
     recoverRequant(s, dir)
     val cents = s.read.parquet(s"$dir/centroids")
-    // loud dim guard (annTopK's pattern): a quantizer whose dims don't
-    // match the batch would have every probe EXCLUDE every centroid
-    // (malformed scores are NaN-dropped since round 12) — the membrane
-    // would silently admit NOTHING and write empty epochs forever, the
-    // worst failure mode for an ingest path. One tiny head() on the
-    // already-read quantizer per batch buys the check.
-    val cdim = cents.select(size(col("ce"))).head.getInt(0)
-    val guarded = batch.withColumn("embedding",
-      when(size(col("embedding")) === cdim, col("embedding"))
-        .otherwise(raise_error(concat(
-          lit(s"EmbedIngest: quantizer dim is $cdim but batch embedding has "),
-          size(col("embedding")), lit(" elements — wrong index dir?")))
-          .cast(batch.schema("embedding").dataType)))
-    val nm0 = withNorm(guarded).localCheckpoint() // bounded: one micro-batch
+    val cdim = quantizerDim(s, dir, cents)
+    val nm0 = withNorm(batch).localCheckpoint() // bounded: one micro-batch
+    // loud MISCONFIGURATION guard, enforced at BATCH level: a quantizer
+    // whose dims match nothing in the batch means the caller pointed at
+    // the wrong index dir — every probe would EXCLUDE every centroid
+    // (malformed scores are NaN-dropped since round 12) and the
+    // membrane would silently admit NOTHING, writing empty epochs
+    // forever. Deliberately NOT a per-row raise_error: that would turn
+    // one stray malformed row into a poison pill that wedges the
+    // exactly-once stream (foreachBatch replays the same batch on
+    // every restart). Stray wrong-dim/null rows are instead naturally
+    // rejected (empty probe list) and attributed `malformed` by
+    // [[rejectionLedger]]. The probe below stops at the first matching
+    // row, so the healthy-batch cost is one bounded lookup on the
+    // already-checkpointed frame.
+    if (nm0.filter(size(col("embedding")) === cdim).limit(1).isEmpty && !nm0.isEmpty)
+      throw new IllegalStateException(
+        s"EmbedIngest: quantizer at $dir has dim $cdim but NO batch row matches — " +
+          "wrong index dir?")
 
     // exact-dup collapse FIRST (linear, map-side hash): a crawl flood of
     // byte-identical embeddings would otherwise meet the pairwise tau
@@ -453,10 +467,19 @@ object EmbedIngest {
         }
       }
     val attributed = inBatch.unionByName(corpusAttr)
+    // a row the pair/corpus rules could not attribute is either
+    // MALFORMED (null/wrong-dim/null-element embedding — naturally
+    // rejected by the NaN-excluding probe, never a dup of anything) or
+    // genuinely unexplained ("unknown" stays the can't-happen guard,
+    // loud in specs)
+    val cdim = quantizerDim(s, dir, cents)
     val unattributed = rejected
       .join(attributed.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .join(vecs.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .select(col("vec_id"), lit(null).cast("long").as("dup_of"),
-        lit("unknown").as("reason")) // can't-happen guard, loud in specs
+        when(col("embedding").isNull || size(col("embedding")) =!= cdim ||
+          exists(col("embedding"), e => e.isNull), lit("malformed"))
+          .otherwise(lit("unknown")).as("reason"))
     attributed.unionByName(unattributed)
   }
 

@@ -88,19 +88,33 @@ class EmbedIngestSpec extends SparkSpec
     assert(got == brute)
   }
 
-  test("a dim-mismatched batch fails LOUDLY, never an empty membrane") {
-    // since the round-12 malformed-centroid exclusion, a wrong-dim
-    // quantizer would score every centroid NaN and silently admit
-    // nothing — the guard turns that into an error naming both dims
+  test("a fully dim-mismatched batch fails LOUDLY; a stray malformed row is dropped and attributed") {
+    // since the round-12 malformed-centroid exclusion a wrong-dim
+    // quantizer scores every centroid NaN — without a guard the
+    // membrane would silently admit NOTHING. The guard is BATCH-level
+    // on purpose: a per-row error would turn one stray bad row into a
+    // poison pill that wedges the exactly-once stream (foreachBatch
+    // replays the same batch on every restart).
     val dir = freshDir() // 2-d quantizer
-    val ex = intercept[Exception] {
+    val ex = intercept[IllegalStateException] {
       EmbedIngest.ingestBatch(
         Seq((1L, Seq(1f, 0f, 0f))).toDF("vec_id", "embedding"),
         dir, epochId = 0, tau = 0.99)
     }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
-    assert(msgs(ex).exists(_.contains("quantizer dim")), msgs(ex).mkString(" | "))
+    assert(ex.getMessage.contains("NO batch row matches"), ex.getMessage)
+    // mixed batch: healthy rows ingest, stray wrong-dim / null rows are
+    // rejected and the ledger names them `malformed`, not `unknown`
+    val mixed = Seq(
+      (1L, Seq(1f, 0f)),
+      (2L, Seq(1f, 0f, 0f)),
+      (3L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding")
+    EmbedIngest.ingestBatch(mixed, dir, epochId = 0, tau = 0.99)
+    assert(ids(dir) == Seq(1L), "healthy row admitted, stray rows dropped")
+    val keep = EmbedIngest.survivors(mixed, dir, epochId = 1, tau = 0.99, nProbe = 4)
+    val led = EmbedIngest.rejectionLedger(mixed, dir, 1, keep, tau = 0.99, nProbe = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(led(2L) == "malformed" && led(3L) == "malformed", led.toString)
+    assert(led(1L) == "embed_corpus", led.toString) // dup of its epoch-0 self
   }
 
   test("streaming entry: two micro-batches through start()") {

@@ -118,15 +118,27 @@ class ExpressionSpec extends SparkSpec {
       Seq.fill(16)(rnd.nextFloat() * 2 - 1), Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
     val df = rows.toDF("a", "b")
     val expr = GraftFunctions.vec_dot(col("a"), col("b")).as("d")
-    val codegen = df.select(expr).collect().map(_.getDouble(0))
+    // exclude ConvertToLocalRelation or the LocalRelation fixture is
+    // folded with an interpreted projection in BOTH runs and doGenCode
+    // never executes (round-12 review finding; same fix in Int8Spec)
+    val prevExcl = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
     val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
-    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try {
+      val codegen = df.select(expr).collect().map(_.getDouble(0))
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
       val interpreted = df.select(expr).collect().map(_.getDouble(0))
       assert(interpreted.toSeq === codegen.toSeq)
-    } finally prevFactory match {
-      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
-      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    } finally {
+      prevFactory match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+      prevExcl match {
+        case Some(v) => spark.conf.set("spark.sql.optimizer.excludedRules", v)
+        case None => spark.conf.unset("spark.sql.optimizer.excludedRules")
+      }
     }
   }
 }

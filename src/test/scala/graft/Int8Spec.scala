@@ -62,16 +62,32 @@ class Int8Spec extends SparkSpec
         GraftFunctions.int8_pack(col("b"), col("sb"))).as("d"))
     def vals(frame: org.apache.spark.sql.DataFrame) =
       frame.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
-    val codegen = vals(out)
+    // without this exclusion the LocalRelation fixture is folded by
+    // ConvertToLocalRelation with an INTERPRETED projection in both
+    // runs and the test would compare interpreted to interpreted —
+    // doGenCode (the path the persisted store is written under) would
+    // never execute
+    val prevExcl = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
     val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
-    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-    try assert(vals(out) === codegen)
-    finally prevFactory match {
-      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
-      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    try {
+      val codegen = vals(out)
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interpreted = vals(out)
+      assert(interpreted === codegen)
+      assert(codegen.last.isEmpty, "zero-scale row must pack to null in both paths")
+      assert(codegen.init.forall(_.nonEmpty))
+    } finally {
+      prevFactory match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+      prevExcl match {
+        case Some(v) => spark.conf.set("spark.sql.optimizer.excludedRules", v)
+        case None => spark.conf.unset("spark.sql.optimizer.excludedRules")
+      }
     }
-    assert(codegen.last.isEmpty, "zero-scale row must pack to null in both paths")
-    assert(codegen.init.forall(_.nonEmpty))
   }
 
   test("|q| <= 127 for the max|x|/127 scale, and blob length == dims") {

@@ -63,7 +63,12 @@ class OracleSqlSpec extends AnyFunSuite {
     // this pins both facts so a future multi-window oracle fails here
     // in milliseconds instead of at DuckDB execution time
     val overRewrite = "(?is)WINDOW\\s+\\w+\\s+AS\\s+MATERIALIZED".r
-    val multiWindow = "(?is)WINDOW\\s+\\w+\\s+AS\\s*\\([^()]*\\)\\s*,\\s*\\w+\\s+AS\\s*\\(".r
+    // conservative by design: flag ANY `, name AS (` after a WINDOW
+    // keyword — nested parens inside the first window definition
+    // (function calls in PARTITION BY/ORDER BY) must not let a second
+    // definition slip past; nothing valid can follow a WINDOW clause
+    // with that shape except another window definition
+    val multiWindow = "(?is)\\bWINDOW\\b.*,\\s*\\w+\\s+AS\\s*\\(".r
     for ((name, sql) <- SparkEntry.oracleSql) {
       assert(overRewrite.findFirstIn(sql).isEmpty,
         s"$name: materializeCtes corrupted a WINDOW clause")

@@ -17,7 +17,10 @@ class SimilaritySpec extends SparkSpec {
     // fixtures having none. Pin the assumption so a fixture
     // regeneration that violates it fails HERE with a pointer, not as
     // an inscrutable hash mismatch in eight oracles.
-    for (sf <- Seq("sf0.001", "sf0.01")) {
+    // sf0.1 included: it is the Bench contract fixture AND the ScaleGen
+    // amplification source, so a zero-norm vector there would poison
+    // every rung too
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val zeros = Tables.embeddings(spark, s"/root/testdata/$sf")
         .filter(org.apache.spark.sql.functions.expr(
           "array_max(transform(embedding, v -> abs(cast(v as double)))) <= 0"))
