@@ -301,11 +301,19 @@ object Similarity {
 
   /** Deterministic per-dataset scratch dir for persisted-index queries:
     * same input dir → same index path, so steady-state bench reps
-    * overwrite rather than accumulate. */
-  private def indexDir(tag: String, d: String): String = {
+    * overwrite rather than accumulate. Root defaults to the driver's
+    * tmpdir (correct for local[*]); on a REAL cluster set
+    * `spark.graft.indexScratch` to a shared filesystem path — the
+    * index is written by executors and read back partition-pruned, so
+    * a driver-local path would break the moment tasks run off-box
+    * (IvfIndex's meta/centroids/cells all ride the Hadoop FS layer, so
+    * hdfs://…/scratch works unchanged). */
+  private def indexDir(s: SparkSession, tag: String, d: String): String = {
     val h = MessageDigest.getInstance("MD5").digest(d.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
-    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_$h"
+    val root = s.conf.getOption("spark.graft.indexScratch")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    s"$root/graft_${tag}_$h"
   }
 
   /** qs7: the production ANN search shape, oracle-gated end to end —
@@ -327,7 +335,7 @@ object Similarity {
     val emb = Tables.embeddings(s, d)
     val n = emb.count()
     val nCells = math.ceil(math.sqrt(n.toDouble)).toInt
-    val dir = indexDir("qs7", d)
+    val dir = indexDir(s, "qs7", d)
     IvfIndex.build(emb, dir, nCells, assign = IndexAssign)
     val queryVecs = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
     IvfIndex.search(s, dir, queryVecs, k = 3, nProbe = SearchProbes)
@@ -349,7 +357,7 @@ object Similarity {
     val emb = Tables.embeddings(s, d)
     val n = emb.count()
     val nCells = math.ceil(math.sqrt(n.toDouble)).toInt
-    val dir = indexDir("qs8", d)
+    val dir = indexDir(s, "qs8", d)
     IvfIndex.build(emb, dir, nCells, assign = IndexAssign, int8 = true)
     val queryVecs = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
     IvfIndex.searchInt8(s, dir, queryVecs, emb,
