@@ -175,12 +175,18 @@ object AnnScaleBench {
 
       val corpus = Tables.embeddings(spark, dir).select("vec_id", "embedding")
       val p8 = Dedup.ProbeCells
+      // funnel sized per RescoreCap's own ≳3×k contract (the cap
+      // constant itself is calibrated for qs8's k = 3; this arm ranks
+      // k = 10, so a k-wide funnel would have ZERO reorder headroom
+      // and a quantization flip at rank 11 would read as a spurious
+      // int8 recall loss)
+      val rescore8 = 3 * K
       val arms = ((for {
         (tag, ix) <- Seq("q1" -> idxDir, "q2" -> idx2Dir)
         p <- Seq(1, Dedup.ProbeCells).distinct
       } yield s""""${tag}_p$p":${searchArm(qs => IvfIndex.search(spark, ix, qs, K, p))}""") :+
         s""""q2i8_p$p8":${searchArm(qs =>
-          IvfIndex.searchInt8(spark, idx8Dir, qs, corpus, K, p8, Similarity.RescoreCap))}""").mkString(",")
+          IvfIndex.searchInt8(spark, idx8Dir, qs, corpus, K, p8, rescore8))}""").mkString(",")
       s""""x$n":{"n_vecs":$nVecs,"n_cells":$nCells,"n_queries":$nQ,""" +
         s""""n_twins":$nTwin,"build":${d3(tBuild)},"build_q2":${d3(tBuild2)},""" +
         s""""build_q2i8":${d3(tBuild8)},"cells_bytes_f32":$bytesF32,""" +

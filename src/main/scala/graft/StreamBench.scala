@@ -86,12 +86,13 @@ object StreamBench {
     val useFiles = n >= 1000000
     val recover = args.contains("recover")
 
-    if (recover) {
-      require(useFiles,
-        "recover arm measures the rung configuration — run with n >= 1000000")
+    // ONE definition of the file-backed load and the dim fixtures,
+    // shared by the throughput path and the recover arm — the
+    // recovered-vs-uninterrupted comparison is only meaningful while
+    // both arms state the SAME load, so it must not be stated twice
+    val nFiles = 32
+    def writeLoad(dir: String): Unit = {
       import org.apache.spark.sql.functions.{col, concat, lit, timestamp_millis}
-      val inDir = Files.createTempDirectory("graft_sbench_in").toString
-      val nFiles = 32
       spark.range(n).select(
         concat(lit("ST"), (col("id") % stations).cast("string")).as("station"),
         lit("AAA").as("parte"),
@@ -101,23 +102,34 @@ object StreamBench {
         timestamp_millis(
           lit(base) + (col("id") / stations).cast("long") * 1000L).as("ts"))
         .repartition(nFiles)
-        .write.mode("overwrite").parquet(inDir)
+        .write.mode("overwrite").parquet(dir)
+    }
+    lazy val dimParts = (0 until stations).map(s => (s"ST$s", "AAA", s + 1L))
+      .toDF("station", "parte", "part_id")
+    lazy val dimMults = Seq(("AAA", 2L)).toDF("parte", "multiplier")
+    lazy val dimRecs = Seq.empty[(String, Long, Int, Long)]
+      .toDF("record_id", "produced", "status_id", "planned")
+    // explicit-ROOT-locale formatting keeps the line valid JSON under
+    // comma-decimal default locales
+    def jd(v: Double, dec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+
+    if (recover) {
+      require(useFiles,
+        "recover arm measures the rung configuration — run with n >= 1000000")
+      val inDir = Files.createTempDirectory("graft_sbench_in").toString
+      writeLoad(inDir)
       val maxFiles = 4 // 8 data batches over 32 files
       def mkObs() = spark.readStream
         .schema(org.apache.spark.sql.Encoders.product[PartObservation].schema)
         .option("maxFilesPerTrigger", maxFiles)
         .parquet(inDir).as[PartObservation]
-      val parts = (0 until stations).map(s => (s"ST$s", "AAA", s + 1L))
-        .toDF("station", "parte", "part_id")
-      val mults = Seq(("AAA", 2L)).toDF("parte", "multiplier")
-      val recs = Seq.empty[(String, Long, Int, Long)]
-        .toDF("record_id", "produced", "status_id", "planned")
       def startRun(ckptDir: String, out: String) = {
         val actions =
           if (tws) StateMachine.withDimTablesEventTimeTws(
-            mkObs(), parts, mults, recs, timeoutMs = 30000L)
+            mkObs(), dimParts, dimMults, dimRecs, timeoutMs = 30000L)
           else StateMachine.withDimTablesEventTime(
-            mkObs(), parts, mults, recs, timeoutMs = 30000L)
+            mkObs(), dimParts, dimMults, dimRecs, timeoutMs = 30000L)
         actions.writeStream.outputMode("append")
           .option("checkpointLocation", ckptDir).trigger(Trigger.AvailableNow())
           // epochId wired through → exactly-once histories, so the
@@ -129,9 +141,12 @@ object StreamBench {
       // ---- phase 1: run to ~half the input, then kill abruptly
       val killAfter = 4
       val q1 = startRun(ckpt, outDir)
-      while (q1.isActive &&
-        q1.recentProgress.count(_.numInputRows > 0) < killAfter) Thread.sleep(100)
-      val batchesBeforeKill = q1.recentProgress.count(_.numInputRows > 0)
+      // null-guarded like the stateOps extraction below: recentProgress
+      // can hold null entries mid-update
+      def dataBatches(q: org.apache.spark.sql.streaming.StreamingQuery): Int =
+        q.recentProgress.count(p => p != null && p.numInputRows > 0)
+      while (q1.isActive && dataBatches(q1) < killAfter) Thread.sleep(100)
+      val batchesBeforeKill = dataBatches(q1)
       // the kill must land MID-RUN or the "recovery" measures an empty
       // restart and the SLA is vacuous (records_diff==0 would pass
       // trivially): the query must still be live with input remaining
@@ -143,7 +158,7 @@ object StreamBench {
       // ---- phase 2: restart from the checkpoint
       val tR = System.nanoTime()
       val q2 = startRun(ckpt, outDir)
-      while (q2.isActive && q2.recentProgress.isEmpty) Thread.sleep(50)
+      while (q2.isActive && !q2.recentProgress.exists(_ != null)) Thread.sleep(50)
       val recoverySec = (System.nanoTime() - tR) / 1e9
       q2.awaitTermination()
       val drainSec = (System.nanoTime() - tR) / 1e9
@@ -171,27 +186,16 @@ object StreamBench {
       require(recDiff == 0 && histDiff == 0,
         s"recovered output differs from uninterrupted run: records=$recDiff histories=$histDiff")
       val nRecords = spark.read.parquet(s"$outDir/production_records").count()
-      def jd2(v: Double): String =
-        String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
       val host2 = if (tws) "tws-eventtime" else "fmgws-eventtime"
-      println(s"""{"metric":"stream_recovery_sec","value":${jd2(recoverySec)},"unit":"sec","n_obs":$n,"stations":$stations,"state_store":"${if (rocksdb) "rocksdb" else "hdfs"}","lookup_path":"$host2","batches_before_kill":$batchesBeforeKill,"recovery_first_batch_sec":${jd2(recoverySec)},"recovered_drain_sec":${jd2(drainSec)},"uninterrupted_sec":${jd2(refSec)},"records":$nRecords,"records_diff":$recDiff,"histories_diff":$histDiff}""")
+      println(s"""{"metric":"stream_recovery_sec","value":${jd(recoverySec, 2)},"unit":"sec","n_obs":$n,"stations":$stations,"state_store":"${if (rocksdb) "rocksdb" else "hdfs"}","lookup_path":"$host2","batches_before_kill":$batchesBeforeKill,"recovery_first_batch_sec":${jd(recoverySec, 2)},"recovered_drain_sec":${jd(drainSec, 2)},"uninterrupted_sec":${jd(refSec, 2)},"records":$nRecords,"records_diff":$recDiff,"histories_diff":$histDiff}""")
       spark.stop()
       return
     }
 
     val obsStream: org.apache.spark.sql.Dataset[PartObservation] =
       if (useFiles) {
-        import org.apache.spark.sql.functions.{col, concat, lit, timestamp_millis}
         val dir = Files.createTempDirectory("graft_sbench_in").toString
-        spark.range(n).select(
-          concat(lit("ST"), (col("id") % stations).cast("string")).as("station"),
-          lit("AAA").as("parte"),
-          lit("AAA").as("original"),
-          (col("id") / stations).cast("long").as("contador"),
-          lit(1.0).as("tiempo"),
-          timestamp_millis(
-            lit(base) + (col("id") / stations).cast("long") * 1000L).as("ts"))
-          .write.mode("overwrite").parquet(dir)
+        writeLoad(dir)
         spark.readStream.schema(
           org.apache.spark.sql.Encoders.product[PartObservation].schema)
           .parquet(dir).as[PartObservation]
@@ -206,21 +210,16 @@ object StreamBench {
       }
     val t0 = System.nanoTime()
     val q = if (dimjoin) {
-      val parts = (0 until stations).map(s => (s"ST$s", "AAA", s + 1L))
-        .toDF("station", "parte", "part_id")
-      val mults = Seq(("AAA", 2L)).toDF("parte", "multiplier")
-      val records = Seq.empty[(String, Long, Int, Long)]
-        .toDF("record_id", "produced", "status_id", "planned")
       // event-time hosts get a real timer horizon (30 s of event time —
       // the default production silence window); the processing-time
       // host keeps timers off as before (AvailableNow would race a
       // wall-clock timeout)
       val actions =
         if (tws) StateMachine.withDimTablesEventTimeTws(
-          obsStream, parts, mults, records, timeoutMs = 30000L)
+          obsStream, dimParts, dimMults, dimRecs, timeoutMs = 30000L)
         else if (eventtime) StateMachine.withDimTablesEventTime(
-          obsStream, parts, mults, records, timeoutMs = 30000L)
-        else StateMachine.withDimTables(obsStream, parts, mults, records,
+          obsStream, dimParts, dimMults, dimRecs, timeoutMs = 30000L)
+        else StateMachine.withDimTables(obsStream, dimParts, dimMults, dimRecs,
           timeoutMs = 0)
       actions.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow())
@@ -248,10 +247,6 @@ object StreamBench {
     val stateRows = stateOps.map(_.numRowsTotal).sum
     val stateBytes = stateOps.map(_.memoryUsedBytes).sum
     val records = spark.read.parquet(s"$outDir/production_records").count()
-    // explicit-ROOT-locale formatting keeps the line valid JSON under
-    // comma-decimal default locales
-    def jd(v: Double, dec: Int): String =
-      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
     val host = if (tws) "tws-eventtime" else if (eventtime) "fmgws-eventtime"
       else if (dimjoin) "dimjoin" else "map"
     println(s"""{"metric":"stream_obs_per_sec","value":${jd(rate, 0)},"unit":"obs/sec","n_obs":$n,"stations":$stations,"state_store":"${if (rocksdb) "rocksdb" else "hdfs"}","lookup_path":"$host","wall_sec":${jd(sec, 2)},"records":$records,"state_rows":$stateRows,"state_bytes":$stateBytes,"equiv_stations_at_reference_cadence":${(rate / 2).toLong}}""")

@@ -303,9 +303,12 @@ object IvfIndex {
     * (score8 = idot·scale_q·scale_c / (‖q‖·‖c‖), the dequantized
     * cosine), the top-`rescore` int8 survivors per query are then
     * re-scored in float against `corpus` (the source-of-truth float
-    * table the index was built from — at 100 TB a ≤ queries×rescore
-    * broadcast semi-join, while the 4×-smaller cells carry ALL the
-    * scan volume), and the exact float top-k of the survivors is
+    * table the index was built from) — as a BOUNDED-ID pushdown read:
+    * the ≤ queries×rescore survivor ids go into the corpus scan as an
+    * IN filter, so row-group stats (and any vec_id-sorted/bucketed
+    * layout) prune the float read to the survivors' groups and the
+    * 3×-smaller int8 cells keep carrying ALL the per-query scan
+    * volume at 100 TB — and the exact float top-k of the survivors is
     * emitted. Output: (qid, rank, neighbor_id, idot, rcos) — idot is
     * the integer-exact int8 score (cross-engine hashable with no
     * float-order caveat), rcos the float rescue score that ranked it.
@@ -319,6 +322,50 @@ object IvfIndex {
     val meta = metaOf(spark, dir)
     if (meta.quant != "int8") throw new IllegalStateException(
       s"$dir stores ${meta.quant} cells — searchInt8 needs an int8 layout (build with int8 = true)")
+    val (q0, cand) = int8Candidates(spark, dir, queries, nProbe)
+    val quads = cand.select(col("qid").cast("long"), col("vec_id").cast("long"),
+      col("idot").cast("long"), col("score8").cast("double"))
+    val dq = if (meta.assign > 1) quads.distinct() else quads
+    val funnel = graft.plans.GroupTopK.topK(dq,
+      keys = Seq("qid"), order = Seq(col("score8").desc, col("vec_id").asc), k = rescore)
+      .select(col("qid"), col("vec_id"), col("idot"))
+      // feeds the bounded id collect AND the rescore join — without the
+      // checkpoint the whole probe+funnel chain would execute twice
+      .localCheckpoint()
+    // float rescore: survivors are an ID SET, not a scan. Collect the
+    // ≤ queries×rescore distinct ids and push them into the corpus
+    // read as an IN filter — parquet row-group stats (and any
+    // vec_id-sorted/bucketed layout) prune the scan to groups that
+    // actually hold survivors, the trickle-regime pattern IngestDedup
+    // measured. Without this the vec_id equi-join would stream the
+    // ENTIRE float corpus to rescore a few thousand rows, spending
+    // more IO than the int8 cells saved. A pathologically wide funnel
+    // falls back to the join rather than collecting unbounded ids.
+    val idLimit = 100000
+    val ids = funnel.select(col("vec_id")).distinct()
+      .limit(idLimit + 1).collect().map(_.getLong(0))
+    val corpusSrc =
+      if (ids.length <= idLimit) corpus.filter(col("vec_id").isin(ids.toSeq: _*))
+      else corpus
+    val cn = withNorm(corpusSrc).select(col("vec_id"), col("embedding"), col("nrm"))
+    val rescored = cn.join(broadcast(funnel), Seq("vec_id"))
+      .join(broadcast(q0.select(col("qid"), col("qe"), col("qn"))), Seq("qid"))
+      .withColumn("rcos", round(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+      .select(col("qid"), col("vec_id"), col("idot"), col("rcos"))
+    graft.plans.GroupTopK.topK(rescored,
+      keys = Seq("qid"), order = Seq(col("rcos").desc, col("vec_id").asc), k = k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("idot"), col("rcos"))
+  }
+
+  /** [[searchInt8]]'s candidate stage — (q0: quantized queries, cand:
+    * int8-scored candidates from the partition-pruned cells join).
+    * Split out because searchInt8's funnel is eagerly checkpointed
+    * (the bounded id collect + rescore join both consume it), which
+    * hides the cells scan from the FINAL plan — Int8Spec pins the
+    * PartitionFilters contract on THIS frame, where the scan lives. */
+  private[graft] def int8Candidates(spark: SparkSession, dir: String,
+      queries: DataFrame, nProbe: Int): (DataFrame, DataFrame) = {
     val cents = spark.read.parquet(s"$dir/centroids")
     val cells = spark.read.parquet(s"$dir/cells") // (vec_id, q8, scale, nrm, cell)
     val q0 = withNorm(queries)
@@ -337,22 +384,6 @@ object IvfIndex {
       // association so the rounded funnel scores match bit-for-bit
       .withColumn("score8", round(col("idot").cast("double") * col("qscale") * col("scale")
         / (col("qn") * col("nrm")), 6))
-    val quads = cand.select(col("qid").cast("long"), col("vec_id").cast("long"),
-      col("idot").cast("long"), col("score8").cast("double"))
-    val dq = if (meta.assign > 1) quads.distinct() else quads
-    val funnel = graft.plans.GroupTopK.topK(dq,
-      keys = Seq("qid"), order = Seq(col("score8").desc, col("vec_id").asc), k = rescore)
-      .select(col("qid"), col("vec_id"), col("idot"))
-    // float rescore: survivors are tiny — broadcast them against the
-    // full-precision corpus, never the other way around
-    val cn = withNorm(corpus).select(col("vec_id"), col("embedding"), col("nrm"))
-    val rescored = cn.join(broadcast(funnel), Seq("vec_id"))
-      .join(broadcast(q0.select(col("qid"), col("qe"), col("qn"))), Seq("qid"))
-      .withColumn("rcos", round(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
-      .select(col("qid"), col("vec_id"), col("idot"), col("rcos"))
-    graft.plans.GroupTopK.topK(rescored,
-      keys = Seq("qid"), order = Seq(col("rcos").desc, col("vec_id").asc), k = k)
-      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
-        col("idot"), col("rcos"))
+    (q0, cand)
   }
 }

@@ -313,7 +313,11 @@ object Similarity {
       .map("%02x".format(_)).mkString.take(12)
     val root = s.conf.getOption("spark.graft.indexScratch")
       .getOrElse(System.getProperty("java.io.tmpdir"))
-    s"$root/graft_${tag}_$h"
+    // applicationId keeps the path deterministic WITHIN a session
+    // (steady bench reps overwrite, as intended) while two concurrent
+    // JVMs on the same dataset (CI spec + a bench run) can never race
+    // Overwrite builds of one shared dir
+    s"$root/graft_${tag}_${h}_${s.sparkContext.applicationId}"
   }
 
   /** qs7: the production ANN search shape, oracle-gated end to end —

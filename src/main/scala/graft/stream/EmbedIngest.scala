@@ -339,23 +339,30 @@ object EmbedIngest {
     val cents = s.read.parquet(s"$dir/centroids")
     val cdim = quantizerDim(s, dir, cents)
     val nm0 = withNorm(batch).localCheckpoint() // bounded: one micro-batch
-    // loud MISCONFIGURATION guard, enforced at BATCH level: a quantizer
-    // whose dims match nothing in the batch means the caller pointed at
-    // the wrong index dir — every probe would EXCLUDE every centroid
-    // (malformed scores are NaN-dropped since round 12) and the
-    // membrane would silently admit NOTHING, writing empty epochs
-    // forever. Deliberately NOT a per-row raise_error: that would turn
-    // one stray malformed row into a poison pill that wedges the
-    // exactly-once stream (foreachBatch replays the same batch on
-    // every restart). Stray wrong-dim/null rows are instead naturally
-    // rejected (empty probe list) and attributed `malformed` by
-    // [[rejectionLedger]]. The probe below stops at the first matching
-    // row, so the healthy-batch cost is one bounded lookup on the
-    // already-checkpointed frame.
-    if (nm0.filter(size(col("embedding")) === cdim).limit(1).isEmpty && !nm0.isEmpty)
-      throw new IllegalStateException(
-        s"EmbedIngest: quantizer at $dir has dim $cdim but NO batch row matches — " +
-          "wrong index dir?")
+    // MISCONFIGURATION guard, enforced at BATCH level: a quantizer
+    // whose dims match nothing in the batch usually means the caller
+    // pointed at the wrong index dir — every probe would EXCLUDE every
+    // centroid (malformed scores are NaN-dropped since round 12) and
+    // the membrane would silently admit NOTHING, writing empty epochs
+    // forever. Deliberately NOT a per-row raise_error, and loud ONLY at
+    // BRING-UP (empty corpus): either error mode on an ESTABLISHED
+    // stream would be a poison pill — foreachBatch replays the same
+    // batch on every restart, so one all-malformed micro-batch on a
+    // low-traffic stream would wedge it permanently. Established
+    // corpus ⇒ earlier batches matched ⇒ the dim is right ⇒ this is a
+    // bad BATCH: warn, let every row drop naturally (empty probe
+    // lists), and let [[rejectionLedger]] attribute them `malformed`.
+    // The probe stops at the first matching row — one bounded lookup
+    // on the already-checkpointed frame per healthy batch.
+    if (nm0.filter(size(col("embedding")) === cdim).limit(1).isEmpty && !nm0.isEmpty) {
+      if (!EpochFold.hasDataFiles(s, s"$dir/cells"))
+        throw new IllegalStateException(
+          s"EmbedIngest: quantizer at $dir has dim $cdim but NO batch row matches " +
+            "and the corpus is empty — wrong index dir?")
+      else org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"EmbedIngest: batch for epoch $epochId has NO row matching quantizer dim " +
+          s"$cdim — dropping all rows as malformed (established corpus, not wedging)")
+    }
 
     // exact-dup collapse FIRST (linear, map-side hash): a crawl flood of
     // byte-identical embeddings would otherwise meet the pairwise tau

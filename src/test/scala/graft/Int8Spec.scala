@@ -165,15 +165,20 @@ class Int8Spec extends SparkSpec
     val d = Files.createTempDirectory("ivf_i8p").toString
     IvfIndex.build(emb, d, nCells = 16, assign = 2, int8 = true)
     val qs = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
-    val res = IvfIndex.searchInt8(spark, d, qs, emb, k = 3, nProbe = 2, rescore = 10)
-    val scans = collectWithSubqueries(res.queryExecution.executedPlan) {
+    // pin the candidate stage's plan — searchInt8's funnel is eagerly
+    // checkpointed (bounded id collect + rescore join both consume
+    // it), so the cells scan is not visible in the FINAL plan
+    val (_, cand) = IvfIndex.int8Candidates(spark, d, qs, nProbe = 2)
+    val scans = collectWithSubqueries(cand.queryExecution.executedPlan) {
       case s: org.apache.spark.sql.execution.FileSourceScanExec
         if s.relation.location.rootPaths.head.toString.contains("cells") => s
     }
     assert(scans.nonEmpty, "no cells scan found")
     assert(scans.head.relation.partitionSchema.fieldNames.contains("cell"),
       s"int8 cells not partitioned by cell: ${scans.head.relation.partitionSchema}")
-    res.queryExecution.toRdd.count()
+    // and the full search still executes end to end
+    IvfIndex.searchInt8(spark, d, qs, emb, k = 3, nProbe = 2, rescore = 10)
+      .queryExecution.toRdd.count()
   }
 
   test("appendBatch follows the persisted int8 format: incremental index ≡ full build for search") {
