@@ -38,21 +38,73 @@ object SparkEntry {
       batch.Similarity.oracle ++ batch.Multimodal.oracle ++ batch.Curation.oracle)
       .map { case (k, sql) => k -> materializeCtes(sql) }
 
-  /** Rewrite bare-name CTE heads to `name AS MATERIALIZED (`. Matched
-    * head positions: line start, after `WITH `, after a closing paren +
-    * comma (`), name AS (` — a CTE list continued on one line), and a
-    * leading-comma line (`  , name AS (`). Column-list heads
+  /** Rewrite bare-name CTE heads to `name AS MATERIALIZED (` — but
+    * ONLY inside the statement's WITH prefix. The rewrite walks the
+    * CTE list structurally (head, balanced body skipping quoted
+    * literals, comma, next head) and stops at the first token that
+    * begins the main query, so nothing PAST the CTE list can ever be
+    * rewritten — a multi-definition `WINDOW w1 AS (...), w2 AS (...)`
+    * clause, a `CAST(x AS (...))`-shaped fragment, anything (the
+    * round-12 ADVICE unsoundness of the old regex, which matched any
+    * `), name AS (` in the whole statement). Column-list heads
     * (`reach(id, lbl) AS (`) are left inlined — DuckDB rejects
     * MATERIALIZED on a self-referencing CTE — and any statement using
     * RECURSIVE is left untouched entirely (all are sub-second).
-    * OracleSqlSpec's whole-map guard uses a STRICTLY BROADER regex
-    * (any `, name AS (`), so a head shape this rewrite misses fails
-    * the spec instead of silently re-inlining (the round-10 failure
-    * class). The only non-CTE `name AS (` in the corpus is a single
-    * `WINDOW w AS (…)` clause, which none of these contexts match. */
-  private[graft] def materializeCtes(sql: String): String =
-    if (sql.contains("RECURSIVE")) sql
-    else sql.replaceAll(
-      "(?m)(^[ \\t]*,[ \\t]*|^|WITH |\\),[ \\t\\n]*)([a-zA-Z_][a-zA-Z0-9_]*) AS \\(",
-      "$1$2 AS MATERIALIZED (")
+    * A head shape the scanner cannot parse bails to the ORIGINAL sql;
+    * OracleSqlSpec's whole-map guard (any bare `, name AS (`) then
+    * fails in milliseconds instead of silently re-inlining (the
+    * round-10 artifact-killer class). */
+  private[graft] def materializeCtes(sql: String): String = {
+    if (sql.contains("RECURSIVE")) return sql
+    val m0 = java.util.regex.Pattern
+      .compile("\\A\\s*WITH\\s+", java.util.regex.Pattern.CASE_INSENSITIVE)
+      .matcher(sql)
+    if (!m0.lookingAt()) return sql // no WITH prefix — no CTEs to touch
+    val out = new StringBuilder(sql.substring(0, m0.end()))
+    val headP = java.util.regex.Pattern.compile(
+      "\\s*([a-zA-Z_][a-zA-Z0-9_]*)\\s*(\\([^)]*\\))?\\s+AS\\s*\\(",
+      java.util.regex.Pattern.CASE_INSENSITIVE)
+    var i = m0.end()
+    while (true) {
+      val hm = headP.matcher(sql)
+      hm.region(i, sql.length)
+      if (!hm.lookingAt()) return sql // unparseable head — bail whole
+      val headText = sql.substring(i, hm.end())
+      out.append(
+        if (hm.group(2) != null) headText // column-list head: inlined
+        else headText.replaceFirst("(?is)AS\\s*\\(\\z", "AS MATERIALIZED ("))
+      // skip the balanced CTE body; single-quoted literals may hold
+      // parens ('' is the in-literal escape)
+      var j = hm.end()
+      var depth = 1
+      while (depth > 0 && j < sql.length) {
+        sql.charAt(j) match {
+          case '\'' =>
+            j += 1
+            var closed = false
+            while (!closed && j < sql.length) {
+              if (sql.charAt(j) == '\'') {
+                if (j + 1 < sql.length && sql.charAt(j + 1) == '\'') j += 2
+                else { closed = true; j += 1 }
+              } else j += 1
+            }
+          case '(' => depth += 1; j += 1
+          case ')' => depth -= 1; j += 1
+          case _ => j += 1
+        }
+      }
+      if (depth != 0) return sql // unbalanced body — bail whole
+      out.append(sql.substring(hm.end(), j))
+      var k = j
+      while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+      if (k < sql.length && sql.charAt(k) == ',') {
+        out.append(sql.substring(j, k + 1)) // whitespace + the comma
+        i = k + 1
+      } else {
+        out.append(sql.substring(j)) // main query begins — untouched
+        return out.toString
+      }
+    }
+    sql // unreachable
+  }
 }

@@ -146,15 +146,22 @@ object StreamBench {
       def dataBatches(q: org.apache.spark.sql.streaming.StreamingQuery): Int =
         q.recentProgress.count(p => p != null && p.numInputRows > 0)
       while (q1.isActive && dataBatches(q1) < killAfter) Thread.sleep(100)
-      val batchesBeforeKill = dataBatches(q1)
-      // the kill must land MID-RUN or the "recovery" measures an empty
-      // restart and the SLA is vacuous (records_diff==0 would pass
-      // trivially): the query must still be live with input remaining
-      require(q1.isActive && batchesBeforeKill < nFiles / maxFiles,
-        s"load drained before the kill ($batchesBeforeKill of ${nFiles / maxFiles} " +
+      require(q1.isActive && dataBatches(q1) < nFiles / maxFiles,
+        s"load drained before the kill (${dataBatches(q1)} of ${nFiles / maxFiles} " +
           "batches done) — raise n or lower killAfter; this run proves nothing")
       q1.stop() // in-flight batch dies uncommitted — the crash
       try q1.awaitTermination() catch { case _: Throwable => () }
+      // the kill must land MID-RUN or the "recovery" measures an empty
+      // restart and the SLA is vacuous (records_diff==0 would pass
+      // trivially). stop() is COOPERATIVE — batches can commit between
+      // the pre-stop check above and the actual termination — so the
+      // binding guard re-reads progress AFTER termination, when
+      // recentProgress is final (round-12 ADVICE)
+      val batchesBeforeKill = dataBatches(q1)
+      require(batchesBeforeKill < nFiles / maxFiles,
+        s"every batch committed before the stop landed ($batchesBeforeKill of " +
+          s"${nFiles / maxFiles}) — the recovery run would replay nothing; " +
+          "raise n or lower killAfter")
       // ---- phase 2: restart from the checkpoint
       val tR = System.nanoTime()
       val q2 = startRun(ckpt, outDir)
@@ -162,6 +169,10 @@ object StreamBench {
       val recoverySec = (System.nanoTime() - tR) / 1e9
       q2.awaitTermination()
       val drainSec = (System.nanoTime() - tR) / 1e9
+      // belt-and-braces against the same vacuity from the other side:
+      // the recovered run must actually have processed input rows
+      require(dataBatches(q2) > 0,
+        "recovered run processed no input — the SLA below would be vacuous")
       // ---- reference: the same load, uninterrupted, fresh checkpoint
       val ckptRef = Files.createTempDirectory("graft_sbench_ckpt_ref").toString
       val outRef = Files.createTempDirectory("graft_sbench_out_ref").toString

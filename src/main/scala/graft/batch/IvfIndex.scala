@@ -334,18 +334,29 @@ object IvfIndex {
       .localCheckpoint()
     // float rescore: survivors are an ID SET, not a scan. Collect the
     // ≤ queries×rescore distinct ids and push them into the corpus
-    // read as an IN filter — parquet row-group stats (and any
-    // vec_id-sorted/bucketed layout) prune the scan to groups that
-    // actually hold survivors, the trickle-regime pattern IngestDedup
-    // measured. Without this the vec_id equi-join would stream the
-    // ENTIRE float corpus to rescore a few thousand rows, spending
-    // more IO than the int8 cells saved. A pathologically wide funnel
-    // falls back to the join rather than collecting unbounded ids.
-    val idLimit = 100000
+    // read as (range ∧ IN) filters. Honest pruning contract (round-12
+    // ADVICE): parquet converts an IN above
+    // spark.sql.parquet.pushdown.inFilterThreshold (default 10) into
+    // its min/max range, so EXACT per-row-group pruning holds only for
+    // compact or vec_id-sorted survivor ranges — the explicit
+    // between() states that range form outright. For md5-scattered
+    // survivors the row-group win evaporates and what remains is still
+    // the structural point: a map-side codegen'd InSet filter on the
+    // scan, never a corpus-wide shuffle or an unfiltered read feeding
+    // the join. The collect threshold is sized for PLANNING cost (an
+    // InSet of 20k longs builds in ms; 100k-literal plans were the
+    // advice's concern), conf-tunable for operators whose corpus
+    // layout is id-sorted and benefits from a wider IN. Beyond it the
+    // code falls back to the full scan + broadcast-funnel join rather
+    // than collecting unbounded ids onto the driver.
+    val idLimit = spark.conf.getOption("spark.graft.rescoreIdLimit")
+      .map(_.toInt).getOrElse(20000)
     val ids = funnel.select(col("vec_id")).distinct()
-      .limit(idLimit + 1).collect().map(_.getLong(0))
+      .limit(idLimit + 1).collect().map(_.getLong(0)).sorted
     val corpusSrc =
-      if (ids.length <= idLimit) corpus.filter(col("vec_id").isin(ids.toSeq: _*))
+      if (ids.nonEmpty && ids.length <= idLimit)
+        corpus.filter(col("vec_id").between(ids.head, ids.last) &&
+          col("vec_id").isin(ids.toSeq: _*))
       else corpus
     val cn = withNorm(corpusSrc).select(col("vec_id"), col("embedding"), col("nrm"))
     val rescored = cn.join(broadcast(funnel), Seq("vec_id"))

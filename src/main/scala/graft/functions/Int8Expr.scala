@@ -75,7 +75,11 @@ object Int8PackExpr {
       if (vec.isNullAt(i)) return null
       val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
       val q = math.floor(x / scale + 0.5)
-      if (!(q >= -128 && q <= 127)) return null // also rejects NaN
+      // |q| ≤ 127 is the documented invariant under the caller's
+      // max|x|/127 scale; q = −128 is reachable ONLY under a wrong
+      // caller-supplied scale, so it gets the same outcome as every
+      // other malformed case — null, never a stored byte (VERDICT r12)
+      if (!(q >= -127 && q <= 127)) return null // also rejects NaN
       out(i) = q.toByte
       i += 1
     }

@@ -58,7 +58,12 @@ object EmbedIngest {
   // quantizer dimensionality per index dir, cached on the driver: it
   // is invariant for a dir's lifetime (requantize rebuilds from the
   // same-dim corpus), so the tiny head() job runs once per dir per
-  // driver instead of once per micro-batch on the ingest hot path
+  // driver instead of once per micro-batch on the ingest hot path.
+  // Invalidated at every point the quantizer under a path can change
+  // identity — [[init]] (a deleted-and-re-pinned dir in the same JVM)
+  // and [[recoverRequant]]'s install path — so a stale dim can never
+  // drive the mis-dim guard or the ledger's `malformed` attribution
+  // (round-12 ADVICE).
   private val dimCache = scala.collection.concurrent.TrieMap.empty[String, Int]
 
   private def quantizerDim(s: SparkSession, dir: String, cents: DataFrame): Int =
@@ -74,6 +79,7 @@ object EmbedIngest {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(p),
       s"quantizer already pinned at $p (drift = requantize; rebuild = new dir)")
+    dimCache.remove(dir) // a re-initialized dir may carry a new dim
     centroids.coalesce(1).write.parquet(p.toString)
   }
 
@@ -261,8 +267,13 @@ object EmbedIngest {
         case TmpName(n) if st.isDirectory =>
           val committed =
             fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_GRAFT_COMMIT"))
-          if (committed) installRequant(fs, root, n.toLong)
-          else require(fs.delete(st.getPath, true),
+          if (committed) {
+            installRequant(fs, root, n.toLong)
+            // the install swapped the quantizer — any cached dim for
+            // this dir is now unverified (same-dim in practice, but
+            // the cache must never outlive the artifact it describes)
+            dimCache.remove(dir)
+          } else require(fs.delete(st.getPath, true),
             s"requantize: could not discard uncommitted snapshot ${st.getPath}")
         case _ =>
       }
@@ -355,13 +366,24 @@ object EmbedIngest {
     // The probe stops at the first matching row — one bounded lookup
     // on the already-checkpointed frame per healthy batch.
     if (nm0.filter(size(col("embedding")) === cdim).limit(1).isEmpty && !nm0.isEmpty) {
-      if (!EpochFold.hasDataFiles(s, s"$dir/cells"))
+      // the bring-up throw is OPT-OUT (round-12 ADVICE): foreachBatch
+      // replays the same batch on every restart, so if the FIRST
+      // micro-batch of a genuinely new stream is all-garbage (not a
+      // wrong dir), the strict throw would wedge the stream with no
+      // code change available to the operator. Flipping
+      // spark.graft.embedIngest.strictBringup=false downgrades
+      // bring-up to the established-corpus behavior: warn, drop the
+      // rows, and let [[rejectionLedger]] attribute them `malformed`.
+      val strict = s.conf.getOption("spark.graft.embedIngest.strictBringup")
+        .forall(_.toBoolean)
+      if (!EpochFold.hasDataFiles(s, s"$dir/cells") && strict)
         throw new IllegalStateException(
           s"EmbedIngest: quantizer at $dir has dim $cdim but NO batch row matches " +
-            "and the corpus is empty — wrong index dir?")
+            "and the corpus is empty — wrong index dir? (set " +
+            "spark.graft.embedIngest.strictBringup=false to warn-and-drop instead)")
       else org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"EmbedIngest: batch for epoch $epochId has NO row matching quantizer dim " +
-          s"$cdim — dropping all rows as malformed (established corpus, not wedging)")
+          s"$cdim — dropping all rows as malformed (not wedging the stream)")
     }
 
     // exact-dup collapse FIRST (linear, map-side hash): a crawl flood of

@@ -102,6 +102,25 @@ class EmbedIngestSpec extends SparkSpec
         dir, epochId = 0, tau = 0.99)
     }
     assert(ex.getMessage.contains("NO batch row matches"), ex.getMessage)
+    // OPT-OUT (round-12 ADVICE): a genuinely-garbage first batch on a
+    // NEW stream would otherwise wedge it permanently (foreachBatch
+    // replays the same batch forever). strictBringup=false downgrades
+    // bring-up to warn-and-drop: the batch writes an empty epoch and
+    // the stream lives to see batch two.
+    spark.conf.set("spark.graft.embedIngest.strictBringup", "false")
+    try {
+      EmbedIngest.ingestBatch(
+        Seq((9L, Seq(1f, 0f, 0f))).toDF("vec_id", "embedding"),
+        dir, epochId = 0, tau = 0.99)
+      // the epoch dir holds no data files (only _SUCCESS) — nothing
+      // was admitted, and the stream is not wedged
+      val cellFiles = new java.io.File(s"$dir/cells")
+      def dataFiles(f: java.io.File): Seq[java.io.File] =
+        if (f.isFile) { if (f.getName.endsWith(".parquet")) Seq(f) else Nil }
+        else Option(f.listFiles).map(_.toSeq.flatMap(dataFiles)).getOrElse(Nil)
+      assert(dataFiles(cellFiles).isEmpty,
+        "all-garbage bring-up batch drops, not admits")
+    } finally spark.conf.unset("spark.graft.embedIngest.strictBringup")
     // mixed batch: healthy rows ingest, stray wrong-dim / null rows are
     // rejected and the ledger names them `malformed`, not `unknown`
     val mixed = Seq(

@@ -107,9 +107,14 @@ class Int8Spec extends SparkSpec
       GraftFunctions.int8_pack(col("embedding"), lit(1e-6)).as("overflow"),
       GraftFunctions.int8_dot(
         GraftFunctions.int8_pack(col("embedding"), lit(1d)),
-        GraftFunctions.int8_pack(array(lit(1f)), lit(1d))).as("len_mismatch"))
+        GraftFunctions.int8_pack(array(lit(1f)), lit(1d))).as("len_mismatch"),
+      // q = −128 exactly: only reachable under a wrong caller-supplied
+      // scale (|q| ≤ 127 holds by construction for max|x|/127), so it
+      // nulls like every other malformed case — one outcome, not a
+      // byte the dot would silently score (VERDICT r12 nit)
+      GraftFunctions.int8_pack(array(lit(-128f), lit(1f)), lit(1d)).as("neg_128"))
       .collect().head
-    (0 until 5).foreach(i => assert(bad.isNullAt(i), s"field $i should be null"))
+    (0 until 6).foreach(i => assert(bad.isNullAt(i), s"field $i should be null"))
     // null element in the vector
     val withNull = Seq((1L, Array(Option(1f), Option.empty[Float]))).toDF("vec_id", "embedding")
       .select(GraftFunctions.int8_pack(col("embedding"), lit(1d)))

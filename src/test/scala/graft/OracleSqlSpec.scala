@@ -56,6 +56,25 @@ class OracleSqlSpec extends AnyFunSuite {
     assert(!win.contains("MATERIALIZED"), win)
   }
 
+  test("the rewrite stops at the end of the WITH prefix (scanner soundness)") {
+    // the round-12 ADVICE case: a multi-definition WINDOW clause in
+    // the MAIN query must never be rewritten, even though its second
+    // definition sits in the old regex's `), name AS (` context
+    val multiWin = SparkEntry.materializeCtes(
+      "WITH a AS (SELECT 1)\nSELECT sum(x) OVER w1 FROM a\n" +
+        "WINDOW w1 AS (ORDER BY x), w2 AS (ORDER BY y)")
+    assert(multiWin.contains("a AS MATERIALIZED (SELECT 1)"), multiWin)
+    assert(multiWin.contains("w2 AS (ORDER BY y)") &&
+      !multiWin.contains("w2 AS MATERIALIZED"), multiWin)
+    // parens inside string literals must not derail the body walk
+    val lit = SparkEntry.materializeCtes(
+      "WITH a AS (SELECT '(' AS p, '''(' AS q), b AS (SELECT 2) SELECT * FROM b")
+    assert(lit.contains("a AS MATERIALIZED (") && lit.contains("b AS MATERIALIZED ("), lit)
+    // a statement with no WITH prefix is returned verbatim
+    val plain = "SELECT a AS (FROM_IS_INVALID) -- not really SQL"
+    assert(SparkEntry.materializeCtes(plain) eq plain)
+  }
+
   test("the rewrite never corrupts a WINDOW clause (over-rewrite guard)") {
     // the after-paren-comma alternative WOULD match a multi-definition
     // window list ('WINDOW w1 AS (...), w2 AS (...)') and emit invalid
