@@ -38,8 +38,18 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(2)
     // validate the anchor names BEFORE the multi-minute measurement
     // loop — a renamed anchor must fail loudly without discarding a
-    // full measured run
-    val anchorNames = Seq("qd8_lsh_capped", "qt3_tokens", "qm2_frame_sample")
+    // full measured run. The steady PINS live here IN CODE (round-12
+    // ask #4 — they previously existed only as BASELINE.md prose):
+    // clean-slot band midpoints, re-pinned whenever BASELINE.md's
+    // bands move. anchor_drift in the artifact = MAX over anchors of
+    // measured_steady / pin — max, not any-clean, because BENCH_r12
+    // proved one anchor can sit at its pin while another reads 10× in
+    // the same run (contention is bursty and IO-shaped).
+    val anchorPins = Seq(
+      "qd8_lsh_capped" -> 0.855, // clean band 0.81–0.90
+      "qt3_tokens" -> 0.305, //            0.29–0.32
+      "qm2_frame_sample" -> 0.16) //       0.15–0.17
+    val anchorNames = anchorPins.map(_._1)
     require(anchorNames.forall(SparkEntry.queries.contains),
       s"anchor queries missing from SparkEntry.queries: " +
         anchorNames.filterNot(SparkEntry.queries.contains).mkString(", "))
@@ -78,15 +88,22 @@ object Bench {
     // JVM default locale, so under e.g. de_DE "%.3f" emits a comma
     // decimal and the metric line stops being JSON
     def d3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // 3-decimal values keep the line short: the driver records only the
-    // LAST ~2000 chars of output, so an 84-query map at full double
-    // precision pushes the head of the line (where "value" lived) out of
-    // the captured tail. Duplicating the totals in trailing "total_sec"
-    // / "steady_sec" keys guarantees the headline numbers survive that
-    // truncation no matter how many queries the map grows to.
-    val qs = results.map { case (k, (cold, _)) => s""""$k":${d3(cold)}""" }
+    // TRUNCATION-PROOF artifact layout (round-12 ask #5): the driver
+    // records only the LAST ~2000 chars of output, and at 92+ queries
+    // two full per-query maps (~3.7k chars) pushed 17 entries AND
+    // several summary keys out of BENCH_r12's captured tail. So the
+    // per-query maps are (a) CAPPED to the slowest ~25 by cold time
+    // plus the anchors — the heavy movers a judge actually reads —
+    // and (b) emitted FIRST, with every summary key (totals, anchors,
+    // anchor_drift, counts) LAST, guaranteed inside the tail no
+    // matter how many queries the map grows to. 3-decimal values keep
+    // the capped maps ~1.3k chars total.
+    val reported = (results.toSeq.sortBy(-_._2._1).take(25).map(_._1) ++
+      anchorNames).distinct.toSet
+    val ordered = results.toSeq.filter(r => reported(r._1)).sortBy(-_._2._1)
+    val qs = ordered.map { case (k, (cold, _)) => s""""$k":${d3(cold)}""" }
       .mkString("{", ",", "}")
-    val qsSteady = results.map { case (k, (_, st)) => s""""$k":${d3(st)}""" }
+    val qsSteady = ordered.map { case (k, (_, st)) => s""""$k":${d3(st)}""" }
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).sum
     val steady = results.values.map(_._2).sum
@@ -94,14 +111,20 @@ object Bench {
     // three cheap queries whose steady pins are stable across rounds —
     // a contended slot moves them in lockstep with everything else, so
     // a judge can calibrate BENCH_r*.json from the line alone instead
-    // of re-measuring (qd8 pin ~0.81–0.90, qt3 ~0.29–0.32, qm2
-    // ~0.15–0.17 s on a clean slot; see BASELINE.md). Trailing position
-    // keeps them inside the driver's ~2000-char output tail.
+    // of re-measuring. anchor_drift (round-12 ask #4) is the one-number
+    // adjudication: max over anchors of steady/pin — ≤ ~1.15 reads as
+    // a clean slot, anything above scales the heavy movers' expected
+    // times by roughly that factor before calling a regression.
     // per-element leading commas: an empty list can never leave a
     // trailing comma (invalid JSON for every BENCH_r*.json reader)
-    val anchors = anchorNames
-      .map(n => s""","anchor_$n":${d3(results(n)._2)}""").mkString
-    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"queries_steady":$qsSteady,"sf":"$sfDir","n_queries":${results.size},"total_sec":${d3(total)},"steady_sec":${d3(steady)}$anchors}""")
+    val anchors = anchorPins
+      .map { case (n, _) => s""","anchor_$n":${d3(results(n)._2)}""" }.mkString
+    val drift = anchorPins.map { case (n, pin) => results(n)._2 / pin }.max
+    println(s"""{"queries":$qs,"queries_steady":$qsSteady,""" +
+      s""""metric":"total","unit":"sec","sf":"$sfDir",""" +
+      s""""n_queries":${results.size},"n_reported":${ordered.size},""" +
+      s""""value":${d3(total)},"total_sec":${d3(total)},"steady_sec":${d3(steady)}""" +
+      anchors + s""","anchor_drift":${d3(drift)}}""")
     spark.stop()
   }
 }
