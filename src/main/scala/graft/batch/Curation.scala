@@ -63,7 +63,18 @@ object Curation {
       // exactly with a non-broadcast join. Result-identical to the
       // broadcast path (false positives die in the verify join) —
       // CurationSpec pins the equivalence.
-      bloomDecontam: Boolean = false)
+      bloomDecontam: Boolean = false,
+      // qd17's keep rule threaded into the composed chain (round-12
+      // ask #2): the BAND near-dedup seam keeps the per-bucket best
+      // under (quality DESC, doc_id ASC) — qt2's integer stopword
+      // quality, computed row-local inside the same pass-1 text scan —
+      // instead of min doc_id. One strict total order, so the same
+      // "survive iff best in every bucket" algebra as min-id (which IS
+      // this rule at uniform quality). The EXACT-dedup seam keeps
+      // min(doc_id) in both modes, provably the same decision:
+      // byte-identical text scores byte-identical quality, so the
+      // argmax tie always breaks to the min id anyway.
+      qualityCanonical: Boolean = false)
 
   /** Run the pipeline: `docs` (doc_id, source, text) and `eval`
     * (doc_id, text) → packed admitted docs
@@ -147,25 +158,51 @@ object Curation {
       // window (the old IF guard, now intrinsic)
       .withColumn("fps",
         graft.functions.GraftFunctions.span_fps(col("text"), 32, 16))
+    // qc5's keep signal rides the SAME pass-1 scan (row-local — the
+    // one-text-scan discipline holds); only computed when the quality
+    // keep rule is on, so the historical chains pay nothing
+    val sigQ = if (p.qualityCanonical)
+      sig0.withColumn("quality", TextOps.stopwordQualityOf(col("text")))
+    else sig0
     val keep = Seq(col("doc_id"), col("source"), col("n_tok"),
       col("content_key"), col("bands"), col("fps")) ++
-      (if (withPhash) Seq(col("phash")) else Nil)
-    val sig = (if (withPhash) Multimodal.withPhashN(sig0, phashBits) else sig0)
+      (if (withPhash) Seq(col("phash")) else Nil) ++
+      (if (p.qualityCanonical) Seq(col("quality")) else Nil)
+    val sig = (if (withPhash) Multimodal.withPhashN(sigQ, phashBits) else sigQ)
       .select(keep: _*)
       .localCheckpoint()
 
-    // exact dedup: min doc_id per content wins (qd1's rule)
+    // exact dedup: min doc_id per content wins (qd1's rule) — in BOTH
+    // keep modes: exact dups carry byte-identical text, hence
+    // identical quality, so the quality argmax ties to min id anyway
     val exactWin = sig.groupBy(col("content_key")).agg(min(col("doc_id")).as("doc_id"))
     val ex = sig.join(exactWin, Seq("content_key", "doc_id"))
 
-    // near dedup: a doc loses iff a smaller doc_id shares any band —
-    // computed per bucket (doc_id > bucket min), linear in hot buckets
-    val bk = ex.select(col("doc_id"), explode(col("bands")).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+    // near dedup: a doc loses iff a bucket-mate PRECEDES it in the
+    // keep order — (doc_id ASC) historically, (quality DESC, doc_id
+    // ASC) under qualityCanonical — equivalently, survive iff best in
+    // EVERY shared bucket; computed per bucket, linear in hot buckets
+    val bkCols = Seq(col("doc_id")) ++
+      (if (p.qualityCanonical) Seq(col("quality")) else Nil)
+    val bk = ex.select(bkCols :+ explode(col("bands")).as("b"): _*)
+      .withColumn("band", col("b.band")).withColumn("key", col("b.key"))
+      .drop("b")
       .filter(col("key").isNotNull)
-    val bmin = bk.groupBy(col("band"), col("key")).agg(min(col("doc_id")).as("min_id"))
-    val losers = bk.join(bmin, Seq("band", "key"))
-      .filter(col("doc_id") > col("min_id")).select(col("doc_id")).distinct()
+    val losers =
+      if (!p.qualityCanonical) {
+        val bmin = bk.groupBy(col("band"), col("key")).agg(min(col("doc_id")).as("min_id"))
+        bk.join(bmin, Seq("band", "key"))
+          .filter(col("doc_id") > col("min_id")).select(col("doc_id")).distinct()
+      } else {
+        // per-bucket argmax as ONE exact-integer struct min — ascending
+        // (−quality, doc_id) IS (quality DESC, doc_id ASC); same
+        // map-side-combining aggregate shape as the min-id rule
+        val bbest = bk.groupBy(col("band"), col("key")).agg(
+          min(struct((lit(0L) - col("quality")).as("nq"),
+            col("doc_id").as("id"))).as("best"))
+        bk.join(bbest, Seq("band", "key"))
+          .filter(col("doc_id") =!= col("best.id")).select(col("doc_id")).distinct()
+      }
     val deduped = ex.join(losers, Seq("doc_id"), "left_anti")
 
     // decontamination: eval emits stride-1 fingerprints (exact for any
@@ -225,6 +262,24 @@ object Curation {
     val ev = all.filter(pmod(col("doc_id"), lit(10)) === 7)
       .select(col("doc_id"), col("text"))
     admitted(corpus, ev, Params()).orderBy("doc_id")
+  }
+
+  /** qc5: [[qc1_curation]] under the QUALITY-CANONICAL keep rule
+    * (round-12 ask #2) — qd17's keep-the-best-copy decision threaded
+    * into the composed membrane: the band near-dedup seam keeps each
+    * bucket's (quality DESC, doc_id ASC) best instead of the min id,
+    * with qt2's integer stopword quality computed inside the same
+    * pass-1 scan. Everything else — quality gates, exact dedup,
+    * decontam, mixture — is qc1's chain verbatim, so the two results
+    * differ EXACTLY where quality displaced a keep (on the sf0.01
+    * fixture: doc 450 admitted in place of doc 92; CurationSpec pins
+    * displacement > 0 structurally). */
+  def qc5_quality_curation(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val all = graft.Tables.spread(graft.Tables.documents(s, d))
+    val corpus = all.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+    val ev = all.filter(pmod(col("doc_id"), lit(10)) === 7)
+      .select(col("doc_id"), col("text"))
+    admitted(corpus, ev, Params(qualityCanonical = true)).orderBy("doc_id")
   }
 
   /** qc2: MULTIMODAL curation — qc1's text chain plus the two other
@@ -411,13 +466,43 @@ object Curation {
     Map("qc1_curation" -> (qc1_curation _),
       "qc2_multimodal_curation" -> (qc2_multimodal_curation _),
       "qc3_semantic_balance" -> (qc3_semantic_balance _),
-      "qc4_multimodal_wide" -> (qc4_multimodal_wide _))
+      "qc4_multimodal_wide" -> (qc4_multimodal_wide _),
+      "qc5_quality_curation" -> (qc5_quality_curation _))
 
   /** The text-membrane CTE chain (corpus split → quality → exact/band
-    * dedup → span decontam), shared verbatim by the qc1 and qc2
-    * oracles so the two cannot desynchronize. Ends at `clean`. */
-  private val textChainSql =
-    """WITH corpus AS (
+    * dedup → span decontam), shared verbatim by the qc1/qc2/qc4/qc5
+    * oracles so they cannot desynchronize. Ends at `clean`.
+    * `qualityKeep` switches ONLY the band-dedup keep rule to qc5's
+    * (quality DESC, doc_id ASC) bucket argmax — the quality expression
+    * is qd17's oracle fragment verbatim (one formula, both engines);
+    * exact dedup stays MIN(doc_id) in both modes because identical
+    * text has identical quality, so the argmax provably ties to the
+    * min id. */
+  private def textChainSql(qualityKeep: Boolean): String = {
+    val qualityCol =
+      if (!qualityKeep) ""
+      else """,
+        |  CAST(floor(CAST(len(list_filter(string_split(lower(text), ' '),
+        |    t -> t IN ('the','and','of','a','to'))) AS BIGINT) * 100
+        |   / CAST(len(string_split(lower(text), ' ')) AS BIGINT)) AS BIGINT) AS quality""".stripMargin
+    val bandKeep =
+      if (!qualityKeep)
+        """bmin AS (SELECT band, key, MIN(doc_id) AS min_id FROM bands GROUP BY 1, 2),
+          |losers AS (
+          | SELECT DISTINCT b.doc_id FROM bands b JOIN bmin USING (band, key)
+          | WHERE b.doc_id > bmin.min_id),""".stripMargin
+      else
+        """bq AS (
+          | SELECT b.doc_id, b.band, b.key, p.quality
+          | FROM bands b JOIN pass p USING (doc_id)),
+          |bbest AS (
+          | SELECT band, key, doc_id AS best_id FROM bq
+          | QUALIFY row_number() OVER (PARTITION BY band, key
+          |   ORDER BY quality DESC, doc_id ASC) = 1),
+          |losers AS (
+          | SELECT DISTINCT bq.doc_id FROM bq JOIN bbest USING (band, key)
+          | WHERE bq.doc_id <> bbest.best_id),""".stripMargin
+    s"""WITH corpus AS (
         | SELECT doc_id, source, text FROM documents WHERE doc_id % 10 <> 7),
         |ev AS (SELECT text FROM documents WHERE doc_id % 10 = 7),
         |t AS (
@@ -435,7 +520,7 @@ object Curation {
         | FROM (SELECT *, list_transform(range(CAST(n_tok AS INT) - 1),
         |   i -> toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2]) AS bg FROM q)),
         |pass AS (
-        | SELECT doc_id, source, text, n_tok FROM qb
+        | SELECT doc_id, source, text, n_tok$qualityCol FROM qb
         | WHERE n_dup * 2 < n_tok AND max_bg * 100 // (n_tok - 1) <= 60),
         |exwin AS (SELECT md5(text) AS ck, MIN(doc_id) AS win FROM pass GROUP BY 1),
         |ex AS (SELECT p.* FROM pass p JOIN exwin w ON p.doc_id = w.win),
@@ -456,10 +541,7 @@ object Curation {
         | SELECT doc_id, 0 AS band, md5(h0 || h1 || h2) AS key FROM sigs
         | UNION ALL
         | SELECT doc_id, 1 AS band, md5(h3 || h4 || h5) AS key FROM sigs),
-        |bmin AS (SELECT band, key, MIN(doc_id) AS min_id FROM bands GROUP BY 1, 2),
-        |losers AS (
-        | SELECT DISTINCT b.doc_id FROM bands b JOIN bmin USING (band, key)
-        | WHERE b.doc_id > bmin.min_id),
+        |$bandKeep
         |dd AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
         |cfp AS (
         | SELECT DISTINCT doc_id, md5(substr(text, CAST(1 + 16 * i AS INT), 32)) AS fp
@@ -471,6 +553,7 @@ object Curation {
         |       FROM ev WHERE length(text) >= 32)),
         |cont AS (SELECT DISTINCT doc_id FROM cfp JOIN efp USING (fp)),
         |clean AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM cont))""".stripMargin
+  }
 
   /** Mixture tail over a named survivor CTE (qt8's hash admission). */
   private def mixtureTailSql(src: String) =
@@ -583,18 +666,23 @@ object Curation {
 
   val oracle: Map[String, String] = Map(
     "qc1_curation" ->
-      (textChainSql + ",\n" + mixtureTailSql("clean")),
+      (textChainSql(qualityKeep = false) + ",\n" + mixtureTailSql("clean")),
+    // qc5 = qc1's chain with the band-dedup keep rule at qd17's
+    // quality argmax — the ONLY difference between the two oracles is
+    // the parameterized keep fragment, the qc2/qc4 shared-chain pattern
+    "qc5_quality_curation" ->
+      (textChainSql(qualityKeep = true) + ",\n" + mixtureTailSql("clean")),
     // qc2 = the same text chain, then qm3's phash/band/cap CTEs over
     // `clean`, then qs3's centroid-cell assignment + cell-local cosine
     // pairs, then the same mixture tail
     "qc2_multimodal_curation" ->
-      (textChainSql + ",\n" +
+      (textChainSql(qualityKeep = false) + ",\n" +
         mediaMembraneSql(32, 8, Multimodal.PhashBandCap) + "\n" +
         multimodalTailSql),
     // qc4 = qc2 with the media membrane at the production pins:
     // 64-bit hash, 16-bit bands, the skew-sized hot cap
     "qc4_multimodal_wide" ->
-      (textChainSql + ",\n" +
+      (textChainSql(qualityKeep = false) + ",\n" +
         mediaMembraneSql(64, 16, Multimodal.PhashHotCap) + "\n" +
         multimodalTailSql),
     // qc3 = qs3's centroid-cell assignment over the whole embeddings

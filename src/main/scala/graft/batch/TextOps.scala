@@ -56,16 +56,37 @@ object TextOps {
     * cannot drift (tokenization, stopword list, and the integer
     * floor(n_stop·100/n_tok) formula all live HERE): adds
     * (toks, n_tok, n_stop) to a frame with a `text` column. */
+  /** THE stopword list — one definition feeding qt2, qd17 and the
+    * qc5 quality-canonical curation seam, so the quality signal can
+    * never drift between the standalone scorer, the cluster
+    * canonicalizer and the composed pipeline. */
+  private[batch] val Stopwords = Seq("the", "and", "of", "a", "to")
+
   private[batch] def withStopwordStats(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", split(lower(col("text")), " "))
       .withColumn("n_tok", size(col("toks")).cast("long"))
       .withColumn("n_stop",
-        size(filter(col("toks"), t => t.isin("the", "and", "of", "a", "to"))).cast("long"))
+        size(filter(col("toks"), t => t.isin(Stopwords: _*))).cast("long"))
 
   /** qt2/qd17's integer quality: floor(stopword-per-100-token rate). */
   private[batch] def stopwordQuality: Column =
     floor(col("n_stop") * 100 / col("n_tok"))
+
+  /** The same quality computed directly from a text column — identical
+    * raw-split tokenization, [[Stopwords]] list and floor formula as
+    * [[withStopwordStats]] + [[stopwordQuality]] — for callers whose
+    * scan pass already owns a DIFFERENT `toks` derivation and must not
+    * collide column names (Curation's pass 1, where `toks` is the
+    * empty-filtered split). Row-local; rides the caller's existing
+    * text scan. floor(double-division) is exact here: the quotient of
+    * two longs this size is ≥ 1/n_tok away from any integer it isn't
+    * exactly equal to, far beyond a double ulp. */
+  private[batch] def stopwordQualityOf(text: Column): Column = {
+    val raw = split(lower(text), " ")
+    floor(size(filter(raw, t => t.isin(Stopwords: _*))).cast("long") * 100 /
+      size(raw).cast("long"))
+  }
 
   def qt2_quality(s: SparkSession, d: String): DataFrame =
     withStopwordStats(Tables.documents(s, d))

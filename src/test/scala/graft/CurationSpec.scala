@@ -236,4 +236,33 @@ class CurationSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq
     assert(admittedIds == admittedIds, "two runs must admit identical doc sets")
   }
+
+  test("qualityCanonical displaces a band-dedup keep off the min id (qc5 vs qc1)") {
+    // two docs share their first 120 chars — identical shingle prefix,
+    // so identical MinHash bands (a constructed near-dup pair) — and
+    // diverge after: doc 1 adds no stopwords (quality 0), doc 2 adds
+    // five (quality > 0). Under qc1's min-id rule doc 1 keeps; under
+    // qc5's (quality DESC, id ASC) argmax doc 2 MUST displace it. A
+    // third unrelated doc pins that untouched docs ride through both
+    // modes identically.
+    val prefix = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega").take(140)
+    val docs = Seq(
+      (1L, "s", prefix + " mountain river forest stone cliff meadow"),
+      (2L, "s", prefix + " the apple and pear of plum a grape to peach"),
+      (5L, "s", "completely unrelated third document about maritime navigation " +
+        "charts compass sextant harbor lighthouse voyage")).toDF("doc_id", "source", "text")
+    val ev = Seq((99L, "disjoint eval sentence with zero shared windows whatsoever " +
+      "nothing here overlaps the corpus fixtures")).toDF("doc_id", "text")
+    def admits(p: Curation.Params) =
+      Curation.admitted(docs, ev, p).select("doc_id").as[Long].collect().toSet
+    val minId = admits(Curation.Params())
+    val quality = admits(Curation.Params(qualityCanonical = true))
+    assert(minId.contains(1L) && !minId.contains(2L),
+      s"min-id rule must keep doc 1: $minId")
+    assert(quality.contains(2L) && !quality.contains(1L),
+      s"quality rule must displace the keep to doc 2: $quality")
+    assert(minId.contains(5L) && quality.contains(5L),
+      "the unrelated doc must survive both modes")
+  }
 }
