@@ -151,17 +151,32 @@ object IvfIndex {
 
   def build(emb: DataFrame, dir: String, nCells: Int, assign: Int = 1,
       int8: Boolean = false): Unit = {
+    val rows = writeLayout(emb, dir, nCells, assign, int8)
+    val quant = if (int8) "int8" else "float32"
+    writeMeta(emb.sparkSession, dir, metaJson(nCells, assign, quant, ver = 1, rows))
+  }
+
+  /** The centroid-sample + assign + (optional) quantize + write
+    * pipeline, shared by [[build]] and [[rebuild]]'s snapshot phase so
+    * a rebuilt layout can never diverge from a fresh one. Returns the
+    * cell ROW count (rows = vectors × assign for float; ≤ that for
+    * int8, which drops unquantizable zero vectors) — a metadata-only
+    * parquet count over the files just written, recorded in meta.json
+    * so [[rebuildIfGrown]]'s growth ratio needs no full scan. */
+  private def writeLayout(emb: DataFrame, dir: String, nCells: Int,
+      assign: Int, int8: Boolean): Long = {
     val nm = withNorm(emb)
     val cents = sampleCentroids(nm, nCells)
     cents.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
-
     val assigned = assignCells(nm, cents, assign)
     val cells = if (int8) toInt8Cells(assigned) else assigned
     cells.write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$dir/cells")
-    val quant = if (int8) "int8" else "float32"
-    writeMeta(emb.sparkSession, dir,
-      s"""{"nCells":$nCells,"assign":$assign,"quant":"$quant"}""")
+    emb.sparkSession.read.parquet(s"$dir/cells").count()
   }
+
+  private def metaJson(nCells: Int, assign: Int, quant: String, ver: Long,
+      rows: Long): String =
+    s"""{"nCells":$nCells,"assign":$assign,"quant":"$quant","ver":$ver,"rows":$rows}"""
 
   /** The int8 cell projection, shared by [[build]] and [[appendBatch]]
     * so an append can never write the wrong layout: the float
@@ -229,19 +244,26 @@ object IvfIndex {
     * meta.json read per operation — a second read per field would
     * double the remote-FS round trips (two GETs per search on s3a) and
     * let a concurrent rebuild serve the two fields from DIFFERENT
-    * index generations. `quant` defaults to "float32" when the field
-    * predates this round (float was the only historical layout). */
-  private case class Meta(assign: Int, quant: String)
+    * index generations. `quant` defaults to "float32", `ver` to 1 and
+    * `rows` to 0 when the fields predate them (pre-round-13 layouts;
+    * rows = 0 makes [[rebuildIfGrown]] treat the index as
+    * unconditionally due, the safe direction for an un-annotated
+    * layout). */
+  private[graft] case class Meta(nCells: Int, assign: Int, quant: String,
+      ver: Long, rows: Long)
 
-  private def metaOf(spark: SparkSession, dir: String): Meta = {
+  private def longField(txt: String, field: String): Option[Long] =
+    s""""$field"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+
+  private[graft] def metaOf(spark: SparkSession, dir: String): Meta = {
     val txt = metaText(spark, dir)
-    val assign = """"assign"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
-      .map(_.group(1).toInt)
+    val assign = longField(txt, "assign").map(_.toInt)
       .getOrElse(throw new IllegalStateException(
         s"""$dir/meta.json has no "assign" field: $txt"""))
     val quant = """"quant"\s*:\s*"(\w+)"""".r.findFirstMatchIn(txt)
       .map(_.group(1)).getOrElse("float32")
-    Meta(assign, quant)
+    Meta(longField(txt, "nCells").map(_.toInt).getOrElse(0), assign, quant,
+      longField(txt, "ver").getOrElse(1L), longField(txt, "rows").getOrElse(0L))
   }
 
   /** Incremental maintenance: assign a NEW batch of (vec_id, embedding)
@@ -256,11 +278,139 @@ object IvfIndex {
     * into an int8 index quantizes the batch ([[toInt8Cells]]); it can
     * never mix float rows into a quantized layout. */
   def appendBatch(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
+    recoverRebuild(spark, dir)
     val meta = metaOf(spark, dir)
     val cents = spark.read.parquet(s"$dir/centroids")
     val assigned = assignCells(withNorm(batch), cents, meta.assign)
     val rows = if (meta.quant == "int8") toInt8Cells(assigned) else assigned
     rows.write.mode(SaveMode.Append).partitionBy("cell").parquet(s"$dir/cells")
+  }
+
+  // ------------------------------------------------------ rebuild cadence
+  // An append-mostly corpus ages its index: appendBatch lands new
+  // vectors in the nearest EXISTING cells, so occupancy grows linearly
+  // while C stays pinned at build-time √N — per-probe candidate cost
+  // rises as appended/built, and recall drifts as the frozen centroids
+  // stop describing the corpus (AnnScaleBench's `aged` arm measures
+  // both). This is the persisted-index form of the requantize rule the
+  // streaming membrane already has (EmbedIngest.requantize): auto-size
+  // C = ⌈√n⌉ from the CURRENT corpus, rebuild crash-safely in place,
+  // version the meta. Reference anchor: the supervisor's hot-reload
+  // discipline (Prensas.py:861-947) — the index must follow the corpus.
+
+  /** Crash-safe in-place rebuild from `corpus`, the source-of-truth
+    * (vec_id, embedding) table — REQUIRED even for float layouts so
+    * the rule is uniform and an int8 layout (whose cells are lossy,
+    * 1 B/dim) can never be rebuilt from its own rounded bytes.
+    * Preserves the layout CONTRACT (assign, quant) — only centroids,
+    * assignment, C and the meta version move — which is what makes the
+    * install's meta-last write safe: a crash after the renames but
+    * before the meta write leaves a stale-ver meta whose semantic
+    * fields still describe the installed layout.
+    *
+    * `nCells ≤ 0` auto-sizes C = ⌈√n⌉ over the corpus (EmbedIngest's
+    * rule, without its never-shrink floor: a fresh build at the same
+    * corpus uses exactly ⌈√n⌉, and IvfIndexSpec pins rebuild ≡ fresh
+    * bit-for-bit — content-addressed sampleCentroids makes the two
+    * pick identical centroids).
+    *
+    * Two-phase like EmbedIngest.requantize: the full snapshot
+    * (centroids + cells + next meta) lands in an invisible dot-dir, a
+    * commit marker is created, and only then is the live layout
+    * touched. Crash before the marker → the next entry point discards
+    * the partial snapshot; after it → [[recoverRebuild]] (run at every
+    * entry) finishes the install, each step conditional on its tmp
+    * subpath so resumption is idempotent. Single-writer, like the
+    * whole layout. */
+  def rebuild(spark: SparkSession, dir: String, corpus: DataFrame,
+      nCells: Int = 0): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    recoverRebuild(spark, dir)
+    val meta = metaOf(spark, dir)
+    val c =
+      if (nCells > 0) nCells
+      else math.ceil(math.sqrt(corpus.count().toDouble)).toInt
+    writeRebuildSnapshot(spark, dir, corpus, c, meta)
+    installRebuild(fs, root)
+  }
+
+  /** Phase 1: the committed-but-not-installed snapshot (split out so
+    * IvfIndexSpec can pin the crash window between commit and
+    * install). The snapshot's meta.json is written INSIDE the tmp dir
+    * and installed last. */
+  private[graft] def writeRebuildSnapshot(spark: SparkSession, dir: String,
+      corpus: DataFrame, nCells: Int, meta: Meta): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(root, ".rebuild_tmp")
+    if (fs.exists(tmp)) require(fs.delete(tmp, true),
+      s"rebuild: could not clear stale snapshot $tmp")
+    val rows = writeLayout(corpus, tmp.toString, nCells,
+      meta.assign, meta.quant == "int8")
+    writeMeta(spark, tmp.toString,
+      metaJson(nCells, meta.assign, meta.quant, meta.ver + 1, rows))
+    val o = fs.create(new org.apache.hadoop.fs.Path(tmp, "_GRAFT_COMMIT"), true)
+    o.close()
+  }
+
+  /** Phase 2: install a committed snapshot — centroids, cells, then
+    * meta LAST (the version bump is the final commit point). Every
+    * step is conditional on its tmp subpath still existing, so a crash
+    * anywhere inside is resumed by re-running. */
+  private def installRebuild(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(root, ".rebuild_tmp")
+    for (part <- Seq("centroids", "cells")) {
+      val src = new org.apache.hadoop.fs.Path(tmp, part)
+      if (fs.exists(src)) {
+        val dst = new org.apache.hadoop.fs.Path(root, part)
+        if (fs.exists(dst)) require(fs.delete(dst, true),
+          s"rebuild: could not retire old $dst")
+        require(fs.rename(src, dst), s"rebuild: could not install $part from $src")
+      }
+    }
+    val srcMeta = new org.apache.hadoop.fs.Path(tmp, "meta.json")
+    if (fs.exists(srcMeta)) {
+      val dstMeta = new org.apache.hadoop.fs.Path(root, "meta.json")
+      if (fs.exists(dstMeta)) require(fs.delete(dstMeta, false),
+        s"rebuild: could not retire old $dstMeta")
+      require(fs.rename(srcMeta, dstMeta),
+        s"rebuild: could not install meta from $srcMeta")
+    }
+    require(fs.delete(tmp, true), s"rebuild: could not clear $tmp")
+  }
+
+  /** Finish (or discard) a rebuild interrupted by a crash: a committed
+    * snapshot is installed, an uncommitted one discarded. Run at every
+    * entry point ([[search]], [[searchInt8]], [[appendBatch]],
+    * [[rebuild]]) — one existence probe when idle. */
+  private[graft] def recoverRebuild(spark: SparkSession, dir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(root, ".rebuild_tmp")
+    if (!fs.exists(tmp)) return
+    if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_GRAFT_COMMIT")))
+      installRebuild(fs, root)
+    else require(fs.delete(tmp, true),
+      s"rebuild: could not discard uncommitted snapshot $tmp")
+  }
+
+  /** The cadence rule: rebuild when the cell layout has grown to
+    * `factor` × its meta-recorded row count at last (re)build — the
+    * growth check is a metadata-only parquet count (footer row counts,
+    * no data IO), so calling this on every maintenance tick is cheap.
+    * Returns whether a rebuild ran. A pre-round-13 meta (rows = 0)
+    * rebuilds unconditionally, the safe direction: it gains the
+    * annotated meta in the process. */
+  def rebuildIfGrown(spark: SparkSession, dir: String, corpus: DataFrame,
+      factor: Double = 2.0): Boolean = {
+    recoverRebuild(spark, dir)
+    val meta = metaOf(spark, dir)
+    val rowsNow = spark.read.parquet(s"$dir/cells").count()
+    val due = rowsNow >= factor * meta.rows
+    if (due) rebuild(spark, dir, corpus)
+    due
   }
 
   /** Top-k cosine neighbors for each (vec_id, embedding) query row,
@@ -270,6 +420,7 @@ object IvfIndex {
     * directories. Output: (qid, rank, neighbor_id, rcos). */
   def search(spark: SparkSession, dir: String, queries: DataFrame,
              k: Int, nProbe: Int): DataFrame = {
+    recoverRebuild(spark, dir) // half-installed rebuild → finish first
     val meta = metaOf(spark, dir)
     if (meta.quant != "float32") throw new IllegalStateException(
       s"$dir stores ${meta.quant} cells — use searchInt8 (float search would misread the layout)")
@@ -319,6 +470,7 @@ object IvfIndex {
     * unchanged at the rungs (BASELINE.md). */
   def searchInt8(spark: SparkSession, dir: String, queries: DataFrame,
       corpus: DataFrame, k: Int, nProbe: Int, rescore: Int): DataFrame = {
+    recoverRebuild(spark, dir) // half-installed rebuild → finish first
     val meta = metaOf(spark, dir)
     if (meta.quant != "int8") throw new IllegalStateException(
       s"$dir stores ${meta.quant} cells — searchInt8 needs an int8 layout (build with int8 = true)")

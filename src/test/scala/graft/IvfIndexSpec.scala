@@ -265,4 +265,78 @@ class IvfIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val b = spark.read.parquet(s"$d2/centroids").select("cid").collect().map(_.getLong(0)).sorted
     assert(a.sameElements(b))
   }
+
+  // -------------------- round-13: the aging answer (VERDICT r12 ask #1)
+
+  private def searchSet(d: String, p: Int) =
+    IvfIndex.search(spark, d, queries, k = 3, nProbe = p)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+  test("rebuild ≡ fresh build: aged index re-celled in place matches a from-scratch index") {
+    val aged = Files.createTempDirectory("ivf_aged").toString
+    val first = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val rest = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    IvfIndex.build(first, aged, nCells = 8) // undersized C for the full corpus
+    IvfIndex.appendBatch(spark, aged, rest)
+    IvfIndex.rebuild(spark, aged, corpus = emb) // auto-size C = ⌈√n⌉
+    val fresh = Files.createTempDirectory("ivf_fresh").toString
+    val c = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+    IvfIndex.build(emb, fresh, nCells = c)
+    // identical quantizer (content-addressed sample at the same C) ⇒
+    // identical layout ⇒ identical search at any probe width
+    val ca = spark.read.parquet(s"$aged/centroids").select("cid")
+      .collect().map(_.getLong(0)).sorted
+    val cf = spark.read.parquet(s"$fresh/centroids").select("cid")
+      .collect().map(_.getLong(0)).sorted
+    assert(ca.sameElements(cf), "rebuild must pick the fresh build's centroids")
+    assert(searchSet(aged, 4) == searchSet(fresh, 4))
+    // the meta is versioned and re-annotated
+    val meta = IvfIndex.metaOf(spark, aged)
+    assert(meta.ver == 2 && meta.nCells == c && meta.rows == emb.count(), meta.toString)
+  }
+
+  test("rebuild preserves the layout contract: an int8 q=2 index stays int8 q=2") {
+    val d = Files.createTempDirectory("ivf_i8_rb").toString
+    IvfIndex.build(emb.limit(400), d, nCells = 8, assign = 2, int8 = true)
+    IvfIndex.rebuild(spark, d, corpus = emb.limit(400), nCells = 8)
+    val meta = IvfIndex.metaOf(spark, d)
+    assert(meta.assign == 2 && meta.quant == "int8" && meta.ver == 2, meta.toString)
+    assert(spark.read.parquet(s"$d/cells").columns.sorted.toSeq ==
+      Seq("cell", "nrm", "q8", "scale", "vec_id"))
+  }
+
+  test("crash between rebuild commit and install: next entry finishes it; uncommitted snapshots are discarded") {
+    val d = Files.createTempDirectory("ivf_crash").toString
+    IvfIndex.build(emb.limit(400), d, nCells = 4)
+    // committed snapshot, install never ran (the crash window)
+    IvfIndex.writeRebuildSnapshot(spark, d, emb.limit(400), nCells = 8,
+      IvfIndex.metaOf(spark, d))
+    assert(IvfIndex.metaOf(spark, d).nCells == 4, "live layout untouched pre-install")
+    // any entry point recovers: search installs the snapshot first
+    IvfIndex.search(spark, d, queries.limit(2), k = 2, nProbe = 2).collect()
+    val meta = IvfIndex.metaOf(spark, d)
+    assert(meta.nCells == 8 && meta.ver == 2, meta.toString)
+    assert(!new java.io.File(s"$d/.rebuild_tmp").exists)
+    // an UNCOMMITTED snapshot (no marker — crash mid-write) is discarded
+    val tmp = new java.io.File(s"$d/.rebuild_tmp/centroids")
+    tmp.mkdirs()
+    IvfIndex.search(spark, d, queries.limit(2), k = 2, nProbe = 2).collect()
+    assert(!new java.io.File(s"$d/.rebuild_tmp").exists, "partial snapshot must be discarded")
+    assert(IvfIndex.metaOf(spark, d).ver == 2, "discard must not touch the live layout")
+  }
+
+  test("rebuildIfGrown: cadence fires at the growth factor, not before") {
+    val d = Files.createTempDirectory("ivf_grow").toString
+    val half = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    IvfIndex.build(half, d, nCells = 8)
+    // no growth yet → no rebuild
+    assert(!IvfIndex.rebuildIfGrown(spark, d, half, factor = 2.0))
+    assert(IvfIndex.metaOf(spark, d).ver == 1)
+    // doubling the layout crosses factor 2 → rebuild runs, auto-sized
+    IvfIndex.appendBatch(spark, d, emb.filter(pmod(col("vec_id"), lit(2)) === 1))
+    assert(IvfIndex.rebuildIfGrown(spark, d, emb, factor = 2.0))
+    val meta = IvfIndex.metaOf(spark, d)
+    assert(meta.ver == 2 &&
+      meta.nCells == math.ceil(math.sqrt(emb.count().toDouble)).toInt, meta.toString)
+  }
 }
