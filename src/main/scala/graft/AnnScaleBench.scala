@@ -46,6 +46,16 @@ object AnnScaleBench {
     df.withColumn("nrm",
       sqrt(GraftFunctions.vec_dot(col("embedding"), col("embedding"))))
 
+  /** Recursive local delete for the mutable-arm index dirs (the aged
+    * index and the handoff membrane must start each RUN fresh). Local
+    * java.io is fine here — the rungs live under a local scale dir by
+    * contract, like [[main]]'s dirBytes walker. */
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(rmTree))
+    f.delete()
+    ()
+  }
+
   /** IvfScaleBench.plantTwins, re-stated for the QUERY side: the twin
     * keeps the base's id + plantOffset so the expected neighbor is
     * recoverable by subtraction. Seed-free (hash-parity signs).
@@ -210,10 +220,7 @@ object AnnScaleBench {
         val firstRung = scales.head
         if (n == firstRung) {
           val f = new java.io.File(agedDir)
-          def rm(x: java.io.File): Unit = {
-            Option(x.listFiles).foreach(_.foreach(rm)); x.delete(); ()
-          }
-          if (f.exists) rm(f)
+          if (f.exists) rmTree(f)
           IvfIndex.build(Tables.embeddings(spark, dir), agedDir, nCells, assign = 2)
         } else {
           // the rungs are nested by construction (replica k's ids sit in
@@ -256,10 +263,7 @@ object AnnScaleBench {
       if (armsWanted("handoff") && n == scales.last) {
         val memDir = s"$dir/embed_membrane_r13"
         val f = new java.io.File(memDir)
-        def rm(x: java.io.File): Unit = {
-          Option(x.listFiles).foreach(_.foreach(rm)); x.delete(); ()
-        }
-        if (f.exists) rm(f)
+        if (f.exists) rmTree(f)
         graft.stream.EmbedIngest.init(spark, memDir,
           IvfIndex.sampleCentroids(embRaw, nCells))
         val nB = 16

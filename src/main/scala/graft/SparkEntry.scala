@@ -73,8 +73,9 @@ object SparkEntry {
       out.append(
         if (hm.group(2) != null) headText // column-list head: inlined
         else headText.replaceFirst("(?is)AS\\s*\\(\\z", "AS MATERIALIZED ("))
-      // skip the balanced CTE body; single-quoted literals may hold
-      // parens ('' is the in-literal escape)
+      // skip the balanced CTE body; parens inside single-quoted
+      // literals ('' escape), double-quoted identifiers, and `--`
+      // line comments must not move the depth counter
       var j = hm.end()
       var depth = 1
       while (depth > 0 && j < sql.length) {
@@ -88,6 +89,12 @@ object SparkEntry {
                 else { closed = true; j += 1 }
               } else j += 1
             }
+          case '"' =>
+            j += 1
+            while (j < sql.length && sql.charAt(j) != '"') j += 1
+            if (j < sql.length) j += 1
+          case '-' if j + 1 < sql.length && sql.charAt(j + 1) == '-' =>
+            while (j < sql.length && sql.charAt(j) != '\n') j += 1
           case '(' => depth += 1; j += 1
           case ')' => depth -= 1; j += 1
           case _ => j += 1

@@ -481,10 +481,7 @@ object Curation {
   private def textChainSql(qualityKeep: Boolean): String = {
     val qualityCol =
       if (!qualityKeep) ""
-      else """,
-        |  CAST(floor(CAST(len(list_filter(string_split(lower(text), ' '),
-        |    t -> t IN ('the','and','of','a','to'))) AS BIGINT) * 100
-        |   / CAST(len(string_split(lower(text), ' ')) AS BIGINT)) AS BIGINT) AS quality""".stripMargin
+      else s", ${T.StopwordQualitySql} AS quality"
     val bandKeep =
       if (!qualityKeep)
         """bmin AS (SELECT band, key, MIN(doc_id) AS min_id FROM bands GROUP BY 1, 2),

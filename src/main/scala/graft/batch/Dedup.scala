@@ -1159,10 +1159,7 @@ object Dedup {
       s"""WITH RECURSIVE $shingleSql,
          |$clusterLabelsSql,
          |q AS (
-         | SELECT doc_id AS id,
-         |  CAST(floor(CAST(len(list_filter(string_split(lower(text), ' '),
-         |    t -> t IN ('the','and','of','a','to'))) AS BIGINT) * 100
-         |   / CAST(len(string_split(lower(text), ' ')) AS BIGINT)) AS BIGINT) AS quality
+         | SELECT doc_id AS id, ${TextOps.StopwordQualitySql} AS quality
          | FROM documents),
          |m AS (SELECT l.cluster_id, l.id, q.quality
          |      FROM labels l JOIN q ON l.id = q.id),

@@ -331,8 +331,12 @@ object IvfIndex {
     val c =
       if (nCells > 0) nCells
       else math.ceil(math.sqrt(corpus.count().toDouble)).toInt
-    writeRebuildSnapshot(spark, dir, corpus, c, meta)
-    installRebuild(fs, root)
+    // same per-dir monitor as recoverRebuild: a reader that spots the
+    // committed snapshot mid-rebuild must not race this install
+    rebuildLocks.getOrElseUpdate(dir, new Object).synchronized {
+      writeRebuildSnapshot(spark, dir, corpus, c, meta)
+      installRebuild(fs, root)
+    }
   }
 
   /** Phase 1: the committed-but-not-installed snapshot (split out so
@@ -381,6 +385,17 @@ object IvfIndex {
     require(fs.delete(tmp, true), s"rebuild: could not clear $tmp")
   }
 
+  // recovery runs on the READ path (every search may finish a crashed
+  // rebuild), so two concurrent readers must not race the unguarded
+  // delete/rename sequence in installRebuild — the loser's
+  // require(delete(dst)) would remove the winner's freshly installed
+  // cells with the tmp copy already consumed (data loss, not just a
+  // spurious failure). All layout mutation happens on the driver, so a
+  // per-dir JVM monitor closes the realistic race; cross-JVM writers
+  // remain the documented single-writer contract.
+  private val rebuildLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
   /** Finish (or discard) a rebuild interrupted by a crash: a committed
     * snapshot is installed, an uncommitted one discarded. Run at every
     * entry point ([[search]], [[searchInt8]], [[appendBatch]],
@@ -389,11 +404,14 @@ object IvfIndex {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new org.apache.hadoop.fs.Path(root, ".rebuild_tmp")
-    if (!fs.exists(tmp)) return
-    if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_GRAFT_COMMIT")))
-      installRebuild(fs, root)
-    else require(fs.delete(tmp, true),
-      s"rebuild: could not discard uncommitted snapshot $tmp")
+    if (!fs.exists(tmp)) return // cheap un-locked probe for the idle path
+    rebuildLocks.getOrElseUpdate(dir, new Object).synchronized {
+      if (!fs.exists(tmp)) return // a concurrent recover finished it
+      if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_GRAFT_COMMIT")))
+        installRebuild(fs, root)
+      else require(fs.delete(tmp, true),
+        s"rebuild: could not discard uncommitted snapshot $tmp")
+    }
   }
 
   /** The cadence rule: rebuild when the cell layout has grown to
@@ -502,7 +520,7 @@ object IvfIndex {
     // code falls back to the full scan + broadcast-funnel join rather
     // than collecting unbounded ids onto the driver.
     val idLimit = spark.conf.getOption("spark.graft.rescoreIdLimit")
-      .map(_.toInt).getOrElse(20000)
+      .flatMap(_.toIntOption).getOrElse(20000) // tolerant: bad conf ≠ broken search
     val ids = funnel.select(col("vec_id")).distinct()
       .limit(idLimit + 1).collect().map(_.getLong(0)).sorted
     val corpusSrc =

@@ -49,19 +49,20 @@ object TextOps {
       .orderBy("lang", "predicted")
   }
 
-  /** qt2: quality scoring — integer-exact metrics (token count,
-    * stopword count, mean token length), bucketed. */
-  /** The stopword stats behind qt2's quality score, shared with
-    * [[Dedup.qd17_quality_canonical]]'s keep decision so the two
-    * cannot drift (tokenization, stopword list, and the integer
-    * floor(n_stop·100/n_tok) formula all live HERE): adds
-    * (toks, n_tok, n_stop) to a frame with a `text` column. */
+  // qt2: quality scoring — integer-exact metrics (token count,
+  // stopword count, mean token length), bucketed.
+
   /** THE stopword list — one definition feeding qt2, qd17 and the
     * qc5 quality-canonical curation seam, so the quality signal can
     * never drift between the standalone scorer, the cluster
     * canonicalizer and the composed pipeline. */
   private[batch] val Stopwords = Seq("the", "and", "of", "a", "to")
 
+  /** The stopword stats behind qt2's quality score, shared with
+    * [[Dedup.qd17_quality_canonical]]'s keep decision so the two
+    * cannot drift (tokenization, stopword list, and the integer
+    * floor(n_stop·100/n_tok) formula all live HERE): adds
+    * (toks, n_tok, n_stop) to a frame with a `text` column. */
   private[batch] def withStopwordStats(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", split(lower(col("text")), " "))
@@ -87,6 +88,18 @@ object TextOps {
     floor(size(filter(raw, t => t.isin(Stopwords: _*))).cast("long") * 100 /
       size(raw).cast("long"))
   }
+
+  /** The DuckDB restatement of [[stopwordQualityOf]] over a `text`
+    * column — ONE fragment shared by the qd17 and qc5 oracles (and the
+    * [[Stopwords]] list is interpolated, not restated), so the SQL
+    * side of the quality signal is as drift-proof as the Scala side.
+    * `//`-style integer division is avoided: floor of the BIGINT-cast
+    * double division matches Spark's floor(long·100 / long) exactly
+    * for non-negative counts. */
+  private[batch] val StopwordQualitySql: String =
+    "CAST(floor(CAST(len(list_filter(string_split(lower(text), ' '), " +
+      s"t -> t IN (${Stopwords.map(w => s"'$w'").mkString(",")}))) AS BIGINT) * 100 " +
+      "/ CAST(len(string_split(lower(text), ' ')) AS BIGINT)) AS BIGINT)"
 
   def qt2_quality(s: SparkSession, d: String): DataFrame =
     withStopwordStats(Tables.documents(s, d))

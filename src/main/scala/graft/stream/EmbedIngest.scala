@@ -179,6 +179,11 @@ object EmbedIngest {
       }
     writeRequantSnapshot(s, dir, c, upTo)
     installRequant(fs, root, upTo)
+    // every install site invalidates the cached quantizer dim — the
+    // recoverRequant path does the same; the invariant is "the cache
+    // never outlives the artifact it describes", not "the dim happens
+    // to be invariant today"
+    dimCache.remove(dir)
   }
 
   /** Phase 1: the committed-but-not-installed snapshot (split from
@@ -374,8 +379,11 @@ object EmbedIngest {
       // spark.graft.embedIngest.strictBringup=false downgrades
       // bring-up to the established-corpus behavior: warn, drop the
       // rows, and let [[rejectionLedger]] attribute them `malformed`.
+      // tolerant parse: a malformed value ("0", "yes") must not throw
+      // inside foreachBatch — that would BE the replay poison pill this
+      // flag exists to avoid; unparseable defaults to strict
       val strict = s.conf.getOption("spark.graft.embedIngest.strictBringup")
-        .forall(_.toBoolean)
+        .flatMap(_.toBooleanOption).getOrElse(true)
       if (!EpochFold.hasDataFiles(s, s"$dir/cells") && strict)
         throw new IllegalStateException(
           s"EmbedIngest: quantizer at $dir has dim $cdim but NO batch row matches " +

@@ -73,6 +73,14 @@ class OracleSqlSpec extends AnyFunSuite {
     // a statement with no WITH prefix is returned verbatim
     val plain = "SELECT a AS (FROM_IS_INVALID) -- not really SQL"
     assert(SparkEntry.materializeCtes(plain) eq plain)
+    // parens inside `--` comments and double-quoted identifiers must
+    // not move the body-walk depth counter (a ')' in a comment would
+    // otherwise end the body early and rewrite mid-body text)
+    val cmt = SparkEntry.materializeCtes(
+      "WITH a AS (SELECT 1 -- note: closes )\n , x AS (SELECT 9)\n)," +
+        " b AS (SELECT \"weird ) name\" FROM t) SELECT * FROM b")
+    assert(cmt.contains("a AS MATERIALIZED (") && cmt.contains("b AS MATERIALIZED ("), cmt)
+    assert(!cmt.contains("x AS MATERIALIZED"), cmt) // mid-body, inside a's parens
   }
 
   test("the rewrite never corrupts a WINDOW clause (over-rewrite guard)") {
