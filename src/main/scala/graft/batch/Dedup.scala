@@ -555,6 +555,65 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  /** qd18: leakage-safe train/val/test split — assign every document a
+    * split by hashing its DUP-CLUSTER id ([[dupLabels]] — qd6's exact
+    * graph; singletons are their own cluster), not its own id, so no
+    * near-dup pair ever spans splits: hashing doc ids directly leaks
+    * duplicated content from train into eval (the canonical
+    * train/test-contamination bug — memorized near-dups inflate eval),
+    * while the cluster hash makes the split CLOSED under the dup
+    * relation by construction. Buckets: md5(cluster_id) % 100 →
+    * <80 train, <90 val, else test.
+    *
+    * The output is the per-split audit a pipeline records: doc/cluster
+    * counts, an id checksum, and `n_leaky_edges_naive` — how many
+    * near-dup STAR edges (member ↔ component label, linear in members,
+    * never the cluster clique) the naive doc-hash split WOULD have cut
+    * across splits. > 0 on any corpus with dups; the cluster rule's
+    * own cross-split edge count is structurally zero (spec-asserted,
+    * not a constant output column). Reference analog: the per-station
+    * partition of work (Prensas.py:186-199) — identity-keyed sharding,
+    * here lifted to content-cluster identity.
+    *
+    * Scale shape: one corpus map-pass for buckets; the graph side is
+    * qd6's (already pair-space-bounded); the audit joins star edges to
+    * the checkpointed per-doc split frame twice by id — broadcast-size
+    * per-split aggregates out. */
+  def qd18_leakage_split(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    // reused by membership AND the star-edge audit — checkpoint, or the
+    // pointer-jump loop's lineage re-executes per consumer
+    val labels = dupLabels(s, d).localCheckpoint()
+    def bucket(c: Column): Column = pmod(
+      conv(substring(md5(c.cast("string").cast("binary")), 1, 6), 16, 10).cast("long"),
+      lit(100))
+    def splitOf(b: Column): Column =
+      when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    val sp = docs.join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
+      .withColumn("split", splitOf(bucket(col("cluster_id"))))
+      .withColumn("naive_split", splitOf(bucket(col("doc_id"))))
+      .select("doc_id", "cluster_id", "split", "naive_split")
+      .localCheckpoint() // feeds the per-split agg + both audit joins
+    val edges = labels.filter(col("id") =!= col("label"))
+    val leak = edges
+      .join(sp.select(col("doc_id").as("id"), col("split"),
+        col("naive_split").as("m_naive")), "id")
+      .join(sp.select(col("doc_id").as("label"),
+        col("naive_split").as("c_naive")), "label")
+      .groupBy(col("split"))
+      .agg(sum(when(col("m_naive") =!= col("c_naive"), 1L).otherwise(0L))
+        .as("n_leaky_edges_naive"))
+    sp.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"),
+        sum(col("doc_id")).as("id_checksum"))
+      .join(leak, Seq("split"), "left")
+      .select(col("split"), col("n_docs"), col("n_clusters"), col("id_checksum"),
+        coalesce(col("n_leaky_edges_naive"), lit(0L)).as("n_leaky_edges_naive"))
+      .orderBy("split")
+  }
+
   /** qd7: eval-set decontamination — the cross-set variant of
     * [[qd4_ngram_jaccard]] that an actual pretraining pipeline runs
     * before training: flag corpus documents sharing word shingles with
@@ -911,7 +970,8 @@ object Dedup {
     "qd15_cell_recall" -> (qd15_cell_recall _),
     "qd16_ivf_neardup" -> (qd16_ivf_neardup _),
     "qd6_dup_clusters" -> (qd6_dup_clusters _),
-    "qd17_quality_canonical" -> (qd17_quality_canonical _))
+    "qd17_quality_canonical" -> (qd17_quality_canonical _),
+    "qd18_leakage_split" -> (qd18_leakage_split _))
 
   private val shingleSql =
     s"""shingles AS (
@@ -1152,6 +1212,42 @@ object Dedup {
          | s.cluster_size
          |FROM labels l JOIN sizes s ON l.cluster_id = s.cluster_id
          |ORDER BY doc_id""".stripMargin,
+    // qd18: qd6's exact graph again (the shared labels fragment), split
+    // = md5(cluster_id) % 100 banded 80/10/10; the leakage audit walks
+    // STAR edges (id ↔ cluster_id), never the cluster clique. sp is
+    // hand-MATERIALIZED (three references; the materializer skips
+    // RECURSIVE statements, and only the self-referencing reach CTE is
+    // barred from MATERIALIZED — labels itself stays shared text).
+    "qd18_leakage_split" ->
+      s"""WITH RECURSIVE $shingleSql,
+         |$clusterLabelsSql,
+         |members AS MATERIALIZED (
+         | SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+         | FROM documents d LEFT JOIN labels l ON d.doc_id = l.id),
+         |sp AS MATERIALIZED (
+         | SELECT doc_id, cluster_id,
+         |  CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 80 THEN 'train'
+         |       WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 80 THEN 'train'
+         |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS naive_split
+         | FROM members),
+         |leak AS (
+         | SELECT m.split,
+         |  CAST(SUM(CASE WHEN m.naive_split <> c.naive_split THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_leaky_edges_naive
+         | FROM labels l JOIN sp m ON l.id = m.doc_id JOIN sp c ON l.cluster_id = c.doc_id
+         | WHERE l.id <> l.cluster_id GROUP BY 1),
+         |agg AS (
+         | SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+         | FROM sp GROUP BY 1)
+         |SELECT a.split, a.n_docs, a.n_clusters, a.id_checksum,
+         | COALESCE(k.n_leaky_edges_naive, CAST(0 AS BIGINT)) AS n_leaky_edges_naive
+         |FROM agg a LEFT JOIN leak k ON a.split = k.split
+         |ORDER BY a.split""".stripMargin,
     // qd17: qd6's exact graph (one shared labels fragment — the two
     // oracles cannot drift), keep = per-cluster argmax by qt2's integer
     // stopword-ratio quality (tie → min id)

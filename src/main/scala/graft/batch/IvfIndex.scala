@@ -149,11 +149,21 @@ object IvfIndex {
   private def int8Scale(emb: Column): Column =
     array_max(transform(emb, v => abs(v.cast("double")))) / lit(127)
 
+  /** `attrs` names extra corpus columns carried INTO the cell layout
+    * (e.g. a label / language / license column) so [[search]] can take
+    * a `where` predicate that the parquet cell scan prunes on —
+    * FILTERED vector search, the production shape where the filter
+    * must live in the index: filtering after the probe ranks k
+    * winners and THEN discarding non-matching ones under-fills k,
+    * while joining the corpus attribute table against candidates
+    * re-shuffles the corpus per query. Recorded in meta.json so
+    * [[appendBatch]] refuses a batch missing them (a null-attr append
+    * would silently drop those rows from every filtered search). */
   def build(emb: DataFrame, dir: String, nCells: Int, assign: Int = 1,
-      int8: Boolean = false): Unit = {
-    val rows = writeLayout(emb, dir, nCells, assign, int8)
+      int8: Boolean = false, attrs: Seq[String] = Nil): Unit = {
+    val rows = writeLayout(emb, dir, nCells, assign, int8, attrs)
     val quant = if (int8) "int8" else "float32"
-    writeMeta(emb.sparkSession, dir, metaJson(nCells, assign, quant, ver = 1, rows))
+    writeMeta(emb.sparkSession, dir, metaJson(nCells, assign, quant, ver = 1, rows, attrs))
   }
 
   /** The centroid-sample + assign + (optional) quantize + write
@@ -164,19 +174,21 @@ object IvfIndex {
     * parquet count over the files just written, recorded in meta.json
     * so [[rebuildIfGrown]]'s growth ratio needs no full scan. */
   private def writeLayout(emb: DataFrame, dir: String, nCells: Int,
-      assign: Int, int8: Boolean): Long = {
+      assign: Int, int8: Boolean, attrs: Seq[String] = Nil): Long = {
     val nm = withNorm(emb)
     val cents = sampleCentroids(nm, nCells)
     cents.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
-    val assigned = assignCells(nm, cents, assign)
-    val cells = if (int8) toInt8Cells(assigned) else assigned
+    val assigned = assignCells(nm, cents, assign, attrs)
+    val cells = if (int8) toInt8Cells(assigned, attrs) else assigned
     cells.write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$dir/cells")
     emb.sparkSession.read.parquet(s"$dir/cells").count()
   }
 
   private def metaJson(nCells: Int, assign: Int, quant: String, ver: Long,
-      rows: Long): String =
-    s"""{"nCells":$nCells,"assign":$assign,"quant":"$quant","ver":$ver,"rows":$rows}"""
+      rows: Long, attrs: Seq[String] = Nil): String = {
+    val a = attrs.map(n => s""""$n"""").mkString(",")
+    s"""{"nCells":$nCells,"assign":$assign,"quant":"$quant","ver":$ver,"rows":$rows,"attrs":[$a]}"""
+  }
 
   /** The int8 cell projection, shared by [[build]] and [[appendBatch]]
     * so an append can never write the wrong layout: the float
@@ -186,13 +198,13 @@ object IvfIndex {
     * vectors (scale ≤ 0) are cosine-undefined and unquantizable:
     * excluded, like the qs6 audit and the qs8 oracle (`WHERE
     * scale > 0`). */
-  private def toInt8Cells(assigned: DataFrame): DataFrame =
+  private def toInt8Cells(assigned: DataFrame, attrs: Seq[String] = Nil): DataFrame =
     assigned
       .withColumn("scale", int8Scale(col("embedding")))
       .filter(col("scale") > 0)
-      .select(col("vec_id"),
-        graft.functions.GraftFunctions.int8_pack(col("embedding"), col("scale")).as("q8"),
-        col("scale"), col("nrm"), col("cell"))
+      .select(col("vec_id") +:
+        graft.functions.GraftFunctions.int8_pack(col("embedding"), col("scale")).as("q8") +:
+        col("scale") +: col("nrm") +: attrs.map(col) :+ col("cell"): _*)
 
   // meta.json goes through the same Hadoop FS layer as the parquet
   // parts, so the index layout works wherever Spark can write (hdfs://,
@@ -212,15 +224,17 @@ object IvfIndex {
     * one broadcast quantizer row, the row-local argmax fold at
     * assign = 1 (bit-identical to the historical layout) or the sorted
     * top-`assign` slice beyond. */
-  private def assignCells(nm: DataFrame, cents: DataFrame, assign: Int): DataFrame = {
+  private def assignCells(nm: DataFrame, cents: DataFrame, assign: Int,
+      attrs: Seq[String] = Nil): DataFrame = {
     val withQ = nm.crossJoin(broadcast(centroidArray(cents)))
+    val base = Seq(col("vec_id"), col("embedding"), col("nrm")) ++ attrs.map(col)
     if (assign <= 1)
       withQ.withColumn("cell", bestCell(col("embedding"), col("nrm"), rounded = true))
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+        .select(base :+ col("cell"): _*)
     else
-      withQ.select(col("vec_id"), col("embedding"), col("nrm"),
+      withQ.select(base :+
           explode(nearestCells(col("embedding"), col("nrm"), assign,
-            rounded = true)).as("cell"))
+            rounded = true)).as("cell"): _*)
   }
 
   /** The persisted assignment multiplicity. [[build]] always writes
@@ -250,7 +264,7 @@ object IvfIndex {
     * unconditionally due, the safe direction for an un-annotated
     * layout). */
   private[graft] case class Meta(nCells: Int, assign: Int, quant: String,
-      ver: Long, rows: Long)
+      ver: Long, rows: Long, attrs: Seq[String] = Nil)
 
   private def longField(txt: String, field: String): Option[Long] =
     s""""$field"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
@@ -262,8 +276,13 @@ object IvfIndex {
         s"""$dir/meta.json has no "assign" field: $txt"""))
     val quant = """"quant"\s*:\s*"(\w+)"""".r.findFirstMatchIn(txt)
       .map(_.group(1)).getOrElse("float32")
+    // attrs list (pre-attr layouts have no field → Nil, the old shape)
+    val attrs = """"attrs"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+      .map(m => """"([^"]+)"""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+      .getOrElse(Nil)
     Meta(longField(txt, "nCells").map(_.toInt).getOrElse(0), assign, quant,
-      longField(txt, "ver").getOrElse(1L), longField(txt, "rows").getOrElse(0L))
+      longField(txt, "ver").getOrElse(1L), longField(txt, "rows").getOrElse(0L),
+      attrs)
   }
 
   /** Incremental maintenance: assign a NEW batch of (vec_id, embedding)
@@ -280,9 +299,17 @@ object IvfIndex {
   def appendBatch(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
     recoverRebuild(spark, dir)
     val meta = metaOf(spark, dir)
+    // an append missing a recorded attr column would land files whose
+    // schema lacks it — those rows then read as NULL under mergeSchema
+    // (or break the read without it) and silently vanish from every
+    // filtered search. Refuse up front, naming what's missing.
+    val missing = meta.attrs.filterNot(batch.columns.contains)
+    if (missing.nonEmpty) throw new IllegalArgumentException(
+      s"appendBatch into $dir: batch lacks indexed attr column(s) " +
+        s"${missing.mkString(", ")} recorded in meta.json")
     val cents = spark.read.parquet(s"$dir/centroids")
-    val assigned = assignCells(withNorm(batch), cents, meta.assign)
-    val rows = if (meta.quant == "int8") toInt8Cells(assigned) else assigned
+    val assigned = assignCells(withNorm(batch), cents, meta.assign, meta.attrs)
+    val rows = if (meta.quant == "int8") toInt8Cells(assigned, meta.attrs) else assigned
     rows.write.mode(SaveMode.Append).partitionBy("cell").parquet(s"$dir/cells")
   }
 
@@ -328,6 +355,10 @@ object IvfIndex {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     recoverRebuild(spark, dir)
     val meta = metaOf(spark, dir)
+    val missingAttrs = meta.attrs.filterNot(corpus.columns.contains)
+    if (missingAttrs.nonEmpty) throw new IllegalArgumentException(
+      s"rebuild of $dir: corpus lacks indexed attr column(s) " +
+        s"${missingAttrs.mkString(", ")} recorded in meta.json")
     val c =
       if (nCells > 0) nCells
       else math.ceil(math.sqrt(corpus.count().toDouble)).toInt
@@ -351,9 +382,9 @@ object IvfIndex {
     if (fs.exists(tmp)) require(fs.delete(tmp, true),
       s"rebuild: could not clear stale snapshot $tmp")
     val rows = writeLayout(corpus, tmp.toString, nCells,
-      meta.assign, meta.quant == "int8")
+      meta.assign, meta.quant == "int8", meta.attrs)
     writeMeta(spark, tmp.toString,
-      metaJson(nCells, meta.assign, meta.quant, meta.ver + 1, rows))
+      metaJson(nCells, meta.assign, meta.quant, meta.ver + 1, rows, meta.attrs))
     val o = fs.create(new org.apache.hadoop.fs.Path(tmp, "_GRAFT_COMMIT"), true)
     o.close()
   }
@@ -435,15 +466,26 @@ object IvfIndex {
     * probing the `nProbe` nearest cells. Probing ALL cells is exact
     * brute force (IvfIndexSpec asserts equality with knnTopK); small
     * `nProbe` trades recall for opening only that many cell
-    * directories. Output: (qid, rank, neighbor_id, rcos). */
+    * directories. Output: (qid, rank, neighbor_id, rcos).
+    *
+    * `where` is a FILTERED-search predicate over attr columns the
+    * index was built with (`build(attrs = …)`): applied to the cells
+    * read itself, so it reaches the parquet scan as a pushed filter
+    * AND the candidate set it thins is the PRE-ranking one — each
+    * query still fills all k ranks from matching vectors (post-filter
+    * ranking would return < k whenever a winner fails the predicate).
+    * Recall under selective filters: matching vectors are sparser per
+    * probed cell, so raise nProbe with filter selectivity (the p-first
+    * rule; a 10%-selective filter at p probes sees ~p×10% of the
+    * matching corpus a full scan would). */
   def search(spark: SparkSession, dir: String, queries: DataFrame,
-             k: Int, nProbe: Int): DataFrame = {
+             k: Int, nProbe: Int, where: Option[Column] = None): DataFrame = {
     recoverRebuild(spark, dir) // half-installed rebuild → finish first
     val meta = metaOf(spark, dir)
     if (meta.quant != "float32") throw new IllegalStateException(
       s"$dir stores ${meta.quant} cells — use searchInt8 (float search would misread the layout)")
     val cents = spark.read.parquet(s"$dir/centroids")
-    val cells = spark.read.parquet(s"$dir/cells")
+    val cells = where.foldLeft(spark.read.parquet(s"$dir/cells"))(_.filter(_))
     val q = withNorm(queries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
     val probes = q.crossJoin(broadcast(centroidArray(cents)))
@@ -487,12 +529,13 @@ object IvfIndex {
     * set — AnnScaleBench's `int8` arm measures planted-twin recall
     * unchanged at the rungs (BASELINE.md). */
   def searchInt8(spark: SparkSession, dir: String, queries: DataFrame,
-      corpus: DataFrame, k: Int, nProbe: Int, rescore: Int): DataFrame = {
+      corpus: DataFrame, k: Int, nProbe: Int, rescore: Int,
+      where: Option[Column] = None): DataFrame = {
     recoverRebuild(spark, dir) // half-installed rebuild → finish first
     val meta = metaOf(spark, dir)
     if (meta.quant != "int8") throw new IllegalStateException(
       s"$dir stores ${meta.quant} cells — searchInt8 needs an int8 layout (build with int8 = true)")
-    val (q0, cand) = int8Candidates(spark, dir, queries, nProbe)
+    val (q0, cand) = int8Candidates(spark, dir, queries, nProbe, where)
     val quads = cand.select(col("qid").cast("long"), col("vec_id").cast("long"),
       col("idot").cast("long"), col("score8").cast("double"))
     val dq = if (meta.assign > 1) quads.distinct() else quads
@@ -546,9 +589,11 @@ object IvfIndex {
     * hides the cells scan from the FINAL plan — Int8Spec pins the
     * PartitionFilters contract on THIS frame, where the scan lives. */
   private[graft] def int8Candidates(spark: SparkSession, dir: String,
-      queries: DataFrame, nProbe: Int): (DataFrame, DataFrame) = {
+      queries: DataFrame, nProbe: Int,
+      where: Option[Column] = None): (DataFrame, DataFrame) = {
     val cents = spark.read.parquet(s"$dir/centroids")
-    val cells = spark.read.parquet(s"$dir/cells") // (vec_id, q8, scale, nrm, cell)
+    val cells = where.foldLeft( // (vec_id, q8, scale, nrm[, attrs…], cell)
+      spark.read.parquet(s"$dir/cells"))(_.filter(_))
     val q0 = withNorm(queries)
       .withColumn("qscale", int8Scale(col("embedding")))
       .filter(col("qscale") > 0)

@@ -369,7 +369,38 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** qs9: FILTERED vector search — qs7's persisted-index shape with a
+    * metadata predicate (`label = 3`, ~10% selective on the fixture)
+    * resolved INSIDE the index: [[IvfIndex.build]] carries the label
+    * column into the cell layout (`attrs = Seq("label")`) and
+    * [[IvfIndex.search]] applies the predicate to the cells read
+    * itself, so it reaches the parquet scan as a pushed filter on top
+    * of the partition pruning and the candidate set is thinned BEFORE
+    * ranking — every query still fills k ranks with matching vectors.
+    * The production alternative orderings both fail at scale:
+    * post-filtering the top-k under-fills it whenever a winner misses
+    * the predicate, and joining a corpus attribute table against
+    * candidates re-shuffles the corpus per query batch. Every vector
+    * store grew this operator (attribute-gated ANN); training-data
+    * curation uses it as "nearest LICENSED/ENGLISH/held-out neighbor".
+    * Probes stay [[SearchProbes]]: with ~10% of each cell matching,
+    * recall wants the p-first rule (see [[IvfIndex.search]] scaladoc);
+    * the oracle pins the exact filtered semantics rather than a recall
+    * target. */
+  def qs9_filtered_search(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val n = emb.count()
+    val nCells = math.ceil(math.sqrt(n.toDouble)).toInt
+    val dir = indexDir(s, "qs9", d)
+    IvfIndex.build(emb, dir, nCells, assign = IndexAssign, attrs = Seq("label"))
+    val queryVecs = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+    IvfIndex.search(s, dir, queryVecs, k = 3, nProbe = SearchProbes,
+      where = Some(col("label") === 3))
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qs9_filtered_search" -> (qs9_filtered_search _),
     "qs1_knn_bruteforce" -> (qs1_knn_bruteforce _),
     "qs2_ann_lsh" -> (qs2_ann_lsh _),
     "qs3_ivf_ann" -> (qs3_ivf_ann _),
@@ -490,6 +521,46 @@ object Similarity {
          |SELECT qid, CAST(rn AS INT) AS rank, vec_id AS neighbor_id, idot, rcos FROM (
          | SELECT qid, vec_id, idot, rcos, ROW_NUMBER() OVER (PARTITION BY qid
          |   ORDER BY rcos DESC, vec_id ASC) AS rn FROM rescored) t
+         |WHERE rn <= 3 ORDER BY qid, rank""".stripMargin,
+    // qs9: qs7's restatement with the label predicate applied to the
+    // CORPUS side before ranking — exactly where the engine applies it
+    // (the filtered cells scan thins candidates pre-top-k). Queries are
+    // NOT filtered; assignment ranks are per-vector, so filtering
+    // after the QUALIFY is identical to filtering the corpus first.
+    "qs9_filtered_search" ->
+      s"""WITH nm AS (
+         | SELECT vec_id, embedding, label,
+         |  sqrt((SELECT SUM(CAST(embedding[i.i + 1] AS DOUBLE) * CAST(embedding[i.i + 1] AS DOUBLE))
+         |        FROM range($Dim) i(i))) AS nrm
+         | FROM embeddings),
+         |st AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS nc FROM nm),
+         |cents AS (
+         | SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM nm, st
+         | QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= nc),
+         |cscored AS (
+         | SELECT nm.vec_id, nm.label, cents.cid,
+         |  round(${sqlDot("cents.ce", "nm.embedding")} / (cents.cn * nm.nrm), 6) AS crcos
+         | FROM nm, cents
+         | WHERE cents.cn > 0 AND nm.nrm > 0),
+         |assigned AS (
+         | SELECT vec_id, label, cid AS cell FROM cscored
+         | QUALIFY row_number() OVER (PARTITION BY vec_id
+         |   ORDER BY crcos DESC, cid ASC) <= $IndexAssign),
+         |probes AS (
+         | SELECT vec_id AS qid, cid AS cell FROM cscored WHERE vec_id % 100 = 0
+         | QUALIFY row_number() OVER (PARTITION BY vec_id
+         |   ORDER BY crcos DESC, cid ASC) <= $SearchProbes),
+         |cand AS (
+         | SELECT DISTINCT p.qid, a.vec_id
+         | FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.qid
+         | WHERE a.label = 3),
+         |scored AS (
+         | SELECT c.qid, c.vec_id,
+         |  round(${sqlDot("q.embedding", "v.embedding")} / (q.nrm * v.nrm), 6) AS rcos
+         | FROM cand c JOIN nm q ON c.qid = q.vec_id JOIN nm v ON c.vec_id = v.vec_id)
+         |SELECT qid, CAST(rn AS INT) AS rank, vec_id AS neighbor_id, rcos FROM (
+         | SELECT qid, vec_id, rcos, ROW_NUMBER() OVER (PARTITION BY qid
+         |   ORDER BY rcos DESC, vec_id ASC) AS rn FROM scored) t
          |WHERE rn <= 3 ORDER BY qid, rank""".stripMargin,
     "qs7_ivf_search" ->
       s"""WITH nm AS (

@@ -736,7 +736,73 @@ object TextOps {
         length(col("col")).as("chunk_len"), md5(col("col").cast("binary")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_id")
 
+  /** qt17: DSIR-shaped importance selection — score every raw document
+    * by how much its hashed-unigram profile looks like a TARGET domain
+    * (here `lang = 'en'`) relative to the raw corpus, and keep the
+    * top-k. The shape is Xie et al. 2023's Data Selection via
+    * Importance Resampling: featurize each document as hashed n-gram
+    * counts over [[ImportanceBuckets]] buckets, estimate the target
+    * and raw bucket distributions, and weight each document by the sum
+    * of its per-occurrence bucket importance. Two deliberate
+    * deviations, both for cross-engine exactness:
+    *
+    *  - the per-bucket weight is the SMOOTHED PROBABILITY DIFFERENCE
+    *    in ppm — `(p_b+1)·1e6 div (p_tot+B) − (q_b+1)·1e6 div
+    *    (q_tot+B)`, pure BIGINT division — not the paper's log-ratio:
+    *    `ln` differs
+    *    in ulps between libm and the JVM (the qt5 rule), while integer
+    *    sums commute exactly, so the doc score is bit-identical in any
+    *    engine AND independent of Spark's partition-order-varying
+    *    float summation;
+    *  - selection is the deterministic top-k by (importance DESC,
+    *    doc_id) rather than Gumbel-noised sampling — the oracle-able
+    *    arm; noise would be one extra hashed column.
+    *
+    * Scale shape: the token explode is map-side; per-doc bucket counts
+    * partial-aggregate before their one shuffle; the weight table is
+    * exactly [[ImportanceBuckets]] rows broadcast back; the final
+    * top-k is a bounded TakeOrdered, never a global sort. The bucket
+    * distributions are corpus-wide aggregates a production run would
+    * compute once per target domain and reuse across selection
+    * sweeps — here they are in-query so the oracle gates the whole
+    * pipeline (the qd16/qs7 in-query-build pattern). Reference analog:
+    * the fixed station whitelist (Prensas.py:186-199) admits by
+    * identity; this admits by distributional match. */
+  private[graft] val ImportanceBuckets = 1024
+
+  def qt17_importance_select(s: SparkSession, d: String): DataFrame = {
+    val nB = ImportanceBuckets
+    val toks = Tables.spread(Tables.documents(s, d)).select(
+      col("doc_id"), col("lang"),
+      explode(expr("filter(split(lower(text), ' '), t -> length(t) > 0)")).as("tok"))
+    // one aggregation every later stage derives from: per-doc hashed
+    // bucket occurrence counts (materialized once — feeds the
+    // distribution estimate AND the scoring join)
+    val dbc = toks
+      .withColumn("bucket", pmod(
+        conv(substring(md5(col("tok").cast("binary")), 1, 5), 16, 10).cast("long"),
+        lit(nB.toLong)))
+      .groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val bucketCounts = dbc.groupBy(col("bucket")).agg(
+      sum(col("c")).as("qc"),
+      sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("pc"))
+    val tots = bucketCounts.agg(sum(col("qc")).as("qtot"), sum(col("pc")).as("ptot"))
+    val weights = bucketCounts.crossJoin(broadcast(tots))
+      .select(col("bucket"), expr(
+        s"(pc + 1) * 1000000 div (ptot + $nB) - (qc + 1) * 1000000 div (qtot + $nB)")
+        .as("w_ppm"))
+    dbc.join(broadcast(weights), "bucket")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c") * col("w_ppm")).as("importance"))
+      .orderBy(col("importance").desc, col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("lang"), col("importance"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt17_importance_select" -> (qt17_importance_select _),
     "qt16_chunk_windows" -> (qt16_chunk_windows _),
     "qt15_heavy_hitters" -> (qt15_heavy_hitters _),
     "qt11_pii_scrub" -> (qt11_pii_scrub _),
@@ -758,6 +824,30 @@ object TextOps {
     .map { case (l, w) => s"('$l','$w')" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "qt17_importance_select" ->
+      """WITH toks AS (
+        | SELECT doc_id, lang, t.tok FROM (
+        |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents) t WHERE length(t.tok) > 0),
+        |dbc AS (
+        | SELECT doc_id, lang,
+        |  ('0x' || substr(md5(tok), 1, 5))::BIGINT % 1024 AS bucket,
+        |  COUNT(*) AS c
+        | FROM toks GROUP BY 1, 2, 3),
+        |bt AS (
+        | SELECT bucket, SUM(c) AS qc,
+        |  SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS pc
+        | FROM dbc GROUP BY 1),
+        |tots AS (SELECT SUM(qc) AS qtot, SUM(pc) AS ptot FROM bt),
+        |w AS (
+        | SELECT bucket,
+        |  ((pc + 1) * 1000000 // (ptot + 1024))
+        |   - ((qc + 1) * 1000000 // (qtot + 1024)) AS w_ppm
+        | FROM bt CROSS JOIN tots)
+        |SELECT doc_id, lang, CAST(importance AS BIGINT) AS importance FROM (
+        | SELECT dbc.doc_id, dbc.lang, SUM(dbc.c * w.w_ppm) AS importance
+        | FROM dbc JOIN w USING (bucket) GROUP BY 1, 2) s
+        |ORDER BY importance DESC, doc_id LIMIT 100""".stripMargin,
     "qt16_chunk_windows" ->
       """SELECT doc_id, CAST(i AS INT) AS chunk_id,
         | CAST(length(substr(text, CAST(1 + i * 80 AS INT), 100)) AS INT) AS chunk_len,

@@ -163,6 +163,29 @@ class Int8Spec extends SparkSpec
     assert(got == want)
   }
 
+  test("filtered searchInt8 == filtered float search when the funnel covers all candidates") {
+    // the attr predicate gates the int8 CANDIDATE scan, so with an
+    // all-covering rescore the filtered int8 path must equal the
+    // filtered float path exactly — pinning that `where` thins the
+    // same pre-ranking set in both layouts (and that the float rescore
+    // read can't resurrect a filtered-out vector: survivors come only
+    // from filtered cells)
+    val d8 = Files.createTempDirectory("ivf_i8w").toString
+    val df = Files.createTempDirectory("ivf_f32w").toString
+    IvfIndex.build(emb, d8, nCells = 16, assign = 2, int8 = true, attrs = Seq("label"))
+    IvfIndex.build(emb, df, nCells = 16, assign = 2, attrs = Seq("label"))
+    val qs = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+    val pred = Some(col("label") === 3)
+    val got = IvfIndex.searchInt8(spark, d8, qs, emb, k = 3, nProbe = 16,
+        rescore = emb.count().toInt, where = pred)
+      .select("qid", "rank", "neighbor_id", "rcos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = IvfIndex.search(spark, df, qs, k = 3, nProbe = 16, where = pred)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want)
+    assert(got.nonEmpty && got.groupBy(_._1).values.forall(_.size == 3))
+  }
+
   test("searchInt8's cells scan treats cell as partition metadata (probes open directories)") {
     // same PartitionFilters contract IvfIndexSpec pins for the float
     // path: the 3x-smaller int8 cells carry ALL the per-query IO, so

@@ -325,6 +325,90 @@ class IvfIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(IvfIndex.metaOf(spark, d).ver == 2, "discard must not touch the live layout")
   }
 
+  // ------------------- round-13: filtered search (attrs in the index)
+
+  /** Exact filtered top-k reference: corpus side filtered, query side
+    * NOT (a filtered search answers "nearest MATCHING neighbor of any
+    * query") — [[Similarity.knnTopK]] can't state this because it
+    * derives query vectors from the same frame it scores. Same
+    * rounding/tie rules as the engine. */
+  private def bruteFiltered(pred: org.apache.spark.sql.Column, k: Int) = {
+    val nm = emb.withColumn("nrm", sqrt(graft.functions.GraftFunctions.vec_dot(
+      col("embedding"), col("embedding"))))
+    val q = nm.filter(pmod(col("vec_id"), lit(100)) === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val cand = nm.filter(pred).crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("rcos", round(graft.functions.GraftFunctions.vec_dot(
+        col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+      .select(col("qid").cast("long"), col("vec_id").cast("long"),
+        col("rcos").cast("double"))
+    graft.plans.GroupTopK.topK(cand, keys = Seq("qid"),
+      order = Seq(col("rcos").desc, col("vec_id").asc), k = k)
+      .select(col("qid"), col("rank"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+  }
+
+  test("filtered search: all-cell probe ≡ brute force over the filtered corpus, k fully ranked") {
+    val d = Files.createTempDirectory("ivf_attr").toString
+    val c = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+    IvfIndex.build(emb, d, c, assign = 2, attrs = Seq("label"))
+    val got = IvfIndex.search(spark, d, queries, k = 3, nProbe = c,
+      where = Some(col("label") === 3))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == bruteFiltered(col("label") === 3, 3))
+    // every query fills all 3 ranks from matching vectors (pre-ranking
+    // filter, never post-filter under-fill): ~10% of 500 ≫ 3
+    val perQ = got.groupBy(_._1).view.mapValues(_.size)
+    assert(perQ.values.forall(_ == 3), s"underfilled ranks: $perQ")
+    // meta records the attr so appends are schema-checked
+    assert(IvfIndex.metaOf(spark, d).attrs == Seq("label"))
+  }
+
+  test("filtered search pushes the attr predicate into the cells scan") {
+    val d = Files.createTempDirectory("ivf_attr_push").toString
+    IvfIndex.build(emb, d, nCells = 8, attrs = Seq("label"))
+    val res = IvfIndex.search(spark, d, queries, k = 3, nProbe = 2,
+      where = Some(col("label") === 3))
+    val scans = collectWithSubqueries(res.queryExecution.executedPlan) {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.head.toString.contains("cells") => s
+    }
+    assert(scans.nonEmpty, "no cells scan found")
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("label"), s"label filter not pushed: $pushed")
+    res.queryExecution.toRdd.count()
+  }
+
+  test("append into an attr-indexed layout: attrs required, then searchable; int8 carries attrs too") {
+    val d = Files.createTempDirectory("ivf_attr_inc").toString
+    val first = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val rest = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    IvfIndex.build(first, d, nCells = 8, attrs = Seq("label"))
+    val ex = intercept[IllegalArgumentException] {
+      IvfIndex.appendBatch(spark, d, rest.drop("label"))
+    }
+    assert(ex.getMessage.contains("label"))
+    IvfIndex.appendBatch(spark, d, rest)
+    val got = IvfIndex.search(spark, d, queries, k = 3, nProbe = 8,
+      where = Some(col("label") === 3))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == bruteFiltered(col("label") === 3, 3))
+    // int8 layout carries the attr through quantization and rebuild
+    val d8 = Files.createTempDirectory("ivf_attr_i8").toString
+    IvfIndex.build(emb.limit(400), d8, nCells = 8, assign = 2, int8 = true,
+      attrs = Seq("label"))
+    assert(spark.read.parquet(s"$d8/cells").columns.contains("label"))
+    IvfIndex.rebuild(spark, d8, corpus = emb.limit(400), nCells = 8)
+    val meta = IvfIndex.metaOf(spark, d8)
+    assert(meta.attrs == Seq("label") && meta.quant == "int8" && meta.ver == 2)
+    assert(spark.read.parquet(s"$d8/cells").columns.contains("label"))
+    val exR = intercept[IllegalArgumentException] {
+      IvfIndex.rebuild(spark, d8, corpus = emb.limit(400).drop("label"), nCells = 8)
+    }
+    assert(exR.getMessage.contains("label"))
+  }
+
   test("rebuildIfGrown: cadence fires at the growth factor, not before") {
     val d = Files.createTempDirectory("ivf_grow").toString
     val half = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
