@@ -14,7 +14,13 @@ import org.apache.spark.sql.functions._
   *   - `cells/` — the corpus with norms, hive-PARTITIONED BY cell, so
   *     a probe of p cells opens p directories and the rest of the
   *     corpus is never read (same PartitionFilters machinery LakeSpec
-  *     pins for dates; IvfIndexSpec pins it for cells).
+  *     pins for dates; IvfIndexSpec pins it for cells);
+  *   - `meta.json` — the layout facts (assign/quant/attrs/ver/rows)
+  *     plus `gen`: after the first [[rebuild]] the live dirs are the
+  *     generation-suffixed `centroids_gN`/`cells_gN` (resolve them
+  *     with [[cellsPath]]/[[centroidsPath]] when reading the layout
+  *     directly) — rebuilds install beside the live generation and
+  *     flip meta, never delete under a lazy reader.
   *
   * At 100 TB: centroid selection and assignment are one broadcast
   * map-side pass over the corpus plus one partitioned write; search
@@ -161,9 +167,35 @@ object IvfIndex {
     * would silently drop those rows from every filtered search). */
   def build(emb: DataFrame, dir: String, nCells: Int, assign: Int = 1,
       int8: Boolean = false, attrs: Seq[String] = Nil): Unit = {
-    val rows = writeLayout(emb, dir, nCells, assign, int8, attrs)
-    val quant = if (int8) "int8" else "float32"
-    writeMeta(emb.sparkSession, dir, metaJson(nCells, assign, quant, ver = 1, rows, attrs))
+    val spark = emb.sparkSession
+    rebuildLocks.getOrElseUpdate(dir, new Object).synchronized {
+      // a fresh build REPLACES whatever is here — a crashed rebuild's
+      // committed snapshot must be DISCARDED, not recovered: letting a
+      // later entry point install it would roll this build back to the
+      // pre-crash layout with no error. Stale generation dirs from a
+      // previous life of the dir are retired for the same reason.
+      discardSnapshotAndOldGens(spark, dir)
+      val rows = writeLayout(emb, dir, nCells, assign, int8, attrs, gen = 0)
+      val quant = if (int8) "int8" else "float32"
+      writeMeta(spark, dir, metaJson(nCells, assign, quant, ver = 1, rows, attrs))
+    }
+  }
+
+  /** [[build]]'s clean-slate sweep: drop any rebuild snapshot
+    * (committed or not) and every generation-suffixed dir — the build
+    * overwrites the plain gen-0 paths itself. */
+  private def discardSnapshotAndOldGens(spark: SparkSession, dir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(root, ".rebuild_tmp")
+    if (fs.exists(tmp)) require(fs.delete(tmp, true),
+      s"build: could not discard stale rebuild snapshot $tmp")
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.matches("(cells|centroids)_g\\d+"))
+        require(fs.delete(st.getPath, true),
+          s"build: could not retire stale generation dir ${st.getPath}")
+    }
   }
 
   /** The centroid-sample + assign + (optional) quantize + write
@@ -174,21 +206,62 @@ object IvfIndex {
     * parquet count over the files just written, recorded in meta.json
     * so [[rebuildIfGrown]]'s growth ratio needs no full scan. */
   private def writeLayout(emb: DataFrame, dir: String, nCells: Int,
-      assign: Int, int8: Boolean, attrs: Seq[String] = Nil): Long = {
+      assign: Int, int8: Boolean, attrs: Seq[String] = Nil, gen: Long = 0): Long = {
     val nm = withNorm(emb)
     val cents = sampleCentroids(nm, nCells)
-    cents.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+    cents.coalesce(1).write.mode(SaveMode.Overwrite).parquet(centroidsDir(dir, gen))
     val assigned = assignCells(nm, cents, assign, attrs)
     val cells = if (int8) toInt8Cells(assigned, attrs) else assigned
-    cells.write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$dir/cells")
-    emb.sparkSession.read.parquet(s"$dir/cells").count()
+    cells.write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(cellsDirOf(dir, gen))
+    // an empty input writes only _SUCCESS and the read-back can't infer
+    // a schema — surface the REAL problem (empty corpus: a membrane
+    // that admitted nothing, an all-zero int8 batch) by name instead of
+    // the obscure inference error
+    try emb.sparkSession.read.parquet(cellsDirOf(dir, gen)).count()
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"IvfIndex: no cells written under $dir — empty corpus? An IVF " +
+            "layout needs at least one assignable (nonzero) vector", e)
+    }
   }
 
   private def metaJson(nCells: Int, assign: Int, quant: String, ver: Long,
-      rows: Long, attrs: Seq[String] = Nil): String = {
+      rows: Long, attrs: Seq[String] = Nil, gen: Long = 0): String = {
     val a = attrs.map(n => s""""$n"""").mkString(",")
-    s"""{"nCells":$nCells,"assign":$assign,"quant":"$quant","ver":$ver,"rows":$rows,"attrs":[$a]}"""
+    s"""{"nCells":$nCells,"assign":$assign,"quant":"$quant","ver":$ver,""" +
+      s""""rows":$rows,"gen":$gen,"attrs":[$a]}"""
   }
+
+  // ------------------------------------------------ generation-suffixed dirs
+  // A rebuild must never destroy the directories a concurrent reader is
+  // mid-scan on: Spark reads are LAZY (paths are resolved at plan time,
+  // files opened at task time), so an in-place delete+rename of
+  // `cells/` can leave a reader probing NEW centroid ids against OLD
+  // cell partitions (silently empty candidates) or fail on a vanished
+  // path mid-job.
+  // Instead each rebuild installs into generation-SUFFIXED dirs
+  // (`cells_g2`, `centroids_g2`), flips meta.json (the single commit
+  // point readers resolve paths from), and retires only the
+  // generation BEFORE the one it replaces — so any reader holding the
+  // previous generation's paths has a full rebuild-cycle grace period,
+  // the snapshot-retirement discipline of every table format. gen 0
+  // keeps the plain un-suffixed names (pre-gen layouts read unchanged).
+  private def centroidsDir(dir: String, gen: Long): String =
+    if (gen == 0) s"$dir/centroids" else s"$dir/centroids_g$gen"
+  private def cellsDirOf(dir: String, gen: Long): String =
+    if (gen == 0) s"$dir/cells" else s"$dir/cells_g$gen"
+
+  /** The CURRENT generation's cells path, resolved from meta — for
+    * external consumers (benches, specs, occupancy audits) that read
+    * the layout directly; `$dir/cells` is only correct until the first
+    * rebuild. */
+  def cellsPath(spark: SparkSession, dir: String): String =
+    cellsDirOf(dir, metaOf(spark, dir).gen)
+
+  /** The CURRENT generation's centroids path (see [[cellsPath]]). */
+  def centroidsPath(spark: SparkSession, dir: String): String =
+    centroidsDir(dir, metaOf(spark, dir).gen)
 
   /** The int8 cell projection, shared by [[build]] and [[appendBatch]]
     * so an append can never write the wrong layout: the float
@@ -264,7 +337,7 @@ object IvfIndex {
     * unconditionally due, the safe direction for an un-annotated
     * layout). */
   private[graft] case class Meta(nCells: Int, assign: Int, quant: String,
-      ver: Long, rows: Long, attrs: Seq[String] = Nil)
+      ver: Long, rows: Long, attrs: Seq[String] = Nil, gen: Long = 0)
 
   private def longField(txt: String, field: String): Option[Long] =
     s""""$field"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
@@ -282,7 +355,7 @@ object IvfIndex {
       .getOrElse(Nil)
     Meta(longField(txt, "nCells").map(_.toInt).getOrElse(0), assign, quant,
       longField(txt, "ver").getOrElse(1L), longField(txt, "rows").getOrElse(0L),
-      attrs)
+      attrs, longField(txt, "gen").getOrElse(0L))
   }
 
   /** Incremental maintenance: assign a NEW batch of (vec_id, embedding)
@@ -296,22 +369,29 @@ object IvfIndex {
     * Follows the persisted storage format from meta.json — an append
     * into an int8 index quantizes the batch ([[toInt8Cells]]); it can
     * never mix float rows into a quantized layout. */
-  def appendBatch(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
-    recoverRebuild(spark, dir)
-    val meta = metaOf(spark, dir)
-    // an append missing a recorded attr column would land files whose
-    // schema lacks it — those rows then read as NULL under mergeSchema
-    // (or break the read without it) and silently vanish from every
-    // filtered search. Refuse up front, naming what's missing.
-    val missing = meta.attrs.filterNot(batch.columns.contains)
-    if (missing.nonEmpty) throw new IllegalArgumentException(
-      s"appendBatch into $dir: batch lacks indexed attr column(s) " +
-        s"${missing.mkString(", ")} recorded in meta.json")
-    val cents = spark.read.parquet(s"$dir/centroids")
-    val assigned = assignCells(withNorm(batch), cents, meta.assign, meta.attrs)
-    val rows = if (meta.quant == "int8") toInt8Cells(assigned, meta.attrs) else assigned
-    rows.write.mode(SaveMode.Append).partitionBy("cell").parquet(s"$dir/cells")
-  }
+  def appendBatch(spark: SparkSession, dir: String, batch: DataFrame): Unit =
+    // a WRITER must hold the per-dir monitor end to end: with the meta
+    // read outside it, a rebuild landing between the read and the
+    // Append would retire this append's target generation and the
+    // batch would vanish into a dead directory (same-JVM; cross-JVM
+    // stays the documented single-writer contract)
+    rebuildLocks.getOrElseUpdate(dir, new Object).synchronized {
+      recoverRebuild(spark, dir)
+      val meta = metaOf(spark, dir)
+      // an append missing a recorded attr column would land files whose
+      // schema lacks it — those rows then read as NULL under mergeSchema
+      // (or break the read without it) and silently vanish from every
+      // filtered search. Refuse up front, naming what's missing.
+      val missing = meta.attrs.filterNot(batch.columns.contains)
+      if (missing.nonEmpty) throw new IllegalArgumentException(
+        s"appendBatch into $dir: batch lacks indexed attr column(s) " +
+          s"${missing.mkString(", ")} recorded in meta.json")
+      val cents = spark.read.parquet(centroidsDir(dir, meta.gen))
+      val assigned = assignCells(withNorm(batch), cents, meta.assign, meta.attrs)
+      val rows = if (meta.quant == "int8") toInt8Cells(assigned, meta.attrs) else assigned
+      rows.write.mode(SaveMode.Append).partitionBy("cell")
+        .parquet(cellsDirOf(dir, meta.gen))
+    }
 
   // ------------------------------------------------------ rebuild cadence
   // An append-mostly corpus ages its index: appendBatch lands new
@@ -353,18 +433,21 @@ object IvfIndex {
       nCells: Int = 0): Unit = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    recoverRebuild(spark, dir)
-    val meta = metaOf(spark, dir)
-    val missingAttrs = meta.attrs.filterNot(corpus.columns.contains)
-    if (missingAttrs.nonEmpty) throw new IllegalArgumentException(
-      s"rebuild of $dir: corpus lacks indexed attr column(s) " +
-        s"${missingAttrs.mkString(", ")} recorded in meta.json")
-    val c =
-      if (nCells > 0) nCells
-      else math.ceil(math.sqrt(corpus.count().toDouble)).toInt
-    // same per-dir monitor as recoverRebuild: a reader that spots the
-    // committed snapshot mid-rebuild must not race this install
+    // the WHOLE sequence holds the per-dir monitor (it is reentrant, so
+    // the nested recoverRebuild re-entry is fine): with meta read
+    // outside it, two concurrent rebuilds would both snapshot from the
+    // same Meta and install the same ver/gen — non-monotonic versions,
+    // and the loser could catch the winner's meta mid-replace
     rebuildLocks.getOrElseUpdate(dir, new Object).synchronized {
+      recoverRebuild(spark, dir)
+      val meta = metaOf(spark, dir)
+      val missingAttrs = meta.attrs.filterNot(corpus.columns.contains)
+      if (missingAttrs.nonEmpty) throw new IllegalArgumentException(
+        s"rebuild of $dir: corpus lacks indexed attr column(s) " +
+          s"${missingAttrs.mkString(", ")} recorded in meta.json")
+      val c =
+        if (nCells > 0) nCells
+        else math.ceil(math.sqrt(corpus.count().toDouble)).toInt
       writeRebuildSnapshot(spark, dir, corpus, c, meta)
       installRebuild(fs, root)
     }
@@ -381,39 +464,72 @@ object IvfIndex {
     val tmp = new org.apache.hadoop.fs.Path(root, ".rebuild_tmp")
     if (fs.exists(tmp)) require(fs.delete(tmp, true),
       s"rebuild: could not clear stale snapshot $tmp")
+    // the snapshot layout uses the PLAIN names inside tmp (gen = 0);
+    // the install renames them to the next generation's suffixed dirs
+    // recorded in the snapshot meta
     val rows = writeLayout(corpus, tmp.toString, nCells,
-      meta.assign, meta.quant == "int8", meta.attrs)
+      meta.assign, meta.quant == "int8", meta.attrs, gen = 0)
     writeMeta(spark, tmp.toString,
-      metaJson(nCells, meta.assign, meta.quant, meta.ver + 1, rows, meta.attrs))
+      metaJson(nCells, meta.assign, meta.quant, meta.ver + 1, rows, meta.attrs,
+        gen = meta.gen + 1))
     val o = fs.create(new org.apache.hadoop.fs.Path(tmp, "_GRAFT_COMMIT"), true)
     o.close()
   }
 
-  /** Phase 2: install a committed snapshot — centroids, cells, then
-    * meta LAST (the version bump is the final commit point). Every
-    * step is conditional on its tmp subpath still existing, so a crash
-    * anywhere inside is resumed by re-running. */
+  /** Phase 2: install a committed snapshot — centroids and cells are
+    * RENAMED into the next generation's suffixed dirs (never over the
+    * live ones), then meta flips LAST (the single commit point readers
+    * resolve paths from), then the generation BEFORE the replaced one
+    * is retired — the replaced generation itself survives one full
+    * rebuild cycle so lazy readers that resolved its paths finish
+    * unharmed. Every step is conditional on its source still existing,
+    * so a crash anywhere inside is resumed by re-running. */
   private def installRebuild(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(root, ".rebuild_tmp")
+    // the snapshot's own meta names the generation it installs as. A
+    // missing snapshot meta means a previous run crashed AFTER the
+    // meta flip (the commit point) but before clearing tmp — the
+    // install already took effect; just finish the cleanup.
+    val tmpMeta = new org.apache.hadoop.fs.Path(tmp, "meta.json")
+    if (!fs.exists(tmpMeta)) {
+      require(fs.delete(tmp, true), s"rebuild: could not clear $tmp")
+      return
+    }
+    val txt = {
+      val in = fs.open(tmpMeta)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    val gen = longField(txt, "gen").getOrElse(throw new IllegalStateException(
+      s"rebuild: snapshot meta has no gen field: $txt"))
     for (part <- Seq("centroids", "cells")) {
       val src = new org.apache.hadoop.fs.Path(tmp, part)
       if (fs.exists(src)) {
-        val dst = new org.apache.hadoop.fs.Path(root, part)
-        if (fs.exists(dst)) require(fs.delete(dst, true),
-          s"rebuild: could not retire old $dst")
+        val dst = new org.apache.hadoop.fs.Path(
+          if (part == "cells") cellsDirOf(root.toString, gen)
+          else centroidsDir(root.toString, gen))
+        if (fs.exists(dst)) require(fs.delete(dst, true), // resumed crash re-run
+          s"rebuild: could not clear partial $dst")
         require(fs.rename(src, dst), s"rebuild: could not install $part from $src")
       }
     }
-    val srcMeta = new org.apache.hadoop.fs.Path(tmp, "meta.json")
-    if (fs.exists(srcMeta)) {
-      val dstMeta = new org.apache.hadoop.fs.Path(root, "meta.json")
+    val dstMeta = new org.apache.hadoop.fs.Path(root, "meta.json")
+    if (fs.exists(tmpMeta)) {
       if (fs.exists(dstMeta)) require(fs.delete(dstMeta, false),
         s"rebuild: could not retire old $dstMeta")
-      require(fs.rename(srcMeta, dstMeta),
-        s"rebuild: could not install meta from $srcMeta")
+      require(fs.rename(tmpMeta, dstMeta),
+        s"rebuild: could not install meta from $tmpMeta")
     }
     require(fs.delete(tmp, true), s"rebuild: could not clear $tmp")
+    // grace retirement: installing gen G retires gen G-2 (G-1, the one
+    // just replaced, stays for in-flight readers)
+    if (gen >= 2) for (old <- Seq(cellsDirOf(root.toString, gen - 2),
+        centroidsDir(root.toString, gen - 2))) {
+      val p = new org.apache.hadoop.fs.Path(old)
+      if (fs.exists(p)) require(fs.delete(p, true),
+        s"rebuild: could not retire expired generation dir $p")
+    }
   }
 
   // recovery runs on the READ path (every search may finish a crashed
@@ -456,7 +572,7 @@ object IvfIndex {
       factor: Double = 2.0): Boolean = {
     recoverRebuild(spark, dir)
     val meta = metaOf(spark, dir)
-    val rowsNow = spark.read.parquet(s"$dir/cells").count()
+    val rowsNow = spark.read.parquet(cellsDirOf(dir, meta.gen)).count()
     val due = rowsNow >= factor * meta.rows
     if (due) rebuild(spark, dir, corpus)
     due
@@ -484,8 +600,11 @@ object IvfIndex {
     val meta = metaOf(spark, dir)
     if (meta.quant != "float32") throw new IllegalStateException(
       s"$dir stores ${meta.quant} cells — use searchInt8 (float search would misread the layout)")
-    val cents = spark.read.parquet(s"$dir/centroids")
-    val cells = where.foldLeft(spark.read.parquet(s"$dir/cells"))(_.filter(_))
+    // ONE meta read resolves both generation paths — a rebuild flipping
+    // meta after this point retires our generation only at the NEXT
+    // rebuild (grace), so the scan below stays consistent end to end
+    val cents = spark.read.parquet(centroidsDir(dir, meta.gen))
+    val cells = where.foldLeft(spark.read.parquet(cellsDirOf(dir, meta.gen)))(_.filter(_))
     val q = withNorm(queries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
     val probes = q.crossJoin(broadcast(centroidArray(cents)))
@@ -535,7 +654,7 @@ object IvfIndex {
     val meta = metaOf(spark, dir)
     if (meta.quant != "int8") throw new IllegalStateException(
       s"$dir stores ${meta.quant} cells — searchInt8 needs an int8 layout (build with int8 = true)")
-    val (q0, cand) = int8Candidates(spark, dir, queries, nProbe, where)
+    val (q0, cand) = int8Candidates(spark, dir, queries, nProbe, where, Some(meta))
     val quads = cand.select(col("qid").cast("long"), col("vec_id").cast("long"),
       col("idot").cast("long"), col("score8").cast("double"))
     val dq = if (meta.assign > 1) quads.distinct() else quads
@@ -567,7 +686,10 @@ object IvfIndex {
     val ids = funnel.select(col("vec_id")).distinct()
       .limit(idLimit + 1).collect().map(_.getLong(0)).sorted
     val corpusSrc =
-      if (ids.nonEmpty && ids.length <= idLimit)
+      if (ids.isEmpty) corpus.filter(lit(false)) // empty funnel (e.g. a
+      // fully-filtering `where`): an empty-IN would otherwise fall to
+      // the UNFILTERED branch and plan a full corpus read for nothing
+      else if (ids.length <= idLimit)
         corpus.filter(col("vec_id").between(ids.head, ids.last) &&
           col("vec_id").isin(ids.toSeq: _*))
       else corpus
@@ -589,11 +711,15 @@ object IvfIndex {
     * hides the cells scan from the FINAL plan — Int8Spec pins the
     * PartitionFilters contract on THIS frame, where the scan lives. */
   private[graft] def int8Candidates(spark: SparkSession, dir: String,
-      queries: DataFrame, nProbe: Int,
-      where: Option[Column] = None): (DataFrame, DataFrame) = {
-    val cents = spark.read.parquet(s"$dir/centroids")
+      queries: DataFrame, nProbe: Int, where: Option[Column] = None,
+      metaHint: Option[Meta] = None): (DataFrame, DataFrame) = {
+    // searchInt8 passes its already-read Meta so the operation stays on
+    // ONE meta read (two reads could straddle a concurrent rebuild and
+    // mix generations); direct spec calls resolve it here
+    val gen = metaHint.getOrElse(metaOf(spark, dir)).gen
+    val cents = spark.read.parquet(centroidsDir(dir, gen))
     val cells = where.foldLeft( // (vec_id, q8, scale, nrm[, attrs…], cell)
-      spark.read.parquet(s"$dir/cells"))(_.filter(_))
+      spark.read.parquet(cellsDirOf(dir, gen)))(_.filter(_))
     val q0 = withNorm(queries)
       .withColumn("qscale", int8Scale(col("embedding")))
       .filter(col("qscale") > 0)

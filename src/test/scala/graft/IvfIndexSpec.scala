@@ -283,10 +283,11 @@ class IvfIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val c = math.ceil(math.sqrt(emb.count().toDouble)).toInt
     IvfIndex.build(emb, fresh, nCells = c)
     // identical quantizer (content-addressed sample at the same C) ⇒
-    // identical layout ⇒ identical search at any probe width
-    val ca = spark.read.parquet(s"$aged/centroids").select("cid")
+    // identical layout ⇒ identical search at any probe width. The
+    // rebuilt layout lives in generation-suffixed dirs — resolve them
+    val ca = spark.read.parquet(IvfIndex.centroidsPath(spark, aged)).select("cid")
       .collect().map(_.getLong(0)).sorted
-    val cf = spark.read.parquet(s"$fresh/centroids").select("cid")
+    val cf = spark.read.parquet(IvfIndex.centroidsPath(spark, fresh)).select("cid")
       .collect().map(_.getLong(0)).sorted
     assert(ca.sameElements(cf), "rebuild must pick the fresh build's centroids")
     assert(searchSet(aged, 4) == searchSet(fresh, 4))
@@ -301,7 +302,7 @@ class IvfIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     IvfIndex.rebuild(spark, d, corpus = emb.limit(400), nCells = 8)
     val meta = IvfIndex.metaOf(spark, d)
     assert(meta.assign == 2 && meta.quant == "int8" && meta.ver == 2, meta.toString)
-    assert(spark.read.parquet(s"$d/cells").columns.sorted.toSeq ==
+    assert(spark.read.parquet(IvfIndex.cellsPath(spark, d)).columns.sorted.toSeq ==
       Seq("cell", "nrm", "q8", "scale", "vec_id"))
   }
 
@@ -402,11 +403,66 @@ class IvfIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     IvfIndex.rebuild(spark, d8, corpus = emb.limit(400), nCells = 8)
     val meta = IvfIndex.metaOf(spark, d8)
     assert(meta.attrs == Seq("label") && meta.quant == "int8" && meta.ver == 2)
-    assert(spark.read.parquet(s"$d8/cells").columns.contains("label"))
+    assert(spark.read.parquet(IvfIndex.cellsPath(spark, d8)).columns.contains("label"))
     val exR = intercept[IllegalArgumentException] {
       IvfIndex.rebuild(spark, d8, corpus = emb.limit(400).drop("label"), nCells = 8)
     }
     assert(exR.getMessage.contains("label"))
+  }
+
+  test("rebuilds install into new generations; the replaced one survives a full cycle (reader grace)") {
+    val d = Files.createTempDirectory("ivf_gen").toString
+    val corpus = emb.filter(col("vec_id") < 300) // deterministic subset
+    IvfIndex.build(corpus, d, nCells = 4)
+    // a reader that resolved gen-0 paths BEFORE the rebuild…
+    val preRebuildCells = spark.read.parquet(s"$d/cells")
+    IvfIndex.rebuild(spark, d, corpus, nCells = 6)
+    val m1 = IvfIndex.metaOf(spark, d)
+    assert(m1.gen == 1 && m1.nCells == 6, m1.toString)
+    assert(new java.io.File(s"$d/cells_g1").isDirectory)
+    // …still reads its generation intact mid-flight (grace period)
+    assert(new java.io.File(s"$d/cells").isDirectory, "replaced gen must survive one cycle")
+    assert(preRebuildCells.count() > 0)
+    // the NEXT rebuild retires gen 0 and keeps gen 1
+    IvfIndex.rebuild(spark, d, corpus, nCells = 8)
+    val m2 = IvfIndex.metaOf(spark, d)
+    assert(m2.gen == 2 && m2.ver == 3, m2.toString)
+    assert(!new java.io.File(s"$d/cells").exists, "gen 0 retired at gen 2")
+    assert(!new java.io.File(s"$d/centroids").exists)
+    assert(new java.io.File(s"$d/cells_g1").isDirectory, "gen 1 keeps its grace")
+    // search resolves the current generation and stays exact (queries
+    // restricted to corpus members — knnTopK derives query vectors
+    // from the same frame it scores)
+    val qs = corpus.filter(pmod(col("vec_id"), lit(100)) === 0)
+    val got = IvfIndex.search(spark, d, qs, k = 3, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = Similarity.knnTopK(corpus, qs.select("vec_id"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == brute)
+  }
+
+  test("build() DISCARDS a crashed rebuild's committed snapshot instead of letting it roll the build back") {
+    val d = Files.createTempDirectory("ivf_zombie").toString
+    IvfIndex.build(emb.limit(200), d, nCells = 4)
+    // committed snapshot at nCells=8, never installed (the crash)
+    IvfIndex.writeRebuildSnapshot(spark, d, emb.limit(200), nCells = 8,
+      IvfIndex.metaOf(spark, d))
+    // operator remediates with a fresh build at nCells=5
+    IvfIndex.build(emb.limit(200), d, nCells = 5)
+    assert(!new java.io.File(s"$d/.rebuild_tmp").exists,
+      "build must discard the snapshot (committed or not)")
+    // no later entry point may resurrect the pre-crash snapshot
+    IvfIndex.search(spark, d, queries.limit(2), k = 2, nProbe = 2).collect()
+    val meta = IvfIndex.metaOf(spark, d)
+    assert(meta.nCells == 5 && meta.ver == 1, meta.toString)
+  }
+
+  test("a fully-filtering where yields an empty result, not a full-corpus rescore scan") {
+    val d = Files.createTempDirectory("ivf_allfilter").toString
+    IvfIndex.build(emb, d, nCells = 8, int8 = true, attrs = Seq("label"))
+    val res = IvfIndex.searchInt8(spark, d, queries, emb, k = 3, nProbe = 8,
+      rescore = 10, where = Some(col("label") === 999)) // matches nothing
+    assert(res.count() === 0L)
   }
 
   test("rebuildIfGrown: cadence fires at the growth factor, not before") {
