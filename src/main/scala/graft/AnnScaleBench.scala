@@ -295,9 +295,26 @@ object AnnScaleBench {
         }
         val (h1, hk) = twinHits(srvDir, admitted)
         val (d1, dk) = twinHits(idx8Dir, corpus)
+        // the BASELINE.md handoff row attributes the build_sec delta
+        // (epoch-fragmented ingest layout vs one flat parquet) to
+        // missing compaction — measure that claim: fold the epochs on
+        // the operator cadence, rebuild the serving index from the
+        // compacted corpus, and require identical twin recall
+        val (tCompact, _) = time {
+          graft.stream.EmbedIngest.compactCells(spark, memDir, upTo = nB.toLong)
+        }
+        val admittedC = graft.stream.EmbedIngest.corpus(spark, memDir)
+          .localCheckpoint()
+        val srvDirC = s"$dir/serving_from_membrane_compact_r13"
+        val (tSrvC, _) = time {
+          IvfIndex.build(admittedC, srvDirC, cSrv, assign = 2, int8 = true)
+        }
+        val (c1, ck) = twinHits(srvDirC, admittedC)
         extraArms ++= s""","handoff":{"n_admitted":$nAdm,"n_cells":$cSrv,""" +
           s""""ingest_sec":${d3(tIngest)},"build_sec":${d3(tSrv)},""" +
+          s""""compact_sec":${d3(tCompact)},"build_compacted_sec":${d3(tSrvC)},""" +
           s""""n_twins":$nTwinAdm,"twin_at_1":$h1,"twin_at_$K":$hk,""" +
+          s""""compact_twin_at_1":$c1,"compact_twin_at_$K":$ck,""" +
           s""""direct_twin_at_1":$d1,"direct_twin_at_$K":$dk}"""
       }
 
