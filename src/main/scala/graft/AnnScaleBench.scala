@@ -145,8 +145,10 @@ object AnnScaleBench {
           else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
         walk(new java.io.File(path))
       }
-      val bytesF32 = dirBytes(s"$idx2Dir/cells")
-      val bytesI8 = dirBytes(s"$idx8Dir/cells")
+      // resolve the LIVE generation's cells path — $dir/cells is only
+      // correct until the first rebuild / re-build of the same dir
+      val bytesF32 = dirBytes(IvfIndex.cellsPath(spark, idx2Dir))
+      val bytesI8 = dirBytes(IvfIndex.cellsPath(spark, idx8Dir))
 
       // corpus-sample queries (in-index) — md5-free modulus spread, the
       // same ~200-query budget as the dedup audit's planted bases
@@ -234,7 +236,7 @@ object AnnScaleBench {
         // plantOffset at rung n IS off × n — the rung's id ceiling —
         // so the NEXT rung's delta is exactly the ids at or past it
         prevBoundary = plantOffset
-        val occ = spark.read.parquet(s"$agedDir/cells")
+        val occ = spark.read.parquet(IvfIndex.cellsPath(spark, agedDir))
           .groupBy(col("cell")).agg(count(lit(1)).as("m"))
           .agg(max(col("m")), avg(col("m"))).head
         extraArms ++= s""","aged_p$p8":${searchArm(qs =>

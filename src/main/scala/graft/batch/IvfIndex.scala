@@ -169,32 +169,51 @@ object IvfIndex {
       int8: Boolean = false, attrs: Seq[String] = Nil): Unit = {
     val spark = emb.sparkSession
     rebuildLocks.getOrElseUpdate(dir, new Object).synchronized {
-      // a fresh build REPLACES whatever is here — a crashed rebuild's
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      // a build REPLACES whatever is here — a crashed rebuild's
       // committed snapshot must be DISCARDED, not recovered: letting a
       // later entry point install it would roll this build back to the
-      // pre-crash layout with no error. Stale generation dirs from a
-      // previous life of the dir are retired for the same reason.
-      discardSnapshotAndOldGens(spark, dir)
-      val rows = writeLayout(emb, dir, nCells, assign, int8, attrs, gen = 0)
+      // pre-crash layout with no error
+      val tmp = new org.apache.hadoop.fs.Path(root, ".rebuild_tmp")
+      if (fs.exists(tmp)) require(fs.delete(tmp, true),
+        s"build: could not discard stale rebuild snapshot $tmp")
+      // on a dir that already holds a layout, install like a rebuild:
+      // into the NEXT generation, meta flip, THEN retirement with the
+      // one-cycle grace — deleting the live dirs first would strand
+      // every reader for the whole build job (the exact
+      // never-delete-under-a-lazy-reader invariant the generation
+      // machinery exists for). A fresh dir keeps plain gen-0 names.
+      val prior =
+        if (fs.exists(metaPath(dir))) Some(metaOf(spark, dir)) else None
+      val gen = prior.map(_.gen + 1).getOrElse(0L)
+      val rows = writeLayout(emb, dir, nCells, assign, int8, attrs, gen)
       val quant = if (int8) "int8" else "float32"
-      writeMeta(spark, dir, metaJson(nCells, assign, quant, ver = 1, rows, attrs))
+      writeMeta(spark, dir, metaJson(nCells, assign, quant,
+        ver = prior.map(_.ver + 1).getOrElse(1L), rows, attrs, gen))
+      retireGenerationsBelow(fs, root, gen - 1)
     }
   }
 
-  /** [[build]]'s clean-slate sweep: drop any rebuild snapshot
-    * (committed or not) and every generation-suffixed dir — the build
-    * overwrites the plain gen-0 paths itself. */
-  private def discardSnapshotAndOldGens(spark: SparkSession, dir: String): Unit = {
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new org.apache.hadoop.fs.Path(root, ".rebuild_tmp")
-    if (fs.exists(tmp)) require(fs.delete(tmp, true),
-      s"build: could not discard stale rebuild snapshot $tmp")
-    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+  /** Retire every generation OLDER than `keepMin` (plain gen-0 dirs
+    * count as generation 0) — the grace rule keeps the replaced
+    * generation one full cycle, and sweeping everything below it makes
+    * retirement self-healing: a crash that skipped a previous
+    * retirement leaks nothing past the next successful install. */
+  private def retireGenerationsBelow(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, keepMin: Long): Unit = {
+    if (keepMin <= 0 || !fs.exists(root)) return
+    fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
-      if (n.matches("(cells|centroids)_g\\d+"))
+      val gen = n match {
+        case "cells" | "centroids" => Some(0L)
+        case g if g.matches("(cells|centroids)_g\\d+") =>
+          Some(g.substring(g.indexOf("_g") + 2).toLong)
+        case _ => None
+      }
+      if (gen.exists(_ < keepMin))
         require(fs.delete(st.getPath, true),
-          s"build: could not retire stale generation dir ${st.getPath}")
+          s"retire: could not delete expired generation dir ${st.getPath}")
     }
   }
 
@@ -487,22 +506,28 @@ object IvfIndex {
   private def installRebuild(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(root, ".rebuild_tmp")
-    // the snapshot's own meta names the generation it installs as. A
-    // missing snapshot meta means a previous run crashed AFTER the
-    // meta flip (the commit point) but before clearing tmp — the
-    // install already took effect; just finish the cleanup.
-    val tmpMeta = new org.apache.hadoop.fs.Path(tmp, "meta.json")
-    if (!fs.exists(tmpMeta)) {
-      require(fs.delete(tmp, true), s"rebuild: could not clear $tmp")
-      return
-    }
-    val txt = {
-      val in = fs.open(tmpMeta)
+    def readTxt(p: org.apache.hadoop.fs.Path): String = {
+      val in = fs.open(p)
       try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
     }
-    val gen = longField(txt, "gen").getOrElse(throw new IllegalStateException(
-      s"rebuild: snapshot meta has no gen field: $txt"))
+    val dstMeta = new org.apache.hadoop.fs.Path(root, "meta.json")
+    // a missing snapshot meta means a previous run crashed AFTER the
+    // meta flip (the commit point) but before the cleanup — the
+    // install already took effect; finish the retirement sweep (the
+    // crashed run never reached it) and the tmp cleanup
+    val tmpMeta = new org.apache.hadoop.fs.Path(tmp, "meta.json")
+    if (!fs.exists(tmpMeta)) {
+      require(fs.delete(tmp, true), s"rebuild: could not clear $tmp")
+      if (fs.exists(dstMeta))
+        retireGenerationsBelow(fs, root,
+          longField(readTxt(dstMeta), "gen").getOrElse(0L) - 1)
+      return
+    }
+    // gen 0 when absent: a committed snapshot written by the
+    // pre-generation code installed into the PLAIN dirs — keep that
+    // legacy recovery working instead of poisoning every entry point
+    val gen = longField(readTxt(tmpMeta), "gen").getOrElse(0L)
     for (part <- Seq("centroids", "cells")) {
       val src = new org.apache.hadoop.fs.Path(tmp, part)
       if (fs.exists(src)) {
@@ -514,22 +539,15 @@ object IvfIndex {
         require(fs.rename(src, dst), s"rebuild: could not install $part from $src")
       }
     }
-    val dstMeta = new org.apache.hadoop.fs.Path(root, "meta.json")
-    if (fs.exists(tmpMeta)) {
-      if (fs.exists(dstMeta)) require(fs.delete(dstMeta, false),
-        s"rebuild: could not retire old $dstMeta")
-      require(fs.rename(tmpMeta, dstMeta),
-        s"rebuild: could not install meta from $tmpMeta")
-    }
+    if (fs.exists(dstMeta)) require(fs.delete(dstMeta, false),
+      s"rebuild: could not retire old $dstMeta")
+    require(fs.rename(tmpMeta, dstMeta),
+      s"rebuild: could not install meta from $tmpMeta")
     require(fs.delete(tmp, true), s"rebuild: could not clear $tmp")
-    // grace retirement: installing gen G retires gen G-2 (G-1, the one
-    // just replaced, stays for in-flight readers)
-    if (gen >= 2) for (old <- Seq(cellsDirOf(root.toString, gen - 2),
-        centroidsDir(root.toString, gen - 2))) {
-      val p = new org.apache.hadoop.fs.Path(old)
-      if (fs.exists(p)) require(fs.delete(p, true),
-        s"rebuild: could not retire expired generation dir $p")
-    }
+    // grace retirement: installing gen G keeps G-1 (in-flight readers)
+    // and sweeps everything older — self-healing for retirements a
+    // crash skipped
+    retireGenerationsBelow(fs, root, gen - 1)
   }
 
   // recovery runs on the READ path (every search may finish a crashed

@@ -454,7 +454,33 @@ class IvfIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // no later entry point may resurrect the pre-crash snapshot
     IvfIndex.search(spark, d, queries.limit(2), k = 2, nProbe = 2).collect()
     val meta = IvfIndex.metaOf(spark, d)
-    assert(meta.nCells == 5 && meta.ver == 1, meta.toString)
+    assert(meta.nCells == 5 && meta.ver == 2 && meta.gen == 1, meta.toString)
+  }
+
+  test("build over a LIVE layout installs into the next generation — readers keep their grace") {
+    val d = Files.createTempDirectory("ivf_rebuildgrace").toString
+    val corpus = emb.filter(col("vec_id") < 300)
+    IvfIndex.build(corpus, d, nCells = 4)
+    // a reader resolves gen-0 paths…
+    val preCells = spark.read.parquet(s"$d/cells")
+    // …then a re-build replaces the layout: it must land BESIDE gen 0,
+    // not delete it first (the old in-place overwrite stranded every
+    // lazy reader for the duration of the build job)
+    IvfIndex.build(corpus, d, nCells = 6)
+    val m = IvfIndex.metaOf(spark, d)
+    assert(m.gen == 1 && m.ver == 2 && m.nCells == 6, m.toString)
+    assert(new java.io.File(s"$d/cells").isDirectory, "gen 0 keeps its grace")
+    assert(preCells.count() > 0, "pre-build reader must finish unharmed")
+    // a third build retires gen 0 (one-cycle grace) and serves gen 2
+    IvfIndex.build(corpus, d, nCells = 8)
+    assert(!new java.io.File(s"$d/cells").exists, "gen 0 retired at gen 2")
+    assert(new java.io.File(s"$d/cells_g1").isDirectory)
+    val qs = corpus.filter(pmod(col("vec_id"), lit(100)) === 0)
+    val got = IvfIndex.search(spark, d, qs, k = 3, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = Similarity.knnTopK(corpus, qs.select("vec_id"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == brute)
   }
 
   test("a fully-filtering where yields an empty result, not a full-corpus rescore scan") {
