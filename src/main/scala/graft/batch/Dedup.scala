@@ -538,21 +538,87 @@ object Dedup {
     * map-side pre-reduced to one row per cluster per partition. */
   def qd17_quality_canonical(s: SparkSession, d: String): DataFrame = {
     val labels = dupLabels(s, d)
-    // qt2's EXACT scoring, via the shared TextOps helpers — the
-    // stopword list and formula live in one place
-    val quality = TextOps.withStopwordStats(Tables.documents(s, d))
-      .select(col("doc_id").as("id"), TextOps.stopwordQuality.as("quality"))
-    val members = labels.join(quality, "id").localCheckpoint()
+    val members = clusterMembersWithQuality(s, d, labels)
     val sizes = members.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-    val keep = graft.plans.GroupTopK.topK(
-      members.select(col("label").cast("long"), col("id").cast("long"),
-        col("quality").cast("long")),
-      keys = Seq("label"), order = Seq(col("quality").desc, col("id").asc), k = 1)
+    val keep = qualityKeeps(members)
     keep.join(sizes, "label")
       .select(col("label").as("cluster_id"), col("id").as("keep_id"),
         col("quality").as("keep_quality"), col("cluster_size"),
         (col("id") =!= col("label")).as("displaced"))
       .orderBy("cluster_id")
+  }
+
+  /** Graph members with qt2's quality, checkpointed — the frame both
+    * the keep-argmax and the cluster-size aggregate derive from
+    * (extracted from qd17 so [[qd19_canonical_selection]] shares the
+    * exact scoring join). */
+  private def clusterMembersWithQuality(s: SparkSession, d: String,
+      labels: DataFrame): DataFrame = {
+    // qt2's EXACT scoring, via the shared TextOps helpers — the
+    // stopword list and formula live in one place
+    val quality = TextOps.withStopwordStats(Tables.documents(s, d))
+      .select(col("doc_id").as("id"), TextOps.stopwordQuality.as("quality"))
+    labels.join(quality, "id").localCheckpoint()
+  }
+
+  /** The per-cluster keep — (label, id, quality) argmax under
+    * (quality DESC, id ASC) via the native bounded-heap GroupTopK. */
+  private def qualityKeeps(members: DataFrame): DataFrame =
+    graft.plans.GroupTopK.topK(
+      members.select(col("label").cast("long"), col("id").cast("long"),
+        col("quality").cast("long")),
+      keys = Seq("label"), order = Seq(col("quality").desc, col("id").asc), k = 1)
+
+  /** qd19: the composed curation core — DEDUP-CANONICAL ∘ IMPORTANCE ∘
+    * BUDGET, one oracle-gated query: resolve each near-dup cluster to
+    * its best-quality member (qd17's keep rule over qd6's exact
+    * graph), rank every surviving document by qt17's target-domain
+    * importance, and admit in (importance DESC, doc_id) order until a
+    * fixed token budget is exhausted — "dedupe, then fill the training
+    * budget with the most target-like data", the selection loop a real
+    * pretraining pipeline runs between corpus and tokenizer. No new
+    * formula anywhere: the graph, the keep rule, the importance score
+    * and the tokenization are the SAME shared helpers their standalone
+    * queries pin, so this query gates their composition.
+    *
+    * The cumulative-budget cut uses [[TextOps.runningOffsets]] — the
+    * two-pass distributed prefix sum (docBins' engine, caller-keyed) —
+    * NEVER a global single-partition window; a doc is admitted iff the
+    * running total INCLUDING it fits. Output: per-lang admitted
+    * counts/tokens/importance-sum + id checksum. Budget fixed at
+    * [[SelectionBudget]] tokens (the qc1/qc5 fixed-budget convention:
+    * selection gets MORE selective as the corpus rungs grow — output
+    * stays bounded while input scales). */
+  private[graft] val SelectionBudget = 10000L
+
+  def qd19_canonical_selection(s: SparkSession, d: String): DataFrame = {
+    val labels = dupLabels(s, d).localCheckpoint() // members + keep derive from it
+    val members = clusterMembersWithQuality(s, d, labels)
+    val keeps = qualityKeeps(members).select(col("id").as("doc_id"))
+    val docs = Tables.documents(s, d)
+    // canonical = docs outside the graph ∪ each cluster's keep
+    val canon = docs
+      .join(labels.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+      .unionByName(keeps)
+    val scored = TextOps.importanceScores(s, d)
+      .join(canon, "doc_id") // importance covers every doc with ≥1 token
+    val withTok = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(expr("filter(split(lower(text), ' '), t -> length(t) > 0)"))
+          .cast("long").as("tok"))
+      .join(scored, "doc_id")
+    val admitted = TextOps.runningOffsets(
+      withTok.select(col("doc_id"), col("tok"), col("importance").as("key")))
+      .filter(col("off") + col("tok") <= lit(SelectionBudget))
+      .select(col("doc_id"), col("tok"), col("key").as("importance"))
+      .join(withTok.select(col("doc_id"), col("lang")), "doc_id")
+    admitted.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sel"),
+        sum(col("tok")).as("tok_sel"),
+        sum(col("importance")).as("imp_sum"),
+        sum(col("doc_id")).as("id_checksum"))
+      .orderBy("lang")
   }
 
   /** qd18: leakage-safe train/val/test split — assign every document a
@@ -971,7 +1037,8 @@ object Dedup {
     "qd16_ivf_neardup" -> (qd16_ivf_neardup _),
     "qd6_dup_clusters" -> (qd6_dup_clusters _),
     "qd17_quality_canonical" -> (qd17_quality_canonical _),
-    "qd18_leakage_split" -> (qd18_leakage_split _))
+    "qd18_leakage_split" -> (qd18_leakage_split _),
+    "qd19_canonical_selection" -> (qd19_canonical_selection _))
 
   private val shingleSql =
     s"""shingles AS (
@@ -1212,6 +1279,46 @@ object Dedup {
          | s.cluster_size
          |FROM labels l JOIN sizes s ON l.cluster_id = s.cluster_id
          |ORDER BY doc_id""".stripMargin,
+    // qd19: the composed selection loop, stated entirely from shared
+    // fragments: the labels chain (qd6/qd17/qd18's graph), the qt2
+    // stopword quality (qd17's keep rule), qt17's importance scores
+    // (TextOps.ImportanceSql, imp_-prefixed), and a budget window —
+    // cum ≤ B, the cumulative-INCLUDING form of the engine's
+    // off + tok ≤ B prefix-sum admission
+    "qd19_canonical_selection" ->
+      s"""WITH RECURSIVE $shingleSql,
+         |$clusterLabelsSql,
+         |${TextOps.ImportanceSql},
+         |q AS (
+         | SELECT doc_id AS id, ${TextOps.StopwordQualitySql} AS quality
+         | FROM documents),
+         |m AS (SELECT l.cluster_id, l.id, q.quality
+         |      FROM labels l JOIN q ON l.id = q.id),
+         |keeps AS (
+         | SELECT id AS doc_id FROM m
+         | QUALIFY row_number() OVER (PARTITION BY cluster_id
+         |   ORDER BY quality DESC, id ASC) = 1),
+         |canon AS (
+         | SELECT d.doc_id FROM documents d
+         |  LEFT JOIN labels l ON d.doc_id = l.id WHERE l.id IS NULL
+         | UNION ALL SELECT doc_id FROM keeps),
+         |toked AS (
+         | SELECT doc_id,
+         |  CAST(len(list_filter(string_split(lower(text), ' '),
+         |    t -> len(t) > 0)) AS BIGINT) AS tok
+         | FROM documents),
+         |ranked AS (
+         | SELECT c.doc_id, s.lang, s.importance, t.tok,
+         |  SUM(t.tok) OVER (ORDER BY s.importance DESC, c.doc_id ASC
+         |    ROWS UNBOUNDED PRECEDING) AS cum
+         | FROM canon c JOIN imp_scores s ON c.doc_id = s.doc_id
+         |  JOIN toked t ON c.doc_id = t.doc_id)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sel,
+         | CAST(SUM(tok) AS BIGINT) AS tok_sel,
+         | CAST(SUM(importance) AS BIGINT) AS imp_sum,
+         | CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+         |FROM ranked WHERE cum <= $SelectionBudget
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // qd18: qd6's exact graph again (the shared labels fragment), split
     // = md5(cluster_id) % 100 banded 80/10/10; the leakage audit walks
     // STAR edges (id ↔ cluster_id), never the cluster clique. sp is

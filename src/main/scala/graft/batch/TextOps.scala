@@ -770,7 +770,10 @@ object TextOps {
     * identity; this admits by distributional match. */
   private[graft] val ImportanceBuckets = 1024
 
-  def qt17_importance_select(s: SparkSession, d: String): DataFrame = {
+  /** qt17's scoring core — (doc_id, lang, importance) for EVERY doc
+    * with ≥1 token — split out so [[Dedup.qd19_canonical_selection]]
+    * composes the same scores without restating the formula. */
+  private[graft] def importanceScores(s: SparkSession, d: String): DataFrame = {
     val nB = ImportanceBuckets
     val toks = Tables.spread(Tables.documents(s, d)).select(
       col("doc_id"), col("lang"),
@@ -796,9 +799,46 @@ object TextOps {
     dbc.join(broadcast(weights), "bucket")
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("c") * col("w_ppm")).as("importance"))
+  }
+
+  def qt17_importance_select(s: SparkSession, d: String): DataFrame =
+    importanceScores(s, d)
       .orderBy(col("importance").desc, col("doc_id"))
       .limit(100)
       .select(col("doc_id"), col("lang"), col("importance"))
+
+  /** Two-pass distributed running offsets under (key DESC, doc_id ASC)
+    * order — [[docBins]]' prefix-sum engine with a caller-supplied
+    * ranking key: input (doc_id, tok, key), output adds `off` = Σ tok
+    * of all rows strictly before this one. No global-window single
+    * partition anywhere; the only driver-side data is the tiny
+    * per-partition total array (docBins' rule). */
+  private[batch] def runningOffsets(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val n = s.sparkContext.defaultParallelism
+    val local = df
+      .select(col("doc_id").cast("long"), col("tok").cast("long"),
+        col("key").cast("long"))
+      .as[(Long, Long, Long)]
+      .repartitionByRange(n, col("key").desc, col("doc_id").asc)
+      .sortWithinPartitions(col("key").desc, col("doc_id").asc)
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var run = 0L
+        it.map { case (id, tok, k) =>
+          val off = run; run += tok; (pid, id, tok, k, off)
+        }
+      }.toDF("pid", "doc_id", "tok", "key", "local_off")
+      .localCheckpoint() // feeds the totals pass AND the final join
+    val totals = local.groupBy(col("pid")).agg(sum(col("tok")).as("ptot"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val bases = totals.map { case (pid, ptot) => val b = (pid, acc); acc += ptot; b }
+    val baseDf = s.createDataFrame(bases.toSeq).toDF("pid", "base")
+    local.join(broadcast(baseDf), "pid")
+      .select(col("doc_id"), col("tok"), col("key"),
+        (col("base") + col("local_off")).as("off"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -823,30 +863,39 @@ object TextOps {
   private val profileValues = profiles
     .map { case (l, w) => s"('$l','$w')" }.mkString(", ")
 
+  /** qt17's scoring CTE chain → `imp_scores(doc_id, lang, importance)`
+    * — ONE fragment shared by the qt17 and qd19 oracles (the SQL twin
+    * of [[importanceScores]]); `imp_`-prefixed names so it composes
+    * into statements that already define toks/labels CTEs. */
+  private[batch] val ImportanceSql: String =
+    """imp_toks AS (
+      | SELECT doc_id, lang, t.tok FROM (
+      |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+      |  FROM documents) t WHERE length(t.tok) > 0),
+      |imp_dbc AS (
+      | SELECT doc_id, lang,
+      |  ('0x' || substr(md5(tok), 1, 5))::BIGINT % 1024 AS bucket,
+      |  COUNT(*) AS c
+      | FROM imp_toks GROUP BY 1, 2, 3),
+      |imp_bt AS (
+      | SELECT bucket, SUM(c) AS qc,
+      |  SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS pc
+      | FROM imp_dbc GROUP BY 1),
+      |imp_tots AS (SELECT SUM(qc) AS qtot, SUM(pc) AS ptot FROM imp_bt),
+      |imp_w AS (
+      | SELECT bucket,
+      |  ((pc + 1) * 1000000 // (ptot + 1024))
+      |   - ((qc + 1) * 1000000 // (qtot + 1024)) AS w_ppm
+      | FROM imp_bt CROSS JOIN imp_tots),
+      |imp_scores AS (
+      | SELECT imp_dbc.doc_id, imp_dbc.lang,
+      |  CAST(SUM(imp_dbc.c * imp_w.w_ppm) AS BIGINT) AS importance
+      | FROM imp_dbc JOIN imp_w USING (bucket) GROUP BY 1, 2)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "qt17_importance_select" ->
-      """WITH toks AS (
-        | SELECT doc_id, lang, t.tok FROM (
-        |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
-        |  FROM documents) t WHERE length(t.tok) > 0),
-        |dbc AS (
-        | SELECT doc_id, lang,
-        |  ('0x' || substr(md5(tok), 1, 5))::BIGINT % 1024 AS bucket,
-        |  COUNT(*) AS c
-        | FROM toks GROUP BY 1, 2, 3),
-        |bt AS (
-        | SELECT bucket, SUM(c) AS qc,
-        |  SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS pc
-        | FROM dbc GROUP BY 1),
-        |tots AS (SELECT SUM(qc) AS qtot, SUM(pc) AS ptot FROM bt),
-        |w AS (
-        | SELECT bucket,
-        |  ((pc + 1) * 1000000 // (ptot + 1024))
-        |   - ((qc + 1) * 1000000 // (qtot + 1024)) AS w_ppm
-        | FROM bt CROSS JOIN tots)
-        |SELECT doc_id, lang, CAST(importance AS BIGINT) AS importance FROM (
-        | SELECT dbc.doc_id, dbc.lang, SUM(dbc.c * w.w_ppm) AS importance
-        | FROM dbc JOIN w USING (bucket) GROUP BY 1, 2) s
+      s"""WITH $ImportanceSql
+        |SELECT doc_id, lang, importance FROM imp_scores
         |ORDER BY importance DESC, doc_id LIMIT 100""".stripMargin,
     "qt16_chunk_windows" ->
       """SELECT doc_id, CAST(i AS INT) AS chunk_id,
