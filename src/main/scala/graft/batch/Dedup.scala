@@ -601,18 +601,17 @@ object Dedup {
       .join(labels.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"))
       .unionByName(keeps)
+    // importanceScores carries n_tok (Σ bucket counts = the doc's
+    // non-empty token count) — no separate corpus text scan
     val scored = TextOps.importanceScores(s, d)
       .join(canon, "doc_id") // importance covers every doc with ≥1 token
-    val withTok = Tables.documents(s, d)
-      .select(col("doc_id"),
-        size(expr("filter(split(lower(text), ' '), t -> length(t) > 0)"))
-          .cast("long").as("tok"))
-      .join(scored, "doc_id")
+      .localCheckpoint() // feeds the prefix sum AND the lang join
     val admitted = TextOps.runningOffsets(
-      withTok.select(col("doc_id"), col("tok"), col("importance").as("key")))
+      scored.select(col("doc_id"), col("n_tok").as("tok"),
+        col("importance").as("key")))
       .filter(col("off") + col("tok") <= lit(SelectionBudget))
       .select(col("doc_id"), col("tok"), col("key").as("importance"))
-      .join(withTok.select(col("doc_id"), col("lang")), "doc_id")
+      .join(scored.select(col("doc_id"), col("lang")), "doc_id")
     admitted.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_sel"),
         sum(col("tok")).as("tok_sel"),
@@ -1303,10 +1302,8 @@ object Dedup {
          |  LEFT JOIN labels l ON d.doc_id = l.id WHERE l.id IS NULL
          | UNION ALL SELECT doc_id FROM keeps),
          |toked AS (
-         | SELECT doc_id,
-         |  CAST(len(list_filter(string_split(lower(text), ' '),
-         |    t -> len(t) > 0)) AS BIGINT) AS tok
-         | FROM documents),
+         | SELECT doc_id, CAST(SUM(c) AS BIGINT) AS tok
+         | FROM imp_dbc GROUP BY 1),
          |ranked AS (
          | SELECT c.doc_id, s.lang, s.importance, t.tok,
          |  SUM(t.tok) OVER (ORDER BY s.importance DESC, c.doc_id ASC

@@ -798,7 +798,12 @@ object TextOps {
         .as("w_ppm"))
     dbc.join(broadcast(weights), "bucket")
       .groupBy(col("doc_id"), col("lang"))
-      .agg(sum(col("c") * col("w_ppm")).as("importance"))
+      // n_tok rides along for free: the weights join is lossless
+      // (every dbc bucket exists in the weight table), so Σc over the
+      // joined rows IS the doc's token count — consumers that need
+      // both (qd19's budget cut) save a whole corpus text scan
+      .agg(sum(col("c") * col("w_ppm")).as("importance"),
+        sum(col("c")).as("n_tok"))
   }
 
   def qt17_importance_select(s: SparkSession, d: String): DataFrame =
