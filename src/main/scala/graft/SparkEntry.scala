@@ -61,8 +61,13 @@ object SparkEntry {
       .matcher(sql)
     if (!m0.lookingAt()) return sql // no WITH prefix — no CTEs to touch
     val out = new StringBuilder(sql.substring(0, m0.end()))
+    // a head may already carry a hand-written MATERIALIZED (shared
+    // fragments annotate multi-referenced CTEs for the RECURSIVE
+    // statements this scanner skips) — recognize it and pass through,
+    // else the scanner would bail on the whole statement and leave its
+    // OTHER bare heads inlined
     val headP = java.util.regex.Pattern.compile(
-      "\\s*([a-zA-Z_][a-zA-Z0-9_]*)\\s*(\\([^)]*\\))?\\s+AS\\s*\\(",
+      "\\s*([a-zA-Z_][a-zA-Z0-9_]*)\\s*(\\([^)]*\\))?\\s+AS\\s*(MATERIALIZED\\s+)?\\(",
       java.util.regex.Pattern.CASE_INSENSITIVE)
     var i = m0.end()
     while (true) {

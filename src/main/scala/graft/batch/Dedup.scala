@@ -592,7 +592,7 @@ object Dedup {
   private[graft] val SelectionBudget = 10000L
 
   def qd19_canonical_selection(s: SparkSession, d: String): DataFrame = {
-    val labels = dupLabels(s, d).localCheckpoint() // members + keep derive from it
+    val labels = dupLabels(s, d) // already checkpointed by the loop
     val members = clusterMembersWithQuality(s, d, labels)
     val keeps = qualityKeeps(members).select(col("id").as("doc_id"))
     val docs = Tables.documents(s, d)
@@ -646,9 +646,9 @@ object Dedup {
     * per-split aggregates out. */
   def qd18_leakage_split(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"))
-    // reused by membership AND the star-edge audit — checkpoint, or the
-    // pointer-jump loop's lineage re-executes per consumer
-    val labels = dupLabels(s, d).localCheckpoint()
+    // reused by membership AND the star-edge audit — dupLabels returns
+    // its convergence loop's checkpointed frame, so consumers share it
+    val labels = dupLabels(s, d)
     def bucket(c: Column): Column = pmod(
       conv(substring(md5(c.cast("string").cast("binary")), 1, 6), 16, 10).cast("long"),
       lit(100))
@@ -1076,7 +1076,8 @@ object Dedup {
       | SELECT id, id FROM nodes
       | UNION
       | SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.lbl),
-      |labels AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1)""".stripMargin
+      |labels AS MATERIALIZED (
+      | SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1)""".stripMargin
 
   // shared by qd3 (fingerprints) and qd14 (pair generation over them)
   private val simhashCtes =

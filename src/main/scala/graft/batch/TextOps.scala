@@ -200,35 +200,12 @@ object TextOps {
     * prefix sum. Exposed separately so downstream stages (the per-bin
     * report above; [[Shards]]' output sharding) share one engine-
     * independent assignment. */
-  def docBins(docs: DataFrame, cap: Long): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
-    val n = s.sparkContext.defaultParallelism
-    // pass 1: global sort order across partitions, local prefix sums
-    val local = docs
-      .select(col("doc_id").cast("long"), col("tok").cast("long"))
-      .as[(Long, Long)]
-      .repartitionByRange(n, col("tok").desc, col("doc_id").asc)
-      .sortWithinPartitions(col("tok").desc, col("doc_id").asc)
-      .mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        var run = 0L
-        it.map { case (id, tok) => val off = run; run += tok; (pid, id, tok, off) }
-      }.toDF("pid", "doc_id", "tok", "local_off")
-      // feeds both the totals pass and the final join; materialize once
-      .localCheckpoint()
-    // pass 2: per-partition totals -> cumulative base offset per pid.
-    // One row per partition; driver-side cumulative sum over that tiny
-    // array is the scale-safe way to avoid a global-window exchange.
-    val totals = local.groupBy(col("pid")).agg(sum(col("tok")).as("ptot"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val bases = totals.map { case (pid, ptot) => val b = (pid, acc); acc += ptot; b }
-    val baseDf = s.createDataFrame(bases.toSeq).toDF("pid", "base")
-    local.join(broadcast(baseDf), "pid")
-      .withColumn("bin", floor((col("base") + col("local_off")) / cap))
+  def docBins(docs: DataFrame, cap: Long): DataFrame =
+    // ONE prefix-sum engine ([[runningOffsets]]) keyed by tok itself —
+    // the bin is just the running offset divided by capacity
+    runningOffsets(docs.select(col("doc_id"), col("tok"), col("tok").as("key")))
+      .withColumn("bin", floor(col("off") / cap))
       .select(col("doc_id"), col("tok"), col("bin"))
-  }
 
   /** Distributed first-fit-decreasing packing: (doc_id, tok) →
     * (doc_id, tok, bin) with every bin ≤ `capacity` tokens (oversized
@@ -873,24 +850,30 @@ object TextOps {
     * of [[importanceScores]]); `imp_`-prefixed names so it composes
     * into statements that already define toks/labels CTEs. */
   private[batch] val ImportanceSql: String =
-    """imp_toks AS (
+    // B is interpolated from ImportanceBuckets (the StopwordQualitySql
+    // rule: shared constants never restated). imp_dbc and imp_bt carry
+    // hand-written MATERIALIZED: they are multi-referenced, and the
+    // qd19 consumer embeds this fragment in a RECURSIVE statement the
+    // central materializer skips — without the annotation DuckDB
+    // re-tokenizes the corpus once per reference.
+    s"""imp_toks AS (
       | SELECT doc_id, lang, t.tok FROM (
       |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
       |  FROM documents) t WHERE length(t.tok) > 0),
-      |imp_dbc AS (
+      |imp_dbc AS MATERIALIZED (
       | SELECT doc_id, lang,
-      |  ('0x' || substr(md5(tok), 1, 5))::BIGINT % 1024 AS bucket,
+      |  ('0x' || substr(md5(tok), 1, 5))::BIGINT % $ImportanceBuckets AS bucket,
       |  COUNT(*) AS c
       | FROM imp_toks GROUP BY 1, 2, 3),
-      |imp_bt AS (
+      |imp_bt AS MATERIALIZED (
       | SELECT bucket, SUM(c) AS qc,
       |  SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS pc
       | FROM imp_dbc GROUP BY 1),
       |imp_tots AS (SELECT SUM(qc) AS qtot, SUM(pc) AS ptot FROM imp_bt),
       |imp_w AS (
       | SELECT bucket,
-      |  ((pc + 1) * 1000000 // (ptot + 1024))
-      |   - ((qc + 1) * 1000000 // (qtot + 1024)) AS w_ppm
+      |  ((pc + 1) * 1000000 // (ptot + $ImportanceBuckets))
+      |   - ((qc + 1) * 1000000 // (qtot + $ImportanceBuckets)) AS w_ppm
       | FROM imp_bt CROSS JOIN imp_tots),
       |imp_scores AS (
       | SELECT imp_dbc.doc_id, imp_dbc.lang,

@@ -43,6 +43,14 @@ class OracleSqlSpec extends AnyFunSuite {
       "WITH a AS (SELECT 1), b AS (SELECT 2) SELECT * FROM b")
     assert(oneLine.contains("a AS MATERIALIZED (SELECT 1)"))
     assert(oneLine.contains("b AS MATERIALIZED (SELECT 2)"), oneLine)
+    // a head hand-annotated MATERIALIZED (shared fragments do this for
+    // their RECURSIVE consumers) passes through unchanged AND must not
+    // bail the scan — the bare head after it still gets rewritten
+    val preAnnotated = SparkEntry.materializeCtes(
+      "WITH a AS MATERIALIZED (SELECT 1), b AS (SELECT 2) SELECT * FROM b")
+    assert(preAnnotated.contains("a AS MATERIALIZED (SELECT 1)"), preAnnotated)
+    assert(!preAnnotated.contains("MATERIALIZED MATERIALIZED"), preAnnotated)
+    assert(preAnnotated.contains("b AS MATERIALIZED (SELECT 2)"), preAnnotated)
     val leadingComma = SparkEntry.materializeCtes(
       "WITH a AS (\n  SELECT 1\n)\n, b AS (SELECT 2)\nSELECT * FROM b")
     assert(leadingComma.contains("b AS MATERIALIZED (SELECT 2)"), leadingComma)

@@ -33,9 +33,11 @@ class SelectionSpec extends SparkSpec {
     val adm = collection.mutable.Set.empty[Long]
     for ((id, _) <- canon.sortBy { case (id, imp) => (-imp, id) }) {
       if (run + toks(id) <= Dedup.SelectionBudget) { run += toks(id); adm += id }
-      // no break: later (smaller) docs may still fit — matches the
-      // query's pure cumulative rule ONLY if nothing after the first
-      // overflow fits; assert that instead of emulating first-fit
+      // STOP at the first overflow: the engine's off counts every
+      // preceding row INCLUDING rejected ones, so its admitted set is
+      // exactly the maximal prefix — a first-fit fold (skip and keep
+      // going) would diverge whenever a smaller doc follows a too-big
+      // one, and would wrongly reject a correct engine
       else return adm.toSet
     }
     adm.toSet
