@@ -255,6 +255,41 @@ object AnnScaleBench {
         }
       }
 
+      // ---- `filtered` arm: qs9's recall story, measured — planted
+      // twins whose BASES all satisfy the predicate (label = 3, ~10%
+      // selective), searched over the attr-carrying q=2 index WITH the
+      // filter. The filter thins every probed cell to ~10% matching
+      // rows, so the twin's base faces fewer distractors but the probe
+      // set is unchanged — quantifying the scaladoc's p-first rule:
+      // hit@1 at p, 3p, and the unfiltered-at-p contrast.
+      if (armsWanted("filtered")) {
+        val idxFDir = s"$dir/ivf_sqrtn_q2_attr"
+        IvfIndex.build(
+          Tables.embeddings(spark, dir).select("vec_id", "embedding", "label"),
+          idxFDir, nCells, assign = 2, attrs = Seq("label"))
+        val l3 = withNrm(Tables.embeddings(spark, dir)
+          .filter(col("label") === 3).select("vec_id", "embedding"))
+          .localCheckpoint()
+        // floor 4: plantTwins keeps vec_id % baseMod == 3, which is
+        // unsatisfiable below 4 (the x1 rung's label-3 count / 200
+        // rounds to 1 → zero twins, a vacuous arm)
+        val bmF = math.max(4L, l3.count() / 200)
+        val twinF = plantTwins(l3, bmF, plantOffset).localCheckpoint()
+        val nTF = twinF.count()
+        def hitsAt(p: Int, flt: Option[org.apache.spark.sql.Column]): Long =
+          IvfIndex.search(spark, idxFDir, twinF, K, p, flt)
+            .withColumn("expected", col("qid") - lit(plantOffset))
+            .filter(col("neighbor_id") === col("expected") && col("rank") === 1)
+            .count()
+        val pF = Dedup.ProbeCells
+        val (tP, hP) = time { hitsAt(pF, Some(col("label") === 3)) }
+        val (t3P, h3P) = time { hitsAt(3 * pF, Some(col("label") === 3)) }
+        val hU = hitsAt(pF, None)
+        extraArms ++= s""","filtered":{"n_twins":$nTF,"p${pF}":$hP,""" +
+          s""""p${3 * pF}":$h3P,"unfiltered_p$pF":$hU,""" +
+          s""""p${pF}_sec":${d3(tP)},"p${3 * pF}_sec":${d3(t3P)}}"""
+      }
+
       // ---- `handoff` arm (VERDICT r12 ask #3): at the top rung, the
       // serving index is built FROM the membrane-filtered
       // epoch-partitioned ingest corpus (EmbedIngest.corpus — the
