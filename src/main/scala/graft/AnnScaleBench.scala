@@ -281,13 +281,23 @@ object AnnScaleBench {
             .withColumn("expected", col("qid") - lit(plantOffset))
             .filter(col("neighbor_id") === col("expected") && col("rank") === 1)
             .count()
+        // the bench reps/steady protocol (searchArm's rule): a single
+        // timing per configuration confounds config with ORDER — the
+        // first search pays the just-built index's cold read, so
+        // p5-once-then-p15-once reads as "wider probes are faster"
+        def timedHits(p: Int, flt: Option[org.apache.spark.sql.Column])
+            : (Double, Long) = {
+          var h = 0L
+          val ts = (1 to math.max(1, reps)).map(_ => time { h = hitsAt(p, flt) }._1)
+          (ts.min, h)
+        }
         val pF = Dedup.ProbeCells
-        val (tP, hP) = time { hitsAt(pF, Some(col("label") === 3)) }
-        val (t3P, h3P) = time { hitsAt(3 * pF, Some(col("label") === 3)) }
+        val (tP, hP) = timedHits(pF, Some(col("label") === 3))
+        val (t3P, h3P) = timedHits(3 * pF, Some(col("label") === 3))
         val hU = hitsAt(pF, None)
         extraArms ++= s""","filtered":{"n_twins":$nTF,"p${pF}":$hP,""" +
           s""""p${3 * pF}":$h3P,"unfiltered_p$pF":$hU,""" +
-          s""""p${pF}_sec":${d3(tP)},"p${3 * pF}_sec":${d3(t3P)}}"""
+          s""""p${pF}_steady_sec":${d3(tP)},"p${3 * pF}_steady_sec":${d3(t3P)}}"""
       }
 
       // ---- `handoff` arm (VERDICT r12 ask #3): at the top rung, the

@@ -76,7 +76,10 @@ object SparkEntry {
       if (!hm.lookingAt()) return sql // unparseable head — bail whole
       val headText = sql.substring(i, hm.end())
       out.append(
-        if (hm.group(2) != null) headText // column-list head: inlined
+        if (hm.group(2) != null || hm.group(3) != null) headText
+        // column-list head stays inlined; a hand-annotated MATERIALIZED
+        // head (group 3) passes through — stated as a branch, not left
+        // to the replacement pattern happening not to match
         else headText.replaceFirst("(?is)AS\\s*\\(\\z", "AS MATERIALIZED ("))
       // skip the balanced CTE body; parens inside single-quoted
       // literals ('' escape), double-quoted identifiers, and `--`

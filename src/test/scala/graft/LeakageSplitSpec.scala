@@ -25,7 +25,7 @@ class LeakageSplitSpec extends SparkSpec {
   }
 
   test("the cluster rule is leakage-CLOSED: no near-dup edge crosses splits") {
-    val labels = Dedup.dupLabels(spark, dir).localCheckpoint()
+    val labels = Dedup.dupLabels(spark, dir) // already checkpointed
     val bucket = pmod(conv(substring(md5(col("cluster_id").cast("string")
       .cast("binary")), 1, 6), 16, 10).cast("long"), lit(100))
     val sp = labels.select(col("id"), col("label").as("cluster_id"))

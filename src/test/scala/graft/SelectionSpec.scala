@@ -17,7 +17,7 @@ class SelectionSpec extends SparkSpec {
     // re-derive the admitted id set from the engine's own pieces, but
     // with a DRIVER-SIDE sequential fold instead of the distributed
     // two-pass prefix sum — the admission arithmetic cross-check
-    val labels = Dedup.dupLabels(spark, dir).localCheckpoint()
+    val labels = Dedup.dupLabels(spark, dir) // already checkpointed
     val keeps = Dedup.qd17_quality_canonical(spark, dir)
       .select(col("keep_id")).collect().map(_.getLong(0)).toSet
     val members = labels.select("id").collect().map(_.getLong(0)).toSet
