@@ -168,6 +168,14 @@ object IvfIndex {
   def build(emb: DataFrame, dir: String, nCells: Int, assign: Int = 1,
       int8: Boolean = false, attrs: Seq[String] = Nil): Unit = {
     val spark = emb.sparkSession
+    // attr names are interpolated into meta.json and parsed back with a
+    // regex — a quote/backslash/bracket in a name would corrupt the
+    // meta silently and break every later metaOf on the dir. Fail fast
+    // by name instead (round-13 ADVICE); identifier-shaped names are
+    // also the only ones the parquet cell schema round-trips cleanly.
+    attrs.foreach(a => require(a.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"build: attr name '$a' must match [A-Za-z_][A-Za-z0-9_]* " +
+        "(attrs are recorded in meta.json)"))
     rebuildLocks.getOrElseUpdate(dir, new Object).synchronized {
       val root = new org.apache.hadoop.fs.Path(dir)
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -587,14 +595,21 @@ object IvfIndex {
     * rebuilds unconditionally, the safe direction: it gains the
     * annotated meta in the process. */
   def rebuildIfGrown(spark: SparkSession, dir: String, corpus: DataFrame,
-      factor: Double = 2.0): Boolean = {
-    recoverRebuild(spark, dir)
-    val meta = metaOf(spark, dir)
-    val rowsNow = spark.read.parquet(cellsDirOf(dir, meta.gen)).count()
-    val due = rowsNow >= factor * meta.rows
-    if (due) rebuild(spark, dir, corpus)
-    due
-  }
+      factor: Double = 2.0): Boolean =
+    // the growth check and the rebuild it triggers hold ONE critical
+    // section (the monitor is reentrant, so the nested rebuild re-entry
+    // is fine): with the check outside it, two concurrent maintenance
+    // ticks could both observe "due" and run back-to-back rebuilds —
+    // wasted work, and the second install burns the one-cycle reader
+    // grace twice in quick succession (round-13 ADVICE).
+    rebuildLocks.getOrElseUpdate(dir, new Object).synchronized {
+      recoverRebuild(spark, dir)
+      val meta = metaOf(spark, dir)
+      val rowsNow = spark.read.parquet(cellsDirOf(dir, meta.gen)).count()
+      val due = rowsNow >= factor * meta.rows
+      if (due) rebuild(spark, dir, corpus)
+      due
+    }
 
   /** Top-k cosine neighbors for each (vec_id, embedding) query row,
     * probing the `nProbe` nearest cells. Probing ALL cells is exact

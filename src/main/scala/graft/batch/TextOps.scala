@@ -769,9 +769,18 @@ object TextOps {
       sum(col("c")).as("qc"),
       sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("pc"))
     val tots = bucketCounts.agg(sum(col("qc")).as("qtot"), sum(col("pc")).as("ptot"))
+    // DECIMAL(38,0), not Long: pc/qc/ptot/qtot are corpus-wide token
+    // counts, and (pc + 1) * 1e6 overflows Long once a bucket passes
+    // ~9.2e12 occurrences — which a 100 TB corpus (~1e13 tokens over
+    // 1024 buckets) reaches in its hot buckets. DuckDB's `//` on SUM
+    // results is already HUGEINT, so the wide type is what keeps the
+    // cross-engine bit-exactness claim true at scale; `div` on
+    // decimals is still exact integral division and lands back in a
+    // Long (|w_ppm| ≤ 1e6 by construction). Round-13 ADVICE.
     val weights = bucketCounts.crossJoin(broadcast(tots))
       .select(col("bucket"), expr(
-        s"(pc + 1) * 1000000 div (ptot + $nB) - (qc + 1) * 1000000 div (qtot + $nB)")
+        s"(cast(pc as decimal(38,0)) + 1) * 1000000 div (ptot + $nB) " +
+          s"- (cast(qc as decimal(38,0)) + 1) * 1000000 div (qtot + $nB)")
         .as("w_ppm"))
     dbc.join(broadcast(weights), "bucket")
       .groupBy(col("doc_id"), col("lang"))
