@@ -471,12 +471,19 @@ object Dedup {
     * min id) — qd6's pointer-jump loop, extracted so
     * [[qd17_quality_canonical]] shares the exact same graph and
     * convergence machinery. */
-  private[graft] def dupLabels(s: SparkSession, d: String): DataFrame = {
+  private[graft] def dupLabels(s: SparkSession, d: String): DataFrame =
+    dupLabelsOf(Tables.spread(Tables.documents(s, d)))
+
+  /** [[dupLabels]] over any (doc_id, text) frame — the seam that lets
+    * [[qd20_sticky_split]] and SplitLedgerSpec build the graph of a
+    * corpus VERSION (a filtered snapshot), not just the whole table. */
+  private[graft] def dupLabelsOf(docsIn: DataFrame): DataFrame = {
+    val s = docsIn.sparkSession
     // checkpoint the minhash signatures BEFORE the band self-join and
     // the edge union: Spark does not share common subtrees, so without
     // this the full shingle→signature pipeline (the expensive part)
     // executes 4× — once per join side per union branch
-    val sigs = minhashSigs(s, d).localCheckpoint()
+    val sigs = minhashSigsOf(docsIn).localCheckpoint()
     // star edges, not the bucket clique: identical components (any two
     // bucket members connect through the bucket min), linear — not
     // quadratic — in hot-bucket size; see lshStarEdges
@@ -644,20 +651,26 @@ object Dedup {
     * qd6's (already pair-space-bounded); the audit joins star edges to
     * the checkpointed per-doc split frame twice by id — broadcast-size
     * per-split aggregates out. */
+  /** qd18's 80/10/10 hash rule — md5(id) % 100 banded into splits —
+    * shared with [[qd20_sticky_split]] and [[SplitLedger]] so the
+    * FRESH-cluster assignment can never drift between the one-shot
+    * query and the versioned ledger. */
+  private[graft] def hashSplitOf(c: Column): Column = {
+    val b = pmod(
+      conv(substring(md5(c.cast("string").cast("binary")), 1, 6), 16, 10).cast("long"),
+      lit(100))
+    when(b < 80, "train").when(b < 90, "val").otherwise("test")
+  }
+
   def qd18_leakage_split(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"))
     // reused by membership AND the star-edge audit — dupLabels returns
     // its convergence loop's checkpointed frame, so consumers share it
     val labels = dupLabels(s, d)
-    def bucket(c: Column): Column = pmod(
-      conv(substring(md5(c.cast("string").cast("binary")), 1, 6), 16, 10).cast("long"),
-      lit(100))
-    def splitOf(b: Column): Column =
-      when(b < 80, "train").when(b < 90, "val").otherwise("test")
     val sp = docs.join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
-      .withColumn("split", splitOf(bucket(col("cluster_id"))))
-      .withColumn("naive_split", splitOf(bucket(col("doc_id"))))
+      .withColumn("split", hashSplitOf(col("cluster_id")))
+      .withColumn("naive_split", hashSplitOf(col("doc_id")))
       .select("doc_id", "cluster_id", "split", "naive_split")
       .localCheckpoint() // feeds the per-split agg + both audit joins
     val edges = labels.filter(col("id") =!= col("label"))
@@ -676,6 +689,90 @@ object Dedup {
       .join(leak, Seq("split"), "left")
       .select(col("split"), col("n_docs"), col("n_clusters"), col("id_checksum"),
         coalesce(col("n_leaky_edges_naive"), lit(0L)).as("n_leaky_edges_naive"))
+      .orderBy("split")
+  }
+
+  /** (doc_id, cluster_id) membership of a corpus version: its docs
+    * left-joined to its graph labels, singletons their own cluster —
+    * qd18's membership step, shared with [[qd20_sticky_split]] and
+    * [[SplitLedger]]. */
+  private[graft] def membersOf(docs: DataFrame, labels: DataFrame): DataFrame =
+    docs.join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
+      .select(col("doc_id"), col("cluster_id"))
+
+  /** The STICKY split rule — the cross-version form of qd18's
+    * assignment, shared by [[qd20_sticky_split]] (the oracle-gated
+    * functional twin) and [[SplitLedger.assign]] (the persisted
+    * production entry): a cluster whose members carry recorded prior
+    * splits inherits the TRAIN-EST of them (train < val < test); only
+    * clusters with no recorded member fall back to qd18's content hash.
+    *
+    * Why not re-hash every version: qd18's label is the component MIN
+    * id, so an appended doc that BRIDGES two clusters relabels the
+    * larger one and silently moves all its members between splits —
+    * a doc trained on in version N lands in test in version N+1,
+    * cross-version eval contamination by construction (round-13
+    * verdict #1). Under the train-est rule a doc's priority can only
+    * DECREASE (its own prior bounds the cluster min), so nothing ever
+    * leaves train, and an eval doc whose content merges with train
+    * content is pulled OUT of eval — the correct direction: future
+    * evals stay clean. Within any one version the split is still
+    * constant per cluster, so cross-split near-dup edges stay
+    * structurally zero (SplitLedgerSpec asserts both).
+    *
+    * Scale shape: one id-join of members against the ledger, one
+    * (cluster, min-priority) aggregate (map-side combining), one
+    * cluster-join back — all linear in the corpus, keyed exactly like
+    * the graph machinery upstream. Reference analog: the keyed-state
+    * stickiness of active_records (Prensas.py:703-741) — identity
+    * keeps its assignment across reloads. */
+  private[graft] def stickySplits(members: DataFrame, prior: DataFrame): DataFrame = {
+    val pri = when(col("prior_split") === "train", 0L)
+      .when(col("prior_split") === "val", 1L).otherwise(2L)
+    val inh = members
+      .join(prior.select(col("doc_id"), col("split").as("prior_split")), Seq("doc_id"))
+      .groupBy(col("cluster_id")).agg(min(pri).as("pri"))
+    members.join(inh, Seq("cluster_id"), "left")
+      .withColumn("split", when(col("pri") === 0L, "train")
+        .when(col("pri") === 1L, "val").when(col("pri") === 2L, "test")
+        .otherwise(hashSplitOf(col("cluster_id"))))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+  }
+
+  /** qd20: split stability under corpus growth — qd18 one level up.
+    * Two corpus VERSIONS of the same table (v1 = docs with
+    * doc_id % 3 = 0, v2 = all docs — the appended docs include bridge
+    * docs that merge v1 clusters), each with its OWN dup graph; v1 is
+    * split by qd18's stateless hash, v2 by [[stickySplits]] over v1's
+    * recorded assignment. The output is the per-split stability audit:
+    * `n_promoted` (docs inheritance moved toward train — the merges at
+    * work), and `n_migrated_naive` — how many docs the STATELESS rule
+    * re-applied at v2 would have moved out of their v1 split (> 0 on
+    * any bridging append: the exact cross-version contamination this
+    * operator kills; the sticky rule's own out-of-train count is
+    * structurally zero, spec-asserted like qd18's edge invariant). */
+  def qd20_sticky_split(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.spread(Tables.documents(s, d))
+    val v1docs = all.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val m1 = membersOf(v1docs.select(col("doc_id")), dupLabelsOf(v1docs))
+    val m2 = membersOf(all.select(col("doc_id")), dupLabelsOf(all))
+    val sp1 = m1.withColumn("split", hashSplitOf(col("cluster_id")))
+      .select(col("doc_id"), col("split"))
+      .localCheckpoint() // feeds the inheritance join AND the audit join
+    val sp2 = stickySplits(m2, sp1)
+    val j = sp2
+      .join(sp1.withColumnRenamed("split", "prior_split"), Seq("doc_id"), "left")
+      .withColumn("naive_split", hashSplitOf(col("cluster_id")))
+    j.groupBy(col("split")).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"),
+        sum(col("doc_id")).as("id_checksum"),
+        sum(when(col("prior_split").isNull, 1L).otherwise(0L)).as("n_new_docs"),
+        sum(when(col("prior_split").isNotNull && col("split") =!= col("prior_split"), 1L)
+          .otherwise(0L)).as("n_promoted"),
+        sum(when(col("prior_split").isNotNull && col("naive_split") =!= col("prior_split"), 1L)
+          .otherwise(0L)).as("n_migrated_naive"))
       .orderBy("split")
   }
 
@@ -1037,47 +1134,65 @@ object Dedup {
     "qd6_dup_clusters" -> (qd6_dup_clusters _),
     "qd17_quality_canonical" -> (qd17_quality_canonical _),
     "qd18_leakage_split" -> (qd18_leakage_split _),
-    "qd19_canonical_selection" -> (qd19_canonical_selection _))
+    "qd19_canonical_selection" -> (qd19_canonical_selection _),
+    "qd20_sticky_split" -> (qd20_sticky_split _))
 
-  private val shingleSql =
-    s"""shingles AS (
+  /** The shingle CTE over a corpus version (`where` filters documents),
+    * with every CTE name `p`-prefixed so [[qd20_sticky_split]]'s oracle
+    * can instantiate the chain once per version in one statement. The
+    * un-prefixed full-corpus instance below is the same text every
+    * pre-qd20 oracle always used. */
+  private def shingleSqlOf(p: String, where: String) =
+    s"""${p}shingles AS (
        | SELECT DISTINCT doc_id, concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]) AS shingle
        | FROM (
        |  SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 3, 0) + 1)) AS i
        |  FROM (SELECT doc_id, string_split(lower(substr(text, 1, $ShingleChars)), ' ') AS toks
-       |        FROM documents))
+       |        FROM documents WHERE $where))
        | WHERE length(concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])) > 0)""".stripMargin
+
+  private val shingleSql = shingleSqlOf("", "TRUE")
 
   /** The LSH graph → component labels CTE chain (sigs → bands → pairs
     * → edges → recursive reach → labels), shared by the qd6 and qd17
     * oracles so the two state the SAME graph; must appear under
     * `WITH RECURSIVE $shingleSql` (the reach CTE is self-referencing,
-    * which is also why the materializer skips these statements). */
-  private val clusterLabelsSql =
-    """sigs AS (
+    * which is also why the materializer skips these statements).
+    * `p`-prefixed like [[shingleSqlOf]] for multi-version statements. */
+  private def clusterLabelsSqlOf(p: String) =
+    s"""${p}sigs AS (
       | SELECT doc_id,
       |  MIN(md5('0|' || shingle)) AS h0, MIN(md5('1|' || shingle)) AS h1,
       |  MIN(md5('2|' || shingle)) AS h2, MIN(md5('3|' || shingle)) AS h3,
       |  MIN(md5('4|' || shingle)) AS h4, MIN(md5('5|' || shingle)) AS h5
-      | FROM shingles GROUP BY 1),
-      |bands AS (
-      | SELECT doc_id, 0 AS band, md5(h0 || h1 || h2) AS key FROM sigs
+      | FROM ${p}shingles GROUP BY 1),
+      |${p}bands AS (
+      | SELECT doc_id, 0 AS band, md5(h0 || h1 || h2) AS key FROM ${p}sigs
       | UNION ALL
-      | SELECT doc_id, 1 AS band, md5(h3 || h4 || h5) AS key FROM sigs),
-      |pairs AS (
+      | SELECT doc_id, 1 AS band, md5(h3 || h4 || h5) AS key FROM ${p}sigs),
+      |${p}pairs AS (
       | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      | FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+      | FROM ${p}bands a JOIN ${p}bands b ON a.band = b.band AND a.key = b.key
       |  AND a.doc_id < b.doc_id),
-      |edges AS (
-      | SELECT id_a AS src, id_b AS dst FROM pairs
-      | UNION ALL SELECT id_b, id_a FROM pairs),
-      |nodes AS (SELECT DISTINCT src AS id FROM edges),
-      |reach(id, lbl) AS (
-      | SELECT id, id FROM nodes
+      |${p}edges AS (
+      | SELECT id_a AS src, id_b AS dst FROM ${p}pairs
+      | UNION ALL SELECT id_b, id_a FROM ${p}pairs),
+      |${p}nodes AS (SELECT DISTINCT src AS id FROM ${p}edges),
+      |${p}reach(id, lbl) AS (
+      | SELECT id, id FROM ${p}nodes
       | UNION
-      | SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.lbl),
-      |labels AS MATERIALIZED (
-      | SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1)""".stripMargin
+      | SELECT r.id, e.dst FROM ${p}reach r JOIN ${p}edges e ON e.src = r.lbl),
+      |${p}labels AS MATERIALIZED (
+      | SELECT id, MIN(lbl) AS cluster_id FROM ${p}reach GROUP BY 1)""".stripMargin
+
+  private val clusterLabelsSql = clusterLabelsSqlOf("")
+
+  /** qd18's hash-split CASE over a SQL expression — the oracle twin of
+    * [[hashSplitOf]], one formula for qd18, qd20 and the ledger spec. */
+  private def sqlHashSplit(x: String) =
+    s"""CASE WHEN ('0x' || substr(md5(CAST($x AS VARCHAR)), 1, 6))::BIGINT % 100 < 80 THEN 'train'
+       |      WHEN ('0x' || substr(md5(CAST($x AS VARCHAR)), 1, 6))::BIGINT % 100 < 90 THEN 'val'
+       |      ELSE 'test' END""".stripMargin
 
   // shared by qd3 (fingerprints) and qd14 (pair generation over them)
   private val simhashCtes =
@@ -1331,12 +1446,8 @@ object Dedup {
          | FROM documents d LEFT JOIN labels l ON d.doc_id = l.id),
          |sp AS MATERIALIZED (
          | SELECT doc_id, cluster_id,
-         |  CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 80 THEN 'train'
-         |       WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 90 THEN 'val'
-         |       ELSE 'test' END AS split,
-         |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 80 THEN 'train'
-         |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 90 THEN 'val'
-         |       ELSE 'test' END AS naive_split
+         |  ${sqlHashSplit("cluster_id")} AS split,
+         |  ${sqlHashSplit("doc_id")} AS naive_split
          | FROM members),
          |leak AS (
          | SELECT m.split,
@@ -1353,6 +1464,48 @@ object Dedup {
          | COALESCE(k.n_leaky_edges_naive, CAST(0 AS BIGINT)) AS n_leaky_edges_naive
          |FROM agg a LEFT JOIN leak k ON a.split = k.split
          |ORDER BY a.split""".stripMargin,
+    // qd20: the labels chain TWICE — once per corpus version (v1_ =
+    // the doc_id % 7 <> 3 snapshot, v2_ = the full table), prefixed so
+    // both live in one RECURSIVE statement — then the train-est
+    // inheritance (MIN over split priority per v2 cluster) with qd18's
+    // hash rule as the fresh-cluster fallback, and the stability audit
+    "qd20_sticky_split" ->
+      s"""WITH RECURSIVE ${shingleSqlOf("v1_", "doc_id % 3 = 0")},
+         |${clusterLabelsSqlOf("v1_")},
+         |${shingleSqlOf("v2_", "TRUE")},
+         |${clusterLabelsSqlOf("v2_")},
+         |v1m AS (
+         | SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+         | FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+         | LEFT JOIN v1_labels l ON d.doc_id = l.id),
+         |v1sp AS MATERIALIZED (
+         | SELECT doc_id, ${sqlHashSplit("cluster_id")} AS split FROM v1m),
+         |v2m AS MATERIALIZED (
+         | SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+         | FROM documents d LEFT JOIN v2_labels l ON d.doc_id = l.id),
+         |inh AS (
+         | SELECT m.cluster_id,
+         |  MIN(CASE p.split WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END) AS pri
+         | FROM v2m m JOIN v1sp p USING (doc_id) GROUP BY 1),
+         |v2sp AS (
+         | SELECT m.doc_id, m.cluster_id,
+         |  CASE WHEN inh.pri = 0 THEN 'train' WHEN inh.pri = 1 THEN 'val'
+         |       WHEN inh.pri = 2 THEN 'test'
+         |       ELSE ${sqlHashSplit("m.cluster_id")} END AS split
+         | FROM v2m m LEFT JOIN inh ON m.cluster_id = inh.cluster_id),
+         |j AS (
+         | SELECT s2.doc_id, s2.cluster_id, s2.split, s1.split AS prior_split,
+         |  ${sqlHashSplit("s2.cluster_id")} AS naive_split
+         | FROM v2sp s2 LEFT JOIN v1sp s1 ON s2.doc_id = s1.doc_id)
+         |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+         | CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+         | CAST(SUM(CASE WHEN prior_split IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new_docs,
+         | CAST(SUM(CASE WHEN prior_split IS NOT NULL AND split <> prior_split
+         |  THEN 1 ELSE 0 END) AS BIGINT) AS n_promoted,
+         | CAST(SUM(CASE WHEN prior_split IS NOT NULL AND naive_split <> prior_split
+         |  THEN 1 ELSE 0 END) AS BIGINT) AS n_migrated_naive
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // qd17: qd6's exact graph (one shared labels fragment — the two
     // oracles cannot drift), keep = per-cluster argmax by qt2's integer
     // stopword-ratio quality (tie → min id)

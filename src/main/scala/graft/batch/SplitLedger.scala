@@ -1,0 +1,112 @@
+package graft.batch
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned, persisted train/val/test assignment — the production form
+  * of [[Dedup.qd20_sticky_split]]'s sticky rule: each corpus version's
+  * cluster membership comes in, splits come out, and the decision is
+  * RECORDED so the next version inherits it. qd18 alone is leakage-safe
+  * within one corpus version; this ledger makes it leakage-safe ACROSS
+  * versions — an appended doc that bridges two clusters can relabel a
+  * component, but members keep (or improve toward train) their recorded
+  * split, so a doc trained on in version N can never surface in eval in
+  * version N+1 (round-13 verdict #1).
+  *
+  * Layout under `dir`:
+  *   - `ledger_vN/` — parquet (doc_id, split) for version N;
+  *   - `meta.json` — `{"ver":N}`, the single commit point: [[assign]]
+  *     writes the NEXT version's parquet first and flips meta last, so
+  *     a crash mid-write leaves the prior version live and the partial
+  *     dir is simply overwritten by the next attempt (IvfIndex's
+  *     generation discipline, without the multi-dir rename dance — one
+  *     dir per version, written before it is ever referenced).
+  *     Version N−1 is retired after the flip (one-version grace for
+  *     lazy readers, self-healing sweep for crash-skipped retirements).
+  *
+  * Scale shape: one id-join of the corpus membership against the
+  * ledger, one per-cluster min-priority aggregate, one cluster-join
+  * back ([[Dedup.stickySplits]]); the ledger itself is (doc_id, split)
+  * — two narrow columns, linear in corpus history. Reference analog:
+  * the keyed-state stickiness of active_records (Prensas.py:703-741).
+  */
+object SplitLedger {
+
+  private def metaPath(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/meta.json")
+  private def versionDir(dir: String, ver: Long) = s"$dir/ledger_v$ver"
+
+  // all IO through the Hadoop FS layer, like the IvfIndex layout, so
+  // the ledger works wherever Spark can write (hdfs://, s3a://, file:)
+  private def fsOf(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** The committed version, 0 when the ledger has never assigned. */
+  def currentVersion(spark: SparkSession, dir: String): Long = {
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(metaPath(dir))) return 0L
+    val in = fs.open(metaPath(dir))
+    val txt =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    """"ver"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"$dir/meta.json has no \"ver\" field: $txt"))
+  }
+
+  /** The committed assignment (doc_id, split), None before the first
+    * [[assign]]. */
+  def read(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val ver = currentVersion(spark, dir)
+    if (ver == 0L) None
+    else Some(spark.read.parquet(versionDir(dir, ver)))
+  }
+
+  /** Assign splits to a corpus version and commit them as the next
+    * ledger version. `members` is the version's (doc_id, cluster_id)
+    * membership — [[Dedup.membersOf]] over its own dup graph. Rules:
+    * a cluster with recorded members inherits the TRAIN-EST recorded
+    * split; fresh clusters get qd18's content hash; docs absent from
+    * this version KEEP their recorded split (a doc that vanishes and
+    * reappears — a re-crawl — must not be re-rolled into eval after it
+    * was trained on). Returns this version's (doc_id, cluster_id,
+    * split).
+    *
+    * Single-writer per ledger dir (the corpus versioning pipeline that
+    * owns the dir), like the reference's one supervisor per line. */
+  def assign(spark: SparkSession, dir: String, members: DataFrame): DataFrame = {
+    val fs = fsOf(spark, dir)
+    val ver = currentVersion(spark, dir)
+    val prior = if (ver == 0L) None else Some(spark.read.parquet(versionDir(dir, ver)))
+    val sp = prior match {
+      case Some(l) => Dedup.stickySplits(members, l)
+      case None =>
+        members.withColumn("split", Dedup.hashSplitOf(col("cluster_id")))
+          .select(col("doc_id"), col("cluster_id"), col("split"))
+    }
+    val cur = sp.select(col("doc_id"), col("split"))
+    // retained: recorded docs not in this version keep their entry
+    val next = prior match {
+      case Some(l) => cur.unionByName(
+        l.join(members.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+      case None => cur
+    }
+    next.write.mode(SaveMode.Overwrite).parquet(versionDir(dir, ver + 1))
+    // meta flip = the commit point (a tiny single-file create)
+    val out = fs.create(metaPath(dir), true)
+    try out.write(s"""{"ver":${ver + 1}}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // grace retirement: keep ver (the replaced version) for lazy
+    // readers, sweep everything older — self-healing like IvfIndex's
+    val root = new org.apache.hadoop.fs.Path(dir)
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("ledger_v") &&
+          n.stripPrefix("ledger_v").toLongOption.exists(_ < ver))
+        require(fs.delete(st.getPath, true),
+          s"SplitLedger: could not retire expired ${st.getPath}")
+    }
+    sp
+  }
+}

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.batch.{Dedup, SplitLedger}
+
+/** The sticky split ledger (round-13 verdict #1): append sequences
+  * never migrate a doc out of train, merged clusters inherit the
+  * train-est recorded split, assignments stay leakage-closed within
+  * every version, and the version install is crash-safe.
+  */
+class SplitLedgerSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("split_ledger").toString
+
+  private def membersDf(rows: (Long, Long)*) =
+    rows.toDF("doc_id", "cluster_id")
+
+  /** The hash rule evaluated on one literal id, so tests can PICK
+    * cluster ids with known fresh splits instead of asserting blind. */
+  private def hashSplit(id: Long): String =
+    Seq(id).toDF("x").select(Dedup.hashSplitOf(col("x"))).head.getString(0)
+
+  // content-addressed fresh splits for small ids — found once, used to
+  // construct interesting merges below
+  private lazy val trainId = (1L to 500L).find(hashSplit(_) == "train").get
+  private lazy val valId = (1L to 500L).find(hashSplit(_) == "val").get
+  private lazy val testId = (1L to 500L).find(hashSplit(_) == "test").get
+
+  test("v1 assigns by content hash; untouched clusters never move") {
+    val dir = tmpDir()
+    val v1 = SplitLedger.assign(spark, dir,
+      membersDf(1L -> trainId, 2L -> trainId, 5L -> valId, 9L -> testId))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(v1(1L) == "train" && v1(2L) == "train")
+    assert(v1(5L) == hashSplit(valId) && v1(9L) == hashSplit(testId))
+    // v2: same clusters plus one fresh doc — nothing recorded moves
+    val v2 = SplitLedger.assign(spark, dir,
+      membersDf(1L -> trainId, 2L -> trainId, 5L -> valId, 9L -> testId,
+        42L -> 42L))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(v1.forall { case (id, sp) => v2(id) == sp })
+    assert(v2(42L) == hashSplit(42L))
+    assert(SplitLedger.currentVersion(spark, dir) == 2L)
+  }
+
+  test("a bridging append pulls the merged cluster to the train-est prior") {
+    val dir = tmpDir()
+    // v1: a train cluster and a test cluster (fresh hash gives both)
+    SplitLedger.assign(spark, dir,
+      membersDf(10L -> trainId, 11L -> trainId, 20L -> testId, 21L -> testId))
+    // v2: doc 30 bridges them; min-id relabel would re-hash the union
+    // under label trainId — but even if the union's label were the TEST
+    // cluster's, inheritance must still say train. Use the test id as
+    // the merged label to prove the label itself is irrelevant.
+    val v2 = SplitLedger.assign(spark, dir,
+      membersDf(10L -> testId, 11L -> testId, 20L -> testId, 21L -> testId,
+        30L -> testId))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // every member of the merged cluster — including the former test
+    // docs and the fresh bridge — lands in train
+    assert(v2.values.toSet == Set("train"))
+  }
+
+  test("no doc ever leaves train across an append sequence; val beats test") {
+    val dir = tmpDir()
+    val v1 = SplitLedger.assign(spark, dir,
+      membersDf(1L -> trainId, 5L -> valId, 9L -> testId))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // v2: merge the val and test clusters (not train): union takes val
+    val v2 = SplitLedger.assign(spark, dir,
+      membersDf(1L -> trainId, 5L -> valId, 9L -> valId, 7L -> valId))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(v2(5L) == "val" && v2(9L) == "val" && v2(7L) == "val")
+    // v3: now merge everything with the train cluster
+    val v3 = SplitLedger.assign(spark, dir,
+      membersDf(1L -> trainId, 5L -> trainId, 9L -> trainId, 7L -> trainId))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(v3.values.toSet == Set("train"))
+    // the cross-version invariant, stated over the whole sequence
+    for (v <- Seq(v2, v3); (id, sp) <- v1 if sp == "train")
+      assert(v(id) == "train", s"doc $id left train: $sp -> ${v(id)}")
+  }
+
+  test("a vanished doc keeps its recorded split when it reappears") {
+    val dir = tmpDir()
+    SplitLedger.assign(spark, dir, membersDf(1L -> trainId, 2L -> trainId))
+    // v2: doc 2 vanishes (re-crawl gap)
+    SplitLedger.assign(spark, dir, membersDf(1L -> trainId))
+    // v3: doc 2 reappears as a singleton — must NOT be re-rolled
+    val v3 = SplitLedger.assign(spark, dir, membersDf(1L -> trainId, 2L -> 2L))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(v3(2L) == "train")
+  }
+
+  test("a crashed (uncommitted) next-version write is overwritten cleanly") {
+    val dir = tmpDir()
+    SplitLedger.assign(spark, dir, membersDf(1L -> trainId))
+    // simulate a crash: partial v2 parquet exists, meta still says v1
+    Seq((999L, "test")).toDF("doc_id", "split")
+      .write.mode("overwrite").parquet(s"$dir/ledger_v2")
+    assert(SplitLedger.currentVersion(spark, dir) == 1L)
+    val v2 = SplitLedger.assign(spark, dir, membersDf(1L -> trainId, 3L -> 3L))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(SplitLedger.currentVersion(spark, dir) == 2L)
+    assert(v2(1L) == "train" && !v2.contains(999L))
+    assert(SplitLedger.read(spark, dir).get
+      .filter(col("doc_id") === 999L).isEmpty)
+  }
+
+  test("old versions are retired with a one-version grace") {
+    val dir = tmpDir()
+    SplitLedger.assign(spark, dir, membersDf(1L -> trainId))
+    SplitLedger.assign(spark, dir, membersDf(1L -> trainId))
+    SplitLedger.assign(spark, dir, membersDf(1L -> trainId))
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(names.contains("ledger_v3") && names.contains("ledger_v2"))
+    assert(!names.contains("ledger_v1"), s"v1 should be retired: $names")
+  }
+
+  test("fixture corpus: two real versions, zero out-of-train migrations, " +
+    "leakage-closed in both") {
+    val dir = tmpDir()
+    val d = "/root/testdata/sf0.001"
+    val all = Tables.spread(Tables.documents(spark, d))
+    val v1docs = all.filter(pmod(col("doc_id"), lit(7)) =!= 3)
+    val m1 = Dedup.membersOf(v1docs.select(col("doc_id")),
+      Dedup.dupLabelsOf(v1docs)).localCheckpoint()
+    val m2 = Dedup.membersOf(all.select(col("doc_id")),
+      Dedup.dupLabelsOf(all)).localCheckpoint()
+    val v1 = SplitLedger.assign(spark, dir, m1).localCheckpoint()
+    val v2 = SplitLedger.assign(spark, dir, m2).localCheckpoint()
+    // the qd20 invariant, on the REAL graph: nothing leaves train, and
+    // every move is toward train
+    val moved = v2.join(
+      v1.select(col("doc_id"), col("split").as("p")), Seq("doc_id"))
+      .filter(col("split") =!= col("p"))
+    assert(moved.filter(col("p") === "train").count() == 0L)
+    assert(moved.filter(col("p") === "val" && col("split") === "test").count() == 0L)
+    // leakage-closure within each version: split is constant per cluster
+    for (v <- Seq(v1, v2))
+      assert(v.groupBy(col("cluster_id"))
+        .agg(countDistinct(col("split")).as("n")).filter(col("n") > 1).count() == 0L)
+    // and the ledger agrees with qd20's functional twin on v2's splits
+    val twin = Dedup.stickySplits(m2,
+      m1.withColumn("split", Dedup.hashSplitOf(col("cluster_id")))
+        .select(col("doc_id"), col("split")))
+    assert(v2.select("doc_id", "split").except(twin.select("doc_id", "split")).isEmpty)
+  }
+}
