@@ -74,7 +74,21 @@ object Curation {
       // min(doc_id) in both modes, provably the same decision:
       // byte-identical text scores byte-identical quality, so the
       // argmax tie always breaks to the min id anyway.
-      qualityCanonical: Boolean = false)
+      qualityCanonical: Boolean = false,
+      // qd19's selection threaded into the composed chain (round-13
+      // ask #3), PARAMETERIZED instead of qd19's compile-time
+      // constants: when set, admission is the importance-ordered token
+      // budget cut — score every membrane survivor by qt17's
+      // target-domain importance (distributions estimated over the
+      // survivors; `targetLang` is the domain) and admit in
+      // (importance DESC, doc_id) order until `importanceBudget`
+      // tokens are spent — replacing the rate-based mixture admission
+      // (both are admission policies; a run picks one). The bucket
+      // histograms ride pass 1 row-locally (BucketHistogramExpr), so
+      // the one-text-scan discipline holds. Requires a `lang` column
+      // on the docs input.
+      importanceBudget: Option[Long] = None,
+      targetLang: String = "en")
 
   /** Run the pipeline: `docs` (doc_id, source, text) and `eval`
     * (doc_id, text) → packed admitted docs
@@ -114,8 +128,11 @@ object Curation {
     * dependent, but which docs survive the composed membrane is exact
     * relational semantics DuckDB can reproduce. */
   private[graft] def admitted(docs: DataFrame, eval: DataFrame,
-      p: Params): DataFrame =
-    mixtureAdmit(cleanedSignals(docs, eval, p, phashBits = 0), p)
+      p: Params): DataFrame = {
+    val clean = cleanedSignals(docs, eval, p, phashBits = 0)
+    if (p.importanceBudget.isDefined) importanceAdmit(clean, p)
+    else mixtureAdmit(clean, p)
+  }
 
   /** Text-side membrane chain — quality gates → exact dedup → band
     * near-dedup → span decontamination — returning the narrow signal
@@ -164,11 +181,23 @@ object Curation {
     val sigQ = if (p.qualityCanonical)
       sig0.withColumn("quality", TextOps.stopwordQualityOf(col("text")))
     else sig0
+    // qc6's importance signal rides pass 1 the same way: the per-doc
+    // bucket HISTOGRAM (row-local RLE over the already-computed toks —
+    // ≤ min(n_tok, B) narrow entries) lands in the checkpoint, so
+    // scoring later never re-reads text
+    val withImp = p.importanceBudget.isDefined
+    if (withImp) require(docs.columns.contains("lang"),
+      "importanceBudget selection needs a lang column on the docs input " +
+        "(the target-domain signal)")
+    val sigI = if (withImp)
+      sigQ.withColumn("ibuckets", expr(TextOps.BucketHistogramExpr))
+    else sigQ
     val keep = Seq(col("doc_id"), col("source"), col("n_tok"),
       col("content_key"), col("bands"), col("fps")) ++
       (if (withPhash) Seq(col("phash")) else Nil) ++
-      (if (p.qualityCanonical) Seq(col("quality")) else Nil)
-    val sig = (if (withPhash) Multimodal.withPhashN(sigQ, phashBits) else sigQ)
+      (if (p.qualityCanonical) Seq(col("quality")) else Nil) ++
+      (if (withImp) Seq(col("lang"), col("ibuckets")) else Nil)
+    val sig = (if (withPhash) Multimodal.withPhashN(sigI, phashBits) else sigI)
       .select(keep: _*)
       .localCheckpoint()
 
@@ -230,7 +259,8 @@ object Curation {
       }
     deduped.join(contaminated, Seq("doc_id"), "left_anti")
       .select((Seq(col("doc_id"), col("source"), col("n_tok")) ++
-        (if (withPhash) Seq(col("phash")) else Nil)): _*)
+        (if (withPhash) Seq(col("phash")) else Nil) ++
+        (if (withImp) Seq(col("lang"), col("ibuckets")) else Nil)): _*)
       .localCheckpoint() // feeds the inventory AND the admission filter
   }
 
@@ -248,6 +278,41 @@ object Curation {
           .cast("long"), lit(1000000)) < col("rate_ppm"))
       .select(col("doc_id"), col("source"), col("n_tok"))
   }
+
+  /** Importance-ordered budget admission — qd19's selection cut
+    * threaded into the composed chain, parameterized by
+    * `Params(importanceBudget, targetLang)`: explode the pass-1 bucket
+    * histograms (never re-reading text), estimate the target/raw
+    * distributions over the SURVIVORS, weight, score, and admit in
+    * (importance DESC, doc_id) order until the token budget is spent —
+    * [[TextOps.runningOffsets]]' distributed prefix sum, never a
+    * global single-partition window. */
+  private[graft] def importanceAdmit(clean: DataFrame, p: Params): DataFrame = {
+    val budget = p.importanceBudget.get
+    // (doc_id, lang, bucket, c) — read twice (estimate + scoring
+    // join), so materialize; narrow rows, no text anywhere
+    val dbc = clean
+      .select(col("doc_id"), col("lang"), explode(col("ibuckets")).as("b"))
+      .select(col("doc_id"), col("lang"),
+        col("b.bucket").as("bucket"), col("b.c").as("c"))
+      .localCheckpoint()
+    val scored = T.importanceFromBuckets(dbc, p.targetLang)
+      .select(col("doc_id"), col("importance"))
+    val adm = T.runningOffsets(
+      scored.join(clean.select(col("doc_id"), col("n_tok")), "doc_id")
+        .select(col("doc_id"), col("n_tok").as("tok"), col("importance").as("key")))
+      .filter(col("off") + col("tok") <= lit(budget))
+      .select(col("doc_id"), col("key").as("importance"))
+    clean.join(adm, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("importance"))
+  }
+
+  /** qc6's fixture token budget — sized to BIND at sf0.01 (the clean
+    * set holds ~5.3k tokens, so the cut rejects ~40% of them) and to
+    * stay FLAT as the corpus rungs grow, the qd19 convention:
+    * selection gets more selective with scale while the output stays
+    * bounded. */
+  private[graft] val SelectionTokenBudget = 3000L
 
   /** qc1: the composed curation selection on the fixture corpus —
     * every 10th doc (doc_id % 10 = 7) plays the eval set (qd10's
@@ -280,6 +345,23 @@ object Curation {
     val ev = all.filter(pmod(col("doc_id"), lit(10)) === 7)
       .select(col("doc_id"), col("text"))
     admitted(corpus, ev, Params(qualityCanonical = true)).orderBy("doc_id")
+  }
+
+  /** qc6: the PRODUCTION admission tail — [[qc5_quality_curation]]'s
+    * quality-canonical membrane with qd19's importance-ordered budget
+    * selection in place of the rate-based mixture (round-13 ask #3):
+    * the full curateToShards chain a targeted pretraining run executes
+    * — quality gates → best-copy dedup → decontam → DSIR selection to
+    * a token budget — oracle-gated end to end. The importance signal
+    * rides pass 1 as a row-local bucket histogram, so the one-scan
+    * discipline is unchanged (CurationSpec re-pins it on this path). */
+  def qc6_selected_curation(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val all = graft.Tables.spread(graft.Tables.documents(s, d))
+    val corpus = all.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+    val ev = all.filter(pmod(col("doc_id"), lit(10)) === 7)
+      .select(col("doc_id"), col("text"))
+    admitted(corpus, ev, Params(qualityCanonical = true,
+      importanceBudget = Some(SelectionTokenBudget))).orderBy("doc_id")
   }
 
   /** qc2: MULTIMODAL curation — qc1's text chain plus the two other
@@ -467,7 +549,8 @@ object Curation {
       "qc2_multimodal_curation" -> (qc2_multimodal_curation _),
       "qc3_semantic_balance" -> (qc3_semantic_balance _),
       "qc4_multimodal_wide" -> (qc4_multimodal_wide _),
-      "qc5_quality_curation" -> (qc5_quality_curation _))
+      "qc5_quality_curation" -> (qc5_quality_curation _),
+      "qc6_selected_curation" -> (qc6_selected_curation _))
 
   /** The text-membrane CTE chain (corpus split → quality → exact/band
     * dedup → span decontam), shared verbatim by the qc1/qc2/qc4/qc5
@@ -500,24 +583,24 @@ object Curation {
           | SELECT DISTINCT bq.doc_id FROM bq JOIN bbest USING (band, key)
           | WHERE bq.doc_id <> bbest.best_id),""".stripMargin
     s"""WITH corpus AS (
-        | SELECT doc_id, source, text FROM documents WHERE doc_id % 10 <> 7),
+        | SELECT doc_id, source, lang, text FROM documents WHERE doc_id % 10 <> 7),
         |ev AS (SELECT text FROM documents WHERE doc_id % 10 = 7),
         |t AS (
-        | SELECT doc_id, source, text,
+        | SELECT doc_id, source, lang, text,
         |  list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS toks
         | FROM corpus),
         |q AS (
-        | SELECT doc_id, source, text, toks, CAST(len(toks) AS BIGINT) AS n_tok,
+        | SELECT doc_id, source, lang, text, toks, CAST(len(toks) AS BIGINT) AS n_tok,
         |  CAST(len(toks) AS BIGINT) - CAST(len(list_distinct(toks)) AS BIGINT) AS n_dup
         | FROM t WHERE len(toks) >= 5),
         |qb AS (
-        | SELECT doc_id, source, text, n_tok, n_dup,
+        | SELECT doc_id, source, lang, text, n_tok, n_dup,
         |  CAST(list_max(list_transform(list_distinct(bg),
         |   x -> len(list_filter(bg, y -> y = x)))) AS BIGINT) AS max_bg
         | FROM (SELECT *, list_transform(range(CAST(n_tok AS INT) - 1),
         |   i -> toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2]) AS bg FROM q)),
         |pass AS (
-        | SELECT doc_id, source, text, n_tok$qualityCol FROM qb
+        | SELECT doc_id, source, lang, text, n_tok$qualityCol FROM qb
         | WHERE n_dup * 2 < n_tok AND max_bg * 100 // (n_tok - 1) <= 60),
         |exwin AS (SELECT md5(text) AS ck, MIN(doc_id) AS win FROM pass GROUP BY 1),
         |ex AS (SELECT p.* FROM pass p JOIN exwin w ON p.doc_id = w.win),
@@ -669,6 +752,20 @@ object Curation {
     // the parameterized keep fragment, the qc2/qc4 shared-chain pattern
     "qc5_quality_curation" ->
       (textChainSql(qualityKeep = true) + ",\n" + mixtureTailSql("clean")),
+    // qc6 = qc5's quality-canonical chain, then qt17's importance
+    // fragment instantiated OVER the clean survivors (the shared
+    // importanceSqlOf parameterization), then the budget window —
+    // cum ≤ B in (importance DESC, doc_id) order, qd19's cut
+    "qc6_selected_curation" ->
+      (textChainSql(qualityKeep = true) + ",\n" +
+        T.importanceSqlOf("clean", "en") + ",\n" +
+        s"""sel AS (
+           | SELECT c.doc_id, c.source, c.n_tok, s.importance,
+           |  SUM(c.n_tok) OVER (ORDER BY s.importance DESC, c.doc_id ASC
+           |    ROWS UNBOUNDED PRECEDING) AS cum
+           | FROM clean c JOIN imp_scores s ON c.doc_id = s.doc_id)
+           |SELECT doc_id, source, n_tok, importance FROM sel
+           |WHERE cum <= $SelectionTokenBudget ORDER BY doc_id""".stripMargin),
     // qc2 = the same text chain, then qm3's phash/band/cap CTEs over
     // `clean`, then qs3's centroid-cell assignment + cell-local cosine
     // pairs, then the same mixture tail

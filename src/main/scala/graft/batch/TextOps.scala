@@ -747,27 +747,72 @@ object TextOps {
     * identity; this admits by distributional match. */
   private[graft] val ImportanceBuckets = 1024
 
+  /** qt17's hashed-unigram bucket — one formula for the exploded path
+    * ([[importanceScoresOf]]) and the row-local histogram
+    * ([[BucketHistogramExpr]]), so the two can never hash apart. */
+  private[graft] def bucketOf(tok: Column): Column = pmod(
+    conv(substring(md5(tok.cast("binary")), 1, 5), 16, 10).cast("long"),
+    lit(ImportanceBuckets.toLong))
+
+  /** The per-doc bucket histogram computed ROW-LOCALLY from a `toks`
+    * array column — `array<struct<bucket, c>>` via sort + run-length
+    * encoding (the qt9/top_bg_pct RLE pattern). This is how the
+    * composed curation chain gets its importance signal inside the
+    * SAME pass-1 text scan that computes every other signal: the
+    * histogram (≤ min(n_tok, B) entries, usually far smaller than the
+    * text) rides the narrow checkpoint, and no second corpus scan ever
+    * tokenizes for scoring. Equivalent to grouping the exploded tokens
+    * by (doc, bucket) — CurationSpec pins the equality. */
+  private[graft] val BucketHistogramExpr: String =
+    "aggregate(" +
+      "array_sort(transform(toks, t -> pmod(cast(conv(substring(md5(cast(t as binary)), 1, 5), 16, 10) as bigint), " +
+      s"${ImportanceBuckets}L))), " +
+      "named_struct('prev', -1L, 'run', 0L, " +
+      "'out', cast(array() as array<struct<bucket: bigint, c: bigint>>)), " +
+      "(acc, b) -> named_struct('prev', b, " +
+      "'run', IF(b = acc.prev, acc.run + 1L, 1L), " +
+      "'out', IF(b = acc.prev OR acc.prev = -1L, acc.out, " +
+      "array_append(acc.out, named_struct('bucket', acc.prev, 'c', acc.run)))), " +
+      "acc -> IF(acc.prev = -1L, acc.out, " +
+      "array_append(acc.out, named_struct('bucket', acc.prev, 'c', acc.run))))"
+
   /** qt17's scoring core — (doc_id, lang, importance) for EVERY doc
     * with ≥1 token — split out so [[Dedup.qd19_canonical_selection]]
     * composes the same scores without restating the formula. */
-  private[graft] def importanceScores(s: SparkSession, d: String): DataFrame = {
-    val nB = ImportanceBuckets
-    val toks = Tables.spread(Tables.documents(s, d)).select(
+  private[graft] def importanceScores(s: SparkSession, d: String): DataFrame =
+    importanceScoresOf(Tables.spread(Tables.documents(s, d)), "en")
+
+  /** [[importanceScores]] over any (doc_id, lang, text) frame with a
+    * caller-chosen target domain — the parameterized library entry the
+    * round-13 verdict asked for ([[Curation]] threads it through
+    * `Params.targetLang`). */
+  private[graft] def importanceScoresOf(docs: DataFrame,
+      targetLang: String): DataFrame = {
+    val toks = docs.select(
       col("doc_id"), col("lang"),
       explode(expr("filter(split(lower(text), ' '), t -> length(t) > 0)")).as("tok"))
     // one aggregation every later stage derives from: per-doc hashed
     // bucket occurrence counts (materialized once — feeds the
     // distribution estimate AND the scoring join)
     val dbc = toks
-      .withColumn("bucket", pmod(
-        conv(substring(md5(col("tok").cast("binary")), 1, 5), 16, 10).cast("long"),
-        lit(nB.toLong)))
+      .withColumn("bucket", bucketOf(col("tok")))
       .groupBy(col("doc_id"), col("lang"), col("bucket"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint()
+    importanceFromBuckets(dbc, targetLang)
+  }
+
+  /** The distribution-estimate → weight-table → scoring tail over a
+    * MATERIALIZED (doc_id, lang, bucket, c) frame (it is read twice:
+    * the estimate and the scoring join — callers checkpoint). Shared
+    * by [[importanceScoresOf]] and [[Curation]]'s single-scan
+    * histogram path. */
+  private[graft] def importanceFromBuckets(dbc: DataFrame,
+      targetLang: String): DataFrame = {
+    val nB = ImportanceBuckets
     val bucketCounts = dbc.groupBy(col("bucket")).agg(
       sum(col("c")).as("qc"),
-      sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("pc"))
+      sum(when(col("lang") === targetLang, col("c")).otherwise(0L)).as("pc"))
     val tots = bucketCounts.agg(sum(col("qc")).as("qtot"), sum(col("pc")).as("ptot"))
     // DECIMAL(38,0), not Long: pc/qc/ptot/qtot are corpus-wide token
     // counts, and (pc + 1) * 1e6 overflows Long once a bucket passes
@@ -858,7 +903,13 @@ object TextOps {
     * — ONE fragment shared by the qt17 and qd19 oracles (the SQL twin
     * of [[importanceScores]]); `imp_`-prefixed names so it composes
     * into statements that already define toks/labels CTEs. */
-  private[batch] val ImportanceSql: String =
+  private[batch] val ImportanceSql: String = importanceSqlOf("documents", "en")
+
+  /** [[ImportanceSql]] over any (doc_id, lang, text) relation and
+    * target domain — the oracle twin of [[importanceScoresOf]]'s
+    * parameterization; the qc6 oracle instantiates it over the
+    * curation chain's `clean` CTE. */
+  private[batch] def importanceSqlOf(src: String, targetLang: String): String =
     // B is interpolated from ImportanceBuckets (the StopwordQualitySql
     // rule: shared constants never restated). imp_dbc and imp_bt carry
     // hand-written MATERIALIZED: they are multi-referenced, and the
@@ -868,7 +919,7 @@ object TextOps {
     s"""imp_toks AS (
       | SELECT doc_id, lang, t.tok FROM (
       |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
-      |  FROM documents) t WHERE length(t.tok) > 0),
+      |  FROM $src) t WHERE length(t.tok) > 0),
       |imp_dbc AS MATERIALIZED (
       | SELECT doc_id, lang,
       |  ('0x' || substr(md5(tok), 1, 5))::BIGINT % $ImportanceBuckets AS bucket,
@@ -876,7 +927,7 @@ object TextOps {
       | FROM imp_toks GROUP BY 1, 2, 3),
       |imp_bt AS MATERIALIZED (
       | SELECT bucket, SUM(c) AS qc,
-      |  SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS pc
+      |  SUM(CASE WHEN lang = '$targetLang' THEN c ELSE 0 END) AS pc
       | FROM imp_dbc GROUP BY 1),
       |imp_tots AS (SELECT SUM(qc) AS qtot, SUM(pc) AS ptot FROM imp_bt),
       |imp_w AS (

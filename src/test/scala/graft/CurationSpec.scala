@@ -183,6 +183,66 @@ class CurationSpec extends SparkSpec {
     assert(man(dir1) == man(dir2), "manifest must be reproducible")
   }
 
+  test("qc6 selection path: one signal scan, histogram ≡ exploded grouping, " +
+    "admitted = greedy budget prefix, shards land it in two scans") {
+    val raw = Tables.documents(spark, d)
+    val corpus = raw.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+    val ev = raw.filter(pmod(col("doc_id"), lit(10)) === 7)
+      .select(col("doc_id"), col("text"))
+    val p = Curation.Params(qualityCanonical = true,
+      importanceBudget = Some(Curation.SelectionTokenBudget))
+
+    // the importance signal must ride pass 1: admitted() still reads
+    // the corpus text exactly once
+    val passes = spark.sparkContext.longAccumulator("qc6_text_passes")
+    val nCorpus = corpus.count()
+    val tick = udf(() => { passes.add(1); true }).asNondeterministic()
+    val out = Curation.admitted(corpus.filter(tick()), ev, p).collect()
+    assert(out.nonEmpty)
+    assert(passes.value == nCorpus,
+      s"corpus text scanned ${passes.value.toDouble / nCorpus}x — must be exactly once")
+
+    // the row-local RLE histogram is EXACTLY the grouped exploded tokens
+    val hist = corpus
+      .withColumn("toks", filter(split(lower(col("text")), " "), t => length(t) > 0))
+      .select(col("doc_id"), explode(expr(batch.TextOps.BucketHistogramExpr)).as("b"))
+      .select(col("doc_id"), col("b.bucket").as("bucket"), col("b.c").as("c"))
+    val grouped = corpus.select(col("doc_id"),
+        explode(expr("filter(split(lower(text), ' '), t -> length(t) > 0)")).as("tok"))
+      .groupBy(col("doc_id"), batch.TextOps.bucketOf(col("tok")).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    assert(hist.except(grouped).isEmpty && grouped.except(hist).isEmpty,
+      "RLE bucket histogram diverged from the exploded grouping")
+
+    // the admitted set is the greedy token-budget prefix in
+    // (importance DESC, doc_id) order — scores recomputed INDEPENDENTLY
+    // from raw text via importanceScoresOf over the clean survivors
+    val clean = Curation.cleanedSignals(corpus, ev, p, phashBits = 0)
+    val scores = batch.TextOps.importanceScoresOf(
+        corpus.join(clean.select("doc_id"), Seq("doc_id")), "en")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("importance"), r.getAs[Long]("n_tok")))
+      .sortBy { case (id, imp, _) => (-imp, id) }
+    var cum = 0L
+    val expect = scores.iterator.map { case (id, _, tok) => cum += tok; (id, cum) }
+      .takeWhile(_._2 <= Curation.SelectionTokenBudget).map(_._1).toSeq.sorted
+    val got = out.map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(got == expect, "admitted set is not the greedy budget prefix")
+    assert(expect.size < scores.length, "the budget must BIND on the fixture")
+
+    // and curateToShards lands exactly this set within the two-scan
+    // discipline
+    val passes2 = spark.sparkContext.longAccumulator("qc6_shard_passes")
+    val tick2 = udf(() => { passes2.add(1); true }).asNondeterministic()
+    val dir = java.nio.file.Files.createTempDirectory("curate_shards_sel").toString
+    Curation.curateToShards(corpus.filter(tick2()), ev, dir, nShards = 4, p)
+    assert(passes2.value == 2 * nCorpus,
+      s"corpus text scanned ${passes2.value.toDouble / nCorpus}x — must be exactly twice")
+    val landed = spark.read.parquet(s"$dir/shards")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(landed == expect, "shards must hold exactly the selected docs")
+  }
+
   test("bloom decontam regime admits the identical set, without broadcasting eval fps") {
     val docs = Tables.documents(spark, d)
       .filter(pmod(col("doc_id"), lit(10)) =!= 7)
