@@ -62,14 +62,14 @@ object AnnScaleBench {
     * private[graft] so AnnRecallSpec pins the fixture-scale floor with
     * the same construction the rung bench measures. */
   private[graft] def plantTwins(emb: DataFrame, baseMod: Long,
-      plantOffset: Long): DataFrame = {
+      plantOffset: Long, eps: Double = Eps): DataFrame = {
     val bases = emb.filter(pmod(col("vec_id"), lit(baseMod)) === 3)
     bases.select(
       (col("vec_id") + lit(plantOffset)).as("vec_id"),
       array((0 until Dim).map { j =>
         (element_at(col("embedding"), j + 1) +
           (pmod(hash(col("vec_id"), lit(j)), lit(2)) * 2 - 1).cast("float") *
-            lit(Eps.toFloat) * (col("nrm") / lit(math.sqrt(Dim.toDouble))).cast("float"))
+            lit(eps.toFloat) * (col("nrm") / lit(math.sqrt(Dim.toDouble))).cast("float"))
           .cast("float")
       }: _*).as("embedding"))
   }
@@ -298,6 +298,155 @@ object AnnScaleBench {
         extraArms ++= s""","filtered":{"n_twins":$nTF,"p${pF}":$hP,""" +
           s""""p${3 * pF}":$h3P,"unfiltered_p$pF":$hU,""" +
           s""""p${pF}_steady_sec":${d3(tP)},"p${3 * pF}_steady_sec":${d3(t3P)}}"""
+      }
+
+      // ---- `selsweep` arm (VERDICT r13 ask #4): the p-first rule's
+      // BREAKING point — the r13 filtered arm measured ~10% selectivity
+      // (zero recall cost at p); here selectivity is swept down to 0.1%,
+      // where a probed cell holds ~occupancy×sel ≈ O(1) matching rows
+      // and p·sel candidates per query go to zero, against the
+      // brute-force-over-filtered fallback (exact by construction:
+      // score EVERY matching row, no probe stage — the routing target
+      // for IvfIndex.search's selectivityHint). Twins are planted from
+      // predicate-satisfying bases, so hit@1 measures whether the
+      // filtered funnel still surfaces the true neighbor.
+      if (armsWanted("selsweep")) {
+        val idxFDir = s"$dir/ivf_sqrtn_q2_attr"
+        if (!armsWanted("filtered")) IvfIndex.build(
+          Tables.embeddings(spark, dir).select("vec_id", "embedding", "label"),
+          idxFDir, nCells, assign = 2, attrs = Seq("label"))
+        val preds = Seq(
+          "sel10pct" -> (col("label") === 3),
+          "sel1pct" -> (pmod(col("vec_id"), lit(100)) === 3),
+          "sel01pct" -> (pmod(col("vec_id"), lit(1000)) === 3))
+        val pS = Dedup.ProbeCells
+        val sweep = preds.map { case (tag, pred) =>
+          val matched = withNrm(Tables.embeddings(spark, dir).filter(pred)
+            .select("vec_id", "embedding")).localCheckpoint()
+          val nm = matched.count()
+          val bmS = math.max(4L, nm / 200)
+          val twinS = plantTwins(matched, bmS, plantOffset).localCheckpoint()
+          val nT = twinS.count()
+          def idxHits(p: Int): (Double, Long) = {
+            var h = 0L
+            val ts = (1 to math.max(1, reps)).map(_ => time {
+              h = IvfIndex.search(spark, idxFDir, twinS, K, p, Some(pred))
+                .withColumn("expected", col("qid") - lit(plantOffset))
+                .filter(col("neighbor_id") === col("expected") && col("rank") === 1)
+                .count()
+            }._1)
+            (ts.min, h)
+          }
+          // the fallback: score every matching row against the (tiny,
+          // broadcast) query batch — no probe stage, exact over the
+          // filter; same triple shape + GroupTopK as the index path
+          def bruteHits(): (Double, Long) = {
+            var h = 0L
+            val ts = (1 to math.max(1, reps)).map(_ => time {
+              val q = withNrm(twinS).select(col("vec_id").as("qid"),
+                col("embedding").as("qe"), col("nrm").as("qn"))
+              val cand = matched.crossJoin(broadcast(q))
+                .withColumn("rcos", round(
+                  GraftFunctions.vec_dot(col("qe"), col("embedding"))
+                    / (col("qn") * col("nrm")), 6))
+                .select(col("qid").cast("long"), col("vec_id").cast("long"),
+                  col("rcos").cast("double"))
+              h = graft.plans.GroupTopK.topK(cand, Seq("qid"),
+                  Seq(col("rcos").desc, col("vec_id").asc), K)
+                .withColumn("expected", col("qid") - lit(plantOffset))
+                .filter(col("rank") === 1 && col("vec_id") === col("expected"))
+                .count()
+            }._1)
+            (ts.min, h)
+          }
+          val (tP1, hP1) = idxHits(pS)
+          val (tP3, hP3) = idxHits(3 * pS)
+          val (tP9, hP9) = idxHits(9 * pS)
+          val (tB, hB) = bruteHits()
+          s""""$tag":{"n_match":$nm,"n_twins":$nT,""" +
+            s""""p$pS":$hP1,"p${3 * pS}":$hP3,"p${9 * pS}":$hP9,""" +
+            s""""p${pS}_sec":${d3(tP1)},"p${3 * pS}_sec":${d3(tP3)},""" +
+            s""""p${9 * pS}_sec":${d3(tP9)},""" +
+            s""""brute":$hB,"brute_sec":${d3(tB)}}"""
+        }
+        extraArms ++= s""","selsweep":{${sweep.mkString(",")}}"""
+      }
+
+      // ---- `agedmembrane` arm (VERDICT r13 ask #5): the STREAMING
+      // membrane aged like the serving index — r13 measured the
+      // requantize cadence's throughput but not its REJECTION quality:
+      // does a membrane whose quantizer was pinned at birth (1/nE of
+      // the final corpus) still reject planted dups as the corpus grows
+      // past it? Ingest the rung corpus in nE epochs; from epoch 1 on,
+      // each batch carries planted TWINS of the previous epoch's
+      // vectors (ε = 0.25 → cos ≈ 0.970 > τ = 0.95: every twin IS a
+      // dup the membrane must reject). Run twice — requantize off vs
+      // every nE/4 epochs — and audit the rejection rate per ingest
+      // quartile (a twin counts only when its base was itself
+      // admitted). Epoch wall-times per quartile capture the probe-cost
+      // side of aging.
+      if (armsWanted("agedmembrane") && n == scales.last) {
+        val nE = 16
+        val epsM = 0.25
+        val twinOff = plantOffset * 10 // clear of corpus ids AND rung twins
+        val embAll = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+        val cfgs = Seq("aged" -> 0, "requant" -> (nE / 4)).map {
+          case (cfgTag, requantEvery) =>
+            val memDir = s"$dir/membrane_${cfgTag}_r14"
+            val f = new java.io.File(memDir)
+            if (f.exists) rmTree(f)
+            def slice(e: Int) = embAll.filter(pmod(col("vec_id"), lit(nE)) === e)
+            val s0 = withNrm(slice(0)).localCheckpoint()
+            val c0 = math.ceil(math.sqrt(s0.count().toDouble)).toInt
+            graft.stream.EmbedIngest.init(spark, memDir,
+              IvfIndex.sampleCentroids(s0, c0))
+            val bmM = math.max(4L, s0.count() / 50)
+            val planted = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+            val qSecs = Array.fill(4)(0.0)
+            var requantSecs = 0.0
+            for (e <- 0 until nE) {
+              // the start() maintenance cadence, mirrored synchronously
+              if (requantEvery > 0 && e > 0 && e % requantEvery == 0)
+                requantSecs += time {
+                  graft.stream.EmbedIngest.requantize(spark, memDir,
+                    nCells = 0, upTo = e.toLong)
+                }._1
+              val batch =
+                if (e == 0) slice(0)
+                else {
+                  val twinEmb = plantTwins(withNrm(slice(e - 1)), bmM, twinOff,
+                    epsM).localCheckpoint()
+                  planted ++= twinEmb.select("vec_id").collect()
+                    .map(r => (r.getLong(0), r.getLong(0) - twinOff, e))
+                  slice(e).unionByName(twinEmb.select("vec_id", "embedding"))
+                }
+              qSecs(e * 4 / nE) += time {
+                graft.stream.EmbedIngest.ingestBatch(batch, memDir, e.toLong)
+              }._1
+            }
+            val adm = graft.stream.EmbedIngest.corpus(spark, memDir)
+              .select("vec_id").localCheckpoint()
+            val plantedDf = spark.createDataFrame(planted.toSeq)
+              .toDF("twin_id", "base_id", "epoch")
+            val audit = plantedDf
+              .join(adm.select(col("vec_id").as("base_id"))
+                .withColumn("base_adm", lit(1)), Seq("base_id"), "left")
+              .join(adm.select(col("vec_id").as("twin_id"))
+                .withColumn("twin_adm", lit(1)), Seq("twin_id"), "left")
+              .filter(col("base_adm") === 1)
+              .groupBy(expr(s"int(epoch * 4 / $nE)").as("q"))
+              .agg(count(lit(1)).as("n"),
+                sum(when(col("twin_adm").isNull, 1L).otherwise(0L)).as("rejected"))
+              .orderBy("q").collect()
+            val perQ = audit.map(r =>
+              s"""{"n":${r.getLong(1)},"rejected":${r.getLong(2)}}""").mkString(",")
+            val cellsNow = spark.read.parquet(s"$memDir/cells")
+            val nCellsNow = cellsNow.select(col("cell")).distinct().count()
+            s""""$cfgTag":{"n_planted":${planted.size},"quartiles":[$perQ],""" +
+              s""""q_ingest_secs":[${qSecs.map(d3).mkString(",")}],""" +
+              s""""requant_secs":${d3(requantSecs)},"n_cells":$nCellsNow}"""
+        }
+        extraArms ++= s""","agedmembrane":{${cfgs.mkString(",")}}"""
       }
 
       // ---- `handoff` arm (VERDICT r12 ask #3): at the top rung, the

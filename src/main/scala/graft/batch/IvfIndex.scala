@@ -744,7 +744,8 @@ object IvfIndex {
     * rule; a 10%-selective filter at p probes sees ~p×10% of the
     * matching corpus a full scan would). */
   def search(spark: SparkSession, dir: String, queries: DataFrame,
-             k: Int, nProbe: Int, where: Option[Column] = None): DataFrame = {
+             k: Int, nProbe: Int, where: Option[Column] = None,
+             selectivityHint: Option[Double] = None): DataFrame = {
     recoverRebuild(spark, dir) // half-installed rebuild → finish first
     val meta = metaOf(spark, dir)
     if (meta.quant != "float32") throw new IllegalStateException(
@@ -754,6 +755,35 @@ object IvfIndex {
     // rebuild (grace), so the scan below stays consistent end to end
     val cents = spark.read.parquet(centroidsDir(dir, meta.gen))
     val cells = where.foldLeft(spark.read.parquet(cellsDirOf(dir, meta.gen)))(_.filter(_))
+    // LOW-selectivity routing (round-13 ask #4, measured by
+    // AnnScaleBench's selsweep arm): the probe stage prunes the scan
+    // to ~nProbe·assign/C of the corpus, so once the caller-declared
+    // filter selectivity drops BELOW that fraction the filter
+    // out-prunes the probes and exact brute force over the filtered
+    // cells is strictly better — cheaper (measured 3-8× at 0.1-1%
+    // selectivity on the x10/x30 rungs) AND exact, where the probe
+    // path is approximate. The floor is DERIVED from the layout
+    // (p·q/C, scaled by spark.graft.bruteRouteFactor; set 0 to
+    // disable). Selectivity is a HINT because the engine has no stats
+    // over an arbitrary Column predicate — callers that know their
+    // attr cardinalities pass it; absent a hint the probe path always
+    // runs. Queries stay a bounded broadcast batch in both paths.
+    val bruteFloor = spark.conf.getOption("spark.graft.bruteRouteFactor")
+      .flatMap(_.toDoubleOption).getOrElse(1.0) *
+      nProbe.toDouble * meta.assign / math.max(1, meta.nCells)
+    if (where.isDefined && selectivityHint.exists(_ < bruteFloor)) {
+      val q = withNorm(queries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val cand = cells.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("rcos", round(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+        .select(col("qid").cast("long"), col("vec_id").cast("long"),
+          col("rcos").cast("double"))
+      val dts = if (meta.assign > 1) cand.distinct() else cand
+      return graft.plans.GroupTopK.topK(dts,
+        keys = Seq("qid"), order = Seq(col("rcos").desc, col("vec_id").asc), k = k)
+        .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("rcos"))
+    }
     val q = withNorm(queries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
     val probes = q.crossJoin(broadcast(centroidArray(cents)))

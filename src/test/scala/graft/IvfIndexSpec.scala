@@ -366,6 +366,31 @@ class IvfIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(IvfIndex.metaOf(spark, d).attrs == Seq("label"))
   }
 
+  test("low-selectivity routing: brute path ≡ probe path exactly, engages only below the derived floor") {
+    val d = Files.createTempDirectory("ivf_route").toString
+    val c = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+    IvfIndex.build(emb, d, c, assign = 2, attrs = Seq("label"))
+    val pred = col("label") === 3
+    def run(hint: Option[Double], p: Int) =
+      IvfIndex.search(spark, d, queries, k = 3, nProbe = p,
+        where = Some(pred), selectivityHint = hint)
+    // floor = p·q/C; a hint below it routes to brute force, which must
+    // equal the EXACT all-cell probe result row for row (both are
+    // exact over the filter, same tie-break)
+    val brute = run(Some(1e-4), 2)
+    assert(brute.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      == bruteFiltered(pred, 3))
+    // the brute plan has NO probe stage; the probe plan does
+    def hasProbe(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.toString.contains("nearest_cells")
+    assert(!hasProbe(brute), "hint below floor must skip the probe stage")
+    assert(hasProbe(run(Some(0.9), 2)), "hint above floor must keep probes")
+    assert(hasProbe(run(None, 2)), "no hint must keep probes")
+    // and the routed search is still rank-complete
+    val perQ = brute.collect().groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perQ.values.forall(_ == 3))
+  }
+
   test("filtered search pushes the attr predicate into the cells scan") {
     val d = Files.createTempDirectory("ivf_attr_push").toString
     IvfIndex.build(emb, d, nCells = 8, attrs = Seq("label"))
