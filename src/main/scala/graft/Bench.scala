@@ -56,7 +56,13 @@ object Bench {
     val anchorPins = Seq(
       "qd8_lsh_capped" -> 1.09, // clean band 1.05–1.15 (was 0.81–0.90)
       "qt3_tokens" -> 0.34, //             0.33–0.37 (was 0.29–0.32)
-      "qm2_frame_sample" -> 0.28) //       0.26–0.30 (was 0.15–0.17)
+      // qm2's TimeQuery-isolation floor reads 0.26–0.30, but in BENCH
+      // context (per-query sf0.001 warmup + run order) the clean r14
+      // run steadied at 0.188 — the pin lives in bench context, so it
+      // takes the bench value; an inflated pin would mask contention
+      // on this anchor (drift is max-over-anchors, qd8/qt3 still
+      // catch it, but three sensitive anchors beat two).
+      "qm2_frame_sample" -> 0.19) //       0.17–0.21 (was 0.15–0.17)
     val anchorNames = anchorPins.map(_._1)
     require(anchorNames.forall(SparkEntry.queries.contains),
       s"anchor queries missing from SparkEntry.queries: " +
