@@ -387,6 +387,32 @@ object Similarity {
     * recall wants the p-first rule (see [[IvfIndex.search]] scaladoc);
     * the oracle pins the exact filtered semantics rather than a recall
     * target. */
+  /** qs10: the ROUTED low-selectivity filtered search, oracle-gated —
+    * qs9's persisted-index shape with a 1%-selective id predicate and
+    * a truthful `selectivityHint = 0.01`: below the derived floor
+    * p·q/C ([[IvfIndex.search]]'s routing rule, measured by
+    * AnnScaleBench's selsweep arm) the probe stage is skipped and
+    * every matching row is scored exactly, so this gate pins the
+    * routed path's exact brute-force-over-filtered semantics — the
+    * multi-assign cell dedupe and the (rcos DESC, vec_id) tie rule
+    * included. The oracle additionally encodes the routing
+    * PRECONDITION (0.01 < p·q/⌈√N⌉) as a gate CTE: if the floor ever
+    * moves below the hint, the gate empties and the compare fails
+    * loudly instead of silently diffing a probe result against
+    * brute-force SQL. */
+  def qs10_routed_search(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val n = emb.count()
+    val nCells = math.ceil(math.sqrt(n.toDouble)).toInt
+    val dir = indexDir(s, "qs10", d)
+    IvfIndex.build(emb, dir, nCells, assign = IndexAssign)
+    val queryVecs = emb.filter(pmod(col("vec_id"), lit(25)) === 0)
+    IvfIndex.search(s, dir, queryVecs, k = 3, nProbe = SearchProbes,
+      where = Some(pmod(col("vec_id"), lit(100)) === 3),
+      selectivityHint = Some(0.01))
+      .orderBy("qid", "rank")
+  }
+
   def qs9_filtered_search(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val n = emb.count()
@@ -401,6 +427,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qs9_filtered_search" -> (qs9_filtered_search _),
+    "qs10_routed_search" -> (qs10_routed_search _),
     "qs1_knn_bruteforce" -> (qs1_knn_bruteforce _),
     "qs2_ann_lsh" -> (qs2_ann_lsh _),
     "qs3_ivf_ann" -> (qs3_ivf_ann _),
@@ -558,6 +585,28 @@ object Similarity {
          | SELECT c.qid, c.vec_id,
          |  round(${sqlDot("q.embedding", "v.embedding")} / (q.nrm * v.nrm), 6) AS rcos
          | FROM cand c JOIN nm q ON c.qid = q.vec_id JOIN nm v ON c.vec_id = v.vec_id)
+         |SELECT qid, CAST(rn AS INT) AS rank, vec_id AS neighbor_id, rcos FROM (
+         | SELECT qid, vec_id, rcos, ROW_NUMBER() OVER (PARTITION BY qid
+         |   ORDER BY rcos DESC, vec_id ASC) AS rn FROM scored) t
+         |WHERE rn <= 3 ORDER BY qid, rank""".stripMargin,
+    // qs10: exact brute force over the filtered corpus — what the
+    // routed path computes; `gate` states the routing precondition
+    // with the same p/q constants the engine's floor derives from
+    "qs10_routed_search" ->
+      s"""WITH nm AS (
+         | SELECT vec_id, embedding,
+         |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+         | FROM embeddings),
+         |gate AS (
+         | SELECT 1 AS g
+         | WHERE 0.01 < $SearchProbes.0 * $IndexAssign / ceil(sqrt((SELECT COUNT(*) FROM nm)))),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM nm
+         |      WHERE vec_id % 25 = 0),
+         |m AS (SELECT vec_id, embedding, nrm FROM nm WHERE vec_id % 100 = 3),
+         |scored AS (
+         | SELECT q.qid, m.vec_id,
+         |  round(${sqlDot("q.qe", "m.embedding")} / (q.qn * m.nrm), 6) AS rcos
+         | FROM q CROSS JOIN m CROSS JOIN gate WHERE m.vec_id <> q.qid)
          |SELECT qid, CAST(rn AS INT) AS rank, vec_id AS neighbor_id, rcos FROM (
          | SELECT qid, vec_id, rcos, ROW_NUMBER() OVER (PARTITION BY qid
          |   ORDER BY rcos DESC, vec_id ASC) AS rn FROM scored) t
