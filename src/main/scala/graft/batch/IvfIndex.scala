@@ -585,97 +585,21 @@ object IvfIndex {
   // SKIPPED under a live foreign lease (the owning writer will finish
   // its own install) and the read proceeds on the committed meta.
 
-  private val ownerId = java.util.UUID.randomUUID().toString
-  // reentrancy depth per dir — mutated only inside the per-dir monitor,
-  // so nested writers (rebuildIfGrown → rebuild → recoverRebuild) share
-  // one FS lease instead of self-deadlocking or dropping it early
-  private val leaseDepth = scala.collection.concurrent.TrieMap.empty[String, Int]
+  // the lease mechanism itself lives in [[FsLease]] (shared with the
+  // streaming membrane's maintenance ops since round 14); this object
+  // keeps only the call sites.
+  private def tryAcquireLease(spark: SparkSession, dir: String): Boolean =
+    FsLease.tryAcquire(spark, dir)
 
-  private def leasePath(dir: String) =
-    new org.apache.hadoop.fs.Path(s"$dir/_GRAFT_LEASE")
-
-  private def leaseMsOf(spark: SparkSession): Long =
-    spark.conf.getOption("spark.graft.indexLeaseMs")
-      .flatMap(_.toLongOption).getOrElse(600000L)
-
-  /** Try to take the dir's install lease. Returns false iff a LIVE
-    * foreign lease holds it; expired or self-owned leases are
-    * (re)taken. Must be called inside the per-dir monitor. */
-  private def tryAcquireLease(spark: SparkSession, dir: String): Boolean = {
-    if (leaseDepth.getOrElse(dir, 0) > 0) {
-      leaseDepth(dir) = leaseDepth(dir) + 1
-      return true
-    }
-    val p = leasePath(dir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val json = s"""{"owner":"$ownerId","expiry":${System.currentTimeMillis() + leaseMsOf(spark)}}"""
-    var attempts = 0
-    while (attempts < 5) {
-      attempts += 1
-      try {
-        val out = fs.create(p, false) // create-if-absent: the atomic claim
-        try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        leaseDepth(dir) = 1
-        return true
-      } catch {
-        case _: java.io.IOException =>
-          val txt =
-            try {
-              val in = fs.open(p)
-              try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-              finally in.close()
-            } catch { case _: java.io.IOException => "" } // vanished → retry
-          val owner = """"owner"\s*:\s*"([^"]+)"""".r
-            .findFirstMatchIn(txt).map(_.group(1))
-          val expiry = """"expiry"\s*:\s*(\d+)""".r
-            .findFirstMatchIn(txt).map(_.group(1).toLong)
-          if (owner.contains(ownerId)) {
-            // our own marker with depth 0: a crashed release in THIS
-            // process (same UUID cannot come from another JVM) — retake
-            leaseDepth(dir) = 1
-            return true
-          }
-          if (owner.isEmpty || expiry.exists(_ < System.currentTimeMillis()))
-            fs.delete(p, false) // corrupt or expired — break it and retry
-          else return false
-      }
-    }
-    throw new IllegalStateException(
-      s"IvfIndex: could not settle the install lease for $dir after $attempts attempts")
-  }
-
-  private def releaseLease(spark: SparkSession, dir: String): Unit = {
-    val d = leaseDepth.getOrElse(dir, 0)
-    if (d > 1) { leaseDepth(dir) = d - 1; return }
-    leaseDepth.remove(dir)
-    val p = leasePath(dir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(p, false)
-  }
+  private def releaseLease(spark: SparkSession, dir: String): Unit =
+    FsLease.release(spark, dir)
 
   /** Writer scope: per-dir monitor (same-JVM) + FS lease (cross-JVM),
     * failing by name if another process holds the dir. */
   private def withInstallLease[T](spark: SparkSession, dir: String)(body: => T): T =
     rebuildLocks.getOrElseUpdate(dir, new Object).synchronized {
-      if (!tryAcquireLease(spark, dir)) {
-        val txt =
-          try metaTextOf(spark, leasePath(dir)) catch { case _: Exception => "?" }
-        throw new IllegalStateException(
-          s"IvfIndex: install lease for $dir is held by another process ($txt) — " +
-            "concurrent cross-process writers would double-install a generation; " +
-            "retry after the lease expires (spark.graft.indexLeaseMs) or route all " +
-            "writes for this index through one maintenance process")
-      }
-      try body finally releaseLease(spark, dir)
+      FsLease.withLease(spark, dir, "IvfIndex: install")(body)
     }
-
-  private def metaTextOf(spark: SparkSession, p: org.apache.hadoop.fs.Path): String = {
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val in = fs.open(p)
-    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-    finally in.close()
-  }
 
   /** Finish (or discard) a rebuild interrupted by a crash: a committed
     * snapshot is installed, an uncommitted one discarded. Run at every

@@ -122,16 +122,23 @@ object EmbedIngest {
     * contract as [[IngestDedup.compactIndexes]]: pass only epochs that
     * can no longer replay. */
   def compactCells(s: SparkSession, dir: String, upTo: Long,
-                   targetBytes: Long = 128L * 1024 * 1024): Unit = {
-    // a committed-but-uninstalled requantize snapshot holds re-celled
-    // COPIES of the pre-snapshot epochs; folding those source epochs
-    // first would merge them into a partition the snapshot install
-    // doesn't supersede — recovery later would then add the snapshot
-    // rows NEXT to the folded copies (silent duplicates). Finish (or
-    // discard) any interrupted requantize before touching the layout.
-    recoverRequant(s, dir)
-    EpochFold.fold(s, s"$dir/cells", upTo, targetBytes, partitionCols = Seq("cell"))
-  }
+                   targetBytes: Long = 128L * 1024 * 1024): Unit =
+    // maintenance holds the layout's FS lease (graft.batch.FsLease —
+    // the IvfIndex install-lease mechanism, shared since round 14):
+    // the streaming query structurally single-writes its own epochs,
+    // but OUT-OF-BAND maintenance (an operator ticking requantize or
+    // compaction from a second application) would otherwise race a
+    // concurrent install cross-process.
+    graft.batch.FsLease.guarded(s, dir, "EmbedIngest: maintenance") {
+        // a committed-but-uninstalled requantize snapshot holds re-celled
+        // COPIES of the pre-snapshot epochs; folding those source epochs
+        // first would merge them into a partition the snapshot install
+        // doesn't supersede — recovery later would then add the snapshot
+        // rows NEXT to the folded copies (silent duplicates). Finish (or
+        // discard) any interrupted requantize before touching the layout.
+        recoverRequant(s, dir)
+        EpochFold.fold(s, s"$dir/cells", upTo, targetBytes, partitionCols = Seq("cell"))
+    }
 
   /** Crash-safe re-quantization ("re-cell") for a drifted corpus: pick
     * fresh centroids from the CURRENT admitted vectors (the same
@@ -165,7 +172,14 @@ object EmbedIngest {
     * quartile rates 363→193 docs/s with compaction on); √N cells turn
     * the same term into Θ(batch × √n). The floor at the current count
     * means auto never shrinks a hand-built quantizer. */
-  def requantize(s: SparkSession, dir: String, nCells: Int, upTo: Long): Unit = {
+  def requantize(s: SparkSession, dir: String, nCells: Int, upTo: Long): Unit =
+    // same maintenance fence as [[compactCells]] (monitor + FS lease)
+    graft.batch.FsLease.guarded(s, dir, "EmbedIngest: maintenance") {
+      requantizeInner(s, dir, nCells, upTo)
+    }
+
+  private def requantizeInner(s: SparkSession, dir: String, nCells: Int,
+      upTo: Long): Unit = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     recoverRequant(s, dir)
@@ -267,21 +281,32 @@ object EmbedIngest {
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
     val TmpName = """\.requant_tmp_(-?\d+)""".r
-    fs.listStatus(root).foreach { st =>
-      st.getPath.getName match {
-        case TmpName(n) if st.isDirectory =>
-          val committed =
-            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_GRAFT_COMMIT"))
-          if (committed) {
-            installRequant(fs, root, n.toLong)
-            // the install swapped the quantizer — any cached dim for
-            // this dir is now unverified (same-dim in practice, but
-            // the cache must never outlive the artifact it describes)
-            dimCache.remove(dir)
-          } else require(fs.delete(st.getPath, true),
-            s"requantize: could not discard uncommitted snapshot ${st.getPath}")
-        case _ =>
-      }
+    val tmps = fs.listStatus(root).filter(st =>
+      st.isDirectory && TmpName.pattern.matcher(st.getPath.getName).matches())
+    if (tmps.isEmpty) return // the idle hot path: one listing, no lease
+    // recovery MUTATES the layout, so it takes the same maintenance
+    // fence as requantize/compactCells — but a READ path calling it
+    // (survivors, corpus) must not fail because a foreign writer is
+    // live: that writer owns the snapshot and finishes (or discards)
+    // its own install; the read proceeds on the committed layout.
+    graft.batch.FsLease.monitorOf(dir).synchronized {
+      if (!graft.batch.FsLease.tryAcquire(s, dir)) return
+      try tmps.foreach { st =>
+        st.getPath.getName match {
+          case TmpName(n) if fs.exists(st.getPath) =>
+            val committed =
+              fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_GRAFT_COMMIT"))
+            if (committed) {
+              installRequant(fs, root, n.toLong)
+              // the install swapped the quantizer — any cached dim for
+              // this dir is now unverified (same-dim in practice, but
+              // the cache must never outlive the artifact it describes)
+              dimCache.remove(dir)
+            } else require(fs.delete(st.getPath, true),
+              s"requantize: could not discard uncommitted snapshot ${st.getPath}")
+          case _ =>
+        }
+      } finally graft.batch.FsLease.release(s, dir)
     }
   }
 

@@ -510,7 +510,12 @@ object IngestDedup {
     * unacceptable failure.
     */
   def compactIndexes(s: SparkSession, dir: String, upTo: Long,
-                     targetBytes: Long = 128L * 1024 * 1024): Unit = {
+                     targetBytes: Long = 128L * 1024 * 1024): Unit =
+   // out-of-band maintenance holds the layout's FS lease + monitor
+   // (graft.batch.FsLease.guarded — the shared fence, round 14): the
+   // stream's own epoch writes are checkpoint-owned, but a second
+   // application folding the same dir would race the install
+   graft.batch.FsLease.guarded(s, dir, "IngestDedup: maintenance") {
     // re-cluster by probe key while folding: the trickle regime's
     // pushed IN filter lives off tight row-group stats. Commit
     // protocol (own marker, require()d FS ops) lives in EpochFold.
@@ -524,5 +529,5 @@ object IngestDedup {
     // 1 Hz micro-batches leaves consumers opening millions of
     // footer-heavy files
     EpochFold.fold(s, s"$dir/corpus", upTo, targetBytes)
-  }
+   }
 }

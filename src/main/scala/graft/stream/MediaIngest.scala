@@ -267,10 +267,12 @@ object MediaIngest {
   /** Fold index epochs `< upTo` on the shared cadence (same contract
     * as [[IngestDedup.compactIndexes]]). */
   def compact(s: SparkSession, dir: String, upTo: Long,
-      targetBytes: Long = 128L * 1024 * 1024): Unit = {
-    EpochFold.fold(s, s"$dir/media_idx", upTo, targetBytes, Seq("bk"))
-    EpochFold.fold(s, s"$dir/corpus", upTo, targetBytes)
-  }
+      targetBytes: Long = 128L * 1024 * 1024): Unit =
+    // the shared maintenance fence (FsLease.guarded, round 14)
+    graft.batch.FsLease.guarded(s, dir, "MediaIngest: maintenance") {
+      EpochFold.fold(s, s"$dir/media_idx", upTo, targetBytes, Seq("bk"))
+      EpochFold.fold(s, s"$dir/corpus", upTo, targetBytes)
+    }
 
   private def readIfExists(s: SparkSession, path: String): Option[DataFrame] =
     if (EpochFold.hasDataFiles(s, path)) Some(s.read.parquet(path)) else None

@@ -124,13 +124,17 @@ object MultimodalIngest {
     * as [[IngestDedup.compactIndexes]]: only epochs that can no longer
     * replay. */
   def compact(s: SparkSession, dir: String, upTo: Long,
-              targetBytes: Long = 128L * 1024 * 1024): Unit = {
-    IngestDedup.compactIndexes(s, s"$dir/text", upTo, targetBytes)
-    EmbedIngest.compactCells(s, s"$dir/embed", upTo, targetBytes)
-    EpochFold.fold(s, s"$dir/metrics", upTo, targetBytes)
-    EpochFold.fold(s, s"$dir/ledger", upTo, targetBytes)
-    EpochFold.fold(s, s"$dir/media/media_idx", upTo, targetBytes, Seq("bk"))
-  }
+              targetBytes: Long = 128L * 1024 * 1024): Unit =
+    // the composed root holds ITS lease for its direct folds; the text
+    // and embed sub-layouts are fenced by their own entry points
+    // (different dirs — acquisition order is fixed, so no deadlock)
+    graft.batch.FsLease.guarded(s, dir, "MultimodalIngest: maintenance") {
+      IngestDedup.compactIndexes(s, s"$dir/text", upTo, targetBytes)
+      EmbedIngest.compactCells(s, s"$dir/embed", upTo, targetBytes)
+      EpochFold.fold(s, s"$dir/metrics", upTo, targetBytes)
+      EpochFold.fold(s, s"$dir/ledger", upTo, targetBytes)
+      EpochFold.fold(s, s"$dir/media/media_idx", upTo, targetBytes, Seq("bk"))
+    }
 
   /** Re-cell the embedding membrane's corpus under fresh centroids
     * (drift handling; crash-safe — see [[EmbedIngest.requantize]]).
