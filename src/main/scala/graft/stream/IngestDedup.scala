@@ -509,6 +509,20 @@ object IngestDedup {
     * lost index keys would silently re-admit duplicates, the one
     * unacceptable failure.
     */
+  /** Sticky train/val/test assignment over the STREAMED corpus — the
+    * production wiring the round-13 verdict sketched: the membership
+    * frame comes from [[clusters]] (this layout's exactly-once
+    * epoch-partitioned dup accounting — admitted docs plus every
+    * rejected doc resolved to its cluster root), and the decision is
+    * recorded through [[graft.batch.SplitLedger]], so re-running on
+    * any maintenance cadence only ever moves docs TOWARD train
+    * (train-est inheritance; nothing trained-on can surface in eval
+    * later). Call between batches, e.g. on the [[compactIndexes]]
+    * tick. Returns this version's (doc_id, cluster_id, split). */
+  def assignSplits(s: SparkSession, dir: String, ledgerDir: String): DataFrame =
+    graft.batch.SplitLedger.assign(s, ledgerDir,
+      clusters(s, dir).select(col("doc_id"), col("cluster_id")))
+
   def compactIndexes(s: SparkSession, dir: String, upTo: Long,
                      targetBytes: Long = 128L * 1024 * 1024): Unit =
    // out-of-band maintenance holds the layout's FS lease + monitor

@@ -121,6 +121,32 @@ class SplitLedgerSpec extends SparkSpec {
     assert(!names.contains("ledger_v1"), s"v1 should be retired: $names")
   }
 
+  test("streamed corpus: assignSplits on the ingest cadence is sticky across epochs") {
+    import graft.stream.IngestDedup
+    val root = java.nio.file.Files.createTempDirectory("split_ingest").toString
+    val dir = s"$root/out"; val ledger = s"$root/ledger"
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val nearDup = base.replace("today", "tonight")
+    val other = "completely different content with no shared shingles at all here now"
+    IngestDedup.ingestBatch(
+      Seq((10L, base), (20L, other)).toDF("doc_id", "text"), dir, epochId = 0)
+    val v1 = IngestDedup.assignSplits(spark, dir, ledger)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(v1.keySet == Set(10L, 20L))
+    // epoch 1: a near-dup of 10 arrives (rejected, resolved to 10's
+    // cluster) and a fresh doc is admitted
+    IngestDedup.ingestBatch(
+      Seq((30L, nearDup), (40L, other + " but this one is genuinely novel text"))
+        .toDF("doc_id", "text"), dir, epochId = 1)
+    val v2 = IngestDedup.assignSplits(spark, dir, ledger)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // prior assignments never move; the rejected dup inherits its
+    // cluster's recorded split (content closure across the stream)
+    assert(v1.forall { case (id, sp) => v2(id) == sp })
+    assert(v2(30L) == v1(10L), "a rejected dup must share its owner's split")
+    assert(SplitLedger.currentVersion(spark, ledger) == 2L)
+  }
+
   test("fixture corpus: two real versions, zero out-of-train migrations, " +
     "leakage-closed in both") {
     val dir = tmpDir()
