@@ -750,6 +750,13 @@ object IvfIndex {
     * quantization reorders it below rank `rescore` in its candidate
     * set — AnnScaleBench's `int8` arm measures planted-twin recall
     * unchanged at the rungs (BASELINE.md). */
+  /** Low-selectivity note: [[search]]'s selectivityHint brute routing
+    * is deliberately NOT mirrored here — below the p·q/C floor the
+    * filtered candidate set is tiny, so the int8 layout's IO lever
+    * (the reason to be on this path at all) is irrelevant; route such
+    * queries at the float source of truth via
+    * `search(..., selectivityHint)` or brute-force the filtered
+    * corpus directly. */
   def searchInt8(spark: SparkSession, dir: String, queries: DataFrame,
       corpus: DataFrame, k: Int, nProbe: Int, rescore: Int,
       where: Option[Column] = None): DataFrame = {

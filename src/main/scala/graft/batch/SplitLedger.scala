@@ -74,7 +74,18 @@ object SplitLedger {
     *
     * Single-writer per ledger dir (the corpus versioning pipeline that
     * owns the dir), like the reference's one supervisor per line. */
-  def assign(spark: SparkSession, dir: String, members: DataFrame): DataFrame = {
+  def assign(spark: SparkSession, dir: String, members: DataFrame): DataFrame =
+    // a versioned install is a writer like any other persisted layout's:
+    // two concurrent assigns (same JVM or cross-process) would both read
+    // version N and race the meta flip for N+1 — the shared FsLease
+    // fence (monitor + owner/expiry claim file) makes the loser fail by
+    // name instead
+    FsLease.guarded(spark, dir, "SplitLedger: assign") {
+      assignInner(spark, dir, members)
+    }
+
+  private def assignInner(spark: SparkSession, dir: String,
+      members: DataFrame): DataFrame = {
     val fs = fsOf(spark, dir)
     val ver = currentVersion(spark, dir)
     val prior = if (ver == 0L) None else Some(spark.read.parquet(versionDir(dir, ver)))

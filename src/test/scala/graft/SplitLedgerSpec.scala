@@ -121,6 +121,23 @@ class SplitLedgerSpec extends SparkSpec {
     assert(!names.contains("ledger_v1"), s"v1 should be retired: $names")
   }
 
+  test("a live foreign lease refuses assign, by name; expired is taken over") {
+    val dir = tmpDir()
+    SplitLedger.assign(spark, dir, membersDf(1L -> trainId))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "_GRAFT_LEASE"),
+      s"""{"owner":"some-other-process","expiry":${System.currentTimeMillis() + 3600000L}}""")
+    val e = intercept[IllegalStateException](
+      SplitLedger.assign(spark, dir, membersDf(1L -> trainId)))
+    assert(e.getMessage.contains("lease") &&
+      e.getMessage.contains("some-other-process"), e.getMessage)
+    assert(SplitLedger.currentVersion(spark, dir) == 1L)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "_GRAFT_LEASE"),
+      s"""{"owner":"some-other-process","expiry":${System.currentTimeMillis() - 1L}}""")
+    SplitLedger.assign(spark, dir, membersDf(1L -> trainId))
+    assert(SplitLedger.currentVersion(spark, dir) == 2L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_GRAFT_LEASE")))
+  }
+
   test("streamed corpus: assignSplits on the ingest cadence is sticky across epochs") {
     import graft.stream.IngestDedup
     val root = java.nio.file.Files.createTempDirectory("split_ingest").toString
