@@ -385,17 +385,42 @@ object AnnScaleBench {
       // quartile (a twin counts only when its base was itself
       // admitted). Epoch wall-times per quartile capture the probe-cost
       // side of aging.
-      if (armsWanted("agedmembrane") && n == scales.last) {
+      // `driftmembrane` variant: the same audit under a NON-stationary
+      // corpus — epoch e's vectors carry a bias e·0.08·‖v‖ on
+      // coordinate 0, so the distribution the birth quantizer described
+      // walks ~1.2·‖v‖ away by the last epoch (far past the quantizer's
+      // coverage) while two DISTINCT late vectors still sit below τ —
+      // drift that collapses distinct content into mutual near-dups
+      // would be dedup working as intended, not a drift artifact. The stationary arm measured
+      // rejection flat because a twin's probe set tracks its BASE's
+      // geometry regardless of centroid quality; drift tests whether
+      // that argument survives when all new content collapses into the
+      // few stale cells nearest the drift direction — and what that
+      // does to probe COST, which is where requantize must earn its
+      // keep.
+      if ((armsWanted("agedmembrane") || armsWanted("driftmembrane"))
+          && n == scales.last) {
+        val drift = armsWanted("driftmembrane")
         val nE = 16
         val epsM = 0.25
         val twinOff = plantOffset * 10 // clear of corpus ids AND rung twins
         val embAll = Tables.embeddings(spark, dir).select("vec_id", "embedding")
         val cfgs = Seq("aged" -> 0, "requant" -> (nE / 4)).map {
           case (cfgTag, requantEvery) =>
-            val memDir = s"$dir/membrane_${cfgTag}_r14"
+            val memDir = s"$dir/membrane_${cfgTag}${if (drift) "_drift" else ""}_r14"
             val f = new java.io.File(memDir)
             if (f.exists) rmTree(f)
-            def slice(e: Int) = embAll.filter(pmod(col("vec_id"), lit(nE)) === e)
+            def slice(e: Int) = {
+              val raw = embAll.filter(pmod(col("vec_id"), lit(nE)) === e)
+              if (!drift || e == 0) raw
+              else withNrm(raw).select(col("vec_id"),
+                // bias coordinate 0 by e·0.08·‖v‖ — deterministic,
+                // twins planted FROM the drifted vectors drift with it
+                concat(array((element_at(col("embedding"), 1) +
+                    lit(e * 0.08f) * col("nrm").cast("float")).cast("float")),
+                  org.apache.spark.sql.functions.slice(col("embedding"), 2, Dim - 1))
+                  .as("embedding"))
+            }
             val s0 = withNrm(slice(0)).localCheckpoint()
             val c0 = math.ceil(math.sqrt(s0.count().toDouble)).toInt
             graft.stream.EmbedIngest.init(spark, memDir,
@@ -446,7 +471,7 @@ object AnnScaleBench {
               s""""q_ingest_secs":[${qSecs.map(d3).mkString(",")}],""" +
               s""""requant_secs":${d3(requantSecs)},"n_cells":$nCellsNow}"""
         }
-        extraArms ++= s""","agedmembrane":{${cfgs.mkString(",")}}"""
+        extraArms ++= s""","${if (drift) "driftmembrane" else "agedmembrane"}":{${cfgs.mkString(",")}}"""
       }
 
       // ---- `handoff` arm (VERDICT r12 ask #3): at the top rung, the
