@@ -138,6 +138,26 @@ class SplitLedgerSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_GRAFT_LEASE")))
   }
 
+  test("two concurrent same-JVM assigns serialize: both commit, no lost update") {
+    val dir = tmpDir()
+    SplitLedger.assign(spark, dir, membersDf(1L -> trainId))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { i =>
+      new Thread(() =>
+        try SplitLedger.assign(spark, dir,
+          membersDf(1L -> trainId, (10L + i) -> (10L + i)))
+        catch { case t: Throwable => errs.add(t); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent assign threw: ${errs.peek()}")
+    // serialized through the fence: versions 2 AND 3 both committed,
+    // and the loser's new doc survives via vanished-doc retention
+    assert(SplitLedger.currentVersion(spark, dir) == 3L)
+    val led = SplitLedger.read(spark, dir).get
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(led.contains(11L) && led.contains(12L) && led(1L) == "train")
+  }
+
   test("streamed corpus: assignSplits on the ingest cadence is sticky across epochs") {
     import graft.stream.IngestDedup
     val root = java.nio.file.Files.createTempDirectory("split_ingest").toString
