@@ -843,6 +843,80 @@ object TextOps {
       .limit(100)
       .select(col("doc_id"), col("lang"), col("importance"))
 
+  /** qt18: BPE tokenizer TRAINING — the merge loop qt7 (pair counts)
+    * stops short of: classic byte-pair encoding over word frequencies.
+    * The corpus is scanned ONCE into a (word, freq) vocabulary (clean
+    * `[a-z0-9]+` word forms — the charset restriction keeps symbol
+    * literals interpolation-safe in both engines); each word becomes
+    * its character sequence + `</w>`; then [[BpeMerges]] rounds of:
+    * count adjacent symbol pairs weighted by word freq → merge the
+    * argmax pair (count DESC, lhs ASC, rhs ASC — binary collation in
+    * both engines over the ASCII symbol set) left-to-right
+    * NON-OVERLAPPING in every word (the canonical single-pass rule: a
+    * symbol consumed by a merge cannot start the next one — the
+    * pending-accumulator fold below, mirrored exactly by the oracle's
+    * `list_reduce` with a string-encoded accumulator).
+    *
+    * Scale shape: the ONLY corpus-sized work is the word-count
+    * aggregation (one shuffle); the merge loop runs on the VOCABULARY
+    * — bounded by distinct clean word forms, orders of magnitude below
+    * the corpus by construction (the reason real tokenizer trainers
+    * fit in memory) — as [[BpeMerges]] tiny two-job rounds with the
+    * per-round argmax a one-row collect (config-sized, like the
+    * ConfigLoader rows). At 100 TB: same one corpus pass, same
+    * vocab-sized loop. Reference analog: the reference's fixed
+    * per-part decode tables (Prensas.py:405-436) are a hand-built
+    * vocabulary; this LEARNS one from the corpus. */
+  private[graft] val BpeMerges = 12
+
+  /** The per-word merge application — canonical left-to-right
+    * non-overlapping: fold with a pending symbol; a merge consumes the
+    * pending and emits `lhs+rhs`. `lhs`/`rhs` are `[a-z0-9]`/`</w>`
+    * concatenations by construction (vocab charset), so interpolation
+    * is literal-safe. */
+  private def bpeMergeExpr(lhs: String, rhs: String): String =
+    "aggregate(syms, " +
+      "named_struct('out', cast(array() as array<string>), 'pend', cast(null as string)), " +
+      s"(acc, x) -> IF(acc.pend = '$lhs' AND x = '$rhs', " +
+      s"named_struct('out', array_append(acc.out, '$lhs$rhs'), 'pend', cast(null as string)), " +
+      "named_struct('out', IF(acc.pend IS NULL, acc.out, array_append(acc.out, acc.pend)), 'pend', x)), " +
+      "acc -> IF(acc.pend IS NULL, acc.out, array_append(acc.out, acc.pend)))"
+
+  /** Run the training loop; returns (step, lhs, rhs, pair_count). */
+  private[graft] def bpeMerges(docs: DataFrame, nMerges: Int): Seq[(Int, String, String, Long)] = {
+    var vocab = docs
+      .select(explode(expr(
+        "filter(split(lower(text), ' '), w -> w rlike '^[a-z0-9]+$')")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), expr(
+        "array_append(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '</w>')")
+        .as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var exhausted = false
+    for (step <- 1 to nMerges if !exhausted) {
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), j -> struct(syms[j] as l, syms[j + 1] as r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r")).agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
+      if (top.isEmpty) exhausted = true // every word fully merged
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step, l, r, c))
+        vocab = vocab.withColumn("syms", expr(bpeMergeExpr(l, r))).localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
+
+  def qt18_bpe_train(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeMerges(Tables.spread(Tables.documents(s, d)), BpeMerges)
+    s.createDataFrame(merges).toDF("step", "lhs", "rhs", "pair_count")
+      .orderBy("step")
+  }
+
   /** Two-pass distributed running offsets under (key DESC, doc_id ASC)
     * order — [[docBins]]' prefix-sum engine with a caller-supplied
     * ranking key: input (doc_id, tok, key), output adds `off` = Σ tok
@@ -878,6 +952,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt18_bpe_train" -> (qt18_bpe_train _),
     "qt17_importance_select" -> (qt17_importance_select _),
     "qt16_chunk_windows" -> (qt16_chunk_windows _),
     "qt15_heavy_hitters" -> (qt15_heavy_hitters _),
@@ -940,7 +1015,57 @@ object TextOps {
       |  CAST(SUM(imp_dbc.c * imp_w.w_ppm) AS BIGINT) AS importance
       | FROM imp_dbc JOIN imp_w USING (bucket) GROUP BY 1, 2)""".stripMargin
 
+  /** One unrolled qt18 merge round: pair counts over v(i−1), the
+    * argmax (count DESC, l, r — binary collation both engines), and
+    * the merged vocabulary via `list_reduce` with a string-encoded
+    * (out ␞ pending) accumulator — the EXACT canonical left-to-right
+    * non-overlapping fold [[bpeMergeExpr]] runs (chr 29 seeds the
+    * fold, chr 30 separates out from pending; neither occurs in the
+    * `[a-z0-9]`/`</w>` symbol charset). An exhausted vocabulary (no
+    * pairs) empties m_i and every later round — the same early stop as
+    * the engine loop's break. */
+  private def bpeStepSql(i: Int): String = {
+    val unfold =
+      """CASE WHEN split_part(fold, chr(30), 2) = '' THEN split_part(fold, chr(30), 1)
+        |      WHEN split_part(fold, chr(30), 1) = '' THEN split_part(fold, chr(30), 2)
+        |      ELSE split_part(fold, chr(30), 1) || ' ' || split_part(fold, chr(30), 2) END"""
+        .stripMargin
+    s"""p$i AS (
+       | SELECT syms[CAST(j AS INT) + 1] AS l, syms[CAST(j AS INT) + 2] AS r,
+       |  SUM(freq) AS c
+       | FROM (SELECT freq, syms, unnest(range(len(syms) - 1)) AS j
+       |       FROM v${i - 1} WHERE len(syms) >= 2)
+       | GROUP BY 1, 2),
+       |m$i AS (SELECT $i AS step, l, r, CAST(c AS BIGINT) AS c FROM p$i
+       |        ORDER BY c DESC, l, r LIMIT 1),
+       |v$i AS (
+       | SELECT freq, string_split($unfold, ' ') AS syms FROM (
+       |  SELECT freq,
+       |   list_reduce(list_prepend(chr(29), syms), (acc, x) -> CASE
+       |     WHEN acc = chr(29) THEN chr(30) || x
+       |     WHEN split_part(acc, chr(30), 2) = m.l AND x = m.r THEN
+       |       CASE WHEN split_part(acc, chr(30), 1) = '' THEN m.l || m.r
+       |            ELSE split_part(acc, chr(30), 1) || ' ' || m.l || m.r END || chr(30)
+     ELSE CASE WHEN split_part(acc, chr(30), 2) = '' THEN split_part(acc, chr(30), 1)
+          WHEN split_part(acc, chr(30), 1) = '' THEN split_part(acc, chr(30), 2)
+          ELSE split_part(acc, chr(30), 1) || ' ' || split_part(acc, chr(30), 2) END ||
+       |          chr(30) || x END) AS fold
+       |  FROM v${i - 1} CROSS JOIN m$i m))""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "qt18_bpe_train" ->
+      s"""WITH w0 AS (
+         | SELECT w, COUNT(*) AS freq FROM (
+         |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) t
+         | WHERE regexp_matches(w, '^[a-z0-9]+$$') GROUP BY 1),
+         |v0 AS (
+         | SELECT freq, list_append(list_transform(range(1, length(w) + 1),
+         |  i -> substr(w, CAST(i AS INT), 1)), '</w>') AS syms FROM w0),
+         |${(1 to BpeMerges).map(bpeStepSql).mkString(",\n")}
+         |SELECT CAST(step AS INT) AS step, l AS lhs, r AS rhs, c AS pair_count FROM (
+         | ${(1 to BpeMerges).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")})
+         |ORDER BY step""".stripMargin,
     "qt17_importance_select" ->
       s"""WITH $ImportanceSql
         |SELECT doc_id, lang, importance FROM imp_scores

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.batch.TextOps
+
+/** qt18's BPE trainer against an INDEPENDENT reference: canonical BPE
+  * (word-frequency weighted pair counts, argmax by (count DESC, lhs,
+  * rhs), left-to-right non-overlapping merge) implemented here in
+  * plain Scala with none of the engine's machinery.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference canonical BPE over a (word → freq) map. */
+  private def refBpe(freqs: Map[String, Long], n: Int): Seq[(Int, String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] = freqs.map { case (w, f) =>
+      (w.map(_.toString).toVector :+ "</w>") -> f
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (step <- 1 to n) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      if (counts.nonEmpty) {
+        val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((step, l, r, c))
+        vocab = vocab.map { case (syms, f) =>
+          val merged = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              merged += (l + r); i += 2
+            } else { merged += syms(i); i += 1 }
+          }
+          merged.toVector -> f
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+      }
+    }
+    out.toSeq
+  }
+
+  private def engineMerges(docs: org.apache.spark.sql.DataFrame, n: Int) =
+    TextOps.bpeMerges(docs, n)
+
+  private def refFromDocs(docs: org.apache.spark.sql.DataFrame, n: Int) = {
+    val freqs = docs.select(explode(expr(
+        "filter(split(lower(text), ' '), w -> w rlike '^[a-z0-9]+$')")).as("w"))
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    refBpe(freqs, n)
+  }
+
+  test("hand corpus: merges match the reference, ties break to (lhs, rhs)") {
+    // 'lo' appears in hello/low/lower; ties forced between (l,o) and
+    // others at small counts exercise the deterministic tie order
+    val docs = Seq(
+      "low low low lower lower newest newest newest newest widest",
+      "low hello hello newest widest widest"
+    ).toDF("text")
+    val got = engineMerges(docs, 8)
+    val want = refFromDocs(docs, 8)
+    assert(got == want, s"\nengine: $got\nref:    $want")
+    assert(got.nonEmpty && got.map(_._1) == (1 to got.length))
+  }
+
+  test("fixture corpus: engine ≡ reference for all 12 merges; the merge " +
+    "loop never rescans the corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // instrument: the corpus text may be evaluated exactly ONCE (the
+    // vocabulary aggregation); the merge loop runs on the vocab table
+    val passes = spark.sparkContext.longAccumulator("bpe_text_passes")
+    val n = docs.count()
+    val tick = udf(() => { passes.add(1); true }).asNondeterministic()
+    val got = engineMerges(docs.filter(tick()), 12)
+    assert(passes.value == n,
+      s"corpus text scanned ${passes.value.toDouble / n}x — must be exactly once")
+    assert(got == refFromDocs(docs, 12))
+    assert(got.length == 12)
+  }
+
+  test("merged symbols compose: a learned merge's pair count never exceeds " +
+    "its parents' earlier counts") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = engineMerges(docs, 12)
+    // monotone argmax: counts are non-increasing in step order only
+    // within the SAME pair lineage is not guaranteed, but the picked
+    // count can never exceed the previous step's picked count (the
+    // previous argmax dominated every pair then, including this one's
+    // constituents)
+    merges.sliding(2).foreach {
+      case Seq((_, _, _, c1), (_, _, _, c2)) =>
+        assert(c2 <= c1, s"argmax counts must be non-increasing: $merges")
+      case _ =>
+    }
+  }
+}
