@@ -883,12 +883,20 @@ object TextOps {
       "acc -> IF(acc.pend IS NULL, acc.out, array_append(acc.out, acc.pend)))"
 
   /** Run the training loop; returns (step, lhs, rhs, pair_count). */
-  private[graft] def bpeMerges(docs: DataFrame, nMerges: Int): Seq[(Int, String, String, Long)] = {
+  private[graft] def bpeMerges(docs: DataFrame, nMerges: Int): Seq[(Int, String, String, Long)] =
+    bpeTrain(docs, nMerges)._1
+
+  /** The loop plus its FINAL vocabulary — (w, freq, syms) after all
+    * merges — which is the trained tokenizer's ENCODER for every
+    * corpus word (the vocabulary is the full clean word set by
+    * construction): [[qt19_bpe_tokens]] joins it back map-side. */
+  private[graft] def bpeTrain(docs: DataFrame, nMerges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     var vocab = docs
       .select(explode(expr(
         "filter(split(lower(text), ' '), w -> w rlike '^[a-z0-9]+$')")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(col("freq"), expr(
+      .select(col("w"), col("freq"), expr(
         "array_append(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '</w>')")
         .as("syms"))
       .localCheckpoint()
@@ -908,7 +916,28 @@ object TextOps {
         vocab = vocab.withColumn("syms", expr(bpeMergeExpr(l, r))).localCheckpoint()
       }
     }
-    merges.toSeq
+    (merges.toSeq, vocab)
+  }
+
+  /** qt19: token counting under the TRAINED tokenizer — the apply side
+    * of [[qt18_bpe_train]], and the honest version of every
+    * token-budget operator's whitespace count: train the 12-merge BPE
+    * in-query (the qd16/qs7 in-query-build discipline), then encode
+    * the corpus by joining each word to its final-vocabulary symbol
+    * count — the vocabulary IS the encoder for every clean word, so
+    * the corpus side is one map-side broadcast join, never a per-doc
+    * re-tokenization. Output: per-source word/BPE-token totals — the
+    * compression signal a tokenizer owner tracks per domain. */
+  def qt19_bpe_tokens(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, d))
+    val (_, vocab) = bpeTrain(docs, BpeMerges)
+    val enc = vocab.select(col("w"), size(col("syms")).as("n_bpe"))
+    docs.select(col("source"), explode(expr(
+        "filter(split(lower(text), ' '), w -> w rlike '^[a-z0-9]+$')")).as("w"))
+      .join(broadcast(enc), "w")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_bpe")).as("bpe_tokens"))
+      .orderBy("source")
   }
 
   def qt18_bpe_train(s: SparkSession, d: String): DataFrame = {
@@ -953,6 +982,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qt18_bpe_train" -> (qt18_bpe_train _),
+    "qt19_bpe_tokens" -> (qt19_bpe_tokens _),
     "qt17_importance_select" -> (qt17_importance_select _),
     "qt16_chunk_windows" -> (qt16_chunk_windows _),
     "qt15_heavy_hitters" -> (qt15_heavy_hitters _),
@@ -1039,8 +1069,8 @@ object TextOps {
        |m$i AS (SELECT $i AS step, l, r, CAST(c AS BIGINT) AS c FROM p$i
        |        ORDER BY c DESC, l, r LIMIT 1),
        |v$i AS (
-       | SELECT freq, string_split($unfold, ' ') AS syms FROM (
-       |  SELECT freq,
+       | SELECT w, freq, string_split($unfold, ' ') AS syms FROM (
+       |  SELECT w, freq,
        |   list_reduce(list_prepend(chr(29), syms), (acc, x) -> CASE
        |     WHEN acc = chr(29) THEN chr(30) || x
        |     WHEN split_part(acc, chr(30), 2) = m.l AND x = m.r THEN
@@ -1053,19 +1083,37 @@ object TextOps {
        |  FROM v${i - 1} CROSS JOIN m$i m))""".stripMargin
   }
 
+  /** The shared qt18/qt19 oracle prologue: vocabulary + the full
+    * unrolled merge chain, ending at v[[BpeMerges]]. */
+  private def bpeChainSql: String =
+    s"""w0 AS (
+       | SELECT w, COUNT(*) AS freq FROM (
+       |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) t
+       | WHERE regexp_matches(w, '^[a-z0-9]+$$') GROUP BY 1),
+       |v0 AS (
+       | SELECT w, freq, list_append(list_transform(range(1, length(w) + 1),
+       |  i -> substr(w, CAST(i AS INT), 1)), '</w>') AS syms FROM w0),
+       |${(1 to BpeMerges).map(bpeStepSql).mkString(",\n")}""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "qt18_bpe_train" ->
-      s"""WITH w0 AS (
-         | SELECT w, COUNT(*) AS freq FROM (
-         |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) t
-         | WHERE regexp_matches(w, '^[a-z0-9]+$$') GROUP BY 1),
-         |v0 AS (
-         | SELECT freq, list_append(list_transform(range(1, length(w) + 1),
-         |  i -> substr(w, CAST(i AS INT), 1)), '</w>') AS syms FROM w0),
-         |${(1 to BpeMerges).map(bpeStepSql).mkString(",\n")}
+      s"""WITH $bpeChainSql
          |SELECT CAST(step AS INT) AS step, l AS lhs, r AS rhs, c AS pair_count FROM (
          | ${(1 to BpeMerges).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")})
          |ORDER BY step""".stripMargin,
+    // qt19: the same chain, then encode = join each corpus word to its
+    // final-vocabulary symbol count
+    "qt19_bpe_tokens" ->
+      s"""WITH $bpeChainSql,
+         |enc AS (SELECT w, len(syms) AS n_bpe FROM v$BpeMerges),
+         |cw AS (
+         | SELECT source, w FROM (
+         |  SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents) t
+         | WHERE regexp_matches(w, '^[a-z0-9]+$$'))
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+         | CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens
+         |FROM cw JOIN enc USING (w)
+         |GROUP BY source ORDER BY source""".stripMargin,
     "qt17_importance_select" ->
       s"""WITH $ImportanceSql
         |SELECT doc_id, lang, importance FROM imp_scores
