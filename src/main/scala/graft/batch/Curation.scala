@@ -296,11 +296,12 @@ object Curation {
       .select(col("doc_id"), col("lang"),
         col("b.bucket").as("bucket"), col("b.c").as("c"))
       .localCheckpoint()
+    // importanceFromBuckets already carries n_tok (Σ bucket counts =
+    // the doc's token count, identical to pass-1's by construction) —
+    // no extra join against clean for the budget weights
     val scored = T.importanceFromBuckets(dbc, p.targetLang)
-      .select(col("doc_id"), col("importance"))
     val adm = T.runningOffsets(
-      scored.join(clean.select(col("doc_id"), col("n_tok")), "doc_id")
-        .select(col("doc_id"), col("n_tok").as("tok"), col("importance").as("key")))
+      scored.select(col("doc_id"), col("n_tok").as("tok"), col("importance").as("key")))
       .filter(col("off") + col("tok") <= lit(budget))
       .select(col("doc_id"), col("key").as("importance"))
     clean.join(adm, Seq("doc_id"))
