@@ -62,6 +62,24 @@ object SplitLedger {
     else Some(spark.read.parquet(versionDir(dir, ver)))
   }
 
+  /** The cross-version migration audit — per (prior_split, split)
+    * transition counts between the committed version and the one
+    * before it (which the grace retirement keeps on disk for exactly
+    * this): the ops-facing check that every move went TOWARD train.
+    * `n_docs` includes docs new in the current version
+    * (prior_split = null). Fails loudly before two versions exist. */
+  def audit(spark: SparkSession, dir: String): DataFrame = {
+    val ver = currentVersion(spark, dir)
+    require(ver >= 2, s"SplitLedger.audit needs two committed versions at $dir (have $ver)")
+    val cur = spark.read.parquet(versionDir(dir, ver))
+    val prev = spark.read.parquet(versionDir(dir, ver - 1))
+      .withColumnRenamed("split", "prior_split")
+    cur.join(prev, Seq("doc_id"), "left")
+      .groupBy(col("prior_split"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("prior_split"), col("split"))
+  }
+
   /** Assign splits to a corpus version and commit them as the next
     * ledger version. `members` is the version's (doc_id, cluster_id)
     * membership — [[Dedup.membersOf]] over its own dup graph. Rules:

@@ -138,6 +138,23 @@ class SplitLedgerSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_GRAFT_LEASE")))
   }
 
+  test("audit reports cross-version transitions; every move is toward train") {
+    val dir = tmpDir()
+    SplitLedger.assign(spark, dir,
+      membersDf(10L -> trainId, 20L -> testId, 21L -> testId))
+    intercept[IllegalArgumentException](SplitLedger.audit(spark, dir))
+    // v2 merges the test cluster into train and adds a fresh doc
+    SplitLedger.assign(spark, dir,
+      membersDf(10L -> trainId, 20L -> trainId, 21L -> trainId, 30L -> 30L))
+    val a = SplitLedger.audit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(a(("train", "train")) == 1L) // doc 10 stays
+    assert(a(("test", "train")) == 2L) // docs 20/21 pulled out of eval
+    assert(a((null, hashSplit(30L))) == 1L) // the fresh doc
+    // the invariant the audit exists to watch: nothing leaves train
+    assert(!a.keySet.exists { case (p, s) => p == "train" && s != "train" })
+  }
+
   test("two concurrent same-JVM assigns serialize: both commit, no lost update") {
     val dir = tmpDir()
     SplitLedger.assign(spark, dir, membersDf(1L -> trainId))
