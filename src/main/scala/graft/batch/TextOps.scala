@@ -890,12 +890,20 @@ object TextOps {
     * merges — which is the trained tokenizer's ENCODER for every
     * corpus word (the vocabulary is the full clean word set by
     * construction): [[qt19_bpe_tokens]] joins it back map-side. */
-  private[graft] def bpeTrain(docs: DataFrame, nMerges: Int)
+  private[graft] def bpeTrain(docs: DataFrame, nMerges: Int,
+      minFreq: Long = 1L)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     var vocab = docs
       .select(explode(expr(
         "filter(split(lower(text), ' '), w -> w rlike '^[a-z0-9]+$')")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      // the production scale lever: a 100 TB crawl's RAW distinct-word
+      // set is long-tail-dominated (typos, ids, boilerplate junk) —
+      // `minFreq` drops the tail BEFORE the loop, bounding every
+      // round's cost by the head vocabulary, which is what real
+      // tokenizer trainers do. Default 1 keeps the exact full-vocab
+      // semantics the oracle states.
+      .filter(col("freq") >= minFreq)
       .select(col("w"), col("freq"), expr(
         "array_append(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '</w>')")
         .as("syms"))
@@ -932,9 +940,13 @@ object TextOps {
     val docs = Tables.spread(Tables.documents(s, d))
     val (_, vocab) = bpeTrain(docs, BpeMerges)
     val enc = vocab.select(col("w"), size(col("syms")).as("n_bpe"))
+    // no broadcast HINT: the planner broadcasts a fixture-sized vocab
+    // on its own, and a production vocabulary past the broadcast
+    // threshold must be allowed to shuffle-join instead of being
+    // forced driver-side
     docs.select(col("source"), explode(expr(
         "filter(split(lower(text), ' '), w -> w rlike '^[a-z0-9]+$')")).as("w"))
-      .join(broadcast(enc), "w")
+      .join(enc, "w")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_bpe")).as("bpe_tokens"))
       .orderBy("source")
