@@ -18,9 +18,27 @@ import org.apache.spark.sql.SparkSession
   * SKIP the mutation when it returns false (the owning writer will
   * finish its own install) instead of failing the read.
   *
+  * Every removal of a lease file we did not just create goes through
+  * ONE atomic move: rename to a process-unique tombstone, re-verify
+  * the renamed bytes, and only then delete (round-14 ADVICE). A plain
+  * read-then-delete would race a release+re-acquire between the read
+  * and the delete and silently admit two writers — the rename makes
+  * the takedown exclusive (only one process can win the rename), and
+  * the verification happens on bytes nobody else can touch. A
+  * transiently unreadable lease is NEVER breakable: reads retry; only
+  * a lease whose renamed content is provably expired or corrupt dies.
+  *
+  * TTL overruns fail LOUDLY, not silently (round-14 ADVICE): a writer
+  * whose body outlives the TTL and is usurped gets an exception from
+  * [[withLease]] at release time (release verifies ownership via the
+  * same tombstone move and never deletes a foreign claim), and long
+  * writers re-stamp their claim with [[renewOrFail]] right before the
+  * commit/install step, so the layout mutation that matters never
+  * lands on a lost lease.
+  *
   * Reentrant per (dir) within the JVM — callers serialize same-JVM
-  * access with their own per-dir monitor (this class's depth map is
-  * only touched under it), so nested writers share one FS claim.
+  * access with [[monitorOf]] (this class's depth map is only touched
+  * under it), so nested writers share one FS claim.
   * Expiry defaults to 10 min, conf `spark.graft.indexLeaseMs`. */
 private[graft] object FsLease {
 
@@ -46,76 +64,165 @@ private[graft] object FsLease {
     spark.conf.getOption("spark.graft.indexLeaseMs")
       .flatMap(_.toLongOption).getOrElse(600000L)
 
+  private def fsOf(spark: SparkSession, dir: String) =
+    leasePath(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
   /** The current lease file's text, for error messages. */
   def describe(spark: SparkSession, dir: String): String =
     try {
       val p = leasePath(dir)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      val in = fs.open(p)
+      val in = fsOf(spark, dir).open(p)
       try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
     } catch { case _: Exception => "?" }
 
+  private def claimJson(spark: SparkSession): String =
+    s"""{"owner":"$ownerId","expiry":${System.currentTimeMillis() + leaseMsOf(spark)}}"""
+
+  private def ownerOf(txt: String): Option[String] =
+    """"owner"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+  private def expiryOf(txt: String): Option[Long] =
+    """"expiry"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+  private def deadOrCorrupt(txt: String): Boolean =
+    ownerOf(txt).isEmpty || expiryOf(txt).forall(_ < System.currentTimeMillis())
+
+  /** Read a lease file's bytes. `None` = the file is absent; a present
+    * but transiently unreadable file RETRIES and finally throws — it is
+    * never reported absent (the round-14 ADVICE "vanished" path must
+    * not legitimize a break). */
+  private def readPresent(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] = {
+    var last: java.io.IOException = null
+    for (_ <- 1 to 5) {
+      try {
+        val in = fs.open(p)
+        try return Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally in.close()
+      } catch {
+        case _: java.io.FileNotFoundException => return None
+        case e: java.io.IOException =>
+          if (!fs.exists(p)) return None
+          last = e; Thread.sleep(20)
+      }
+    }
+    throw new IllegalStateException(s"FsLease: lease file $p exists but is unreadable", last)
+  }
+
+  /** Atomically take the lease file down IF its content satisfies
+    * `breakable`: rename to a process-unique tombstone (only one
+    * process can win that move), verify the RENAMED bytes, delete on
+    * pass, restore on fail. Returns the verdict:
+    *   - None        → nothing was at the path (or we lost the rename
+    *                   race) — the caller re-probes;
+    *   - Some(true)  → taken down (content was breakable);
+    *   - Some(false) → content was NOT breakable; the file was put
+    *                   back (or, if the path was re-occupied in the
+    *                   meantime, the displaced claim is dropped — its
+    *                   owner detects the loss loudly at release). */
+  private def takeDownIf(fs: org.apache.hadoop.fs.FileSystem, dir: String)(
+      breakable: String => Boolean): Option[Boolean] = {
+    val p = leasePath(dir)
+    val tomb = new org.apache.hadoop.fs.Path(
+      s"$dir/.lease_tomb_${ownerId}_${System.nanoTime()}")
+    val moved = try fs.rename(p, tomb) catch { case _: java.io.IOException => false }
+    if (!moved) return None
+    val txt = readPresent(fs, tomb).getOrElse("")
+    if (breakable(txt)) { fs.delete(tomb, false); Some(true) }
+    else {
+      // we displaced a claim we may not break — put it back; if the
+      // path was re-occupied in the window, the displaced owner's
+      // release()/renewOrFail() turns the loss into a loud failure
+      val restored = try fs.rename(tomb, p) catch { case _: java.io.IOException => false }
+      if (!restored) fs.delete(tomb, false)
+      Some(false)
+    }
+  }
+
   /** Try to take the dir's lease. Returns false iff a LIVE foreign
-    * lease holds it; expired, corrupt or self-owned markers are
-    * (re)taken. Call inside the caller's per-dir monitor. */
+    * lease holds it; expired or corrupt markers are broken (atomic
+    * tombstone move, content re-verified post-move) and self-owned
+    * ones retaken. Call inside the caller's per-dir monitor. */
   def tryAcquire(spark: SparkSession, dir: String): Boolean = {
     if (depth.getOrElse(dir, 0) > 0) {
       depth(dir) = depth(dir) + 1
       return true
     }
     val p = leasePath(dir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val json =
-      s"""{"owner":"$ownerId","expiry":${System.currentTimeMillis() + leaseMsOf(spark)}}"""
+    val fs = fsOf(spark, dir)
     var attempts = 0
-    while (attempts < 5) {
+    while (attempts < 8) {
       attempts += 1
       try {
         val out = fs.create(p, false) // create-if-absent: the atomic claim
-        try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        try out.write(claimJson(spark).getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
         depth(dir) = 1
         return true
       } catch {
         case _: java.io.IOException =>
-          val txt =
-            try {
-              val in = fs.open(p)
-              try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-              finally in.close()
-            } catch { case _: java.io.IOException => "" } // vanished → retry
-          val owner = """"owner"\s*:\s*"([^"]+)"""".r
-            .findFirstMatchIn(txt).map(_.group(1))
-          val expiry = """"expiry"\s*:\s*(\d+)""".r
-            .findFirstMatchIn(txt).map(_.group(1).toLong)
-          if (owner.contains(ownerId)) {
-            // our own marker at depth 0: a crashed release in THIS
-            // process (the UUID cannot come from another JVM) — retake
-            depth(dir) = 1
-            return true
+          readPresent(fs, p) match {
+            case None => () // vanished between create and read — re-create
+            case Some(txt) if ownerOf(txt).contains(ownerId) =>
+              // our own marker at depth 0: a crashed release in THIS
+              // process (the UUID cannot come from another JVM) — retake
+              depth(dir) = 1
+              return true
+            case Some(txt) if deadOrCorrupt(txt) =>
+              // expired or corrupt — break it ATOMICALLY and re-verify
+              // what we actually removed (the read above may be stale)
+              takeDownIf(fs, dir)(deadOrCorrupt) match {
+                case Some(false) => return false // turned out live foreign
+                case _ => () // taken down or contended — loop re-creates
+              }
+            case Some(_) => return false // live foreign lease
           }
-          if (owner.isEmpty || expiry.exists(_ < System.currentTimeMillis()))
-            fs.delete(p, false) // corrupt or expired — break it and retry
-          else return false
       }
     }
     throw new IllegalStateException(
       s"FsLease: could not settle the lease for $dir after $attempts attempts")
   }
 
-  def release(spark: SparkSession, dir: String): Unit = {
+  /** Release the claim taken by [[tryAcquire]]. Removes the lease file
+    * ONLY when it is still ours (tombstone-verified — a usurper's live
+    * claim is never deleted); returns whether it was. A `false` from
+    * the outermost release means the body overran the TTL and mutual
+    * exclusion was lost — [[withLease]] turns that into an exception. */
+  def release(spark: SparkSession, dir: String): Boolean = {
     val d = depth.getOrElse(dir, 0)
-    if (d > 1) { depth(dir) = d - 1; return }
+    if (d > 1) { depth(dir) = d - 1; return true }
     depth.remove(dir)
+    val fs = fsOf(spark, dir)
+    takeDownIf(fs, dir)(txt => ownerOf(txt).contains(ownerId)).contains(true)
+  }
+
+  /** Re-stamp our live claim with a fresh expiry — long writers call
+    * this right before the commit/install step, so a body that
+    * overran the TTL fails HERE, loudly, instead of committing a
+    * layout mutation on a lost lease. The overwrite is safe: we just
+    * verified the claim is still ours, and only an expired claim can
+    * be usurped. */
+  def renewOrFail(spark: SparkSession, dir: String, what: String): Unit = {
+    require(depth.getOrElse(dir, 0) > 0,
+      s"FsLease.renewOrFail($dir) outside an acquired scope")
     val p = leasePath(dir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(p, false)
-    ()
+    val fs = fsOf(spark, dir)
+    val txt = readPresent(fs, p).getOrElse("")
+    if (!ownerOf(txt).contains(ownerId))
+      throw new IllegalStateException(
+        s"$what for $dir overran the lease TTL (spark.graft.indexLeaseMs) and " +
+          s"was usurped by ${if (txt.isEmpty) "(lease gone)" else txt} — aborting " +
+          "before the commit so the usurper's layout is not corrupted; raise the " +
+          "TTL for writes this long")
+    val out = fs.create(p, true)
+    try out.write(claimJson(spark).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Writer scope: acquire or fail loudly by name. `what` names the
-    * operation family for the error ("install", "maintenance"). */
+    * operation family for the error ("install", "maintenance"). A body
+    * that completes AFTER losing the lease (TTL overrun + usurper)
+    * also fails loudly — its writes may have raced the usurper's. */
   def withLease[T](spark: SparkSession, dir: String, what: String)(body: => T): T = {
     if (!tryAcquire(spark, dir))
       throw new IllegalStateException(
@@ -124,6 +231,15 @@ private[graft] object FsLease {
           "corrupt the layout; retry after the lease expires " +
           "(spark.graft.indexLeaseMs) or route all writes for this layout " +
           "through one maintenance process")
-    try body finally release(spark, dir)
+    var ok = false
+    try { val r = body; ok = true; r }
+    finally {
+      val stillOurs = release(spark, dir)
+      if (ok && !stillOurs)
+        throw new IllegalStateException(
+          s"$what for $dir finished but the lease had been lost (TTL overrun, " +
+            "then usurped) — the layout may hold interleaved writes; verify it " +
+            "and raise spark.graft.indexLeaseMs for writes this long")
+    }
   }
 }

@@ -477,6 +477,10 @@ object IvfIndex {
         if (nCells > 0) nCells
         else math.ceil(math.sqrt(corpus.count().toDouble)).toInt
       writeRebuildSnapshot(spark, dir, corpus, c, meta)
+      // the snapshot write is the unbounded part (a full-corpus Spark
+      // job) — re-stamp the lease before touching the live layout so a
+      // TTL overrun fails HERE instead of installing over a usurper
+      FsLease.renewOrFail(spark, dir, "IvfIndex: rebuild install")
       installRebuild(fs, root)
     }
   }
@@ -566,9 +570,11 @@ object IvfIndex {
   // cells with the tmp copy already consumed (data loss, not just a
   // spurious failure). All layout mutation happens on the driver, so a
   // per-dir JVM monitor closes the same-JVM race; CROSS-process
-  // writers are fenced by the FS lease below.
-  private val rebuildLocks =
-    scala.collection.concurrent.TrieMap.empty[String, Object]
+  // writers are fenced by the FS lease below. The monitor is
+  // FsLease.monitorOf — the ONE per-dir monitor FsLease's contract
+  // requires (a second monitor map guarding the same dir would race
+  // the lease depth read-modify-write if the dir were ever also
+  // reached via FsLease.guarded; round-14 ADVICE).
 
   // ------------------------------------------------------ install lease
   // The per-dir monitor is JVM-local: two separate Spark applications
@@ -597,9 +603,7 @@ object IvfIndex {
   /** Writer scope: per-dir monitor (same-JVM) + FS lease (cross-JVM),
     * failing by name if another process holds the dir. */
   private def withInstallLease[T](spark: SparkSession, dir: String)(body: => T): T =
-    rebuildLocks.getOrElseUpdate(dir, new Object).synchronized {
-      FsLease.withLease(spark, dir, "IvfIndex: install")(body)
-    }
+    FsLease.guarded(spark, dir, "IvfIndex: install")(body)
 
   /** Finish (or discard) a rebuild interrupted by a crash: a committed
     * snapshot is installed, an uncommitted one discarded. Run at every
@@ -610,7 +614,7 @@ object IvfIndex {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new org.apache.hadoop.fs.Path(root, ".rebuild_tmp")
     if (!fs.exists(tmp)) return // cheap un-locked probe for the idle path
-    rebuildLocks.getOrElseUpdate(dir, new Object).synchronized {
+    FsLease.monitorOf(dir).synchronized {
       if (!fs.exists(tmp)) return // a concurrent recover finished it
       // recovery MUTATES the layout, so it needs the install lease too
       // — but a reader must not fail because a foreign writer is live:

@@ -41,17 +41,40 @@ object SplitLedger {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** The committed version, 0 when the ledger has never assigned. */
+  /** The committed version, 0 when the ledger has never assigned.
+    * meta.json is written via temp + rename (below), so it is never
+    * half-written; the self-healing fallback for a missing or
+    * unparseable one (a crash inside the rename window, or manual
+    * damage) is the highest ledger_vN that parquet COMMITTED (its
+    * `_SUCCESS` marker) — never a throw that bricks the ledger until
+    * manual repair (round-14 ADVICE). */
   def currentVersion(spark: SparkSession, dir: String): Long = {
     val fs = fsOf(spark, dir)
-    if (!fs.exists(metaPath(dir))) return 0L
-    val in = fs.open(metaPath(dir))
+    if (!fs.exists(metaPath(dir))) return maxCommitted(fs, dir)
     val txt =
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
+      try {
+        val in = fs.open(metaPath(dir))
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      } catch { case _: java.io.IOException => "" } // damaged → fallback
     """"ver"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
-      .getOrElse(throw new IllegalStateException(
-        s"$dir/meta.json has no \"ver\" field: $txt"))
+      .getOrElse(maxCommitted(fs, dir))
+  }
+
+  /** Highest version whose parquet write committed (`_SUCCESS`),
+    * 0 when none has. A version past the meta'd one can only be the
+    * one an interrupted [[assign]] was about to flip to — fully
+    * written by construction (the flip is meta-LAST). */
+  private def maxCommitted(fs: org.apache.hadoop.fs.FileSystem, dir: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(root)) return 0L
+    fs.listStatus(root).iterator.flatMap { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("ledger_v") &&
+          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+        n.stripPrefix("ledger_v").toLongOption
+      else None
+    }.foldLeft(0L)(math.max)
   }
 
   /** The committed assignment (doc_id, split), None before the first
@@ -107,12 +130,15 @@ object SplitLedger {
     val fs = fsOf(spark, dir)
     val ver = currentVersion(spark, dir)
     val prior = if (ver == 0L) None else Some(spark.read.parquet(versionDir(dir, ver)))
-    val sp = prior match {
+    // materialized (round-14 ADVICE): the lazy frame would re-read the
+    // PRIOR version's parquet on every action, and a caller holding
+    // the result across the next assign would hit the retirement sweep
+    val sp = (prior match {
       case Some(l) => Dedup.stickySplits(members, l)
       case None =>
         members.withColumn("split", Dedup.hashSplitOf(col("cluster_id")))
           .select(col("doc_id"), col("cluster_id"), col("split"))
-    }
+    }).localCheckpoint()
     val cur = sp.select(col("doc_id"), col("split"))
     // retained: recorded docs not in this version keep their entry
     val next = prior match {
@@ -121,11 +147,11 @@ object SplitLedger {
       case None => cur
     }
     next.write.mode(SaveMode.Overwrite).parquet(versionDir(dir, ver + 1))
-    // meta flip = the commit point (a tiny single-file create)
-    val out = fs.create(metaPath(dir), true)
-    try out.write(s"""{"ver":${ver + 1}}"""
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    // the writes above are the unbounded part — re-stamp the lease so
+    // a TTL overrun fails loudly HERE instead of flipping meta under a
+    // usurper's feet
+    FsLease.renewOrFail(spark, dir, "SplitLedger: assign commit")
+    commitMeta(spark, fs, dir, ver + 1)
     // grace retirement: keep ver (the replaced version) for lazy
     // readers, sweep everything older — self-healing like IvfIndex's
     val root = new org.apache.hadoop.fs.Path(dir)
@@ -137,5 +163,24 @@ object SplitLedger {
           s"SplitLedger: could not retire expired ${st.getPath}")
     }
     sp
+  }
+
+  /** The meta flip = the commit point. Temp + rename, never an in-place
+    * truncate-and-write (round-14 ADVICE: a crash between truncate and
+    * write would leave an EMPTY meta.json); the one crash window left —
+    * between the delete and the rename — leaves meta absent, which
+    * [[currentVersion]]'s `_SUCCESS` fallback resolves to exactly the
+    * version this flip was committing. */
+  private def commitMeta(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, ver: Long): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.meta.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"ver":$ver}""".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(metaPath(dir)))
+      require(fs.delete(metaPath(dir), false),
+        s"SplitLedger: could not retire old $dir/meta.json")
+    require(fs.rename(tmp, metaPath(dir)),
+      s"SplitLedger: could not install $dir/meta.json from $tmp")
   }
 }

@@ -192,6 +192,10 @@ object EmbedIngest {
         math.max(cur, math.ceil(math.sqrt(n.toDouble)).toInt)
       }
     writeRequantSnapshot(s, dir, c, upTo)
+    // the snapshot write is the unbounded part (full re-cell of the
+    // committed corpus) — re-stamp the lease before touching the live
+    // layout so a TTL overrun fails here, not as a silent double-write
+    graft.batch.FsLease.renewOrFail(s, dir, "EmbedIngest: requantize install")
     installRequant(fs, root, upTo)
     // every install site invalidates the cached quantizer dim — the
     // recoverRequant path does the same; the invariant is "the cache

@@ -111,6 +111,38 @@ class SplitLedgerSpec extends SparkSpec {
       .filter(col("doc_id") === 999L).isEmpty)
   }
 
+  test("a missing or damaged meta.json self-heals to the committed version") {
+    val dir = tmpDir()
+    SplitLedger.assign(spark, dir, membersDf(1L -> trainId))
+    SplitLedger.assign(spark, dir, membersDf(1L -> trainId, 2L -> 2L))
+    // crash inside the commit rename window: meta absent, both ledger
+    // parquets committed — the fallback resolves to the newest one
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "meta.json"))
+    assert(SplitLedger.currentVersion(spark, dir) == 2L)
+    assert(SplitLedger.read(spark, dir).get.count() == 2L)
+    // damaged (unparseable) meta heals the same way, and the next
+    // assign reinstates a clean one
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "meta.json"), "not json at all")
+    assert(SplitLedger.currentVersion(spark, dir) == 2L)
+    SplitLedger.assign(spark, dir, membersDf(1L -> trainId, 3L -> 3L))
+    assert(SplitLedger.currentVersion(spark, dir) == 3L)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "meta.json")).contains("\"ver\":3"))
+  }
+
+  test("the returned assignment survives the next version's retirement sweep") {
+    val dir = tmpDir()
+    SplitLedger.assign(spark, dir, membersDf(1L -> trainId))
+    val v2 = SplitLedger.assign(spark, dir, membersDf(1L -> trainId, 2L -> 2L))
+    // two more assigns retire every parquet v2's plan could have read
+    SplitLedger.assign(spark, dir, membersDf(1L -> trainId))
+    SplitLedger.assign(spark, dir, membersDf(1L -> trainId))
+    // materialized result: still collectable (a lazy frame would throw
+    // FileNotFoundException on the swept ledger_v1)
+    assert(v2.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
   test("old versions are retired with a one-version grace") {
     val dir = tmpDir()
     SplitLedger.assign(spark, dir, membersDf(1L -> trainId))
