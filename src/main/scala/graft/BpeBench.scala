@@ -8,15 +8,25 @@ import org.apache.spark.sql.functions._
   * vocab never grows; qt18's corpus exponent is 0.006), so this bench
   * synthesizes vocabularies directly: `n` distinct 8-hex-char words
   * (md5-derived — inside the trainer's `[a-z0-9]` charset), one doc
-  * each, and times [[graft.batch.TextOps.bpeTrain]]'s 12 rounds. The
-  * question it answers: how far does the vocab-side loop carry before
-  * minFreq (the head-vocabulary cut) must do the bounding. One JSON
-  * line per the Bench contract. */
+  * each, and times BOTH trainers' 12 rounds:
+  *   - `ref`  — [[graft.batch.TextOps.bpeTrain]], the oracle-exact
+  *     reference loop whose every round recounts all adjacent pairs
+  *     over the vocabulary (O(rounds × vocab));
+  *   - `fast` — [[graft.batch.TextOps.bpeTrainFast]], the production
+  *     trainer with incremental pair-count maintenance (round cost
+  *     ∝ words containing the merged pair).
+  * A `deep` block then runs the fast trainer for
+  * `SPARK_GRAFT_BPE_DEEP` merges (default 2000) on the LARGEST rung —
+  * the number that prices a real 32k-merge tokenizer run, which the
+  * reference loop cannot reach (its 500k-vocab round was measured at
+  * 5.15 s — days at 32k merges). One JSON line per the Bench
+  * contract. */
 object BpeBench {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sizes = sys.env.getOrElse("SPARK_GRAFT_BPE_VOCABS", "10000,100000,500000")
       .split(",").map(_.trim.toInt).toSeq
+    val deepMerges = sys.env.getOrElse("SPARK_GRAFT_BPE_DEEP", "2000").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,6 +36,8 @@ object BpeBench {
     spark.sparkContext.setLogLevel("WARN")
     def d3(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def d4(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val rows = sizes.map { n =>
       // one row per distinct word; substring of md5 keeps words 8 chars
       // (hex → the clean charset) and collisions only shrink the vocab
@@ -34,14 +46,30 @@ object BpeBench {
         .select(substring(md5(col("id").cast("string")), 1, 8).as("text"))
         .localCheckpoint()
       val t0 = System.nanoTime()
-      val (merges, vocab) = graft.batch.TextOps.bpeTrain(docs, 12)
-      val nVocab = vocab.count()
-      val secs = (System.nanoTime() - t0) / 1e9
-      s""""v$n":{"n_vocab":$nVocab,"merges":${merges.length},""" +
-        s""""secs":${d3(secs)},"secs_per_round":${d3(secs / 12)}}"""
+      val (refMerges, refVocab) = graft.batch.TextOps.bpeTrain(docs, 12)
+      val nVocab = refVocab.count()
+      val refSecs = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val (fastMerges, _) = graft.batch.TextOps.bpeTrainFast(docs, 12)
+      val fastSecs = (System.nanoTime() - t1) / 1e9
+      require(fastMerges == refMerges,
+        s"fast/ref merge sequences diverged at vocab $n") // the bench IS an equivalence run
+      s""""v$n":{"n_vocab":$nVocab,"merges":${refMerges.length},""" +
+        s""""ref_secs":${d3(refSecs)},"ref_secs_per_round":${d3(refSecs / 12)},""" +
+        s""""fast_secs":${d3(fastSecs)},"fast_secs_per_round":${d4(fastSecs / 12)}}"""
     }
+    // the production shape: deep merge schedule, fast trainer only
+    val deepN = sizes.max
+    val deepDocs = spark.range(deepN.toLong)
+      .select(substring(md5(col("id").cast("string")), 1, 8).as("text"))
+      .localCheckpoint()
+    val t2 = System.nanoTime()
+    val (deepM, _) = graft.batch.TextOps.bpeTrainFast(deepDocs, deepMerges)
+    val deepSecs = (System.nanoTime() - t2) / 1e9
+    val deep = s""""deep":{"n_vocab":$deepN,"merges":${deepM.length},""" +
+      s""""fast_secs":${d3(deepSecs)},"fast_secs_per_round":${d4(deepSecs / math.max(1, deepM.length))}}"""
     println(s"""{"metric":"bpe_train_vocab_secs","value":${sizes.max},""" +
-      s""""unit":"words","rungs":{${rows.mkString(",")}}}""")
+      s""""unit":"words","rungs":{${(rows :+ deep).mkString(",")}}}""")
     spark.stop()
   }
 }

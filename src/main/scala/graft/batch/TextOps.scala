@@ -927,6 +927,186 @@ object TextOps {
     (merges.toSeq, vocab)
   }
 
+  /** The PRODUCTION-shaped trainer (round-14 verdict #1): same merge
+    * sequence as [[bpeTrain]] — BpeSpec pins the equivalence on the
+    * hand corpus, the fixture, and deep merge counts — but the merge
+    * loop maintains pair counts INCREMENTALLY, so a round costs
+    * ∝ words containing the merged pair, not O(vocabulary).
+    *
+    * Architecture (the shape every real tokenizer trainer takes, and
+    * the reason they finish 32k-merge runs in minutes): the ONLY
+    * corpus-sized work is the distributed word-count aggregation (one
+    * shuffle — identical to [[bpeTrain]]'s); the merge loop then runs
+    * over the collected HEAD vocabulary in driver memory with
+    *   - a pair→count table updated by per-word deltas (only the
+    *     words the argmax pair occurs in are touched each round;
+    *     [[bpeTrain]] recounts ALL adjacent pairs in all words —
+    *     BpeBench priced that at 5.15 s/round on a 500k vocab, which
+    *     makes a 32k-merge run days instead of minutes),
+    *   - a lazy-deletion max-heap over (count DESC, lhs ASC, rhs ASC)
+    *     for the per-round argmax (stale entries are dropped at pop
+    *     time against the live table; the ASCII symbol charset makes
+    *     Java's string order ≡ both engines' binary collation), and
+    *   - an append-only pair→word-indices occurrence list (duplicate
+    *     and stale entries are skipped at consumption time against a
+    *     reusable seen-bitset — cheaper than precise removal).
+    *
+    * The vocabulary collect is the deliberate, BOUNDED driver-side
+    * step: `minFreq` is the head-vocabulary cut that does the bounding
+    * on a long-tail crawl (the [[bpeTrain]] scaladoc's lever), and
+    * `maxVocab` fails loudly instead of silently materializing an
+    * unbounded tail — the 100 TB shape is "count distributed, merge
+    * in memory", never "merge distributed round-trips". */
+  private[graft] def bpeTrainFast(docs: DataFrame, nMerges: Int,
+      minFreq: Long = 1L, maxVocab: Int = 4000000)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    val s = docs.sparkSession
+    val counted = docs
+      .select(explode(expr(
+        "filter(split(lower(text), ' '), w -> w rlike '^[a-z0-9]+$')")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
+    val head = counted.limit(maxVocab + 1).collect()
+    require(head.length <= maxVocab,
+      s"bpeTrainFast: head vocabulary exceeds maxVocab=$maxVocab — raise " +
+        "minFreq (the long-tail cut real trainers apply) or maxVocab")
+    val n = head.length
+    val wordStr = new Array[String](n)
+    val freqArr = new Array[Long](n)
+    val symsArr = new Array[Array[String]](n)
+    // merged symbols repeat across words — intern so the loop compares
+    // and stores shared instances
+    val symTab = scala.collection.mutable.HashMap.empty[String, String]
+    def sym(x: String): String = symTab.getOrElseUpdate(x, x)
+    val endSym = sym("</w>")
+    var i = 0
+    while (i < n) {
+      val w = head(i).getString(0)
+      wordStr(i) = w
+      freqArr(i) = head(i).getLong(1)
+      val a = new Array[String](w.length + 1)
+      var j = 0
+      while (j < w.length) { a(j) = sym(w.substring(j, j + 1)); j += 1 }
+      a(w.length) = endSym
+      symsArr(i) = a
+      i += 1
+    }
+    type Pair = (String, String)
+    val counts = scala.collection.mutable.HashMap.empty[Pair, Long]
+    val occs = scala.collection.mutable.HashMap
+      .empty[Pair, scala.collection.mutable.ArrayBuffer[Int]]
+    i = 0
+    while (i < n) {
+      val a = symsArr(i); val f = freqArr(i)
+      var j = 0
+      var prevPair: Pair = null
+      while (j < a.length - 1) {
+        val p = (a(j), a(j + 1))
+        counts.update(p, counts.getOrElse(p, 0L) + f)
+        // occurrence lists may hold duplicates (skipped at consumption)
+        // — only suppress the trivial run-adjacent repeat
+        if (p != prevPair) occs.getOrElseUpdate(p,
+          new scala.collection.mutable.ArrayBuffer[Int]()) += i
+        prevPair = p
+        j += 1
+      }
+      i += 1
+    }
+    // max-heap by (count DESC, lhs ASC, rhs ASC) with lazy deletion
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c
+        else {
+          val lc = b._2.compareTo(a._2)
+          if (lc != 0) lc else b._3.compareTo(a._3)
+        }
+      }
+    }
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    counts.foreach { case ((l, r), c) => heap.enqueue((c, l, r)) }
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    val seen = new java.util.BitSet(n)
+    val delta = scala.collection.mutable.HashMap.empty[Pair, Long]
+    var step = 1
+    while (step <= nMerges && heap.nonEmpty) {
+      // pop to the first LIVE entry (count still current in the table)
+      var top: Pair = null
+      var c = 0L
+      while (top == null && heap.nonEmpty) {
+        val (hc, hl, hr) = heap.dequeue()
+        if (counts.get((hl, hr)).contains(hc)) { top = (hl, hr); c = hc }
+      }
+      if (top != null) {
+        val (l, r) = top
+        merges += ((step, l, r, c))
+        val lr = sym(l + r)
+        val touched = scala.collection.mutable.HashSet.empty[Pair]
+        val affected = occs.remove(top)
+          .getOrElse(new scala.collection.mutable.ArrayBuffer[Int]())
+        seen.clear()
+        affected.foreach { wi =>
+          if (!seen.get(wi)) {
+            seen.set(wi)
+            val old = symsArr(wi)
+            // stale occurrence (an earlier merge consumed the pair) —
+            // cheap containment probe before the rewrite
+            var has = false
+            var j = 0
+            while (!has && j < old.length - 1) {
+              has = (old(j) eq sym(l)) && (old(j + 1) eq sym(r)); j += 1
+            }
+            if (has) {
+              val f = freqArr(wi)
+              // canonical left-to-right non-overlapping merge — the
+              // same pending rule as [[bpeMergeExpr]]
+              val out = new scala.collection.mutable.ArrayBuffer[String](old.length)
+              j = 0
+              while (j < old.length) {
+                if (j + 1 < old.length && old(j) == l && old(j + 1) == r) {
+                  out += lr; j += 2
+                } else { out += old(j); j += 1 }
+              }
+              val neu = out.toArray
+              // per-word pair delta: −old adjacencies, +new ones
+              delta.clear()
+              j = 0
+              while (j < old.length - 1) {
+                val p = (old(j), old(j + 1))
+                delta.update(p, delta.getOrElse(p, 0L) - f); j += 1
+              }
+              j = 0
+              while (j < neu.length - 1) {
+                val p = (neu(j), neu(j + 1))
+                delta.update(p, delta.getOrElse(p, 0L) + f); j += 1
+              }
+              symsArr(wi) = neu
+              delta.foreach { case (p, d) =>
+                if (d != 0L) {
+                  val nc = counts.getOrElse(p, 0L) + d
+                  if (nc <= 0L) counts.remove(p) else counts.update(p, nc)
+                  touched += p
+                  if (d > 0L) occs.getOrElseUpdate(p,
+                    new scala.collection.mutable.ArrayBuffer[Int]()) += wi
+                }
+              }
+            }
+          }
+        }
+        require(!counts.contains(top),
+          s"bpeTrainFast: merged pair $top still counted — delta maintenance bug")
+        touched.foreach { p => counts.get(p).foreach(c2 => heap.enqueue((c2, p._1, p._2))) }
+        step += 1
+      }
+    }
+    import s.implicits._
+    val vocabDf = s.createDataset(s.sparkContext.parallelize(
+      (0 until n).map(k => (wordStr(k), freqArr(k), symsArr(k).toSeq)),
+      math.max(1, s.sparkContext.defaultParallelism)))
+      .toDF("w", "freq", "syms")
+    (merges.toSeq, vocabDf)
+  }
+
   /** qt19: token counting under the TRAINED tokenizer — the apply side
     * of [[qt18_bpe_train]], and the honest version of every
     * token-budget operator's whitespace count: train the 12-merge BPE
@@ -938,7 +1118,8 @@ object TextOps {
     * compression signal a tokenizer owner tracks per domain. */
   def qt19_bpe_tokens(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.spread(Tables.documents(s, d))
-    val (_, vocab) = bpeTrain(docs, BpeMerges)
+    // the production trainer (merge-sequence ≡ bpeTrain, BpeSpec-pinned)
+    val (_, vocab) = bpeTrainFast(docs, BpeMerges)
     val enc = vocab.select(col("w"), size(col("syms")).as("n_bpe"))
     // no broadcast HINT: the planner broadcasts a fixture-sized vocab
     // on its own, and a production vocabulary past the broadcast
@@ -953,7 +1134,9 @@ object TextOps {
   }
 
   def qt18_bpe_train(s: SparkSession, d: String): DataFrame = {
-    val merges = bpeMerges(Tables.spread(Tables.documents(s, d)), BpeMerges)
+    // the production trainer (merge-sequence ≡ bpeTrain, BpeSpec-pinned
+    // on the hand corpus, the fixture, and deep merge counts)
+    val merges = bpeTrainFast(Tables.spread(Tables.documents(s, d)), BpeMerges)._1
     s.createDataFrame(merges).toDF("step", "lhs", "rhs", "pair_count")
       .orderBy("step")
   }

@@ -79,6 +79,49 @@ class BpeSpec extends SparkSpec {
     assert(got.length == 12)
   }
 
+  test("fast trainer ≡ reference loop ≡ independent reference: hand corpus") {
+    val docs = Seq(
+      "low low low lower lower newest newest newest newest widest",
+      "low hello hello newest widest widest"
+    ).toDF("text")
+    val fast = TextOps.bpeTrainFast(docs, 8)._1
+    assert(fast == engineMerges(docs, 8))
+    assert(fast == refFromDocs(docs, 8))
+  }
+
+  test("fast trainer ≡ reference loop on the fixture, DEEP into the merge " +
+    "schedule, with the identical final vocabulary") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // 40 merges exercises rounds where every count comes from the
+    // incremental deltas, far past the 12 the queries use
+    val (fastM, fastV) = TextOps.bpeTrainFast(docs, 40)
+    val (slowM, slowV) = TextOps.bpeTrain(docs, 40)
+    assert(fastM == slowM,
+      s"\nfast: ${fastM.take(5)}…\nslow: ${slowM.take(5)}…")
+    // the trained ENCODER must agree word-for-word, not just the merges
+    assert(fastV.select("w", "syms").except(slowV.select("w", "syms")).isEmpty)
+    assert(slowV.select("w", "syms").except(fastV.select("w", "syms")).isEmpty)
+  }
+
+  test("fast trainer: minFreq bounds the head vocabulary; maxVocab fails loudly") {
+    val docs = Seq("aa aa aa bb bb cc").toDF("text")
+    // minFreq 2 drops cc from the vocabulary before the loop
+    val (_, vocab) = TextOps.bpeTrainFast(docs, 4, minFreq = 2L)
+    assert(vocab.select("w").as[String].collect().sorted.toSeq == Seq("aa", "bb"))
+    val e = intercept[IllegalArgumentException](
+      TextOps.bpeTrainFast(docs, 4, maxVocab = 2))
+    assert(e.getMessage.contains("maxVocab"), e.getMessage)
+  }
+
+  test("fast trainer handles overlapping-run pairs (l == r) like the reference") {
+    // "aaaa"×3, "aaa"×2: pair (a,a) counts overlaps, but the merge is
+    // non-overlapping — the classic divergence spot for delta trainers
+    val docs = Seq("aaaa aaaa aaaa aaa aaa b").toDF("text")
+    val n = 6
+    assert(TextOps.bpeTrainFast(docs, n)._1 == engineMerges(docs, n))
+    assert(TextOps.bpeTrainFast(docs, n)._1 == refFromDocs(docs, n))
+  }
+
   test("merged symbols compose: a learned merge's pair count never exceeds " +
     "its parents' earlier counts") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
