@@ -99,9 +99,11 @@ class SplitLedgerSpec extends SparkSpec {
   test("a crashed (uncommitted) next-version write is overwritten cleanly") {
     val dir = tmpDir()
     SplitLedger.assign(spark, dir, membersDf(1L -> trainId))
-    // simulate a crash: partial v2 parquet exists, meta still says v1
+    // simulate a crash: the next version's diff parquet exists (fully
+    // or partially written), meta still says v1 — the delta layout's
+    // crash artifact
     Seq((999L, "test")).toDF("doc_id", "split")
-      .write.mode("overwrite").parquet(s"$dir/ledger_v2")
+      .write.mode("overwrite").parquet(s"$dir/diff_v2")
     assert(SplitLedger.currentVersion(spark, dir) == 1L)
     val v2 = SplitLedger.assign(spark, dir, membersDf(1L -> trainId, 3L -> 3L))
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
@@ -143,14 +145,68 @@ class SplitLedgerSpec extends SparkSpec {
     assert(v2.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 
-  test("old versions are retired with a one-version grace") {
+  test("delta layout: diffs carry only added-or-changed rows, compaction " +
+    "bounds the chain, and the old chain retires after one version's grace") {
     val dir = tmpDir()
-    SplitLedger.assign(spark, dir, membersDf(1L -> trainId))
-    SplitLedger.assign(spark, dir, membersDf(1L -> trainId))
-    SplitLedger.assign(spark, dir, membersDf(1L -> trainId))
-    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
-    assert(names.contains("ledger_v3") && names.contains("ledger_v2"))
-    assert(!names.contains("ledger_v1"), s"v1 should be retired: $names")
+    spark.conf.set("spark.graft.ledgerCompactEvery", "3")
+    try {
+      def names = new java.io.File(dir).listFiles().map(_.getName).toSet
+      SplitLedger.assign(spark, dir, membersDf(1L -> trainId, 2L -> valId))
+      assert(names.contains("ledger_v1"), s"v1 must be a full base: $names")
+      // v2 adds doc 3 and changes nothing → the diff holds EXACTLY it
+      SplitLedger.assign(spark, dir,
+        membersDf(1L -> trainId, 2L -> valId, 3L -> 3L))
+      val d2 = spark.read.parquet(s"$dir/diff_v2").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      assert(d2.toSeq == Seq(3L -> hashSplit(3L)), d2.mkString(", "))
+      // v3: doc 2's cluster merges with train → the diff holds exactly
+      // the CHANGED row (doc 2), not the stable corpus
+      SplitLedger.assign(spark, dir,
+        membersDf(1L -> trainId, 2L -> trainId, 3L -> 3L))
+      val d3 = spark.read.parquet(s"$dir/diff_v3").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      assert(d3.toSeq == Seq(2L -> "train"), d3.mkString(", "))
+      // v4 hits the cadence ((4 − 1) ≥ 3) → fresh base; the old chain
+      // survives its one-version grace
+      SplitLedger.assign(spark, dir,
+        membersDf(1L -> trainId, 2L -> trainId, 3L -> 3L))
+      assert(names.contains("ledger_v4") &&
+        names.contains("ledger_v1") && names.contains("diff_v2"), s"$names")
+      // the audit still reads ver−1 across the compaction boundary
+      assert(SplitLedger.audit(spark, dir).collect().nonEmpty)
+      // v5 commits on top of the new base → the old chain is swept
+      SplitLedger.assign(spark, dir,
+        membersDf(1L -> trainId, 2L -> trainId, 3L -> 3L))
+      assert(!names.contains("ledger_v1") && !names.contains("diff_v2") &&
+        !names.contains("diff_v3"), s"old chain must retire: $names")
+      assert(names.contains("ledger_v4") && names.contains("diff_v5"))
+      // semantics unchanged end to end
+      val led = SplitLedger.read(spark, dir).get.collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(led == Map(1L -> "train", 2L -> "train", 3L -> hashSplit(3L)))
+    } finally spark.conf.unset("spark.graft.ledgerCompactEvery")
+  }
+
+  test("delta layout writes O(changed) bytes per version, not O(corpus)") {
+    val dir = tmpDir()
+    // a stable 5000-doc corpus with 50 fresh docs per version — the
+    // append-dominated shape a real corpus-versioning cadence has
+    def versionMembers(v: Int) =
+      (1L to (5000L + 50L * v)).toDF("doc_id")
+        .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    def bytesUnder(prefix: String) =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith(prefix))
+        .map(d => d.listFiles().map(_.length()).sum).sum
+    (1 to 5).foreach(v => SplitLedger.assign(spark, dir, versionMembers(v)))
+    val baseBytes = bytesUnder("ledger_v")
+    val diffBytes = bytesUnder("diff_v")
+    // the full-rewrite layout would have written ~5 bases; the delta
+    // layout writes one base + four ~1%-sized diffs
+    assert(diffBytes.toDouble / baseBytes < 0.5,
+      s"diff chain ($diffBytes B over 4 versions) should be far below one " +
+        s"full base ($baseBytes B)")
+    // and the reconstruction is complete
+    assert(SplitLedger.read(spark, dir).get.count() == 5250L)
   }
 
   test("a live foreign lease refuses assign, by name; expired is taken over") {
