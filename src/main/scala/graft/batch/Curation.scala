@@ -88,7 +88,17 @@ object Curation {
       // the one-text-scan discipline holds. Requires a `lang` column
       // on the docs input.
       importanceBudget: Option[Long] = None,
-      targetLang: String = "en")
+      targetLang: String = "en",
+      // qd20's sticky ledger threaded into the shard output (round-14
+      // verdict #3): when set, [[curateToShards]] records this corpus
+      // version's dup-cluster membership in the [[SplitLedger]] at
+      // this dir, tags every admitted doc with its LEDGER split, packs
+      // bins PER SPLIT, and lands shards under split=/shard= with a
+      // per-(split, shard) manifest — so a training run consuming the
+      // shards can never re-derive splits and violate the ledger: a
+      // doc trained on at version N is in a train shard at N+1, by
+      // construction.
+      splitLedgerDir: Option[String] = None)
 
   /** Run the pipeline: `docs` (doc_id, source, text) and `eval`
     * (doc_id, text) → packed admitted docs
@@ -114,13 +124,73 @@ object Curation {
     * text only for the admitted rows it lands (CurationSpec pins the
     * count). */
   def curateToShards(docs: DataFrame, eval: DataFrame, dir: String,
-                     nShards: Int, p: Params = Params()): Unit = {
-    val adm = admitted(docs, eval, p)
-    val binned = T.docBins(
-      adm.select(col("doc_id"), col("n_tok").as("tok")), p.packCapacity)
-    Shards.write(docs.select(col("doc_id"), col("source"), col("text")),
-      binned, nShards, dir)
+                     nShards: Int, p: Params = Params()): Unit = p.splitLedgerDir match {
+    case None =>
+      val adm = admitted(docs, eval, p)
+      val binned = T.docBins(
+        adm.select(col("doc_id"), col("n_tok").as("tok")), p.packCapacity)
+      Shards.write(docs.select(col("doc_id"), col("source"), col("text")),
+        binned, nShards, dir)
+    case Some(ledgerDir) =>
+      // the split-ledgered run (round-14 verdict #3): record this
+      // version's membership, tag admission with the STICKY split, pack
+      // and shard WITHIN each split. Still two text scans: membership
+      // rides pass 1's signals (content_key + row-local band keys — no
+      // re-tokenization), splits/bins move only narrow id frames, and
+      // the shard writer's payload re-read is unchanged.
+      val (clean, sig) = cleanedSignalsAndSig(docs, eval, p, phashBits = 0)
+      val adm =
+        if (p.importanceBudget.isDefined) importanceAdmit(clean, p)
+        else mixtureAdmit(clean, p)
+      val splits = graft.batch.SplitLedger
+        .assign(docs.sparkSession, ledgerDir, membersFromSignals(sig))
+        .select(col("doc_id"), col("split"))
+      // inner join: every admitted doc passed quality, hence is in sig
+      // ⊆ the recorded membership
+      val admS = adm.join(splits, Seq("doc_id"))
+      Shards.writeSplits(docs.select(col("doc_id"), col("source"), col("text")),
+        splitBins(admS, p.packCapacity), nShards, dir)
   }
+
+  /** (doc_id, cluster_id) membership of the curation chain's OWN dup
+    * equivalence, built entirely from pass-1 signals (never a second
+    * text scan): exact edges connect each content_key's docs through
+    * its min id; band edges connect each LSH bucket's EXACT-WINNER
+    * docs through its min (identical text ⇒ identical band keys, so
+    * banding only the exact winners yields the same components as
+    * banding everything — the losers connect through their winner's
+    * content edge — and matches the chain's own `bands` stage, which
+    * the qc7 oracle restates). Components via the shared pointer-jump
+    * loop ([[Dedup.labelsFromEdges]]). */
+  private[graft] def membersFromSignals(sig: DataFrame): DataFrame = {
+    val exactMin = sig.groupBy(col("content_key")).agg(min(col("doc_id")).as("id_a"))
+    val exactE = sig.select(col("content_key"), col("doc_id"))
+      .join(exactMin, Seq("content_key"))
+      .filter(col("doc_id") =!= col("id_a"))
+      .select(col("id_a"), col("doc_id").as("id_b"))
+    val ex = sig.select(col("content_key"), col("doc_id"), col("bands"))
+      .join(exactMin.withColumnRenamed("id_a", "doc_id"), Seq("content_key", "doc_id"))
+    val bk = ex.select(col("doc_id"), explode(col("bands")).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+      .filter(col("key").isNotNull)
+    val bandMin = bk.groupBy(col("band"), col("key")).agg(min(col("doc_id")).as("id_a"))
+    val bandE = bk.join(bandMin, Seq("band", "key"))
+      .filter(col("doc_id") =!= col("id_a"))
+      .select(col("id_a"), col("doc_id").as("id_b"))
+    val pairs = exactE.union(bandE).distinct().localCheckpoint()
+    Dedup.membersOf(sig.select(col("doc_id")), Dedup.labelsFromEdges(pairs))
+  }
+
+  /** Per-split deterministic prefix bins — [[TextOps.docBins]] run
+    * inside each split (a training loader streams one split's shards;
+    * bins must never straddle splits). Three narrow (doc_id, tok)
+    * passes, no text anywhere. */
+  private[graft] def splitBins(admS: DataFrame, capacity: Long): DataFrame =
+    Seq("train", "val", "test").map { spl =>
+      T.docBins(admS.filter(col("split") === spl)
+          .select(col("doc_id"), col("n_tok").as("tok")), capacity)
+        .withColumn("split", lit(spl))
+    }.reduce(_ unionByName _)
 
   /** Every stage up to (not including) packing — the admitted doc set
     * `(doc_id, source, n_tok)`. Split out so the composed selection is
@@ -144,7 +214,17 @@ object Curation {
     * the fixture regime, 64 feeds [[qc4_multimodal_wide]]'s 16-bit
     * production banding. */
   private[graft] def cleanedSignals(docs: DataFrame, eval: DataFrame,
-      p: Params, phashBits: Int): DataFrame = {
+      p: Params, phashBits: Int): DataFrame =
+    cleanedSignalsAndSig(docs, eval, p, phashBits)._1
+
+  /** [[cleanedSignals]] plus the PRE-dedup pass-1 signal frame `sig`
+    * (doc_id, content_key, bands, …) — the seam [[membersFromSignals]]
+    * needs: the split ledger must record EVERY doc of the version that
+    * participated in dedup (a rejected near-dup trained-on at version
+    * N can reappear at N+1 and must inherit its cluster's split), not
+    * just the survivors. */
+  private[graft] def cleanedSignalsAndSig(docs: DataFrame, eval: DataFrame,
+      p: Params, phashBits: Int): (DataFrame, DataFrame) = {
     val withPhash = phashBits > 0
     // PASS 1 — the only full-text scan. Quality gates run as map-side
     // filters fused into this same pass; everything downstream needs
@@ -257,11 +337,12 @@ object Curation {
           .join(evMat.hint("shuffle_hash"), Seq("fp"))
           .select(col("doc_id")).distinct()
       }
-    deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
       .select((Seq(col("doc_id"), col("source"), col("n_tok")) ++
         (if (withPhash) Seq(col("phash")) else Nil) ++
         (if (withImp) Seq(col("lang"), col("ibuckets")) else Nil)): _*)
       .localCheckpoint() // feeds the inventory AND the admission filter
+    (clean, sig)
   }
 
   /** Mixture: qt8's two-scan inventory-then-admit over the survivors.
@@ -545,13 +626,42 @@ object Curation {
     totals.join(adm, Seq("cell")).orderBy("cell")
   }
 
+  /** qc7: split-tagged shard manifests (round-14 verdict #3) — the
+    * functional single-version twin of [[curateToShards]] with
+    * `splitLedgerDir` set: qc1's membrane + mixture admission, every
+    * admitted doc tagged with its dup-CLUSTER split (the ledger's
+    * version-1 assignment: [[Dedup.hashSplitOf]] of the component
+    * label over the chain's own equivalence — exact content edges ∪
+    * band-bucket edges from pass-1 signals), bins packed per split
+    * (qt12's prefix rule inside each split), shard = bin % 4. Output
+    * is the per-(split, shard) manifest a training loader verifies:
+    * leakage-safe BY LAYOUT — no shard mixes splits, and the sticky
+    * ledger (ShardsSpec's two-version case) keeps every re-shard's
+    * train set a superset of the last. */
+  def qc7_split_shards(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val all = graft.Tables.spread(graft.Tables.documents(s, d))
+    val corpus = all.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+    val ev = all.filter(pmod(col("doc_id"), lit(10)) === 7)
+      .select(col("doc_id"), col("text"))
+    val p = Params()
+    val (clean, sig) = cleanedSignalsAndSig(corpus, ev, p, phashBits = 0)
+    val adm = mixtureAdmit(clean, p)
+    val splits = membersFromSignals(sig)
+      .withColumn("split", Dedup.hashSplitOf(col("cluster_id")))
+      .select(col("doc_id"), col("split"))
+    val admS = adm.join(splits, Seq("doc_id"))
+    Shards.manifestSplits(
+      Shards.assign(splitBins(admS, p.packCapacity), nShards = 4))
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
     Map("qc1_curation" -> (qc1_curation _),
       "qc2_multimodal_curation" -> (qc2_multimodal_curation _),
       "qc3_semantic_balance" -> (qc3_semantic_balance _),
       "qc4_multimodal_wide" -> (qc4_multimodal_wide _),
       "qc5_quality_curation" -> (qc5_quality_curation _),
-      "qc6_selected_curation" -> (qc6_selected_curation _))
+      "qc6_selected_curation" -> (qc6_selected_curation _),
+      "qc7_split_shards" -> (qc7_split_shards _))
 
   /** The text-membrane CTE chain (corpus split → quality → exact/band
     * dedup → span decontam), shared verbatim by the qc1/qc2/qc4/qc5
@@ -780,6 +890,59 @@ object Curation {
       (textChainSql(qualityKeep = false) + ",\n" +
         mediaMembraneSql(64, 16, Multimodal.PhashHotCap) + "\n" +
         multimodalTailSql),
+    // qc7 = qc1's chain, then the chain's OWN dup components (exact
+    // content edges through each content_key's min ∪ the chain's
+    // `bands` buckets — full pairs here, star edges engine-side: same
+    // components), the cluster-hash split, per-split prefix bins
+    // (qt12's rule partitioned by split), shard = bin % 4
+    "qc7_split_shards" ->
+      (s"WITH RECURSIVE ${textChainSql(qualityKeep = false).stripPrefix("WITH ")},\n" +
+        s"""exedges AS (
+           | SELECT w.win AS id_a, p.doc_id AS id_b
+           | FROM pass p JOIN exwin w ON md5(p.text) = w.ck
+           | WHERE p.doc_id <> w.win),
+           |cpairs AS (
+           | SELECT id_a, id_b FROM exedges
+           | UNION
+           | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           | FROM bands a JOIN bands b
+           |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+           |cedges AS (
+           | SELECT id_a AS src, id_b AS dst FROM cpairs
+           | UNION SELECT id_b, id_a FROM cpairs),
+           |cnodes AS (SELECT DISTINCT src AS id FROM cedges),
+           |creach(id, lbl) AS (
+           | SELECT id, id FROM cnodes
+           | UNION
+           | SELECT r.id, e.dst FROM creach r JOIN cedges e ON e.src = r.lbl),
+           |clabels AS MATERIALIZED (
+           | SELECT id, MIN(lbl) AS cluster_id FROM creach GROUP BY 1),
+           |csplits AS (
+           | SELECT p.doc_id,
+           |  ${Dedup.sqlHashSplit("COALESCE(l.cluster_id, p.doc_id)")} AS split
+           | FROM pass p LEFT JOIN clabels l ON p.doc_id = l.id),
+           |rates AS (
+           | SELECT source,
+           |  least(1000000, (20000 * 20 * 1000) // CAST(SUM(n_tok) AS BIGINT)) AS rate_ppm
+           | FROM clean GROUP BY 1),
+           |adm AS (
+           | SELECT c.doc_id, c.n_tok, s.split
+           | FROM clean c JOIN rates r ON c.source = r.source
+           |              JOIN csplits s ON c.doc_id = s.doc_id
+           | WHERE ('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000000
+           |       < r.rate_ppm),
+           |boff AS (
+           | SELECT split, doc_id, n_tok,
+           |  SUM(n_tok) OVER (PARTITION BY split ORDER BY n_tok DESC, doc_id ASC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS off
+           | FROM adm),
+           |bb AS (
+           | SELECT split, doc_id, n_tok,
+           |  CAST(floor(off / 2048) AS BIGINT) AS bin FROM boff)
+           |SELECT split, bin % 4 AS shard, COUNT(DISTINCT bin) AS n_bins,
+           | COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           | CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids
+           |FROM bb GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     // qc3 = qs3's centroid-cell assignment over the whole embeddings
     // table, then a per-cell md5-ranked cap (the GroupTopK path on the
     // Spark side; a plain window here — the oracle states semantics,

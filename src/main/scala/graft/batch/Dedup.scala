@@ -478,7 +478,6 @@ object Dedup {
     * [[qd20_sticky_split]] and SplitLedgerSpec build the graph of a
     * corpus VERSION (a filtered snapshot), not just the whole table. */
   private[graft] def dupLabelsOf(docsIn: DataFrame): DataFrame = {
-    val s = docsIn.sparkSession
     // checkpoint the minhash signatures BEFORE the band self-join and
     // the edge union: Spark does not share common subtrees, so without
     // this the full shingle→signature pipeline (the expensive part)
@@ -487,7 +486,19 @@ object Dedup {
     // star edges, not the bucket clique: identical components (any two
     // bucket members connect through the bucket min), linear — not
     // quadratic — in hot-bucket size; see lshStarEdges
-    val pairs = lshStarEdges(sigs).localCheckpoint()
+    labelsFromEdges(lshStarEdges(sigs).localCheckpoint())
+  }
+
+  /** The pointer-jump component loop over an arbitrary star-edge set
+    * `pairs` (id_a, id_b) — [[dupLabelsOf]]'s convergence machinery,
+    * split out (round 15) so [[Curation.membersFromSignals]] can build
+    * the SAME component labels from the curation chain's pass-1
+    * signals (content_key + row-local band keys) without a second
+    * text scan. Returns (id, label = component min id); nodes with no
+    * edge are absent (the callers' membersOf treats them as
+    * singletons). */
+  private[graft] def labelsFromEdges(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
     // undirected: propagate labels both ways
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -1189,7 +1200,7 @@ object Dedup {
 
   /** qd18's hash-split CASE over a SQL expression — the oracle twin of
     * [[hashSplitOf]], one formula for qd18, qd20 and the ledger spec. */
-  private def sqlHashSplit(x: String) =
+  private[graft] def sqlHashSplit(x: String) =
     s"""CASE WHEN ('0x' || substr(md5(CAST($x AS VARCHAR)), 1, 6))::BIGINT % 100 < 80 THEN 'train'
        |      WHEN ('0x' || substr(md5(CAST($x AS VARCHAR)), 1, 6))::BIGINT % 100 < 90 THEN 'val'
        |      ELSE 'test' END""".stripMargin

@@ -82,6 +82,45 @@ object Shards {
     fs.create(new org.apache.hadoop.fs.Path(dir, CommitMarker), true).close()
   }
 
+  /** One row per (split, shard): [[manifest]] with the split ledger's
+    * dimension — the loader-side contract of a split-tagged corpus
+    * (round-14 verdict #3): a training run opens ONLY train shards and
+    * verifies their counts without deriving anything. */
+  def manifestSplits(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("split"), col("shard"))
+      .agg(countDistinct(col("bin")).as("n_bins"),
+        count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("n_tokens"),
+        sum(col("doc_id")).as("sum_doc_ids"))
+      .orderBy("split", "shard")
+
+  /** [[write]] for a split-tagged corpus: `binned` carries a `split`
+    * column ([[Curation.splitBins]] — bins never straddle splits), the
+    * layout is `dir/shards/split=S/shard=N/` (hive-partitioned on
+    * BOTH, so a loader's train-only read prunes to the train
+    * directories with zero data movement), and the manifest is
+    * per (split, shard). Same determinism rule as [[write]]: the sort
+    * leads with the dynamic-partition columns, so two writes of the
+    * same corpus are file-for-file identical. */
+  def writeSplits(payload: DataFrame, binned: DataFrame, nShards: Int,
+      dir: String): Unit = {
+    require(binned.columns.contains("split"),
+      "writeSplits needs a split column on the binned frame — use write for unsplit corpora")
+    val assigned = assign(binned, nShards).localCheckpoint()
+    val spark = payload.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, CommitMarker), false)
+    payload.join(assigned, Seq("doc_id"))
+      .repartition(nShards, col("split"), col("shard"))
+      .sortWithinPartitions(col("split"), col("shard"), col("bin"), col("doc_id"))
+      .write.mode(SaveMode.Overwrite).partitionBy("split", "shard")
+      .parquet(s"$dir/shards")
+    manifestSplits(assigned).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/manifest")
+    fs.create(new org.apache.hadoop.fs.Path(dir, CommitMarker), true).close()
+  }
+
   private val CommitMarker = "_GRAFT_COMMIT"
 
   /** Deterministic per-epoch shard read order — multi-epoch training

@@ -60,6 +60,53 @@ class ShardsSpec extends SparkSpec
     assert(fromDisk == fromManifest, "manifest diverges from written shards")
   }
 
+  test("split-tagged shards: layout is split-pure, the manifest agrees with " +
+    "disk, and a version-N+1 re-shard never moves a doc out of train") {
+    import graft.batch.Curation
+    val root = Files.createTempDirectory("split_shards").toString
+    val ledger = s"$root/ledger"
+    val all = Tables.spread(docs)
+    val ev = all.filter(pmod(col("doc_id"), lit(10)) === 7)
+      .select(col("doc_id"), col("text"))
+    val corpusAll = all.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+    // version 1: a subset of the corpus (the pre-append crawl)
+    val corpusV1 = corpusAll.filter(pmod(col("doc_id"), lit(7)) =!= 3)
+    val p = Curation.Params(splitLedgerDir = Some(ledger))
+    Curation.curateToShards(corpusV1, ev, s"$root/v1", NShards, p)
+    def shardSplits(dir: String) = spark.read.parquet(s"$dir/shards")
+      .select(col("doc_id"), col("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val v1 = shardSplits(s"$root/v1")
+    assert(v1.nonEmpty && v1.values.toSet.subsetOf(Set("train", "val", "test")))
+    // layout purity: each split=S/shard=N directory holds one split
+    val layout = spark.read.parquet(s"$root/v1/shards")
+      .groupBy(col("split"), col("shard"))
+      .agg(countDistinct(col("split")).as("n")).collect()
+    assert(layout.forall(_.getLong(2) == 1L))
+    // manifest agrees with disk per (split, shard)
+    val manifest = spark.read.parquet(s"$root/v1/manifest")
+      .orderBy("split", "shard").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(3), r.getLong(4))).toMap
+    val disk = spark.read.parquet(s"$root/v1/shards")
+      .withColumn("shard", col("shard").cast("long"))
+      .groupBy("split", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(manifest == disk, s"manifest $manifest != disk $disk")
+    // version 2: the full corpus (appended docs, incl. bridges) against
+    // the SAME ledger — the sticky rule must hold through the shards
+    Curation.curateToShards(corpusAll, ev, s"$root/v2", NShards, p)
+    val v2 = shardSplits(s"$root/v2")
+    assert(graft.batch.SplitLedger.currentVersion(spark, ledger) == 2L)
+    for ((id, sp) <- v1 if sp == "train" && v2.contains(id))
+      assert(v2(id) == "train", s"doc $id left train in the v2 shards: ${v2(id)}")
+    // and every move between the shard sets is TOWARD train
+    for ((id, sp) <- v1 if v2.contains(id) && v2(id) != sp)
+      assert(v2(id) == "train" || (sp == "test" && v2(id) == "val"),
+        s"doc $id moved away from train: $sp -> ${v2(id)}")
+  }
+
   test("round-robin over prefix bins balances shard tokens to within ~one bin") {
     val m = TextOps.qt12_shard_manifest(spark, d).collect()
     assert(m.length == NShards)
