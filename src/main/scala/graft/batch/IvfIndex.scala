@@ -198,7 +198,8 @@ object IvfIndex {
       val rows = writeLayout(emb, dir, nCells, assign, int8, attrs, gen)
       val quant = if (int8) "int8" else "float32"
       writeMeta(spark, dir, metaJson(nCells, assign, quant,
-        ver = prior.map(_.ver + 1).getOrElse(1L), rows, attrs, gen))
+        ver = prior.map(_.ver + 1).getOrElse(1L), rows, attrs, gen,
+        statsJson = attrStatsJson(emb, attrs)))
       retireGenerationsBelow(fs, root, gen - 1)
     }
   }
@@ -254,10 +255,12 @@ object IvfIndex {
   }
 
   private def metaJson(nCells: Int, assign: Int, quant: String, ver: Long,
-      rows: Long, attrs: Seq[String] = Nil, gen: Long = 0): String = {
+      rows: Long, attrs: Seq[String] = Nil, gen: Long = 0,
+      statsJson: String = ""): String = {
     val a = attrs.map(n => s""""$n"""").mkString(",")
+    val st = if (statsJson.isEmpty) "" else s""","attrstats":$statsJson"""
     s"""{"nCells":$nCells,"assign":$assign,"quant":"$quant","ver":$ver,""" +
-      s""""rows":$rows,"gen":$gen,"attrs":[$a]}"""
+      s""""rows":$rows,"gen":$gen,"attrs":[$a]$st}"""
   }
 
   // ------------------------------------------------ generation-suffixed dirs
@@ -364,7 +367,72 @@ object IvfIndex {
     * unconditionally due, the safe direction for an un-annotated
     * layout). */
   private[graft] case class Meta(nCells: Int, assign: Int, quant: String,
-      ver: Long, rows: Long, attrs: Seq[String] = Nil, gen: Long = 0)
+      ver: Long, rows: Long, attrs: Seq[String] = Nil, gen: Long = 0,
+      attrStats: Map[String, AttrStat] = Map.empty)
+
+  /** Per-attr value statistics recorded at (re)build time — the
+    * "cells metadata" [[deriveSelectivity]] estimates attr-equality
+    * selectivity from (round-14 verdict #6): corpus row count at the
+    * stats snapshot, distinct value count, and the exact frequencies
+    * of the top [[AttrStatTopK]] values (cast to string — the same
+    * cast the lookup applies to the query literal). Appends between
+    * rebuilds are NOT folded in: the estimate ages with the layout
+    * exactly like the centroids do, and refreshes on the same
+    * [[rebuild]] cadence. */
+  private[graft] case class AttrStat(rows: Long, distinct: Long,
+      top: Map[String, Long])
+
+  private[graft] val AttrStatTopK = 64
+
+  /** The `"attrstats"` JSON subtree for `attrs` over the build corpus
+    * — one narrow two-aggregate pass per attr, only when the layout
+    * records attrs at all. Values are cast to string and json4s
+    * handles the escaping (attr VALUES are corpus data — any byte can
+    * appear; the regex-parsed top-level fields stay identifier-safe
+    * by the build-time name check). */
+  private def attrStatsJson(emb: DataFrame, attrs: Seq[String]): String = {
+    if (attrs.isEmpty) return ""
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val stats = attrs.map { a =>
+      val counts = emb.groupBy(col(a).cast("string").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // feeds totals + the top-k slice
+      val agg = counts.agg(sum(col("c")).as("rows"), count(lit(1)).as("d")).head()
+      val top = counts.orderBy(col("c").desc, col("v")).limit(AttrStatTopK)
+        .collect().map(r => (Option(r.getString(0)).getOrElse("null"), r.getLong(1)))
+      a -> (("rows" -> agg.getLong(0)) ~ ("distinct" -> agg.getLong(1)) ~
+        ("top" -> top.toList.map { case (v, c) => ("v" -> v) ~ ("c" -> c) }))
+    }
+    JsonMethods.compact(JsonMethods.render(
+      stats.foldLeft(org.json4s.JObject()) { case (o, (k, v)) => o ~ (k -> v) }))
+  }
+
+  private def parseAttrStats(txt: String): Map[String, AttrStat] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def asLong(v: JValue): Long = v match {
+      case JInt(n) => n.toLong
+      case JLong(n) => n
+      case _ => 0L
+    }
+    scala.util.Try(JsonMethods.parse(txt) \ "attrstats").toOption match {
+      case Some(JObject(fields)) =>
+        fields.map { case (name, st) =>
+          val top = (st \ "top") match {
+            case JArray(items) => items.flatMap { it =>
+              (it \ "v") match {
+                case JString(v) => Some(v -> asLong(it \ "c"))
+                case _ => None
+              }
+            }.toMap
+            case _ => Map.empty[String, Long]
+          }
+          name -> AttrStat(asLong(st \ "rows"), asLong(st \ "distinct"), top)
+        }.toMap
+      case _ => Map.empty
+    }
+  }
 
   private def longField(txt: String, field: String): Option[Long] =
     s""""$field"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
@@ -382,7 +450,58 @@ object IvfIndex {
       .getOrElse(Nil)
     Meta(longField(txt, "nCells").map(_.toInt).getOrElse(0), assign, quant,
       longField(txt, "ver").getOrElse(1L), longField(txt, "rows").getOrElse(0L),
-      attrs, longField(txt, "gen").getOrElse(0L))
+      attrs, longField(txt, "gen").getOrElse(0L),
+      if (attrs.isEmpty) Map.empty else parseAttrStats(txt))
+  }
+
+  /** Estimate the selectivity of `where` from the layout's recorded
+    * attr statistics (round-14 verdict #6) — defined ONLY for
+    * conjunctions of equality predicates on indexed attr columns
+    * against literals, the shape the stats can answer honestly:
+    *   - a recorded top value → its exact build-time fraction;
+    *   - an unrecorded value with every distinct value recorded → 0
+    *     (it cannot match anything the index held at build);
+    *   - an unrecorded value beyond the top-K → the uncovered mass
+    *     (an upper bound — conservative: overestimates keep the probe
+    *     path, never mis-route to brute);
+    *   - anything else (ranges, ORs, non-attr columns, expressions) →
+    *     None, and the probe path runs unless the caller hints.
+    * Conjuncts multiply (independence — the standard optimizer
+    * assumption; each factor is itself exact-or-conservative). */
+  private[graft] def deriveSelectivity(where: org.apache.spark.sql.Column,
+      meta: Meta): Option[Double] = {
+    import org.apache.spark.sql.catalyst.{expressions => E}
+    def eqSel(attr: String, lit: E.Literal): Option[Double] =
+      meta.attrStats.get(attr).filter(_.rows > 0).map { st =>
+        val v = Option(lit.value).map(_.toString).getOrElse("null")
+        st.top.get(v) match {
+          case Some(c) => c.toDouble / st.rows
+          case None if st.distinct <= st.top.size => 0.0
+          case None => (st.rows - st.top.values.sum).toDouble / st.rows
+        }
+      }
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    def eqArgs(a: E.Expression, b: E.Expression): Option[Double] = (a, b) match {
+      case (at: UnresolvedAttribute, v: E.Literal) => eqSel(at.name, v)
+      case (v: E.Literal, at: UnresolvedAttribute) => eqSel(at.name, v)
+      case _ => None
+    }
+    // the Column→catalyst converter yields UNRESOLVED nodes: `===` is
+    // UnresolvedFunction("="), `&&` UnresolvedFunction("and") — match
+    // both those and the typed forms (a caller may hand-build them)
+    def walk(e: E.Expression): Option[Double] = e match {
+      case E.And(l, r) => for (a <- walk(l); b <- walk(r)) yield a * b
+      case E.EqualTo(l, r) => eqArgs(l, r)
+      case f: UnresolvedFunction
+          if f.nameParts.map(_.toLowerCase) == Seq("and") && f.arguments.size == 2 =>
+        for (a <- walk(f.arguments(0)); b <- walk(f.arguments(1))) yield a * b
+      case f: UnresolvedFunction
+          if (f.nameParts == Seq("=") || f.nameParts == Seq("==")) &&
+            f.arguments.size == 2 =>
+        eqArgs(f.arguments(0), f.arguments(1))
+      case _ => None
+    }
+    walk(org.apache.spark.sql.graftshim.ColumnBridge.eagerExpression(where))
   }
 
   /** Incremental maintenance: assign a NEW batch of (vec_id, embedding)
@@ -503,7 +622,7 @@ object IvfIndex {
       meta.assign, meta.quant == "int8", meta.attrs, gen = 0)
     writeMeta(spark, tmp.toString,
       metaJson(nCells, meta.assign, meta.quant, meta.ver + 1, rows, meta.attrs,
-        gen = meta.gen + 1))
+        gen = meta.gen + 1, statsJson = attrStatsJson(corpus, meta.attrs)))
     val o = fs.create(new org.apache.hadoop.fs.Path(tmp, "_GRAFT_COMMIT"), true)
     o.close()
   }
@@ -699,7 +818,13 @@ object IvfIndex {
     val bruteFloor = spark.conf.getOption("spark.graft.bruteRouteFactor")
       .flatMap(_.toDoubleOption).getOrElse(1.0) *
       nProbe.toDouble * meta.assign / math.max(1, meta.nCells)
-    if (where.isDefined && selectivityHint.exists(_ < bruteFloor)) {
+    // absent a caller hint, the index estimates selectivity ITSELF for
+    // attr-equality predicates from the stats its build recorded
+    // ([[deriveSelectivity]], round-14 verdict #6) — the qs9 oracle
+    // restates the estimate AND the floor, so the auto-route is
+    // oracle-gated at every rung
+    val sel = selectivityHint.orElse(where.flatMap(deriveSelectivity(_, meta)))
+    if (where.isDefined && sel.exists(_ < bruteFloor)) {
       val q = withNorm(queries)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
       val cand = cells.crossJoin(broadcast(q))

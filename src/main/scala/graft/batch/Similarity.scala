@@ -554,6 +554,15 @@ object Similarity {
     // (the filtered cells scan thins candidates pre-top-k). Queries are
     // NOT filtered; assignment ranks are per-vector, so filtering
     // after the QUALIFY is identical to filtering the corpus first.
+    // Since round 15 the statement is ROUTED like the engine is
+    // (verdict #6): `route` computes the SAME selectivity the index
+    // derives from its recorded attr stats (the exact label = 3
+    // fraction) and the same p·q/⌈√N⌉ floor, and each rung takes the
+    // branch the engine takes — brute (exact over the filtered corpus)
+    // below the floor, probes above it. On the sf0.01 fixture the
+    // floor is 10/23 ≈ 0.43 and the ~10% filter routes BRUTE; at the
+    // ScaleGen rungs ⌈√N⌉ grows past 100 and the same query routes
+    // back to probes — both sides of the auto-router are oracle-gated.
     "qs9_filtered_search" ->
       s"""WITH nm AS (
          | SELECT vec_id, embedding, label,
@@ -561,6 +570,12 @@ object Similarity {
          |        FROM range($Dim) i(i))) AS nrm
          | FROM embeddings),
          |st AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS nc FROM nm),
+         |route AS (
+         | SELECT CASE WHEN
+         |   CAST(SUM(CASE WHEN label = 3 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         |   < $SearchProbes.0 * $IndexAssign / (SELECT nc FROM st)
+         |  THEN 1 ELSE 0 END AS brute
+         | FROM nm),
          |cents AS (
          | SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM nm, st
          | QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= nc),
@@ -584,11 +599,23 @@ object Similarity {
          |scored AS (
          | SELECT c.qid, c.vec_id,
          |  round(${sqlDot("q.embedding", "v.embedding")} / (q.nrm * v.nrm), 6) AS rcos
-         | FROM cand c JOIN nm q ON c.qid = q.vec_id JOIN nm v ON c.vec_id = v.vec_id)
+         | FROM cand c JOIN nm q ON c.qid = q.vec_id JOIN nm v ON c.vec_id = v.vec_id),
+         |bscored AS (
+         | SELECT q.vec_id AS qid, m.vec_id,
+         |  round(${sqlDot("q.embedding", "m.embedding")} / (q.nrm * m.nrm), 6) AS rcos
+         | FROM (SELECT * FROM nm WHERE vec_id % 100 = 0) q
+         | CROSS JOIN (SELECT * FROM nm WHERE label = 3) m
+         | WHERE m.vec_id <> q.vec_id)
          |SELECT qid, CAST(rn AS INT) AS rank, vec_id AS neighbor_id, rcos FROM (
          | SELECT qid, vec_id, rcos, ROW_NUMBER() OVER (PARTITION BY qid
          |   ORDER BY rcos DESC, vec_id ASC) AS rn FROM scored) t
-         |WHERE rn <= 3 ORDER BY qid, rank""".stripMargin,
+         |CROSS JOIN route WHERE rn <= 3 AND route.brute = 0
+         |UNION ALL
+         |SELECT qid, CAST(rn AS INT) AS rank, vec_id AS neighbor_id, rcos FROM (
+         | SELECT qid, vec_id, rcos, ROW_NUMBER() OVER (PARTITION BY qid
+         |   ORDER BY rcos DESC, vec_id ASC) AS rn FROM bscored) t
+         |CROSS JOIN route WHERE rn <= 3 AND route.brute = 1
+         |ORDER BY qid, rank""".stripMargin,
     // qs10: exact brute force over the filtered corpus — what the
     // routed path computes; `gate` states the routing precondition
     // with the same p/q constants the engine's floor derives from

@@ -385,10 +385,61 @@ class IvfIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       df.queryExecution.analyzed.toString.contains("nearest_cells")
     assert(!hasProbe(brute), "hint below floor must skip the probe stage")
     assert(hasProbe(run(Some(0.9), 2)), "hint above floor must keep probes")
-    assert(hasProbe(run(None, 2)), "no hint must keep probes")
+    // NO hint: since round 15 the index derives the estimate itself
+    // from its recorded attr stats (label = 3 is ~10% of the fixture,
+    // below this p=2 floor of 2·2/23) — auto-routes to brute, result
+    // identical to the exact filtered top-k
+    val auto = run(None, 2)
+    assert(!hasProbe(auto), "derivable attr-equality below the floor must auto-route")
+    assert(auto.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      == bruteFiltered(pred, 3))
+    // a non-attr predicate stays underivable → probes (the old default)
+    assert(hasProbe(IvfIndex.search(spark, d, queries, k = 3, nProbe = 2,
+      where = Some(pmod(col("vec_id"), lit(100)) === 3))),
+      "underivable predicates without a hint must keep probes")
     // and the routed search is still rank-complete
     val perQ = brute.collect().groupBy(_.getLong(0)).view.mapValues(_.length)
     assert(perQ.values.forall(_ == 3))
+  }
+
+  test("attr stats: the derived estimate matches the measured fraction; " +
+    "conjunctions multiply; unrecorded values and non-equality derive honestly") {
+    val d = Files.createTempDirectory("ivf_stats").toString
+    IvfIndex.build(emb, d, nCells = 8, attrs = Seq("label"))
+    val meta = IvfIndex.metaOf(spark, d)
+    val st = meta.attrStats("label")
+    val n = emb.count()
+    assert(st.rows == n)
+    assert(st.distinct == emb.select("label").distinct().count())
+    // label cardinality is far below the top-K cap, so every value is
+    // recorded exactly and the estimate IS the measured fraction
+    val measured = emb.filter(col("label") === 3).count().toDouble / n
+    assert(IvfIndex.deriveSelectivity(col("label") === 3, meta).contains(measured))
+    assert(IvfIndex.deriveSelectivity(lit(3) === col("label"), meta).contains(measured))
+    // conjunction multiplies (independence), both sides derivable
+    val m5 = emb.filter(col("label") === 5).count().toDouble / n
+    assert(IvfIndex.deriveSelectivity(
+      col("label") === 3 && col("label") === 5, meta).contains(measured * m5))
+    // a value the index never held: every distinct value is recorded,
+    // so the honest estimate is zero
+    assert(IvfIndex.deriveSelectivity(col("label") === 424242, meta).contains(0.0))
+    // underivable shapes: ranges, ORs, non-attr columns
+    assert(IvfIndex.deriveSelectivity(col("label") > 3, meta).isEmpty)
+    assert(IvfIndex.deriveSelectivity(
+      col("label") === 3 || col("label") === 5, meta).isEmpty)
+    assert(IvfIndex.deriveSelectivity(col("vec_id") === 3, meta).isEmpty)
+    // auto-routed search ≡ the same search with the measured hint
+    val auto = IvfIndex.search(spark, d, queries, k = 3, nProbe = 2,
+      where = Some(col("label") === 3))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val hinted = IvfIndex.search(spark, d, queries, k = 3, nProbe = 2,
+      where = Some(col("label") === 3), selectivityHint = Some(measured))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(auto == hinted)
+    // a stats-free layout (no attrs) derives nothing and keeps probes
+    val d2 = Files.createTempDirectory("ivf_nostats").toString
+    IvfIndex.build(emb, d2, nCells = 8)
+    assert(IvfIndex.metaOf(spark, d2).attrStats.isEmpty)
   }
 
   test("filtered search pushes the attr predicate into the cells scan") {
