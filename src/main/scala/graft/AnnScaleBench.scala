@@ -474,6 +474,91 @@ object AnnScaleBench {
         extraArms ++= s""","${if (drift) "driftmembrane" else "agedmembrane"}":{${cfgs.mkString(",")}}"""
       }
 
+      // ---- `driftcost` arm (VERDICT r14 ask #5): the COST side of the
+      // collapsed-drift regime the driftmembrane arm's caveat recorded
+      // — no twins, no recall question: ingest the drifted slices and
+      // MEASURE per-quartile probe-candidate volume (Σ over batch
+      // vectors of the occupancy of their probed cells — the rows the
+      // membrane's tau stage actually scans) under (a) no maintenance
+      // at all vs (b) EmbedIngest.requantizeIfSkewed ticked per epoch.
+      // If drift concentrates content into few stale cells, (a)'s
+      // candidates diverge super-linearly while (b)'s occupancy
+      // trigger re-cells and flattens them — settling whether the
+      // cadence needs an occupancy trigger in addition to the growth
+      // one.
+      if (armsWanted("driftcost") && n == scales.last) {
+        val nE = 16
+        val embAll = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+        def slice(e: Int) = {
+          val raw = embAll.filter(pmod(col("vec_id"), lit(nE)) === e)
+          if (e == 0) raw
+          else withNrm(raw).select(col("vec_id"),
+            concat(array((element_at(col("embedding"), 1) +
+                lit(e * 0.08f) * col("nrm").cast("float")).cast("float")),
+              org.apache.spark.sql.functions.slice(col("embedding"), 2, Dim - 1))
+              .as("embedding"))
+        }
+        // the tau stage's candidate volume for this batch against the
+        // committed layout — the same nProbe=4 row-local probe
+        // ingestBatch runs, joined to per-cell occupancy
+        def candRows(batch: DataFrame, memDir: String): Long = {
+          if (!new java.io.File(s"$memDir/cells").exists) return 0L // pre-first-epoch
+          val cents = spark.read.parquet(s"$memDir/centroids")
+          val occ = spark.read.parquet(s"$memDir/cells")
+            .groupBy(col("cell")).agg(count(lit(1)).as("occ"))
+          val r = withNrm(batch)
+            .crossJoin(broadcast(IvfIndex.centroidArray(cents)))
+            .select(explode(IvfIndex.nearestCells(col("embedding"), col("nrm"),
+              4, rounded = false)).as("cell"))
+            .groupBy(col("cell")).agg(count(lit(1)).as("nq"))
+            .join(occ, Seq("cell"))
+            .agg(sum(col("nq") * col("occ"))).head()
+          if (r.isNullAt(0)) 0L else r.getLong(0)
+        }
+        val cfgs = Seq("nocadence" -> false, "occupancy" -> true).map {
+          case (cfgTag, trigger) =>
+            val memDir = s"$dir/driftcost_$cfgTag"
+            val f = new java.io.File(memDir)
+            if (f.exists) rmTree(f)
+            val s0 = withNrm(slice(0)).localCheckpoint()
+            val c0 = math.ceil(math.sqrt(s0.count().toDouble)).toInt
+            graft.stream.EmbedIngest.init(spark, memDir,
+              IvfIndex.sampleCentroids(s0, c0))
+            val qCand = Array.fill(4)(0L)
+            val qSecs = Array.fill(4)(0.0)
+            var checkSecs = 0.0
+            var requantSecs = 0.0
+            var nRequants = 0
+            for (e <- 0 until nE) {
+              if (trigger && e > 0) {
+                val (secs, fired) = time {
+                  graft.stream.EmbedIngest.requantizeIfSkewed(
+                    spark, memDir, upTo = e.toLong, factor = 3.0)
+                }
+                if (fired) { nRequants += 1; requantSecs += secs }
+                else checkSecs += secs
+              }
+              val batch = slice(e).localCheckpoint()
+              qCand(e * 4 / nE) += candRows(batch, memDir)
+              qSecs(e * 4 / nE) += time {
+                graft.stream.EmbedIngest.ingestBatch(batch, memDir, e.toLong)
+              }._1
+            }
+            val occFinal = spark.read.parquet(s"$memDir/cells")
+              .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+              .agg(count(lit(1)).as("nc"), max(col("n")).as("mx"),
+                sum(col("n")).as("tot")).head()
+            val skew = occFinal.getLong(1).toDouble /
+              (occFinal.getLong(2).toDouble / occFinal.getLong(0))
+            s""""$cfgTag":{"q_cand":[${qCand.mkString(",")}],""" +
+              s""""q_ingest_secs":[${qSecs.map(d3).mkString(",")}],""" +
+              s""""check_secs":${d3(checkSecs)},""" +
+              s""""requant_secs":${d3(requantSecs)},"n_requants":$nRequants,""" +
+              s""""n_cells":${occFinal.getLong(0)},"skew_final":${d3(skew)}}"""
+        }
+        extraArms ++= s""","driftcost":{${cfgs.mkString(",")}}"""
+      }
+
       // ---- `handoff` arm (VERDICT r12 ask #3): at the top rung, the
       // serving index is built FROM the membrane-filtered
       // epoch-partitioned ingest corpus (EmbedIngest.corpus — the

@@ -287,6 +287,44 @@ class EmbedIngestSpec extends SparkSpec
       "every admitted vector re-celled exactly once")
   }
 
+  test("requantizeIfSkewed: fires on a hot-cell collapse, stays quiet on a " +
+    "balanced layout, and the re-cell flattens occupancy") {
+    import org.apache.spark.sql.functions._
+    val dir = freshDir() // 2 cells: x-axis, y-axis
+    // a collapsed ingest: 24 mutually-distinct vectors in a cone around
+    // the x-axis (pairwise cos < 0.999999 ⇒ all admitted at that tau),
+    // all landing in cell 1 — the drift-concentration shape
+    val cone = (0 until 24).map { i =>
+      val a = 0.02 * i
+      (100L + i, Seq(math.cos(a).toFloat, math.sin(a).toFloat))
+    }
+    EmbedIngest.ingestBatch(cone.toDF("vec_id", "embedding"), dir,
+      epochId = 0, tau = 0.999999)
+    val before = EmbedIngest.corpus(spark, dir).count()
+    // max = hot-cell occupancy, mean = total / 2 quantizer cells — the
+    // collapse reads as ~2× skew; factor 1.5 puts the trigger below it
+    assert(EmbedIngest.requantizeIfSkewed(spark, dir, upTo = 1L, factor = 1.5))
+    // corpus content untouched, quantizer re-sized to ceil(sqrt(n)),
+    // occupancy flattened below the trigger
+    assert(EmbedIngest.corpus(spark, dir).count() == before)
+    val c = spark.read.parquet(s"$dir/centroids").count()
+    assert(c == math.ceil(math.sqrt(before.toDouble)).toLong, s"C = $c")
+    val occ = spark.read.parquet(s"$dir/cells")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")), sum(col("n"))).head()
+    // pre-trigger skew was ~2 (all rows in 1 of 2 cells); the re-cell
+    // must land strictly below it
+    val skewAfter = occ.getLong(0) / (occ.getLong(1).toDouble / c)
+    assert(skewAfter < 2.0,
+      s"re-cell must flatten: max ${occ.getLong(0)} of ${occ.getLong(1)} over $c cells")
+    // balanced layout: never fires
+    val dir2 = freshDir()
+    EmbedIngest.ingestBatch(Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))
+    ).toDF("vec_id", "embedding"), dir2, epochId = 0, tau = 0.99)
+    assert(!EmbedIngest.requantizeIfSkewed(spark, dir2, upTo = 1L, factor = 1.5))
+  }
+
   test("crash between requantize commit and install: old layout intact, next entry completes") {
     val dir = freshDir()
     EmbedIngest.ingestBatch(Seq(
