@@ -220,9 +220,17 @@ private[graft] object FsLease {
   }
 
   /** Writer scope: acquire or fail loudly by name. `what` names the
-    * operation family for the error ("install", "maintenance"). A body
-    * that completes AFTER losing the lease (TTL overrun + usurper)
-    * also fails loudly — its writes may have raced the usurper's. */
+    * operation family for the error ("install", "maintenance").
+    *
+    * While the body runs, a daemon HEARTBEAT re-stamps the claim every
+    * TTL/3 (the "renew periodically" half of the round-14 ADVICE — the
+    * commit-point [[renewOrFail]] calls remain as the loud pre-mutation
+    * check), so a snapshot job longer than the TTL keeps its claim
+    * instead of being silently usurped mid-write. A heartbeat that
+    * finds the claim gone stops beating; the release-time ownership
+    * check below turns the loss into the loud failure. A body that
+    * completes AFTER losing the lease (TTL overrun + usurper) also
+    * fails loudly — its writes may have raced the usurper's. */
   def withLease[T](spark: SparkSession, dir: String, what: String)(body: => T): T = {
     if (!tryAcquire(spark, dir))
       throw new IllegalStateException(
@@ -231,9 +239,26 @@ private[graft] object FsLease {
           "corrupt the layout; retry after the lease expires " +
           "(spark.graft.indexLeaseMs) or route all writes for this layout " +
           "through one maintenance process")
+    // only the OUTERMOST scope beats (nested writers share the claim)
+    val outermost = depth.getOrElse(dir, 0) == 1
+    val stop = new java.util.concurrent.CountDownLatch(1)
+    val beat =
+      if (!outermost) None
+      else Some {
+        val t = new Thread(() => {
+          val period = math.max(50L, leaseMsOf(spark) / 3)
+          try {
+            while (!stop.await(period, java.util.concurrent.TimeUnit.MILLISECONDS))
+              renewOrFail(spark, dir, what)
+          } catch { case _: Throwable => () } // loss surfaces at release
+        }, s"graft-lease-heartbeat")
+        t.setDaemon(true); t.start(); t
+      }
     var ok = false
     try { val r = body; ok = true; r }
     finally {
+      stop.countDown()
+      beat.foreach(_.join()) // a beating renew must never outlive release
       val stillOurs = release(spark, dir)
       if (ok && !stillOurs)
         throw new IllegalStateException(

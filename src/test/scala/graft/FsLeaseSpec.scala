@@ -85,6 +85,25 @@ class FsLeaseSpec extends SparkSpec {
     assert(Files.readString(leaseFile(dir)).contains("some-other-process"))
   }
 
+  test("the heartbeat keeps a long body's claim alive past the TTL") {
+    val dir = tmpDir()
+    spark.conf.set("spark.graft.indexLeaseMs", "400") // beat every ~133 ms
+    try {
+      val exp = """"expiry"\s*:\s*(\d+)""".r
+      def expiry() = exp.findFirstMatchIn(Files.readString(leaseFile(dir)))
+        .get.group(1).toLong
+      FsLease.guarded(spark, dir, "test op") {
+        val e0 = expiry()
+        Thread.sleep(1200) // 3× the TTL — unrenewed, the claim would lapse
+        val e1 = expiry()
+        assert(e1 > e0, "heartbeat must have re-stamped the claim")
+        assert(e1 > System.currentTimeMillis(),
+          "the claim must never have lapsed mid-body")
+      }
+      assert(!Files.exists(leaseFile(dir)))
+    } finally spark.conf.unset("spark.graft.indexLeaseMs")
+  }
+
   test("breaking an expired claim is atomic: no tombstone debris, and a " +
     "release after takeover removes only our own claim") {
     val dir = tmpDir()
