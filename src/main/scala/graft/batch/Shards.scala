@@ -143,9 +143,42 @@ object Shards {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new org.apache.hadoop.fs.Path(dir, CommitMarker)),
       s"shards at $dir have no commit marker — the writing run did not finish")
-    val nShards = spark.read.parquet(s"$dir/manifest").count().toInt
+    val man = spark.read.parquet(s"$dir/manifest")
+    require(!man.columns.contains("split"),
+      s"shards at $dir are split-tagged — use readEpochSplit(split) so a " +
+        "training read can never mix eval shards in")
+    val nShards = man.count().toInt
     val shards = spark.read.parquet(s"$dir/shards")
     epochOrder(nShards, epoch)
+      .map(sh => shards.filter(col("shard") === sh))
+      .reduce(_ unionAll _)
+  }
+
+  /** [[readEpoch]] for a split-tagged layout ([[writeSplits]]): open
+    * ONE split's shards in the epoch order — the training loader's
+    * entry (`split = "train"`), with both hive partition columns
+    * pruning the read to that split's shard directories. The epoch
+    * permutation is over the split's own shard ids, so two splits
+    * shuffle independently. */
+  def readEpochSplit(spark: SparkSession, dir: String, split: String,
+      epoch: Int): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(dir, CommitMarker)),
+      s"shards at $dir have no commit marker — the writing run did not finish")
+    val man = spark.read.parquet(s"$dir/manifest")
+    require(man.columns.contains("split"),
+      s"shards at $dir are not split-tagged — use readEpoch")
+    val shardIds = man.filter(col("split") === split)
+      .select(col("shard").cast("long")).collect().map(_.getLong(0)).sorted
+    require(shardIds.nonEmpty,
+      s"shards at $dir hold no '$split' split (manifest has none)")
+    val shards = spark.read.parquet(s"$dir/shards").filter(col("split") === split)
+    // permute the split's own shard-id list content-addressedly — the
+    // same md5 rank rule as epochOrder, applied to the actual ids
+    val md = java.security.MessageDigest.getInstance("MD5")
+    shardIds.sortBy(sh =>
+        md.digest(s"$epoch|$sh".getBytes("UTF-8")).map("%02x".format(_)).mkString)
       .map(sh => shards.filter(col("shard") === sh))
       .reduce(_ unionAll _)
   }

@@ -107,6 +107,38 @@ class ShardsSpec extends SparkSpec
         s"doc $id moved away from train: $sp -> ${v2(id)}")
   }
 
+  test("readEpochSplit opens ONE split's shards (pruned read, epoch-permuted); " +
+    "the unsplit reader refuses a split layout loudly") {
+    import graft.batch.Curation
+    val root = Files.createTempDirectory("split_read").toString
+    val all = Tables.spread(docs)
+    val ev = all.filter(pmod(col("doc_id"), lit(10)) === 7)
+      .select(col("doc_id"), col("text"))
+    val corpus = all.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+    Curation.curateToShards(corpus, ev, s"$root/out", NShards,
+      Curation.Params(splitLedgerDir = Some(s"$root/ledger")))
+    val train = Shards.readEpochSplit(spark, s"$root/out", "train", epoch = 0)
+    assert(train.select("split").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("train"), "a train read must never surface another split")
+    // content is exactly the manifest's train set
+    val manTrain = spark.read.parquet(s"$root/out/manifest")
+      .filter(col("split") === "train")
+      .agg(sum(col("n_docs"))).head().getLong(0)
+    assert(train.count() == manTrain)
+    // different epochs permute, same epoch reproduces
+    def order(e: Int) = Shards.readEpochSplit(spark, s"$root/out", "train", e)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(order(1) == order(1))
+    // the unsplit reader refuses the split layout by name
+    val err = intercept[IllegalArgumentException](
+      Shards.readEpoch(spark, s"$root/out", epoch = 0))
+    assert(err.getMessage.contains("readEpochSplit"), err.getMessage)
+    // and an absent split fails loudly, not empty
+    val e2 = intercept[IllegalArgumentException](
+      Shards.readEpochSplit(spark, s"$root/out", "nosuch", 0))
+    assert(e2.getMessage.contains("nosuch"), e2.getMessage)
+  }
+
   test("round-robin over prefix bins balances shard tokens to within ~one bin") {
     val m = TextOps.qt12_shard_manifest(spark, d).collect()
     assert(m.length == NShards)
