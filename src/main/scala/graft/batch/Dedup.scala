@@ -1059,6 +1059,59 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** qd21's cosine floor — the qc2/qd16 near-dup threshold applied
+    * cross-set (a corpus doc this close to an eval doc is its
+    * paraphrase/near-copy for contamination purposes). */
+  private[graft] val SemTau = 0.4
+
+  /** qd21: SEMANTIC eval-set decontamination — qd7/qd10's cross-set
+    * membrane at EMBEDDING granularity: flag corpus vectors whose
+    * cosine to ANY eval-set vector ≥ [[SemTau]] — the paraphrased /
+    * translated / re-worded contamination that span fingerprints
+    * (exact ≥ 47-char matches) structurally cannot see. Every modern
+    * decontamination stack runs both layers.
+    *
+    * Scale shape — qd7's no-corpus-shuffle rule at embedding
+    * granularity: the benchmark-sized EVAL side multi-probes its
+    * [[ProbeCells]] nearest cells of the shared deterministic
+    * quantizer and BROADCASTS as a (cell → eval member) table; each
+    * corpus vector assigns to its ONE nearest cell map-side (row-local
+    * fold over the one broadcast quantizer row) and scores only the
+    * broadcast members sharing that cell. The corpus never shuffles —
+    * the only exchanges are the final per-doc aggregate's. The
+    * eval-side multiprobe catches boundary-straddling pairs that
+    * single-cell assignment on both sides would lose (qd13's lesson,
+    * applied cross-set where only the SMALL side can afford the probe
+    * fan-out). No cap on the eval side: it is benchmark-bounded by
+    * definition, and a cap would silently LOSE decontamination
+    * coverage — unlike the self-join operators, where caps bound pair
+    * blowup (qd13's two-sided prefix). */
+  def qd21_semantic_decontam(s: SparkSession, d: String): DataFrame = {
+    val enm = Tables.embeddings(s, d)
+      .withColumn("nrm", sqrt(Similarity.norm2(col("embedding"))))
+      .localCheckpoint() // feeds quantizer, eval probes, corpus assign
+    val cents = enm.filter(pmod(col("vec_id"), lit(100)) === 7)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val evCells = enm.filter(pmod(col("vec_id"), lit(25)) === 0)
+      .crossJoin(broadcast(IvfIndex.centroidArray(cents)))
+      .select(col("vec_id").as("eid"), col("embedding").as("ee"), col("nrm").as("en"),
+        explode(IvfIndex.nearestCells(col("embedding"), col("nrm"), ProbeCells,
+          rounded = true)).as("cell"))
+    val cp = enm.filter(pmod(col("vec_id"), lit(25)) =!= 0)
+      .crossJoin(broadcast(IvfIndex.centroidArray(cents)))
+      .withColumn("cell", IvfIndex.bestCell(col("embedding"), col("nrm"), rounded = true))
+    cp.join(broadcast(evCells), Seq("cell"))
+      .withColumn("rcos",
+        round(Similarity.dot(col("ee"), col("embedding")) / (col("en") * col("nrm")), 6))
+      .filter(col("rcos") >= SemTau)
+      // a (corpus, eval) pair reached through several probed cells
+      // would count several times — hits are per distinct pair
+      .select(col("vec_id"), col("eid"), col("rcos")).distinct()
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("rcos")).as("max_rcos"))
+      .orderBy("vec_id")
+  }
+
   /** Connected components by alternating large-star / small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14) — the loop body qd6's scaladoc promises for adversarial
@@ -1139,6 +1192,7 @@ object Dedup {
     "qd4_ngram_jaccard" -> (qd4_ngram_jaccard _),
     "qd5_embedding_neardup" -> (qd5_embedding_neardup _),
     "qd13_cell_neardup" -> (qd13_cell_neardup _),
+    "qd21_semantic_decontam" -> (qd21_semantic_decontam _),
     "qd14_simhash_neardup" -> (qd14_simhash_neardup _),
     "qd15_cell_recall" -> (qd15_cell_recall _),
     "qd16_ivf_neardup" -> (qd16_ivf_neardup _),
@@ -1535,6 +1589,36 @@ object Dedup {
          |QUALIFY row_number() OVER (PARTITION BY m.cluster_id
          |  ORDER BY m.quality DESC, m.id ASC) = 1
          |ORDER BY m.cluster_id""".stripMargin,
+    // qd21: qd13's nm/cents/scored chain, split cross-set — the eval
+    // side takes the ProbeCells prefix, the corpus side rank 1 (its
+    // bestCell); hits are distinct (corpus, eval) pairs at ≥ SemTau
+    "qd21_semantic_decontam" ->
+      s"""WITH nm AS (
+         | SELECT vec_id, embedding,
+         |  sqrt(list_sum(list_transform(range(64), i -> CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) * CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)))) AS nrm
+         | FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM nm
+         |          WHERE vec_id % 100 = 7),
+         |scored AS (
+         | SELECT nm.vec_id, cents.cid,
+         |  round(list_sum(list_transform(range(64), i -> CAST(cents.ce[CAST(i AS INT) + 1] AS DOUBLE) * CAST(nm.embedding[CAST(i AS INT) + 1] AS DOUBLE))) / (cents.cn * nm.nrm), 6) AS crcos
+         | FROM nm, cents),
+         |evp AS (
+         | SELECT vec_id AS eid, cid AS cell FROM scored WHERE vec_id % 25 = 0
+         | QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY crcos DESC, cid) <= $ProbeCells),
+         |cp AS (
+         | SELECT vec_id, cid AS cell FROM scored WHERE vec_id % 25 <> 0
+         | QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY crcos DESC, cid) = 1),
+         |hits AS (
+         | SELECT DISTINCT vec_id, eid, rcos FROM (
+         |  SELECT c.vec_id, e.eid,
+         |   round(list_sum(list_transform(range(64), i -> CAST(q.embedding[CAST(i AS INT) + 1] AS DOUBLE) * CAST(v.embedding[CAST(i AS INT) + 1] AS DOUBLE))) / (q.nrm * v.nrm), 6) AS rcos
+         |  FROM cp c JOIN evp e ON c.cell = e.cell
+         |   JOIN nm q ON e.eid = q.vec_id JOIN nm v ON c.vec_id = v.vec_id)
+         | WHERE rcos >= $SemTau)
+         |SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+         | MAX(rcos) AS max_rcos
+         |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin,
     "qd13_cell_neardup" ->
       s"""WITH nm AS (
          | SELECT vec_id, embedding,

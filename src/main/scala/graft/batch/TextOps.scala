@@ -1175,7 +1175,51 @@ object TextOps {
         (col("base") + col("local_off")).as("off"))
   }
 
+  /** qt20: reference-LM quality scoring — the CCNet-style "perplexity
+    * filter" stage, in the INTEGER-EXACT form the oracle gate demands:
+    * train a word-bigram count model on the REFERENCE slice
+    * (doc_id % 5 = 0 — the curated-subset stand-in), score every other
+    * doc by Σ ⌊log₂(1 + c(bigram))⌋ over its bigrams, and roll up per
+    * source. ⌊log₂(1+c)⌋ = length(bin(1+c)) − 1 is bit-arithmetic —
+    * identical in both engines and partition-order-free, where a float
+    * Σ log p would never hash-compare (the qt9 rule: aggregate exact
+    * integers). An unseen bigram scores 0, so the score is a monotone
+    * log-likelihood proxy under add-one smoothing up to the constant
+    * denominator; `n_low_lm` counts docs under the 2-bits-per-bigram
+    * line as `sum < 2·n` — the integer form of a mean threshold.
+    *
+    * Scale shape: the model is one vocabulary²-bounded aggregate; the
+    * corpus side explodes bigrams map-side and joins the model on the
+    * bigram key (vocabulary-keyed, qt5's discipline — the planner may
+    * broadcast a small model, and a corpus-sized one shuffles by
+    * bigram, never by doc); everything after is partial/final
+    * aggregates. */
+  def qt20_lm_score(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, d))
+    val bg = docs
+      .withColumn("toks", filter(split(lower(col("text")), " "), t => length(t) > 0))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+        .as("bg"))
+      .localCheckpoint() // feeds the model AND the scoring side
+    val model = bg.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    val scored = bg.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .join(model, Seq("bg"), "left")
+      .withColumn("bits", (length(bin(lit(1) + coalesce(col("c"), lit(0L)))) - 1).cast("long"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("bits")).as("score"), count(lit(1)).as("n_bg"))
+    scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("score")).as("sum_score"),
+        sum(col("n_bg")).as("sum_bigrams"),
+        sum(when(col("score") < lit(2) * col("n_bg"), 1L).otherwise(0L)).as("n_low_lm"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt20_lm_score" -> (qt20_lm_score _),
     "qt18_bpe_train" -> (qt18_bpe_train _),
     "qt19_bpe_tokens" -> (qt19_bpe_tokens _),
     "qt17_importance_select" -> (qt17_importance_select _),
@@ -1291,6 +1335,34 @@ object TextOps {
        |${(1 to BpeMerges).map(bpeStepSql).mkString(",\n")}""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // qt20: the bigram model is a plain count CTE; the integer-exact
+    // per-bigram score is length(bin(1 + c)) − 1 (⌊log₂⌋ by bit
+    // arithmetic — bin() agrees across engines, no float logs), and
+    // every rollup column is an exact integer
+    "qt20_lm_score" ->
+      """WITH t AS (
+        | SELECT doc_id, source,
+        |  list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS toks
+        | FROM documents),
+        |tb AS (
+        | SELECT doc_id, source,
+        |  unnest(list_transform(range(len(toks) - 1),
+        |    i -> toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2])) AS bg
+        | FROM t WHERE len(toks) >= 2),
+        |model AS (
+        | SELECT bg, CAST(COUNT(*) AS BIGINT) AS c FROM tb
+        | WHERE doc_id % 5 = 0 GROUP BY 1),
+        |scored AS (
+        | SELECT b.doc_id, b.source,
+        |  CAST(SUM(length(bin(1 + COALESCE(m.c, 0))) - 1) AS BIGINT) AS score,
+        |  CAST(COUNT(*) AS BIGINT) AS n_bg
+        | FROM tb b LEFT JOIN model m ON b.bg = m.bg
+        | WHERE b.doc_id % 5 <> 0 GROUP BY 1, 2)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(score) AS BIGINT) AS sum_score,
+        | CAST(SUM(n_bg) AS BIGINT) AS sum_bigrams,
+        | CAST(SUM(CASE WHEN score < 2 * n_bg THEN 1 ELSE 0 END) AS BIGINT) AS n_low_lm
+        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
     "qt18_bpe_train" ->
       s"""WITH $bpeChainSql
          |SELECT CAST(step AS INT) AS step, l AS lhs, r AS rhs, c AS pair_count FROM (

@@ -42,6 +42,40 @@ class CellNearDupSpec extends SparkSpec {
     assert(reported.subsetOf(multi))
   }
 
+  test("qd21 semantic decontam: the corpus side never shuffles (broadcast " +
+    "joins only), hits are recall-consistent with brute force at the tau") {
+    val res = Dedup.qd21_semantic_decontam(spark, sf)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      "the eval side must broadcast — a corpus-shuffling join breaks the qd7 rule")
+    val got = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute-force cross-set ground truth at the same tau: every flagged
+    // doc IS contaminated (precision 1.0 — the probe path only ever
+    // scores true cosines), and hit counts never exceed brute's
+    val emb = Tables.embeddings(spark, sf)
+      .withColumn("nrm", sqrt(expr("aggregate(embedding, 0d, (a, x) -> a + double(x) * double(x))")))
+      .localCheckpoint()
+    val ev = emb.filter(pmod(col("vec_id"), lit(25)) === 0)
+      .select(col("vec_id").as("eid"), col("embedding").as("ee"), col("nrm").as("en"))
+    val brute = emb.filter(pmod(col("vec_id"), lit(25)) =!= 0)
+      .crossJoin(broadcast(ev))
+      .withColumn("rcos", round(graft.functions.GraftFunctions.vec_dot(
+        col("ee"), col("embedding")) / (col("en") * col("nrm")), 6))
+      .filter(col("rcos") >= 0.4)
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty, "fixture must produce semantic contamination hits")
+    got.foreach { case (id, n) =>
+      assert(brute.contains(id), s"doc $id flagged but not contaminated (precision)")
+      assert(n <= brute(id), s"doc $id reports $n hits > brute ${brute(id)}")
+    }
+    // cell-bucketed recall on the fixture: the probe path keeps the
+    // large majority of truly contaminated docs (boundary losses only)
+    assert(got.size * 10 >= brute.size * 7,
+      s"recall ${got.size}/${brute.size} below the 70% fixture floor")
+  }
+
   test("degenerate corpus collapsing into one cell is bounded by the member cap") {
     // 2000 near-identical vectors (all land in one cell, all pairwise
     // cosine ≈ 1): candidate pairs must be O(cap²), not O(N²)
