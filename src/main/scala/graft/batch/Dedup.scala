@@ -1059,6 +1059,64 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** qd22: incremental CROSS-CORPUS near-dedup — the batch form of the
+    * streaming membrane's admission question: which docs of a NEW
+    * crawl slice (doc_id % 3 = 0) near-duplicate the EXISTING corpus
+    * (the rest)? Every recurring-crawl pipeline runs this before
+    * merging a new dump into the corpus. Unlike qd7's decontamination
+    * (whose eval side is benchmark-sized and broadcasts) BOTH sides
+    * here are corpus-sized, so candidates ride a SHUFFLE join on the
+    * shared LSH band keys — never a broadcast, never all-pairs. The
+    * EXISTING side is capped per bucket ([[CellCap]], md5-ordered):
+    * the cap sits on the WITNESS side only, so a boilerplate flood
+    * bucket still witnesses every new doc at |new| × cap pairs instead
+    * of |new| × |bucket| — the streaming membrane's one-sided-cap
+    * argument ([[graft.stream.EmbedIngest.inBatchLoserIds]]) applied
+    * batch-side; hash-ordering keeps eviction unbiased and
+    * oracle-reproducible. Witnessed pairs verify at the signature
+    * level (qd2's n_match / 6), and a new doc is a dup when its best
+    * witness clears est-Jaccard ≥ 1/2 (2·n_match ≥ [[NumHashes]], the
+    * integer-exact form). Output per duplicated new doc: its best
+    * witness (n_match DESC, id ASC), that score, and the qualifying
+    * witness count. */
+  def qd22_cross_corpus_neardup(s: SparkSession, d: String): DataFrame =
+    crossCorpusNearDup(minhashSigs(s, d).localCheckpoint(),
+      isNew = pmod(col("doc_id"), lit(3)) === 0, cap = CellCap)
+      .orderBy("doc_id")
+
+  /** qd22's machinery over any signature frame — the seam that lets
+    * DedupClusterSpec flood one bucket. `sigs` must be materialized by
+    * the caller (it feeds banding AND both verify-join sides). */
+  private[graft] def crossCorpusNearDup(sigs: DataFrame, isNew: Column,
+      cap: Int): DataFrame = {
+    val bands = bandKeysOf(sigs)
+    val nb = bands.filter(isNew)
+    val ob = bands.filter(!isNew)
+      .withColumn("rk", row_number().over(Window.partitionBy("band", "key")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .filter(col("rk") <= cap).drop("rk")
+    val cand = nb.as("n").join(ob.as("o"),
+        col("n.band") === col("o.band") && col("n.key") === col("o.key"))
+      // names distinct from the sigs schema: the verify joins below
+      // would otherwise make doc_id ambiguous
+      .select(col("n.doc_id").as("nid"), col("o.doc_id").as("wid")).distinct()
+    val sa = sigs.as("sa"); val sb = sigs.as("sb")
+    val ver = cand
+      .join(sa, col("nid") === col("sa.doc_id"))
+      .join(sb, col("wid") === col("sb.doc_id"))
+      .select(col("nid").as("doc_id"), col("wid").as("cand"),
+        (0 until NumHashes).map(j =>
+          when(col(s"sa.h$j") === col(s"sb.h$j"), 1).otherwise(0))
+          .reduce(_ + _).as("n_match"))
+      .filter(col("n_match") * 2 >= NumHashes)
+    ver.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_witnesses"),
+        // best witness = (n_match DESC, cand ASC) as one exact struct max
+        max(struct(col("n_match"), (lit(0L) - col("cand")).as("nc"))).as("b"))
+      .select(col("doc_id"), (lit(0L) - col("b.nc")).as("dup_of"),
+        col("b.n_match").as("best_match"), col("n_witnesses"))
+  }
+
   /** qd21's cosine floor — the qc2/qd16 near-dup threshold applied
     * cross-set (a corpus doc this close to an eval doc is its
     * paraphrase/near-copy for contamination purposes). */
@@ -1193,6 +1251,7 @@ object Dedup {
     "qd5_embedding_neardup" -> (qd5_embedding_neardup _),
     "qd13_cell_neardup" -> (qd13_cell_neardup _),
     "qd21_semantic_decontam" -> (qd21_semantic_decontam _),
+    "qd22_cross_corpus_neardup" -> (qd22_cross_corpus_neardup _),
     "qd14_simhash_neardup" -> (qd14_simhash_neardup _),
     "qd15_cell_recall" -> (qd15_cell_recall _),
     "qd16_ivf_neardup" -> (qd16_ivf_neardup _),
@@ -1589,6 +1648,49 @@ object Dedup {
          |QUALIFY row_number() OVER (PARTITION BY m.cluster_id
          |  ORDER BY m.quality DESC, m.id ASC) = 1
          |ORDER BY m.cluster_id""".stripMargin,
+    // qd22: the shared shingle/sigs/bands chain split cross-set — the
+    // existing side takes the md5-ordered CellCap witness prefix per
+    // bucket, the new side joins it on (band, key); signature verify
+    // at the integer est-Jaccard ≥ 1/2 line; best witness by
+    // (n_match DESC, id ASC)
+    "qd22_cross_corpus_neardup" ->
+      s"""WITH $shingleSql,
+         |sigs AS (
+         | SELECT doc_id,
+         |  MIN(md5('0|' || shingle)) AS h0, MIN(md5('1|' || shingle)) AS h1,
+         |  MIN(md5('2|' || shingle)) AS h2, MIN(md5('3|' || shingle)) AS h3,
+         |  MIN(md5('4|' || shingle)) AS h4, MIN(md5('5|' || shingle)) AS h5
+         | FROM shingles GROUP BY 1),
+         |bands AS (
+         | SELECT doc_id, 0 AS band, md5(h0 || h1 || h2) AS key FROM sigs
+         | UNION ALL
+         | SELECT doc_id, 1 AS band, md5(h3 || h4 || h5) AS key FROM sigs),
+         |nb AS (SELECT doc_id, band, key FROM bands WHERE doc_id % 3 = 0),
+         |ob AS (
+         | SELECT doc_id, band, key FROM bands WHERE doc_id % 3 <> 0
+         | QUALIFY row_number() OVER (PARTITION BY band, key
+         |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= $CellCap),
+         |cand AS (
+         | SELECT DISTINCT n.doc_id, o.doc_id AS cand
+         | FROM nb n JOIN ob o ON n.band = o.band AND n.key = o.key),
+         |ver AS (
+         | SELECT c.doc_id, c.cand,
+         |  CAST(((CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END) +
+         |        (CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END) +
+         |        (CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END) +
+         |        (CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END) +
+         |        (CASE WHEN a.h4 = b.h4 THEN 1 ELSE 0 END) +
+         |        (CASE WHEN a.h5 = b.h5 THEN 1 ELSE 0 END)) AS INT) AS n_match
+         | FROM cand c JOIN sigs a ON c.doc_id = a.doc_id
+         |             JOIN sigs b ON c.cand = b.doc_id),
+         |q AS (SELECT * FROM ver WHERE 2 * n_match >= $NumHashes),
+         |w AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_witnesses FROM q GROUP BY 1),
+         |bst AS (
+         | SELECT doc_id, cand AS dup_of, n_match AS best_match FROM q
+         | QUALIFY row_number() OVER (PARTITION BY doc_id
+         |   ORDER BY n_match DESC, cand ASC) = 1)
+         |SELECT bst.doc_id, bst.dup_of, bst.best_match, w.n_witnesses
+         |FROM bst JOIN w USING (doc_id) ORDER BY bst.doc_id""".stripMargin,
     // qd21: qd13's nm/cents/scored chain, split cross-set — the eval
     // side takes the ProbeCells prefix, the corpus side rank 1 (its
     // bestCell); hits are distinct (corpus, eval) pairs at ≥ SemTau

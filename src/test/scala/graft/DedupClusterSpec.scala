@@ -59,6 +59,26 @@ class DedupClusterSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("n_overflow") == 0L))
   }
 
+  test("cross-corpus flood: qd22's witness side is capped — |new| × cap " +
+    "pairs, never |new| × |bucket|, and rejection stays complete") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    // 1000 EXISTING docs + 10 NEW docs all sharing the whole shingle
+    // window → identical band keys, one flood bucket per band
+    val prefix = (0 until 30).map(i => f"x$i%02d").mkString(" ")
+    val docs = ((0L until 1000L).map(i => (i * 10L + 1L, s"$prefix tail$i")) ++
+      (0L until 10L).map(i => (i * 10L, s"$prefix tail$i"))).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSigsOf(docs).localCheckpoint()
+    val out = Dedup.crossCorpusNearDup(sigs,
+      isNew = pmod(col("doc_id"), lit(10)) === 0, cap = 16).collect()
+    // every new doc is REJECTED (complete: the flood is a true dup set)
+    assert(out.length == 10, s"all 10 new docs must match, got ${out.length}")
+    // and each one's witness set is the cap prefix, not the bucket
+    assert(out.forall(_.getAs[Long]("n_witnesses") == 16L),
+      out.map(r => r.getAs[Long]("n_witnesses")).mkString(","))
+    assert(out.forall(_.getAs[Int]("best_match") == 6))
+  }
+
   test("identical-fingerprint flood: qd14's pair space is O(SimBandCap²), not O(m²)") {
     import spark.implicits._
     // 2000 docs with the SAME simhash: every band bucket floods; the
