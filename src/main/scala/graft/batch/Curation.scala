@@ -654,6 +654,50 @@ object Curation {
       Shards.assign(splitBins(admS, p.packCapacity), nShards = 4))
   }
 
+  /** qc8: qc1's composed curation with the SEMANTIC decontamination
+    * layer threaded in (qd21's operator, composed) — the production
+    * decontam stack runs BOTH granularities: span fingerprints catch
+    * verbatim ≥ 47-char copies (qc1's stage), the embedding layer
+    * catches the paraphrased/translated eval contamination
+    * fingerprints structurally cannot see. Chain: quality gates →
+    * exact/band dedup → span decontam → SEMANTIC decontam (drop clean
+    * survivors whose embedding sits within [[Dedup.SemTau]] of any
+    * eval doc's — qd21's broadcast-probe shape: eval embeddings
+    * multi-probe and broadcast, the clean side assigns map-side, the
+    * corpus never shuffles for it) → mixture admission. Text is still
+    * scanned exactly once; the embeddings table joins the clean id
+    * set by doc_id (qc2's seam — docs without an embedding pass
+    * through, like unhashable payloads). */
+  def qc8_semantic_curation(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val all = graft.Tables.spread(graft.Tables.documents(s, d))
+    val corpus = all.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+    val ev = all.filter(pmod(col("doc_id"), lit(10)) === 7)
+      .select(col("doc_id"), col("text"))
+    val p = Params()
+    val clean = cleanedSignals(corpus, ev, p, phashBits = 0)
+    val enm = graft.Tables.embeddings(s, d)
+      .withColumn("nrm", sqrt(Similarity.norm2(col("embedding"))))
+      .localCheckpoint() // feeds quantizer, eval probes, clean assign
+    val cents = enm.filter(pmod(col("vec_id"), lit(100)) === 7)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val evCells = enm.filter(pmod(col("vec_id"), lit(10)) === 7)
+      .crossJoin(broadcast(IvfIndex.centroidArray(cents)))
+      .select(col("embedding").as("ee"), col("nrm").as("en"),
+        explode(IvfIndex.nearestCells(col("embedding"), col("nrm"),
+          Dedup.ProbeCells, rounded = true)).as("cell"))
+    val cp = clean.select(col("doc_id"))
+      .join(enm.select(col("vec_id").as("doc_id"), col("embedding"), col("nrm")),
+        Seq("doc_id"))
+      .crossJoin(broadcast(IvfIndex.centroidArray(cents)))
+      .withColumn("cell", IvfIndex.bestCell(col("embedding"), col("nrm"), rounded = true))
+    val semLosers = cp.join(broadcast(evCells), Seq("cell"))
+      .filter(round(Similarity.dot(col("ee"), col("embedding"))
+        / (col("en") * col("nrm")), 6) >= Dedup.SemTau)
+      .select(col("doc_id")).distinct()
+    mixtureAdmit(clean.join(semLosers, Seq("doc_id"), "left_anti"), p)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
     Map("qc1_curation" -> (qc1_curation _),
       "qc2_multimodal_curation" -> (qc2_multimodal_curation _),
@@ -661,7 +705,8 @@ object Curation {
       "qc4_multimodal_wide" -> (qc4_multimodal_wide _),
       "qc5_quality_curation" -> (qc5_quality_curation _),
       "qc6_selected_curation" -> (qc6_selected_curation _),
-      "qc7_split_shards" -> (qc7_split_shards _))
+      "qc7_split_shards" -> (qc7_split_shards _),
+      "qc8_semantic_curation" -> (qc8_semantic_curation _))
 
   /** The text-membrane CTE chain (corpus split → quality → exact/band
     * dedup → span decontam), shared verbatim by the qc1/qc2/qc4/qc5
@@ -890,6 +935,40 @@ object Curation {
       (textChainSql(qualityKeep = false) + ",\n" +
         mediaMembraneSql(64, 16, Multimodal.PhashHotCap) + "\n" +
         multimodalTailSql),
+    // qc8 = qc1's chain, then qd21's broadcast-probe semantic layer
+    // over the clean survivors (eval = the SAME doc_id % 10 = 7 split,
+    // at embedding granularity), then the shared mixture tail
+    "qc8_semantic_curation" ->
+      (textChainSql(qualityKeep = false) + ",\n" +
+        s"""enm AS (
+           | SELECT vec_id, embedding,
+           |  sqrt(${sqlDot64.format("embedding", "embedding")}) AS nrm
+           | FROM embeddings),
+           |scents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM enm
+           |           WHERE vec_id % 100 = 7),
+           |sscored AS (
+           | SELECT enm.vec_id, scents.cid,
+           |  round(${sqlDot64.format("scents.ce", "enm.embedding")} / (scents.cn * enm.nrm), 6) AS crcos
+           | FROM enm, scents),
+           |sevp AS (
+           | SELECT vec_id AS eid, cid AS cell FROM sscored WHERE vec_id % 10 = 7
+           | QUALIFY row_number() OVER (PARTITION BY vec_id
+           |   ORDER BY crcos DESC, cid) <= ${Dedup.ProbeCells}),
+           |scp AS (
+           | SELECT vec_id AS doc_id, cid AS cell FROM sscored
+           | WHERE vec_id IN (SELECT doc_id FROM clean)
+           | QUALIFY row_number() OVER (PARTITION BY vec_id
+           |   ORDER BY crcos DESC, cid) = 1),
+           |slosers AS (
+           | SELECT DISTINCT doc_id FROM (
+           |  SELECT c.doc_id,
+           |   round(${sqlDot64.format("q.embedding", "v.embedding")} / (q.nrm * v.nrm), 6) AS rcos
+           |  FROM scp c JOIN sevp e ON c.cell = e.cell
+           |   JOIN enm q ON e.eid = q.vec_id JOIN enm v ON c.doc_id = v.vec_id)
+           | WHERE rcos >= ${Dedup.SemTau}),
+           |sclean AS (
+           | SELECT * FROM clean WHERE doc_id NOT IN (SELECT doc_id FROM slosers)),
+           |""".stripMargin + mixtureTailSql("sclean")),
     // qc7 = qc1's chain, then the chain's OWN dup components (exact
     // content edges through each content_key's min ∪ the chain's
     // `bands` buckets — full pairs here, star edges engine-side: same
