@@ -1175,6 +1175,38 @@ object TextOps {
         (col("base") + col("local_off")).as("off"))
   }
 
+  /** Persist a trained tokenizer: the ranked merge list as one small
+    * parquet under `dir/merges` — the artifact a training run ships to
+    * every consumer (the IvfIndex discipline applied to the BPE
+    * model; engine-independent, readable by any parquet client). */
+  def saveBpe(spark: SparkSession, dir: String,
+      merges: Seq[(Int, String, String, Long)]): Unit =
+    spark.createDataFrame(merges).toDF("step", "lhs", "rhs", "pair_count")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/merges")
+
+  /** Load a persisted tokenizer's ranked merge list. */
+  def loadBpe(spark: SparkSession, dir: String): Seq[(Int, String, String)] =
+    spark.read.parquet(s"$dir/merges").orderBy("step")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+
+  /** Apply-side encoding for ANY word — including words the training
+    * corpus never held, which qt19's vocabulary join cannot encode:
+    * REPLAY the ranked merge list over the word's character sequence,
+    * one canonical left-to-right non-overlapping pass per merge in
+    * rank order (exactly the trainer's own evolution, so for every
+    * trained word the result is identical to the final vocabulary's
+    * — BpeSpec pins the equivalence word-for-word — and unseen words
+    * get the deterministic encoding the same trainer state implies).
+    * Row-local: `nMerges` chained fold expressions, no joins, no
+    * state; input needs a `w` column, output adds `syms`. */
+  def bpeApply(words: DataFrame, merges: Seq[(Int, String, String)]): DataFrame =
+    merges.sortBy(_._1).foldLeft(
+      words.withColumn("syms", expr(
+        "array_append(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '</w>')"))) {
+      case (df, (_, l, r)) => df.withColumn("syms", expr(bpeMergeExpr(l, r)))
+    }
+
   /** qt20: reference-LM quality scoring — the CCNet-style "perplexity
     * filter" stage, in the INTEGER-EXACT form the oracle gate demands:
     * train a word-bigram count model on the REFERENCE slice

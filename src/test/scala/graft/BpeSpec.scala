@@ -122,6 +122,33 @@ class BpeSpec extends SparkSpec {
     assert(TextOps.bpeTrainFast(docs, n)._1 == refFromDocs(docs, n))
   }
 
+  test("persisted model: save/load round-trips, replay-encode matches the " +
+    "trained vocabulary word-for-word, and UNSEEN words encode under it") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val (merges, vocab) = TextOps.bpeTrainFast(docs, 12)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_model").toString
+    TextOps.saveBpe(spark, dir, merges)
+    val loaded = TextOps.loadBpe(spark, dir)
+    assert(loaded == merges.map(m => (m._1, m._2, m._3)))
+    // replaying the ranked merges over raw characters reproduces the
+    // trained encoder for EVERY corpus word (the trainer's own
+    // evolution, replayed)
+    val replay = TextOps.bpeApply(vocab.select("w"), loaded)
+      .select(col("w"), col("syms").as("syms2"))
+    assert(vocab.join(replay, "w")
+      .filter(col("syms") =!= col("syms2")).isEmpty,
+      "replay must equal the trained vocabulary")
+    // a word the corpus never held encodes deterministically and still
+    // benefits from learned merges: build it from the FIRST learned
+    // merge's pair so at least that merge applies
+    val (_, l, r) = loaded.head
+    val unseen = (l + r) * 2 + "zq" // not a clean corpus word by construction
+    val out = TextOps.bpeApply(Seq(unseen).toDF("w"), loaded)
+      .select(size(col("syms"))).head().getInt(0)
+    assert(out < unseen.length + 1,
+      s"'$unseen' must compress below ${unseen.length + 1} raw symbols, got $out")
+  }
+
   test("merged symbols compose: a learned merge's pair count never exceeds " +
     "its parents' earlier counts") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
