@@ -1226,18 +1226,26 @@ object TextOps {
     * broadcast a small model, and a corpus-sized one shuffles by
     * bigram, never by doc); everything after is partial/final
     * aggregates. */
-  def qt20_lm_score(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.spread(Tables.documents(s, d))
+  def qt20_lm_score(s: SparkSession, d: String): DataFrame =
+    lmScoreOf(Tables.spread(Tables.documents(s, d)),
+      isRef = pmod(col("doc_id"), lit(5)) === 0)
+
+  /** [[qt20_lm_score]] over any (doc_id, source, text) frame and any
+    * reference predicate — the production entry points `isRef` at a
+    * TRUSTED source table's membership (`source === "curated"`, an id
+    * join, …); the query's id-residue slice is just the fixture
+    * stand-in. */
+  private[graft] def lmScoreOf(docs: DataFrame, isRef: Column): DataFrame = {
     val bg = docs
       .withColumn("toks", filter(split(lower(col("text")), " "), t => length(t) > 0))
       .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), col("source"), explode(expr(
+      .select(col("doc_id"), col("source"), isRef.as("is_ref"), explode(expr(
         "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
         .as("bg"))
       .localCheckpoint() // feeds the model AND the scoring side
-    val model = bg.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val model = bg.filter(col("is_ref"))
       .groupBy(col("bg")).agg(count(lit(1)).as("c"))
-    val scored = bg.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val scored = bg.filter(!col("is_ref"))
       .join(model, Seq("bg"), "left")
       .withColumn("bits", (length(bin(lit(1) + coalesce(col("c"), lit(0L)))) - 1).cast("long"))
       .groupBy(col("doc_id"), col("source"))

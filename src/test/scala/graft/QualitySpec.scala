@@ -11,6 +11,23 @@ import graft.batch.Quality
 class QualitySpec extends SparkSpec {
   import spark.implicits._
 
+  test("lmScoreOf: the reference slice is a caller predicate — a source-" +
+    "membership reference scores every OTHER source, and the id-residue " +
+    "instantiation is exactly qt20") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.01"
+    val docs = Tables.spread(Tables.documents(spark, d))
+    val refSource = docs.select("source").orderBy("source").head().getString(0)
+    val bySource = graft.batch.TextOps.lmScoreOf(docs, col("source") === refSource)
+      .collect().map(_.getString(0))
+    assert(bySource.nonEmpty && !bySource.contains(refSource),
+      s"the reference source must not be scored: ${bySource.take(3).mkString(",")}")
+    val viaSeam = graft.batch.TextOps
+      .lmScoreOf(docs, pmod(col("doc_id"), lit(5)) === 0).collect().toSeq
+    val viaQuery = graft.batch.TextOps.qt20_lm_score(spark, d).collect().toSeq
+    assert(viaSeam == viaQuery)
+  }
+
   test("batch observation: row count and null counts ride along") {
     val df = Seq((Some(1L), "a"), (None, "b"), (Some(3L), null), (None, null))
       .toDF("v", "s")
