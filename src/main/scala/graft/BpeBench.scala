@@ -68,8 +68,22 @@ object BpeBench {
     val deepSecs = (System.nanoTime() - t2) / 1e9
     val deep = s""""deep":{"n_vocab":$deepN,"merges":${deepM.length},""" +
       s""""fast_secs":${d3(deepSecs)},"fast_secs_per_round":${d4(deepSecs / math.max(1, deepM.length))}}"""
+    // the APPLY side at the same depth (round-15 verdict #1): replay
+    // the deep model over the full word set with the one-expression
+    // encoder — the throughput a tokenization pass pays per word. The
+    // chained reference form cannot run here (deepMerges plan nodes).
+    val deepWords = deepDocs.select(col("text").as("w")).localCheckpoint()
+    val nWords = deepWords.count()
+    val t3 = System.nanoTime()
+    val nSyms = graft.batch.TextOps
+      .bpeApply(deepWords, deepM.map(m => (m._1, m._2, m._3)))
+      .select(sum(size(col("syms")))).head().getLong(0)
+    val applySecs = (System.nanoTime() - t3) / 1e9
+    val apply = s""""apply":{"n_words":$nWords,"merges":${deepM.length},""" +
+      s""""n_syms":$nSyms,"secs":${d3(applySecs)},""" +
+      s""""words_per_sec":${d3(nWords / math.max(1e-9, applySecs))}}"""
     println(s"""{"metric":"bpe_train_vocab_secs","value":${sizes.max},""" +
-      s""""unit":"words","rungs":{${(rows :+ deep).mkString(",")}}}""")
+      s""""unit":"words","rungs":{${(rows :+ deep :+ apply).mkString(",")}}}""")
     spark.stop()
   }
 }

@@ -1198,9 +1198,28 @@ object TextOps {
     * trained word the result is identical to the final vocabulary's
     * — BpeSpec pins the equivalence word-for-word — and unseen words
     * get the deterministic encoding the same trainer state implies).
-    * Row-local: `nMerges` chained fold expressions, no joins, no
-    * state; input needs a `w` column, output adds `syms`. */
+    *
+    * PRODUCTION-SHAPED since round 16 (round-15 verdict #1): ONE
+    * row-local native expression ([[graft.functions.BpeEncodeExpr]])
+    * carrying the whole ranked list as plan state — a rank-skipping
+    * replay whose per-word cost is bounded by the word's own merge
+    * activity, never by the model's merge count. The chained
+    * one-fold-per-merge form ([[bpeApplyChained]]) stays as the spec
+    * reference at fixture counts: a 32k-merge model through it would
+    * be a 32k-node expression chain the analyzer and codegen cannot
+    * survive. Input needs a `w` column, output adds `syms`; no joins,
+    * no state, stays inside whole-stage codegen. */
   def bpeApply(words: DataFrame, merges: Seq[(Int, String, String)]): DataFrame =
+    words.withColumn("syms",
+      graft.functions.GraftFunctions.bpe_encode(col("w"), merges))
+
+  /** The reference replay — `nMerges` chained fold expressions, the
+    * literal plan-level transcription of the trainer's evolution.
+    * Viable only at fixture merge counts (the analyzer cost is
+    * superlinear in plan depth); BpeSpec pins [[bpeApply]] ≡ this
+    * word-for-word, which is what licenses the fast form. */
+  private[graft] def bpeApplyChained(words: DataFrame,
+      merges: Seq[(Int, String, String)]): DataFrame =
     merges.sortBy(_._1).foldLeft(
       words.withColumn("syms", expr(
         "array_append(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '</w>')"))) {

@@ -49,6 +49,12 @@ object GraftFunctions {
   def span_fps(c: Column, window: Int, stride: Int): Column =
     column(SpanFingerprintsExpr(expression(c), window, stride))
 
+  /** Column API for the native BPE replay encoder ([[BpeEncodeExpr]]);
+    * no SQL registration — the ranked merge list is plan state, not
+    * something SQL literals can carry at 32k merges. */
+  def bpe_encode(word: Column, merges: Seq[(Int, String, String)]): Column =
+    column(BpeEncodeExpr(expression(word), merges))
+
   /** Column API for the native Bloom membership test
     * ([[BloomMightContainExpr]]); no SQL registration — the filter is a
     * runtime object, not something SQL literals can carry. */

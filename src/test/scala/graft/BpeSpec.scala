@@ -149,6 +149,58 @@ class BpeSpec extends SparkSpec {
       s"'$unseen' must compress below ${unseen.length + 1} raw symbols, got $out")
   }
 
+  test("fast replay encoder ≡ the chained reference form, word-for-word — " +
+    "trained vocab, unseen words, and adversarial re-creation cases") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val (merges0, vocab) = TextOps.bpeTrainFast(docs, 12)
+    val merges = merges0.map(m => (m._1, m._2, m._3))
+    // every trained word plus constructed stressors: the first merge's
+    // pair doubled, long runs (overlap handling), and a word where a
+    // LATER merge re-creates an EARLIER merge's pair string — the one
+    // case naive min-rank greedy diverges from sequential replay
+    val (_, l1, r1) = merges.head
+    val words = vocab.select("w").as[String].collect().toSeq ++
+      Seq(l1 + r1 + l1 + r1 + "zq", "aaaaaaa", l1 * 3 + r1 * 3, "x")
+    val wdf = words.toDF("w")
+    val fast = TextOps.bpeApply(wdf, merges).select(col("w"), col("syms"))
+    val slow = TextOps.bpeApplyChained(wdf, merges)
+      .select(col("w"), col("syms").as("syms2"))
+    val diff = fast.join(slow, "w").filter(col("syms") =!= col("syms2"))
+    assert(diff.isEmpty, diff.collect().take(3).mkString("\n"))
+    // adversarial merge LIST (not trainable, but the API accepts any):
+    // rank 1 = (b,c)→bc, rank 2 = (abc,d), rank 3 = (a,bc)→abc.
+    // Sequential replay of "abcd" runs bc, finds no "abc" at rank 2
+    // YET, then builds it at rank 3 → [abc, d]; naive min-rank greedy
+    // would fire rank 2 after rank 3 created "abc" → [abcd].
+    val adv = Seq((1, "b", "c"), (2, "abc", "d"), (3, "a", "bc"))
+    val advWords = Seq("abcd", "abcdabcd", "dabc").toDF("w")
+    val fa = TextOps.bpeApply(advWords, adv).select(col("w"), col("syms"))
+    val sa = TextOps.bpeApplyChained(advWords, adv)
+      .select(col("w"), col("syms").as("syms2"))
+    val d2 = fa.join(sa, "w").filter(col("syms") =!= col("syms2"))
+    assert(d2.isEmpty, d2.collect().mkString("\n"))
+    assert(fa.filter(col("w") === "abcd").select("syms").as[Seq[String]]
+      .head() == Seq("abc", "d", "</w>"))
+  }
+
+  test("fast replay at production merge depth: ≥2000 merges reproduce the " +
+    "trained vocabulary word-for-word (the chained form cannot get here)") {
+    // synthetic distinct-word vocabulary, BpeBench's shape: md5-hex
+    // words inside the trainer charset; 20k words give the trainer
+    // thousands of distinct pairs to merge
+    val docs = spark.range(20000L)
+      .select(substring(md5(col("id").cast("string")), 1, 8).as("text"))
+    val (merges, vocab) = TextOps.bpeTrainFast(docs, 2000)
+    assert(merges.length >= 2000, s"expected ≥2000 merges, got ${merges.length}")
+    val replay = TextOps.bpeApply(vocab.select("w"),
+        merges.map(m => (m._1, m._2, m._3)))
+      .select(col("w"), col("syms").as("syms2"))
+    val diff = vocab.join(replay, "w").filter(col("syms") =!= col("syms2"))
+    assert(diff.isEmpty,
+      "deep replay must equal the trained vocabulary: " +
+        diff.collect().take(3).mkString("\n"))
+  }
+
   test("merged symbols compose: a learned merge's pair count never exceeds " +
     "its parents' earlier counts") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
