@@ -51,6 +51,14 @@ private[graft] object FsLease {
   private val monitors = scala.collection.concurrent.TrieMap.empty[String, Object]
   def monitorOf(dir: String): Object = monitors.getOrElseUpdate(dir, new Object)
 
+  // renews go through the tombstone move (atomic, round-15 ADVICE), so
+  // the TTL/3 heartbeat thread and a commit-point renewOrFail in the
+  // SAME JVM must not race each other's rename — the body thread holds
+  // monitorOf(dir) for its whole scope, so renews need their own lock
+  private val renewLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def renewLockOf(dir: String): Object =
+    renewLocks.getOrElseUpdate(dir, new Object)
+
   /** The standard maintenance fence: per-dir monitor (same-JVM) + FS
     * lease (cross-JVM), failing by name when another process holds the
     * layout. */
@@ -130,11 +138,27 @@ private[graft] object FsLease {
     val txt = readPresent(fs, tomb).getOrElse("")
     if (breakable(txt)) { fs.delete(tomb, false); Some(true) }
     else {
-      // we displaced a claim we may not break — put it back; if the
-      // path was re-occupied in the window, the displaced owner's
-      // release()/renewOrFail() turns the loss into a loud failure
-      val restored = try fs.rename(tomb, p) catch { case _: java.io.IOException => false }
-      if (!restored) fs.delete(tomb, false)
+      // we displaced a claim we may not break — put it back. Retry the
+      // restore (round-15 ADVICE: a transient rename failure must not
+      // silently drop a LIVE foreign claim); a restore can only lose
+      // permanently when a third claimant re-occupied the path in the
+      // window, and that drop is LOGGED by owner so the displaced
+      // writer's eventual renewOrFail/release failure is attributable
+      var restored = false
+      var attempt = 0
+      while (!restored && attempt < 5) {
+        attempt += 1
+        restored = try fs.rename(tomb, p) catch { case _: java.io.IOException => false }
+        if (!restored && fs.exists(p)) attempt = 5 // re-occupied: no retry helps
+        else if (!restored) Thread.sleep(20)
+      }
+      if (!restored) {
+        System.err.println(
+          s"[graft] FsLease: dropping displaced live claim $txt for $dir " +
+            "(path re-occupied during an atomic takedown check) — its owner " +
+            "will fail loudly at its next renewOrFail/release")
+        fs.delete(tomb, false)
+      }
       Some(false)
     }
   }
@@ -199,24 +223,50 @@ private[graft] object FsLease {
   /** Re-stamp our live claim with a fresh expiry — long writers call
     * this right before the commit/install step, so a body that
     * overran the TTL fails HERE, loudly, instead of committing a
-    * layout mutation on a lost lease. The overwrite is safe: we just
-    * verified the claim is still ours, and only an expired claim can
-    * be usurped. */
-  def renewOrFail(spark: SparkSession, dir: String, what: String): Unit = {
+    * layout mutation on a lost lease.
+    *
+    * Atomic like every other removal (round-15 ADVICE): the old
+    * verify-then-overwrite had a window — between the ownership read
+    * and the `create(overwrite = true)`, a usurper could break our
+    * just-expired claim and take the lease, and the delayed renew
+    * (a GC- or FS-stalled heartbeat past the TTL) would then CLOBBER
+    * the usurper's live claim, silently re-admitting two writers. Now
+    * the renew renames our own claim to a tombstone first (only one
+    * process can win that move — a usurper that already broke it
+    * makes the rename fail, which is the loud path), verifies the
+    * renamed bytes are really ours (restoring a displaced foreign
+    * claim if not), and re-creates the fresh claim with the same
+    * atomic create-if-absent as [[tryAcquire]] — so a contender that
+    * claimed the briefly-empty path wins and the renew FAILS instead
+    * of overwriting it. */
+  def renewOrFail(spark: SparkSession, dir: String, what: String): Unit = renewLockOf(dir).synchronized {
     require(depth.getOrElse(dir, 0) > 0,
       s"FsLease.renewOrFail($dir) outside an acquired scope")
     val p = leasePath(dir)
     val fs = fsOf(spark, dir)
-    val txt = readPresent(fs, p).getOrElse("")
-    if (!ownerOf(txt).contains(ownerId))
+    def usurped(detail: String): Nothing =
       throw new IllegalStateException(
         s"$what for $dir overran the lease TTL (spark.graft.indexLeaseMs) and " +
-          s"was usurped by ${if (txt.isEmpty) "(lease gone)" else txt} — aborting " +
-          "before the commit so the usurper's layout is not corrupted; raise the " +
-          "TTL for writes this long")
-    val out = fs.create(p, true)
-    try out.write(claimJson(spark).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+          s"was usurped by $detail — aborting before the commit so the " +
+          "usurper's layout is not corrupted; raise the TTL for writes this long")
+    takeDownIf(fs, dir)(txt => ownerOf(txt).contains(ownerId)) match {
+      case Some(true) => // our claim is down and nobody else can hold
+        // its bytes — re-create atomically; losing THIS create means a
+        // contender claimed the empty path in the window: fail loudly,
+        // never overwrite
+        try {
+          val out = fs.create(p, false)
+          try out.write(claimJson(spark).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        } catch {
+          case _: java.io.IOException =>
+            usurped(readPresent(fs, p).getOrElse("(lease gone)"))
+        }
+      case Some(false) => // renamed bytes were a FOREIGN live claim —
+        // takeDownIf already restored it
+        usurped(describe(spark, dir))
+      case None => usurped("(lease gone)")
+    }
   }
 
   /** Writer scope: acquire or fail loudly by name. `what` names the

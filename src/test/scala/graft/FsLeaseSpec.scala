@@ -85,6 +85,43 @@ class FsLeaseSpec extends SparkSpec {
     assert(Files.readString(leaseFile(dir)).contains("some-other-process"))
   }
 
+  test("renewOrFail with the claim GONE (broken and released by a usurper) " +
+    "throws and leaves no tombstone debris") {
+    val dir = tmpDir()
+    val e = intercept[IllegalStateException] {
+      FsLease.guarded(spark, dir, "test op") {
+        Files.delete(leaseFile(dir)) // usurper broke us, then released
+        FsLease.renewOrFail(spark, dir, "test op")
+      }
+    }
+    assert(e.getMessage.contains("overran the lease TTL"), e.getMessage)
+    val it = Files.list(Paths.get(dir)).iterator()
+    val names = new scala.collection.mutable.ArrayBuffer[String]
+    while (it.hasNext) names += it.next().getFileName.toString
+    assert(!names.exists(_.startsWith(".lease_tomb_")), names.mkString(", "))
+  }
+
+  test("commit-point renews and the heartbeat never trip each other: the " +
+    "renew's atomic move is serialized per dir within the JVM") {
+    val dir = tmpDir()
+    spark.conf.set("spark.graft.indexLeaseMs", "300") // beat every 100 ms
+    try {
+      FsLease.guarded(spark, dir, "test op") {
+        // hammer commit-point renews across several heartbeat periods —
+        // under the old overwrite this was trivially safe; under the
+        // tombstone-move renew, an unserialized heartbeat would steal
+        // the rename and make a renew here throw "(lease gone)"
+        val deadline = System.currentTimeMillis() + 900
+        while (System.currentTimeMillis() < deadline) {
+          FsLease.renewOrFail(spark, dir, "test op")
+          Thread.sleep(7)
+        }
+        assert(Files.exists(leaseFile(dir)))
+      }
+      assert(!Files.exists(leaseFile(dir)))
+    } finally spark.conf.unset("spark.graft.indexLeaseMs")
+  }
+
   test("the heartbeat keeps a long body's claim alive past the TTL") {
     val dir = tmpDir()
     spark.conf.set("spark.graft.indexLeaseMs", "400") // beat every ~133 ms
