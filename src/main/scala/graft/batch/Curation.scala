@@ -152,6 +152,52 @@ object Curation {
         splitBins(admS, p.packCapacity), nShards, dir)
   }
 
+  /** The composed CORPUS-VERSION BUMP (round-15 verdict #3) — the
+    * versioned update loop a recurring-crawl pipeline runs per dump,
+    * wiring the three pieces that existed separately into one library
+    * entry (the batch twin of the streaming membrane's epoch):
+    *
+    *   1. ADMISSION — [[Dedup.crossCorpusNearDup]]: which new-slice
+    *      docs near-duplicate the PRIOR corpus? Rejected up front (the
+    *      recurring-crawl question; in-slice duplicates among the new
+    *      docs themselves are the merged chain's own dedup membrane's
+    *      job and fall out in step 3);
+    *   2. LEDGER — [[SplitLedger.assign]] records the merged version's
+    *      cluster membership, sticky across versions (a doc trained on
+    *      at version N can never surface in eval at N+1);
+    *   3. LAYOUT — [[curateToShards]]'s split-ledgered path re-runs
+    *      the full membrane over prior ∪ admitted and lands
+    *      split-tagged shards (steps 2 and 3 share the one
+    *      `splitLedgerDir` run — assign rides inside curateToShards).
+    *
+    * Scale shape: signatures are computed once per side (the prior
+    * side's could be cached from its own version's run); candidate
+    * pairs ride the shuffle band join with the witness-side-only cap
+    * (never broadcast, never all-pairs); everything after moves narrow
+    * id frames. Returns the one-row version report
+    * (ledger_version, n_new, n_rejected, n_admitted). */
+  def versionBump(priorDocs: DataFrame, newSlice: DataFrame, eval: DataFrame,
+      dir: String, nShards: Int, p: Params): DataFrame = {
+    require(p.splitLedgerDir.isDefined,
+      "versionBump needs Params(splitLedgerDir) — the sticky ledger IS the " +
+        "cross-version training contract")
+    val spark = priorDocs.sparkSession
+    val sigs = Dedup.minhashSigsOf(priorDocs).withColumn("is_new", lit(false))
+      .unionByName(Dedup.minhashSigsOf(newSlice).withColumn("is_new", lit(true)))
+      .localCheckpoint() // feeds banding AND both verify sides
+    val dupNew = Dedup.crossCorpusNearDup(sigs, col("is_new"), Dedup.CellCap)
+      .select(col("doc_id"))
+      .localCheckpoint() // bounded by |new slice|; read twice below
+    val admittedNew = newSlice.join(dupNew, Seq("doc_id"), "left_anti")
+    curateToShards(priorDocs.unionByName(admittedNew), eval, dir, nShards, p)
+    val nNew = newSlice.count()
+    val nRej = dupNew.count()
+    spark.createDataFrame(Seq((
+      SplitLedger.currentVersion(spark, p.splitLedgerDir.get),
+      nNew, nRej, nNew - nRej)))
+      .toDF("ledger_version", "n_new", "n_rejected", "n_admitted")
+  }
+
   /** (doc_id, cluster_id) membership of the curation chain's OWN dup
     * equivalence, built entirely from pass-1 signals (never a second
     * text scan): exact edges connect each content_key's docs through
@@ -698,6 +744,43 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** qc9: qc1's composed curation with the REFERENCE-LM quality gate
+    * threaded in (qt20's operator, composed — round-15 verdict #2):
+    * the CCNet-style perplexity filter as a membrane stage. Chain:
+    * quality gates → exact/band dedup → span decontam → LM gate (drop
+    * clean survivors scoring under the 2-bits-per-bigram line against
+    * a bigram model trained on the corpus's REFERENCE slice,
+    * doc_id % 5 = 0 — qt20's curated-subset stand-in; reference docs
+    * pass the gate by definition) → mixture admission.
+    *
+    * Scan accounting (the qc8 convention): the LM stage re-reads text
+    * for the CLEAN SURVIVORS only — the same budget slot the shard
+    * writer's payload re-read occupies in curateToShards, so the
+    * composed query stays at two text touches. The PRODUCTION path
+    * pays less still: the model is trained once and FROZEN
+    * ([[TextOps.saveLm]]/[[TextOps.loadLm]] — QualitySpec pins saved ≡
+    * in-query), so scoring a new corpus version is one bigram-keyed
+    * join against the loaded table, never a reference re-scan. */
+  def qc9_lm_curation(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val all = graft.Tables.spread(graft.Tables.documents(s, d))
+    val corpus = all.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+    val ev = all.filter(pmod(col("doc_id"), lit(10)) === 7)
+      .select(col("doc_id"), col("text"))
+    val p = Params()
+    val clean = cleanedSignals(corpus, ev, p, phashBits = 0)
+    // clean-survivor text, read once for BOTH the model slice and the
+    // scored slice (the reference slice is corpus data too)
+    val ctext = corpus.select(col("doc_id"), col("source"), col("text"))
+      .join(clean.select(col("doc_id")), Seq("doc_id"))
+      .localCheckpoint()
+    val isRef = pmod(col("doc_id"), lit(5)) === 0
+    val lowLm = T.lmScoreDocs(ctext.filter(!isRef), T.lmTrain(ctext.filter(isRef)))
+      .filter(col("score") < lit(2) * col("n_bg"))
+      .select(col("doc_id"))
+    mixtureAdmit(clean.join(lowLm, Seq("doc_id"), "left_anti"), p)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
     Map("qc1_curation" -> (qc1_curation _),
       "qc2_multimodal_curation" -> (qc2_multimodal_curation _),
@@ -706,7 +789,8 @@ object Curation {
       "qc5_quality_curation" -> (qc5_quality_curation _),
       "qc6_selected_curation" -> (qc6_selected_curation _),
       "qc7_split_shards" -> (qc7_split_shards _),
-      "qc8_semantic_curation" -> (qc8_semantic_curation _))
+      "qc8_semantic_curation" -> (qc8_semantic_curation _),
+      "qc9_lm_curation" -> (qc9_lm_curation _))
 
   /** The text-membrane CTE chain (corpus split → quality → exact/band
     * dedup → span decontam), shared verbatim by the qc1/qc2/qc4/qc5
@@ -969,6 +1053,35 @@ object Curation {
            |sclean AS (
            | SELECT * FROM clean WHERE doc_id NOT IN (SELECT doc_id FROM slosers)),
            |""".stripMargin + mixtureTailSql("sclean")),
+    // qc9 = qc1's chain, then qt20's bigram-model CTEs instantiated
+    // over the clean survivors (model = the doc_id % 5 = 0 reference
+    // slice; score = Σ length(bin(1+c))−1, the integer-exact ⌊log₂⌋),
+    // the 2-bits-per-bigram gate on the non-reference side, then the
+    // shared mixture tail
+    "qc9_lm_curation" ->
+      (textChainSql(qualityKeep = false) + ",\n" +
+        """lmtok AS (
+          | SELECT doc_id,
+          |  list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS toks
+          | FROM clean),
+          |lmbg AS (
+          | SELECT doc_id,
+          |  unnest(list_transform(range(len(toks) - 1),
+          |    i -> toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2])) AS bg
+          | FROM lmtok WHERE len(toks) >= 2),
+          |lmmodel AS (
+          | SELECT bg, CAST(COUNT(*) AS BIGINT) AS c FROM lmbg
+          | WHERE doc_id % 5 = 0 GROUP BY 1),
+          |lmsc AS (
+          | SELECT b.doc_id,
+          |  CAST(SUM(length(bin(1 + COALESCE(m.c, 0))) - 1) AS BIGINT) AS score,
+          |  CAST(COUNT(*) AS BIGINT) AS n_bg
+          | FROM lmbg b LEFT JOIN lmmodel m ON b.bg = m.bg
+          | WHERE b.doc_id % 5 <> 0 GROUP BY 1),
+          |lmlow AS (SELECT doc_id FROM lmsc WHERE score < 2 * n_bg),
+          |lclean AS (
+          | SELECT * FROM clean WHERE doc_id NOT IN (SELECT doc_id FROM lmlow)),
+          |""".stripMargin + mixtureTailSql("lclean")),
     // qc7 = qc1's chain, then the chain's OWN dup components (exact
     // content edges through each content_key's min ∪ the chain's
     // `bands` buckets — full pairs here, star edges engine-side: same

@@ -1277,6 +1277,57 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Train [[qt20_lm_score]]'s bigram count model over a REFERENCE
+    * corpus — (bg, c), the frozen artifact a production pipeline
+    * trains ONCE on its curated slice and scores every later corpus
+    * version against (round-15 verdict #2). Vocabulary²-bounded; one
+    * shuffle on the bigram key. */
+  def lmTrain(refDocs: DataFrame): DataFrame =
+    lmBigrams(refDocs).groupBy(col("bg")).agg(count(lit(1)).as("c"))
+
+  /** Per-doc LM scores for `docs` against a trained `model` —
+    * (doc_id, source, score, n_bg), where score = Σ ⌊log₂(1 + c)⌋
+    * over the doc's bigrams ([[qt20_lm_score]]'s integer-exact form)
+    * and the low-quality line is score < 2 · n_bg. Docs with fewer
+    * than two tokens have no bigrams and are absent (no evidence —
+    * callers gate them through). The corpus side shuffles by bigram
+    * key only (vocabulary-keyed, never by doc); a frozen model read
+    * via [[loadLm]] makes this the whole cost of the perplexity gate. */
+  def lmScoreDocs(docs: DataFrame, model: DataFrame): DataFrame =
+    lmBigrams(docs)
+      .join(model, Seq("bg"), "left")
+      .withColumn("bits", (length(bin(lit(1) + coalesce(col("c"), lit(0L)))) - 1).cast("long"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("bits")).as("score"), count(lit(1)).as("n_bg"))
+
+  /** The shared bigram explode — (doc_id, source, bg); `source` rides
+    * along when present (model training inputs may omit it). */
+  private def lmBigrams(docs: DataFrame): DataFrame = {
+    val src = if (docs.columns.contains("source")) col("source")
+      else lit("").as("source")
+    docs
+      .withColumn("toks", filter(split(lower(col("text")), " "), t => length(t) > 0))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), src, explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+        .as("bg"))
+  }
+
+  /** Persist a trained reference-LM model: the (bg, c) count table as
+    * parquet under `dir/model` — the [[saveBpe]] discipline applied to
+    * the perplexity gate, so corpus versions score against a FROZEN
+    * reference instead of re-training per run. NOT coalesced: a real
+    * reference model is vocabulary²-bounded but still a table, not a
+    * config row. */
+  def saveLm(spark: SparkSession, dir: String, model: DataFrame): Unit =
+    model.select(col("bg"), col("c").cast("long").as("c"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/model")
+
+  /** Load a persisted reference-LM model ([[saveLm]]). */
+  def loadLm(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/model")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qt20_lm_score" -> (qt20_lm_score _),
     "qt18_bpe_train" -> (qt18_bpe_train _),

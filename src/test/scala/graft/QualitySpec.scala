@@ -28,6 +28,40 @@ class QualitySpec extends SparkSpec {
     assert(viaSeam == viaQuery)
   }
 
+  test("persisted LM model: saveLm/loadLm round-trips, and a FROZEN model " +
+    "scores a new slice identically to in-query training (round-15 #2)") {
+    import graft.batch.TextOps
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.spread(Tables.documents(spark, d))
+    val isRef = pmod(col("doc_id"), lit(5)) === 0
+    val model = TextOps.lmTrain(docs.filter(isRef))
+    val dir = java.nio.file.Files.createTempDirectory("lm_model").toString
+    TextOps.saveLm(spark, dir, model)
+    val loaded = TextOps.loadLm(spark, dir)
+    // the persisted table IS the model, row for row
+    assert(loaded.orderBy("bg").collect().toSeq ==
+      model.select(col("bg"), col("c").cast("long")).orderBy("bg").collect().toSeq)
+    // a "new corpus version": a different slice of the fixture, scored
+    // once against the frozen artifact and once against the in-query
+    // model — identical per-doc scores (the production path never
+    // re-trains per version)
+    val newSlice = docs.filter(!isRef && pmod(col("doc_id"), lit(3)) === 1)
+    val viaFrozen = TextOps.lmScoreDocs(newSlice, loaded)
+      .orderBy("doc_id").collect().toSeq
+    val viaInQuery = TextOps.lmScoreDocs(newSlice, model)
+      .orderBy("doc_id").collect().toSeq
+    assert(viaFrozen == viaInQuery && viaFrozen.nonEmpty)
+    // and the per-doc seam reproduces qt20's rollup exactly: rolling
+    // lmScoreDocs up per source equals the oracle-gated query
+    val viaSeam = TextOps.lmScoreDocs(docs.filter(!isRef), model)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("sum_score"),
+        sum(col("n_bg")).as("sum_bigrams"),
+        sum(when(col("score") < lit(2) * col("n_bg"), 1L).otherwise(0L)).as("n_low_lm"))
+      .orderBy("source").collect().toSeq
+    assert(viaSeam == TextOps.qt20_lm_score(spark, d).collect().toSeq)
+  }
+
   test("batch observation: row count and null counts ride along") {
     val df = Seq((Some(1L), "a"), (None, "b"), (Some(3L), null), (None, null))
       .toDF("v", "s")
