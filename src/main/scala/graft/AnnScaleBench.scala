@@ -255,6 +255,63 @@ object AnnScaleBench {
         }
       }
 
+      // ---- `skewidx` arm (round-15 verdict #5): the SERVING index
+      // under collapsed drift — the regime the GROWTH trigger
+      // structurally cannot see (the driftcost arm measured it on the
+      // streaming membrane; this prices the same trigger on
+      // IvfIndex.rebuildIfGrown). Build at √N on half the rung corpus,
+      // append three DRIFTED slices (coordinate-0 bias e·0.5·‖v‖ —
+      // driftmembrane's construction, steeper) totalling 1.75× growth:
+      // under the 2× growth factor, so growth alone says "not due",
+      // while the drifted rows collapse into the few frozen cells
+      // nearest the drift direction. The row records: the growth-only
+      // verdict (must be false), the occupancy ratio, the
+      // occupancy-triggered verdict (must be true) with its rebuild
+      // priced, and the probe-path search time before vs after — the
+      // cost the trigger exists to recover.
+      if (armsWanted("skewidx") && n == scales.last) {
+        val skewDir = s"$outRoot/ivf_skew_r16"
+        val fsk = new java.io.File(skewDir)
+        if (fsk.exists) rmTree(fsk)
+        val embAll = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+        val half = embAll.filter(pmod(col("vec_id"), lit(2)) === 0)
+        val cH = math.ceil(math.sqrt(half.count().toDouble)).toInt
+        IvfIndex.build(half, skewDir, cH)
+        val drifted = (1 to 3).map { e =>
+          val sl = embAll.filter(pmod(col("vec_id"), lit(8)) === lit(2 * e - 1))
+          withNrm(sl).select(col("vec_id"),
+            concat(array((element_at(col("embedding"), 1) +
+                lit(0.5f * e) * col("nrm").cast("float")).cast("float")),
+              org.apache.spark.sql.functions.slice(col("embedding"), 2, Dim - 1))
+              .as("embedding"))
+            .localCheckpoint()
+        }
+        drifted.foreach(dlt => IvfIndex.appendBatch(spark, skewDir, dlt))
+        val corpusNow = (half +: drifted).reduce(_ unionByName _)
+        val occ = spark.read.parquet(IvfIndex.cellsPath(spark, skewDir))
+          .groupBy(col("cell")).agg(count(lit(1)).as("m"))
+          .agg(max(col("m")), sum(col("m"))).head
+        val occRatio = occ.getLong(0).toDouble / (occ.getLong(1).toDouble / cH)
+        val (tAged, _) = time {
+          IvfIndex.search(spark, skewDir, sampleQ, K, p8)
+            .queryExecution.toRdd.count()
+        }
+        val grownDue = IvfIndex.rebuildIfGrown(spark, skewDir, corpusNow,
+          factor = 2.0, skewFactor = 0)
+        val (tTrig, skewDue) = time {
+          IvfIndex.rebuildIfGrown(spark, skewDir, corpusNow, factor = 2.0)
+        }
+        val (tRe, _) = time {
+          IvfIndex.search(spark, skewDir, sampleQ, K, p8)
+            .queryExecution.toRdd.count()
+        }
+        extraArms ++= s""","skewidx":{"grown_due":$grownDue,""" +
+          s""""skew_due":$skewDue,"occ_ratio":${d3(occRatio)},""" +
+          s""""growth":${d3(occ.getLong(1).toDouble / half.count())},""" +
+          s""""search_aged_sec":${d3(tAged)},"trigger_and_rebuild_sec":${d3(tTrig)},""" +
+          s""""search_rebuilt_sec":${d3(tRe)}}"""
+      }
+
       // ---- `filtered` arm: qs9's recall story, measured — planted
       // twins whose BASES all satisfy the predicate (label = 3, ~10%
       // selective), searched over the attr-carrying q=2 index WITH the

@@ -384,7 +384,7 @@ object IvfIndex {
     * exactly like the centroids do, and refreshes on the same
     * [[rebuild]] cadence. */
   private[graft] case class AttrStat(rows: Long, distinct: Long,
-      top: Map[String, Long])
+      top: Map[Option[String], Long])
 
   private[graft] val AttrStatTopK = 64
 
@@ -407,15 +407,21 @@ object IvfIndex {
       // second totals aggregate — in-query builds (qs9's shape) stay
       // one small job per attr
       val top0 = counts.orderBy(col("c").desc, col("v")).limit(AttrStatTopK + 1)
-        .collect().map(r => (Option(r.getString(0)).getOrElse("null"), r.getLong(1)))
+        .collect().map(r => (Option(r.getString(0)), r.getLong(1)))
       val (rows, distinct, top) =
         if (top0.length <= AttrStatTopK) (top0.map(_._2).sum, top0.length.toLong, top0)
         else {
           val agg = counts.agg(sum(col("c")).as("rows"), count(lit(1)).as("d")).head()
           (agg.getLong(0), agg.getLong(1), top0.take(AttrStatTopK))
         }
+      // SQL NULL serializes as a JSON null, DISTINCT from the string
+      // "null" (round-15 ADVICE: collapsing the two under .toMap could
+      // mis-relate distinct/top.size and fire the provably-absent→0
+      // branch off a wrong relation)
       a -> (("rows" -> rows) ~ ("distinct" -> distinct) ~
-        ("top" -> top.toList.map { case (v, c) => ("v" -> v) ~ ("c" -> c) }))
+        ("top" -> top.toList.map { case (v, c) =>
+          ("v" -> v.map(org.json4s.JString(_)).getOrElse(org.json4s.JNull)
+            .asInstanceOf[org.json4s.JValue]) ~ ("c" -> c) }))
     }
     JsonMethods.compact(JsonMethods.render(
       stats.foldLeft(org.json4s.JObject()) { case (o, (k, v)) => o ~ (k -> v) }))
@@ -435,11 +441,16 @@ object IvfIndex {
           val top = (st \ "top") match {
             case JArray(items) => items.flatMap { it =>
               (it \ "v") match {
-                case JString(v) => Some(v -> asLong(it \ "c"))
+                case JString(v) => Some(Option(v) -> asLong(it \ "c"))
+                // a JSON null value row is the SQL NULL bucket —
+                // distinct from the string "null" (a pre-round-16
+                // layout's "null" strings stay Some("null"), the old
+                // collapsed behavior: conservative, never upgraded)
+                case JNull => Some((None: Option[String]) -> asLong(it \ "c"))
                 case _ => None
               }
             }.toMap
-            case _ => Map.empty[String, Long]
+            case _ => Map.empty[Option[String], Long]
           }
           name -> AttrStat(asLong(st \ "rows"), asLong(st \ "distinct"), top)
         }.toMap
@@ -486,7 +497,9 @@ object IvfIndex {
     import org.apache.spark.sql.catalyst.{expressions => E}
     def eqSel(attr: String, lit: E.Literal): Option[Double] =
       meta.attrStats.get(attr).filter(_.rows > 0).map { st =>
-        val v = Option(lit.value).map(_.toString).getOrElse("null")
+        // a NULL literal looks up the SQL-NULL bucket (None), never
+        // the string "null" — mirroring the stats' JSON-null encoding
+        val v: Option[String] = Option(lit.value).map(_.toString)
         st.top.get(v) match {
           case Some(c) => c.toDouble / st.rows
           case None if st.distinct <= st.top.size => 0.0
@@ -769,9 +782,22 @@ object IvfIndex {
     * no data IO), so calling this on every maintenance tick is cheap.
     * Returns whether a rebuild ran. A pre-round-13 meta (rows = 0)
     * rebuilds unconditionally, the safe direction: it gains the
-    * annotated meta in the process. */
+    * annotated meta in the process.
+    *
+    * OCCUPANCY SKEW (round-15 verdict #5) — the trigger growth
+    * structurally cannot see: a drifting corpus appends into the few
+    * frozen cells nearest the drift direction, so per-probe candidate
+    * cost diverges while total rows grow only linearly. Like the
+    * streaming membrane's [[graft.stream.EmbedIngest.requantizeIfSkewed]]
+    * (whose driftcost arm measured the divergence and priced factor
+    * 3), rebuild also when the hottest cell holds ≥ `skewFactor` ×
+    * the MEAN occupancy over the quantizer's C cells (total / C, not
+    * occupied cells — a fully collapsed layout must read as skewed,
+    * not balanced). One count-per-partition aggregate over the `cell`
+    * partition column — no vector bytes read — and only when growth
+    * alone did not already fire. `skewFactor ≤ 0` disables. */
   def rebuildIfGrown(spark: SparkSession, dir: String, corpus: DataFrame,
-      factor: Double = 2.0): Boolean =
+      factor: Double = 2.0, skewFactor: Double = 3.0): Boolean =
     // the growth check and the rebuild it triggers hold ONE critical
     // section (the monitor is reentrant, so the nested rebuild re-entry
     // is fine): with the check outside it, two concurrent maintenance
@@ -781,8 +807,16 @@ object IvfIndex {
     withInstallLease(spark, dir) {
       recoverRebuild(spark, dir)
       val meta = metaOf(spark, dir)
-      val rowsNow = spark.read.parquet(cellsDirOf(dir, meta.gen)).count()
-      val due = rowsNow >= factor * meta.rows
+      val cells = spark.read.parquet(cellsDirOf(dir, meta.gen))
+      val rowsNow = cells.count()
+      val grown = rowsNow >= factor * meta.rows
+      val skewed = !grown && skewFactor > 0 && meta.nCells > 1 && {
+        val occ = cells.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n")).as("mx"), sum(col("n")).as("tot")).head()
+        !occ.isNullAt(0) &&
+          occ.getLong(0) >= skewFactor * (occ.getLong(1).toDouble / meta.nCells)
+      }
+      val due = grown || skewed
       if (due) rebuild(spark, dir, corpus)
       due
     }
@@ -835,8 +869,25 @@ object IvfIndex {
     // attr-equality predicates from the stats its build recorded
     // ([[deriveSelectivity]], round-14 verdict #6) — the qs9 oracle
     // restates the estimate AND the floor, so the auto-route is
-    // oracle-gated at every rung
-    val sel = selectivityHint.orElse(where.flatMap(deriveSelectivity(_, meta)))
+    // oracle-gated at every rung. FRESHNESS (round-15 verdict #7):
+    // the stats age with appends and refresh only on the rebuild
+    // cadence, so a heavily appended layout could mis-route to brute
+    // on frequencies that no longer describe the cells. A derived
+    // estimate may flip the route to brute ONLY while the layout holds
+    // fewer than attrStatsStaleFactor × the stats' recorded rows — the
+    // row count is one metadata-only parquet count, paid only when the
+    // estimate would actually flip the route. Caller hints are the
+    // caller's own claim and bypass the gate.
+    val sel = selectivityHint.orElse {
+      where.flatMap(deriveSelectivity(_, meta)).filter { s =>
+        s >= bruteFloor || meta.rows <= 0 || {
+          val staleFactor = spark.conf.getOption("spark.graft.attrStatsStaleFactor")
+            .flatMap(_.toDoubleOption).getOrElse(1.5)
+          spark.read.parquet(cellsDirOf(dir, meta.gen)).count() <
+            staleFactor * meta.rows
+        }
+      }
+    }
     if (where.isDefined && sel.exists(_ < bruteFloor)) {
       val q = withNorm(queries)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))

@@ -571,7 +571,8 @@ class IvfIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val d = Files.createTempDirectory("ivf_grow").toString
     val half = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
     IvfIndex.build(half, d, nCells = 8)
-    // no growth yet → no rebuild
+    // no growth yet → no rebuild (and the default occupancy check
+    // stays quiet on an ordinary md5-sampled layout — skew ≈ 1.x)
     assert(!IvfIndex.rebuildIfGrown(spark, d, half, factor = 2.0))
     assert(IvfIndex.metaOf(spark, d).ver == 1)
     // doubling the layout crosses factor 2 → rebuild runs, auto-sized
@@ -580,5 +581,64 @@ class IvfIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val meta = IvfIndex.metaOf(spark, d)
     assert(meta.ver == 2 &&
       meta.nCells == math.ceil(math.sqrt(emb.count().toDouble)).toInt, meta.toString)
+  }
+
+  test("rebuildIfGrown: occupancy skew fires the rebuild where growth " +
+    "alone would not (round-15 verdict #5)") {
+    val d = Files.createTempDirectory("ivf_skew").toString
+    IvfIndex.build(emb, d, nCells = 8)
+    // drift burst: 2n/3 new vectors that are all COPIES of one corpus
+    // embedding — identical vectors assign to one frozen cell, so the
+    // layout grows only 1.67× (under the growth factor) while the hot
+    // cell's occupancy diverges — requantizeIfSkewed's collapsed-drift
+    // regime, on the serving index
+    val n = emb.count()
+    val donor = emb.orderBy("vec_id").limit(1).select(col("embedding"))
+    val hot = spark.range(2 * n / 3).crossJoin(donor)
+      .select((col("id") + lit(10000000L)).as("vec_id"), col("embedding"))
+    IvfIndex.appendBatch(spark, d, hot)
+    val corpusNow = emb.select(col("vec_id"), col("embedding")).unionByName(hot)
+    // skew check disabled → growth alone says "not due"
+    assert(!IvfIndex.rebuildIfGrown(spark, d, corpusNow, factor = 2.0,
+      skewFactor = 0))
+    assert(IvfIndex.metaOf(spark, d).ver == 1)
+    // hottest cell ≥ 3 × mean occupancy → the occupancy trigger fires
+    assert(IvfIndex.rebuildIfGrown(spark, d, corpusNow, factor = 2.0))
+    val meta = IvfIndex.metaOf(spark, d)
+    assert(meta.ver == 2 &&
+      meta.nCells == math.ceil(math.sqrt(corpusNow.count().toDouble)).toInt,
+      meta.toString)
+    // NOTE deliberately NOT asserted quiet post-rebuild: this batch is
+    // IDENTICAL vectors, which no re-celling can split (equal points
+    // share a cell under any quantizer) — deduplicating such floods is
+    // the exact-dedup membrane's job upstream (qd1/EmbedIngest's
+    // in-batch rule), not the index's. A DISTINCT-vector drift blob
+    // re-balances on rebuild (AnnScaleBench's driftcost measurement).
+  }
+
+  test("stale attr stats keep the probe route: an appended layout past the " +
+    "stale factor must not brute-route on frequencies it no longer has " +
+    "(round-15 verdict #7)") {
+    val d = Files.createTempDirectory("ivf_stale").toString
+    val c = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+    IvfIndex.build(emb, d, c, assign = 2, attrs = Seq("label"))
+    def run(hint: Option[Double] = None) =
+      IvfIndex.search(spark, d, queries, k = 3, nProbe = 2,
+        where = Some(col("label") === 3), selectivityHint = hint)
+    def hasProbe(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.toString.contains("nearest_cells")
+    assert(!hasProbe(run()), "fresh stats below the floor auto-route to brute")
+    // append 2/3 of the corpus again under new ids: the layout now
+    // holds ≥ 1.5 × the stats' recorded rows — past the stale default
+    val extra = emb.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+      .withColumn("vec_id", col("vec_id") + lit(10000000L))
+    IvfIndex.appendBatch(spark, d, extra)
+    assert(hasProbe(run()),
+      "stale stats must not flip the route — probes are the honest default")
+    // a caller hint is the caller's own claim and bypasses the gate
+    assert(!hasProbe(run(Some(1e-4))))
+    // the rebuild refreshes the stats → the auto-route re-engages
+    IvfIndex.rebuild(spark, d, emb.unionByName(extra))
+    assert(!hasProbe(run()), "refreshed stats must re-enable the auto-route")
   }
 }
