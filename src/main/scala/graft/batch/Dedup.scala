@@ -1089,9 +1089,12 @@ object Dedup {
     * the caller (it feeds banding AND both verify-join sides). */
   private[graft] def crossCorpusNearDup(sigs: DataFrame, isNew: Column,
       cap: Int): DataFrame = {
-    val bands = bandKeysOf(sigs)
-    val nb = bands.filter(isNew)
-    val ob = bands.filter(!isNew)
+    // the membership split runs on the SIGS frame (before banding), so
+    // `isNew` may reference any column the caller carried on it — an
+    // id-residue (qd22's fixture), or a literal is_new tag from a
+    // two-table union ([[graft.batch.Curation.versionBump]]'s shape)
+    val nb = bandKeysOf(sigs.filter(isNew))
+    val ob = bandKeysOf(sigs.filter(!isNew))
       .withColumn("rk", row_number().over(Window.partitionBy("band", "key")
         .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
       .filter(col("rk") <= cap).drop("rk")
