@@ -1153,12 +1153,30 @@ object Dedup {
       .localCheckpoint() // feeds quantizer, eval probes, corpus assign
     val cents = enm.filter(pmod(col("vec_id"), lit(100)) === 7)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
-    val evCells = enm.filter(pmod(col("vec_id"), lit(25)) === 0)
+    semanticPairs(enm, pmod(col("vec_id"), lit(25)) === 0, cents, ProbeCells)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("rcos")).as("max_rcos"))
+      .orderBy("vec_id")
+  }
+
+  /** qd21's probe/score machinery over any normed embedding frame —
+    * the seam the paraphrase-twin recall sweep drives with planted
+    * twins and a VARIABLE eval-side fan-out (the round-15 edge: p is
+    * the cheap recall lever because it scales with the benchmark, not
+    * the corpus): eval rows multi-probe `probe` cells of the shared
+    * quantizer and broadcast as a cell → member table; every other
+    * row assigns map-side to its ONE best cell and scores only the
+    * broadcast members sharing it — the corpus never shuffles.
+    * Returns the distinct contaminated (vec_id, eid, rcos) pairs at
+    * `rcos ≥ [[SemTau]]`. */
+  private[graft] def semanticPairs(enm: DataFrame, isEval: Column,
+      cents: DataFrame, probe: Int): DataFrame = {
+    val evCells = enm.filter(isEval)
       .crossJoin(broadcast(IvfIndex.centroidArray(cents)))
       .select(col("vec_id").as("eid"), col("embedding").as("ee"), col("nrm").as("en"),
-        explode(IvfIndex.nearestCells(col("embedding"), col("nrm"), ProbeCells,
+        explode(IvfIndex.nearestCells(col("embedding"), col("nrm"), probe,
           rounded = true)).as("cell"))
-    val cp = enm.filter(pmod(col("vec_id"), lit(25)) =!= 0)
+    val cp = enm.filter(!isEval)
       .crossJoin(broadcast(IvfIndex.centroidArray(cents)))
       .withColumn("cell", IvfIndex.bestCell(col("embedding"), col("nrm"), rounded = true))
     cp.join(broadcast(evCells), Seq("cell"))
@@ -1168,9 +1186,6 @@ object Dedup {
       // a (corpus, eval) pair reached through several probed cells
       // would count several times — hits are per distinct pair
       .select(col("vec_id"), col("eid"), col("rcos")).distinct()
-      .groupBy(col("vec_id"))
-      .agg(count(lit(1)).as("n_eval_hits"), max(col("rcos")).as("max_rcos"))
-      .orderBy("vec_id")
   }
 
   /** Connected components by alternating large-star / small-star

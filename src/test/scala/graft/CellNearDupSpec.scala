@@ -76,6 +76,52 @@ class CellNearDupSpec extends SparkSpec {
       s"recall ${got.size}/${brute.size} below the 70% fixture floor")
   }
 
+  test("qd21 probe fan-out sweep vs PLANTED paraphrase twins: recall is " +
+    "monotone in p, and the production p=5 holds a high floor") {
+    val dim = 64
+    val emb = Tables.embeddings(spark, sf)
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(embedding, 0d, (a, x) -> a + double(x) * double(x))")))
+      .localCheckpoint()
+    // plant one paraphrase twin per EVAL doc into the corpus: the
+    // hash-parity ε-perturbation (AnnScaleBench's construction,
+    // ε = 0.25 → cos ≈ 0.970 — far above SemTau, i.e. every twin IS
+    // contamination the membrane must flag)
+    val eps = 0.25
+    val twins = emb.filter(pmod(col("vec_id"), lit(25)) === 0)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        array((0 until dim).map { j =>
+          (element_at(col("embedding"), j + 1) +
+            (pmod(hash(col("vec_id"), lit(j)), lit(2)) * 2 - 1).cast("float") *
+              lit(eps.toFloat) * (col("nrm") / lit(math.sqrt(dim.toDouble))).cast("float"))
+            .cast("float")
+        }: _*).as("embedding"))
+    val enm2 = emb.select(col("vec_id"), col("embedding")).unionByName(twins)
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(embedding, 0d, (a, x) -> a + double(x) * double(x))")))
+      .localCheckpoint()
+    val cents = enm2.filter(pmod(col("vec_id"), lit(100)) === 7)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    // eval = the original %25 slice only (its planted twins are corpus)
+    val isEval = pmod(col("vec_id"), lit(25)) === 0 && col("vec_id") < 1000000L
+    val nTwin = twins.count()
+    def plantedHits(p: Int): Long =
+      graft.batch.Dedup.semanticPairs(enm2, isEval, cents, p)
+        .filter(col("vec_id") >= 1000000L &&
+          col("eid") === col("vec_id") - 1000000L)
+        .count()
+    val ps = Seq(1, 3, 5, 10)
+    val hits = ps.map(plantedHits)
+    // recall never falls as the eval-side fan-out grows (a probed-cell
+    // SET only widens), and the production p=5 catches ≥ 90% of
+    // planted paraphrase contamination on the fixture
+    assert(hits.zip(hits.tail).forall { case (a, b) => a <= b },
+      s"recall must be monotone in p: ${ps.zip(hits)}")
+    assert(hits(2) * 10 >= nTwin * 9,
+      s"p=5 planted recall ${hits(2)}/$nTwin under the 90% floor")
+    assert(nTwin > 0 && hits.last <= nTwin)
+  }
+
   test("degenerate corpus collapsing into one cell is bounded by the member cap") {
     // 2000 near-identical vectors (all land in one cell, all pairwise
     // cosine ≈ 1): candidate pairs must be O(cap²), not O(N²)

@@ -141,4 +141,33 @@ class ExpressionSpec extends SparkSpec {
       }
     }
   }
+
+  test("bpe_encode interpreted evaluation == codegen evaluation") {
+    import spark.implicits._
+    // overlap runs, chained merges, an l==r merge, an unseen charset
+    // word, and the empty word (encodes to just the end marker)
+    val merges = Seq((1, "a", "b"), (2, "ab", "c"), (3, "c", "</w>"), (4, "ab", "ab"))
+    val df = Seq("abcabc", "abc", "ababab", "aababb", "zq", "").toDF("w")
+    val e = GraftFunctions.bpe_encode(col("w"), merges).as("syms")
+    val prevExcl = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    try {
+      val codegen = df.select(e).collect().map(_.getSeq[String](0))
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interpreted = df.select(e).collect().map(_.getSeq[String](0))
+      assert(interpreted.toSeq === codegen.toSeq)
+      assert(codegen.last == Seq("</w>"), "empty word → just the end marker")
+    } finally {
+      prevFactory match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+      prevExcl match {
+        case Some(v) => spark.conf.set("spark.sql.optimizer.excludedRules", v)
+        case None => spark.conf.unset("spark.sql.optimizer.excludedRules")
+      }
+    }
+  }
 }
