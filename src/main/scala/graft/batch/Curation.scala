@@ -740,8 +740,11 @@ object Curation {
       .filter(round(Similarity.dot(col("ee"), col("embedding"))
         / (col("en") * col("nrm")), 6) >= Dedup.SemTau)
       .select(col("doc_id")).distinct()
-    mixtureAdmit(clean.join(semLosers, Seq("doc_id"), "left_anti"), p)
-      .orderBy("doc_id")
+    // materialized like `clean`: mixtureAdmit reads its input twice,
+    // and the semantic-loser chain would re-run in both branches
+    // (qc9's PlanAudit finding, same shape here)
+    val gated = clean.join(semLosers, Seq("doc_id"), "left_anti").localCheckpoint()
+    mixtureAdmit(gated, p).orderBy("doc_id")
   }
 
   /** qc9: qc1's composed curation with the REFERENCE-LM quality gate
@@ -777,8 +780,12 @@ object Curation {
     val lowLm = T.lmScoreDocs(ctext.filter(!isRef), T.lmTrain(ctext.filter(isRef)))
       .filter(col("score") < lit(2) * col("n_bg"))
       .select(col("doc_id"))
-    mixtureAdmit(clean.join(lowLm, Seq("doc_id"), "left_anti"), p)
-      .orderBy("doc_id")
+    // materialized like `clean` itself: mixtureAdmit reads its input
+    // twice (inventory rates + the admission filter), and an
+    // unmaterialized gate would re-run the whole LM scoring chain in
+    // both branches (PlanAudit caught the doubled sub-tree)
+    val gated = clean.join(lowLm, Seq("doc_id"), "left_anti").localCheckpoint()
+    mixtureAdmit(gated, p).orderBy("doc_id")
   }
 
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
