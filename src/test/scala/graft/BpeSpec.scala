@@ -201,6 +201,42 @@ class BpeSpec extends SparkSpec {
         diff.collect().take(3).mkString("\n"))
   }
 
+  test("property: fast replay ≡ chained replay on random duplicate-free " +
+    "merge lists over random words (25 seeded cases)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def forAll[T](gen: Gen[T], n: Int)(body: T => Unit): Unit =
+      (0 until n).foreach { i =>
+        gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
+      }
+    // merge symbols over a 3-letter alphabet — random pairs whether or
+    // not they can ever fire; duplicate (l, r) pairs deduped to match
+    // the trained-artifact contract the encoder documents (a trained
+    // list never repeats a pair: its count drops to zero on merging)
+    val sym = for {
+      n <- Gen.choose(1, 3)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val mergeList = Gen.listOfN(12, Gen.zip(sym, sym)).map { ps =>
+      ps.distinct.zipWithIndex.map { case ((l, r), i) => (i + 1, l, r) }
+    }
+    val word = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    forAll(Gen.zip(mergeList, Gen.listOfN(8, word)), n = 25) {
+      case (merges, words0) =>
+        val words = words0.distinct
+        val wdf = words.toDF("w")
+        val fast = TextOps.bpeApply(wdf, merges)
+          .select("w", "syms").as[(String, Seq[String])].collect().toMap
+        val slow = TextOps.bpeApplyChained(wdf, merges)
+          .select("w", "syms").as[(String, Seq[String])].collect().toMap
+        assert(fast == slow,
+          s"divergence under merges=$merges:\n" +
+            words.filter(w => fast(w) != slow(w))
+              .map(w => s"  $w: fast=${fast(w)} chained=${slow(w)}").mkString("\n"))
+    }
+  }
+
   test("merged symbols compose: a learned merge's pair count never exceeds " +
     "its parents' earlier counts") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
