@@ -116,16 +116,19 @@ case class BpeEncodeExpr(child: Expression,
         }
         top
       }
+      var floor = -1
       def enqueuePairs(): Unit = {
         var i = 0
         while (i + 1 < n) {
           val rk = rankOf.get(syms(i) + Sep + syms(i + 1))
-          if (rk ne null) push(rk.intValue())
+          // ranks at or below the replay floor can never fire — not
+          // queueing them (rather than discarding at pop) bounds heap
+          // growth on pathological single tokens (base64 blobs etc.)
+          if ((rk ne null) && rk.intValue() > floor) push(rk.intValue())
           i += 1
         }
       }
       enqueuePairs()
-      var floor = -1
       while (hn > 0) {
         val rk = pop()
         if (rk > floor) { // sequential replay: a rank already passed
