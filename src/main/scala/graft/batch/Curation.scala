@@ -89,6 +89,16 @@ object Curation {
       // on the docs input.
       importanceBudget: Option[Long] = None,
       targetLang: String = "en",
+      // qt20's perplexity gate threaded into the composed chain
+      // (round-16): when set, admission additionally drops clean
+      // survivors scoring under the 2-bits-per-bigram line against the
+      // FROZEN reference-LM model persisted at this dir
+      // ([[TextOps.saveLm]]) — qc9's stage with the production model
+      // source: trained once on a curated slice, loaded per run, one
+      // bigram-keyed join (never a reference re-scan). The scored text
+      // re-read covers only the clean survivors (qc9's scan-budget
+      // argument).
+      lmModelDir: Option[String] = None,
       // qd20's sticky ledger threaded into the shard output (round-14
       // verdict #3): when set, [[curateToShards]] records this corpus
       // version's dup-cluster membership in the [[SplitLedger]] at
@@ -138,7 +148,11 @@ object Curation {
       // rides pass 1's signals (content_key + row-local band keys — no
       // re-tokenization), splits/bins move only narrow id frames, and
       // the shard writer's payload re-read is unchanged.
-      val (clean, sig) = cleanedSignalsAndSig(docs, eval, p, phashBits = 0)
+      val (clean0, sig) = cleanedSignalsAndSig(docs, eval, p, phashBits = 0)
+      // the LM gate sits between the membrane and admission, like every
+      // other drop stage; membership stays PRE-gate (sig) — a low-LM
+      // doc is still a recorded cluster member, like a dedup loser
+      val clean = lmGate(docs, clean0, p)
       val adm =
         if (p.importanceBudget.isDefined) importanceAdmit(clean, p)
         else mixtureAdmit(clean, p)
@@ -245,10 +259,28 @@ object Curation {
     * relational semantics DuckDB can reproduce. */
   private[graft] def admitted(docs: DataFrame, eval: DataFrame,
       p: Params): DataFrame = {
-    val clean = cleanedSignals(docs, eval, p, phashBits = 0)
+    val clean = lmGate(docs, cleanedSignals(docs, eval, p, phashBits = 0), p)
     if (p.importanceBudget.isDefined) importanceAdmit(clean, p)
     else mixtureAdmit(clean, p)
   }
+
+  /** The frozen-model perplexity gate (`Params(lmModelDir)`): drop
+    * clean survivors scoring under 2 bits/bigram against the persisted
+    * reference-LM model — qc9's stage with [[TextOps.loadLm]] as the
+    * model source. No-op when unset. Materialized like `clean` (the
+    * admission tail reads its input twice). */
+  private def lmGate(docs: DataFrame, clean: DataFrame, p: Params): DataFrame =
+    p.lmModelDir match {
+      case None => clean
+      case Some(dir) =>
+        val lowLm = T.lmScoreDocs(
+            docs.select(col("doc_id"), col("source"), col("text"))
+              .join(clean.select(col("doc_id")), Seq("doc_id")),
+            T.loadLm(docs.sparkSession, dir))
+          .filter(col("score") < lit(2) * col("n_bg"))
+          .select(col("doc_id"))
+        clean.join(lowLm, Seq("doc_id"), "left_anti").localCheckpoint()
+    }
 
   /** Text-side membrane chain — quality gates → exact dedup → band
     * near-dedup → span decontamination — returning the narrow signal

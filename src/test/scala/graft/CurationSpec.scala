@@ -288,6 +288,42 @@ class CurationSpec extends SparkSpec {
     assert(nPairs < n.toLong * (n - 1) / 4, "must be far below the uncapped pair space")
   }
 
+  test("lmModelDir gates admission against the FROZEN persisted model, and " +
+    "matches the hand-composed gate exactly") {
+    import graft.batch.TextOps
+    // sf0.01, not the suite's sf0.001: the 2-bits-per-bigram line is
+    // data-dependent, and the tiny fixture's bigram counts are so
+    // sparse that EVERY doc falls under it (an all-empty gate would
+    // make the equivalence check vacuous)
+    val docs = Tables.spread(Tables.documents(spark, "/root/testdata/sf0.01"))
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+    val ev = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
+      .select(col("doc_id"), col("text"))
+    // qc9's reference shape: the doc_id % 5 slice as the model corpus
+    val dir = java.nio.file.Files.createTempDirectory("lm_gate").toString
+    TextOps.saveLm(spark, dir,
+      TextOps.lmTrain(corpus.filter(pmod(col("doc_id"), lit(5)) === 0)))
+    val open = Curation.admitted(corpus, ev, Curation.Params())
+      .select("doc_id").as[Long].collect().toSet
+    val gated = Curation.admitted(corpus, ev,
+        Curation.Params(lmModelDir = Some(dir)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(gated.subsetOf(open), "the gate can only DROP docs")
+    assert(gated.size < open.size, "the narrow reference must bind")
+    assert(gated.nonEmpty, "some docs must clear the 2-bit line at sf0.01")
+    // hand-composed equivalence through the public seams
+    val clean = Curation.cleanedSignals(corpus, ev, Curation.Params(), 0)
+    val lowLm = TextOps.lmScoreDocs(
+        corpus.select(col("doc_id"), col("source"), col("text"))
+          .join(clean.select(col("doc_id")), Seq("doc_id")),
+        TextOps.loadLm(spark, dir))
+      .filter(col("score") < lit(2) * col("n_bg")).select(col("doc_id"))
+    val byHand = Curation.mixtureAdmit(
+        clean.join(lowLm, Seq("doc_id"), "left_anti"), Curation.Params())
+      .select("doc_id").as[Long].collect().toSet
+    assert(gated == byHand)
+  }
+
   test("curate admission is deterministic across runs") {
     val docs = Tables.documents(spark, d)
     val ev = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
