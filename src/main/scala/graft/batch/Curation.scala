@@ -196,6 +196,20 @@ object Curation {
       "versionBump needs Params(splitLedgerDir) — the sticky ledger IS the " +
         "cross-version training contract")
     val spark = priorDocs.sparkSession
+    // the id contract, enforced loudly (round-16 review): a new-slice
+    // doc_id colliding with a prior doc_id would double-match the
+    // signature-verify joins (inflating witnesses), and an admitted
+    // collision would land the SAME doc_id twice in the merged corpus,
+    // the ledger, and the shards. Re-crawls must carry fresh ids —
+    // "same content, new id" is exactly what the admission stage
+    // detects; id identity is the ledger's key, never a crawl's.
+    val collided = newSlice.select(col("doc_id"))
+      .join(priorDocs.select(col("doc_id")), Seq("doc_id"))
+      .limit(1).collect()
+    require(collided.isEmpty,
+      s"versionBump: new-slice doc_id ${collided.headOption.map(_.getLong(0))
+        .getOrElse(0L)} already exists in the prior corpus — assign fresh ids " +
+        "to the new dump (admission matches content, the ledger keys on id)")
     val sigs = Dedup.minhashSigsOf(priorDocs).withColumn("is_new", lit(false))
       .unionByName(Dedup.minhashSigsOf(newSlice).withColumn("is_new", lit(true)))
       .localCheckpoint() // feeds banding AND both verify sides

@@ -225,20 +225,24 @@ private[graft] object FsLease {
     * overran the TTL fails HERE, loudly, instead of committing a
     * layout mutation on a lost lease.
     *
-    * Atomic like every other removal (round-15 ADVICE): the old
-    * verify-then-overwrite had a window — between the ownership read
-    * and the `create(overwrite = true)`, a usurper could break our
-    * just-expired claim and take the lease, and the delayed renew
-    * (a GC- or FS-stalled heartbeat past the TTL) would then CLOBBER
-    * the usurper's live claim, silently re-admitting two writers. Now
-    * the renew renames our own claim to a tombstone first (only one
-    * process can win that move — a usurper that already broke it
-    * makes the rename fail, which is the loud path), verifies the
-    * renamed bytes are really ours (restoring a displaced foreign
-    * claim if not), and re-creates the fresh claim with the same
-    * atomic create-if-absent as [[tryAcquire]] — so a contender that
-    * claimed the briefly-empty path wins and the renew FAILS instead
-    * of overwriting it. */
+    * Overwrite-safety (round-15 ADVICE, revised in round 16): the
+    * original race was a renew overwriting a USURPER's live claim —
+    * possible only when our own claim had already EXPIRED (only an
+    * expired claim is breakable). So the renew overwrites in place
+    * ONLY while our claim is provably unbreakable: owner = us AND
+    * expiry at least TTL/6 in the future (the margin absorbs the
+    * cross-process clock skew the expiry-based design already
+    * assumes). A claim closer to expiry than that — a body that
+    * effectively overran its TTL — fails loudly BEFORE the commit,
+    * which is this method's contract, instead of racing whoever may
+    * break it. The earlier rename-away-and-recreate variant was
+    * atomic but UN-PUBLISHED a healthy lease for the rename→create
+    * window on every heartbeat, letting a polling contender acquire
+    * legitimately mid-body — strictly worse for healthy writers.
+    * (Like every time-based lease, correctness under arbitrary
+    * scheduler stalls is bounded by the TTL assumptions themselves: a
+    * writer stalled past its remaining TTL is already outside the
+    * model, and is caught at its next renew/release.) */
   def renewOrFail(spark: SparkSession, dir: String, what: String): Unit = renewLockOf(dir).synchronized {
     require(depth.getOrElse(dir, 0) > 0,
       s"FsLease.renewOrFail($dir) outside an acquired scope")
@@ -249,24 +253,21 @@ private[graft] object FsLease {
         s"$what for $dir overran the lease TTL (spark.graft.indexLeaseMs) and " +
           s"was usurped by $detail — aborting before the commit so the " +
           "usurper's layout is not corrupted; raise the TTL for writes this long")
-    takeDownIf(fs, dir)(txt => ownerOf(txt).contains(ownerId)) match {
-      case Some(true) => // our claim is down and nobody else can hold
-        // its bytes — re-create atomically; losing THIS create means a
-        // contender claimed the empty path in the window: fail loudly,
-        // never overwrite
-        try {
-          val out = fs.create(p, false)
-          try out.write(claimJson(spark).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
-        } catch {
-          case _: java.io.IOException =>
-            usurped(readPresent(fs, p).getOrElse("(lease gone)"))
-        }
-      case Some(false) => // renamed bytes were a FOREIGN live claim —
-        // takeDownIf already restored it
-        usurped(describe(spark, dir))
-      case None => usurped("(lease gone)")
-    }
+    // readPresent retries transient unreadability — one FS hiccup must
+    // not abort a healthy multi-hour write (round-16 review)
+    val txt = readPresent(fs, p).getOrElse("")
+    if (!ownerOf(txt).contains(ownerId))
+      usurped(if (txt.isEmpty) "(lease gone)" else txt)
+    val margin = math.max(1L, leaseMsOf(spark) / 6)
+    if (expiryOf(txt).forall(_ < System.currentTimeMillis() + margin))
+      throw new IllegalStateException(
+        s"$what for $dir is within $margin ms of its lease expiry " +
+          "(spark.graft.indexLeaseMs) — the claim is (about to be) breakable, " +
+          "so re-stamping could race a legitimate takeover; aborting before " +
+          "the commit. Raise the TTL for writes this long")
+    val out = fs.create(p, true)
+    try out.write(claimJson(spark).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Writer scope: acquire or fail loudly by name. `what` names the
@@ -299,7 +300,16 @@ private[graft] object FsLease {
           val period = math.max(50L, leaseMsOf(spark) / 3)
           try {
             while (!stop.await(period, java.util.concurrent.TimeUnit.MILLISECONDS))
-              renewOrFail(spark, dir, what)
+              try renewOrFail(spark, dir, what)
+              catch {
+                // genuine ownership loss → stop beating (the loss
+                // surfaces loudly at the next commit-point renew or at
+                // release); a TRANSIENT FS failure must not kill the
+                // heartbeat — one hiccup would silently end renewal
+                // for the rest of a long body (round-16 review)
+                case e: IllegalStateException => throw e
+                case _: Throwable => ()
+              }
           } catch { case _: Throwable => () } // loss surfaces at release
         }, s"graft-lease-heartbeat")
         t.setDaemon(true); t.start(); t

@@ -1221,8 +1221,15 @@ object TextOps {
   private[graft] def bpeApplyChained(words: DataFrame,
       merges: Seq[(Int, String, String)]): DataFrame =
     merges.sortBy(_._1).foldLeft(
+      // the empty-word guard matters: sequence(1, 0) is DESCENDING in
+      // Spark ([1, 0]), so the unguarded transform would seed '' as
+      // ['', '', '</w>'] instead of ['</w>'] (round-16 review — the
+      // fast encoder always produced the sane form; trained-charset
+      // words are never empty, but the reference must agree on ALL
+      // inputs for the equivalence pin to mean anything)
       words.withColumn("syms", expr(
-        "array_append(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '</w>')"))) {
+        "IF(length(w) = 0, array('</w>'), " +
+          "array_append(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '</w>'))"))) {
       case (df, (_, l, r)) => df.withColumn("syms", expr(bpeMergeExpr(l, r)))
     }
 

@@ -117,37 +117,50 @@ case class BpeEncodeExpr(child: Expression,
         top
       }
       var floor = -1
-      def enqueuePairs(): Unit = {
-        var i = 0
-        while (i + 1 < n) {
-          val rk = rankOf.get(syms(i) + Sep + syms(i + 1))
-          // ranks at or below the replay floor can never fire — not
-          // queueing them (rather than discarding at pop) bounds heap
-          // growth on pathological single tokens (base64 blobs etc.)
-          if ((rk ne null) && rk.intValue() > floor) push(rk.intValue())
-          i += 1
-        }
+      // pair (syms(i), syms(i+1)) → queue, iff it has a still-firable
+      // rank; ranks at or below the replay floor can never fire — not
+      // queueing them (rather than only discarding at pop) bounds heap
+      // growth on pathological single tokens (base64 blobs etc.)
+      def maybePush(i: Int): Unit = {
+        val rk = rankOf.get(syms(i) + Sep + syms(i + 1))
+        if ((rk ne null) && rk.intValue() > floor) push(rk.intValue())
       }
-      enqueuePairs()
+      var i0 = 0
+      while (i0 + 1 < n) { maybePush(i0); i0 += 1 } // seed: every pair once
+      var touched = new Array[Int](16)
       while (hn > 0) {
         val rk = pop()
         if (rk > floor) { // sequential replay: a rank already passed
           floor = rk      // (or re-created by a later merge) never fires
           val (l, r, lr) = ranked(rk)
-          // one left-to-right non-overlapping pass, in place
+          // one left-to-right non-overlapping pass, in place, recording
+          // the write positions where a merge landed
           var i = 0
           var w = 0
-          var applied = false
+          var tn = 0
           while (i < n) {
             if (i + 1 < n && syms(i) == l && syms(i + 1) == r) {
-              syms(w) = lr; applied = true; i += 2
+              syms(w) = lr
+              if (tn == touched.length) touched = java.util.Arrays.copyOf(touched, tn * 2)
+              touched(tn) = w; tn += 1
+              i += 2
             } else { syms(w) = syms(i); i += 1 }
             w += 1
           }
           n = w
-          // re-seed candidates: pairs the pass created (or that sit
-          // next to merged symbols); ranks ≤ floor are discarded at pop
-          if (applied) enqueuePairs()
+          // re-seed ONLY pairs adjacent to merge sites: a new adjacency
+          // always involves the new `lr` symbol (a merge replaces two
+          // symbols with one — its neighbors become adjacent to IT,
+          // never to each other), and every other surviving pair was
+          // already queued when it appeared. A full-word rescan here
+          // made heap work O(applications × pairs) (round-16 review).
+          var t = 0
+          while (t < tn) {
+            val pos = touched(t)
+            if (pos > 0) maybePush(pos - 1)
+            if (pos + 1 < n) maybePush(pos)
+            t += 1
+          }
         }
       }
     }

@@ -160,7 +160,7 @@ class BpeSpec extends SparkSpec {
     // case naive min-rank greedy diverges from sequential replay
     val (_, l1, r1) = merges.head
     val words = vocab.select("w").as[String].collect().toSeq ++
-      Seq(l1 + r1 + l1 + r1 + "zq", "aaaaaaa", l1 * 3 + r1 * 3, "x")
+      Seq(l1 + r1 + l1 + r1 + "zq", "aaaaaaa", l1 * 3 + r1 * 3, "x", "")
     val wdf = words.toDF("w")
     val fast = TextOps.bpeApply(wdf, merges).select(col("w"), col("syms"))
     val slow = TextOps.bpeApplyChained(wdf, merges)
