@@ -107,10 +107,12 @@ class FsLeaseSpec extends SparkSpec {
     spark.conf.set("spark.graft.indexLeaseMs", "300") // beat every 100 ms
     try {
       FsLease.guarded(spark, dir, "test op") {
-        // hammer commit-point renews across several heartbeat periods —
-        // under the old overwrite this was trivially safe; under the
-        // tombstone-move renew, an unserialized heartbeat would steal
-        // the rename and make a renew here throw "(lease gone)"
+        // hammer commit-point renews across several heartbeat periods:
+        // concurrent renews must serialize per dir (unserialized claim
+        // writes could interleave a stale expiry over a fresh one) and
+        // every renew must see a live-with-margin claim — at TTL 300
+        // the margin is 50 ms and the heartbeat re-stamps every 100 ms,
+        // so a renew can only fail here if renewal itself regressed
         val deadline = System.currentTimeMillis() + 900
         while (System.currentTimeMillis() < deadline) {
           FsLease.renewOrFail(spark, dir, "test op")
