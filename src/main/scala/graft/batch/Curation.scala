@@ -184,14 +184,25 @@ object Curation {
     *      split-tagged shards (steps 2 and 3 share the one
     *      `splitLedgerDir` run — assign rides inside curateToShards).
     *
-    * Scale shape: signatures are computed once per side (the prior
-    * side's could be cached from its own version's run); candidate
+    * Scale shape: the NEW slice is minhashed once; the PRIOR side
+    * reads its persisted signature table when `sigStore` is set and
+    * the saved version matches the ledger's ([[Dedup.loadSigs]] —
+    * version-aligned, else the self-healing fallback recomputes from
+    * text), and after the merge commits the NEXT version's table
+    * (prior ∪ admitted-new signatures) is saved for the following
+    * bump — so a recurring pipeline's prior-side admission cost is
+    * one narrow parquet read, never a corpus re-minhash. Candidate
     * pairs ride the shuffle band join with the witness-side-only cap
-    * (never broadcast, never all-pairs); everything after moves narrow
-    * id frames. Returns the one-row version report
-    * (ledger_version, n_new, n_rejected, n_admitted). */
+    * (never broadcast, never all-pairs); everything after moves
+    * narrow id frames. Returns the one-row version report
+    * (ledger_version, n_new, n_rejected, n_admitted).
+    *
+    * The caller's NEXT `priorDocs` is this bump's prior ∪ admitted
+    * slice — the merged corpus the ledger and the saved signatures
+    * describe. */
   def versionBump(priorDocs: DataFrame, newSlice: DataFrame, eval: DataFrame,
-      dir: String, nShards: Int, p: Params): DataFrame = {
+      dir: String, nShards: Int, p: Params,
+      sigStore: Option[String] = None): DataFrame = {
     require(p.splitLedgerDir.isDefined,
       "versionBump needs Params(splitLedgerDir) — the sticky ledger IS the " +
         "cross-version training contract")
@@ -210,19 +221,33 @@ object Curation {
       s"versionBump: new-slice doc_id ${collided.headOption.map(_.getLong(0))
         .getOrElse(0L)} already exists in the prior corpus — assign fresh ids " +
         "to the new dump (admission matches content, the ledger keys on id)")
-    val sigs = Dedup.minhashSigsOf(priorDocs).withColumn("is_new", lit(false))
-      .unionByName(Dedup.minhashSigsOf(newSlice).withColumn("is_new", lit(true)))
+    val priorVer = SplitLedger.currentVersion(spark, p.splitLedgerDir.get)
+    val priorSigs = sigStore.flatMap(Dedup.loadSigs(spark, _, priorVer))
+      .getOrElse(Dedup.minhashSigsOf(priorDocs)
+        // materialized only on the recompute path (it feeds the union
+        // below AND the post-commit save); a loaded table is already
+        // one narrow parquet read per consumer
+        .localCheckpoint())
+    val newSigs = Dedup.minhashSigsOf(newSlice)
+      .localCheckpoint() // feeds the union AND the post-commit save
+    val sigs = priorSigs.withColumn("is_new", lit(false))
+      .unionByName(newSigs.withColumn("is_new", lit(true)))
       .localCheckpoint() // feeds banding AND both verify sides
     val dupNew = Dedup.crossCorpusNearDup(sigs, col("is_new"), Dedup.CellCap)
       .select(col("doc_id"))
       .localCheckpoint() // bounded by |new slice|; read twice below
     val admittedNew = newSlice.join(dupNew, Seq("doc_id"), "left_anti")
     curateToShards(priorDocs.unionByName(admittedNew), eval, dir, nShards, p)
+    val ver = SplitLedger.currentVersion(spark, p.splitLedgerDir.get)
+    // the NEXT bump's prior-side table: saved AFTER the merge commits
+    // (ledger at `ver`), so a crash in between leaves no table at
+    // `ver` and the next bump recomputes — stale signatures can never
+    // under-witness
+    sigStore.foreach(st => Dedup.saveSigs(spark, st, ver,
+      priorSigs.unionByName(newSigs.join(dupNew, Seq("doc_id"), "left_anti"))))
     val nNew = newSlice.count()
     val nRej = dupNew.count()
-    spark.createDataFrame(Seq((
-      SplitLedger.currentVersion(spark, p.splitLedgerDir.get),
-      nNew, nRej, nNew - nRej)))
+    spark.createDataFrame(Seq((ver, nNew, nRej, nNew - nRej)))
       .toDF("ledger_version", "n_new", "n_rejected", "n_admitted")
   }
 

@@ -1084,6 +1084,42 @@ object Dedup {
       isNew = pmod(col("doc_id"), lit(3)) === 0, cap = CellCap)
       .orderBy("doc_id")
 
+  /** Persist a corpus version's minhash signature table (round-16:
+    * the versionBump prior-side lever) — `sigs_v{ver}` parquet under
+    * `dir`, version-stamped so a bump can only consume signatures that
+    * describe EXACTLY its prior corpus (the ledger version the merge
+    * committed). Narrow rows (doc_id + 6 md5 strings), one table per
+    * version with one-cycle grace retirement. A 100 TB bump's
+    * prior-side cost drops from a full text re-minhash to one narrow
+    * parquet read. */
+  def saveSigs(spark: SparkSession, dir: String, ver: Long,
+      sigs: DataFrame): Unit = {
+    sigs.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/sigs_v$ver")
+    // grace retirement (the SplitLedger rule): keep ver−1 for lazy
+    // readers, sweep older — crash-skipped sweeps self-heal next save
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(root).foreach { st =>
+      val old = st.getPath.getName.stripPrefix("sigs_v").toLongOption
+        .exists(_ < ver - 1)
+      if (old) require(fs.delete(st.getPath, true),
+        s"saveSigs: could not retire expired ${st.getPath}")
+    }
+  }
+
+  /** The version-ALIGNED signature load: Some only when `sigs_v{ver}`
+    * committed (`_SUCCESS`) — an older table would be missing the
+    * docs the last bump admitted and silently under-witness; callers
+    * fall back to recomputing from the corpus text (self-healing: a
+    * crash between a bump's ledger commit and its sig save costs one
+    * recompute, never a wrong answer). */
+  def loadSigs(spark: SparkSession, dir: String, ver: Long): Option[DataFrame] = {
+    val ok = new org.apache.hadoop.fs.Path(s"$dir/sigs_v$ver/_SUCCESS")
+    val fs = ok.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(ok)) Some(spark.read.parquet(s"$dir/sigs_v$ver")) else None
+  }
+
   /** qd22's machinery over any signature frame — the seam that lets
     * DedupClusterSpec flood one bucket. `sigs` must be materialized by
     * the caller (it feeds banding AND both verify-join sides). */

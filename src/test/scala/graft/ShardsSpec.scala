@@ -153,6 +153,71 @@ class ShardsSpec extends SparkSpec
     assert(s1.keySet.intersect(s2.keySet).nonEmpty)
   }
 
+  test("versionBump sigStore: the second bump reads the persisted signature " +
+    "table instead of re-minhashing the prior corpus — one fewer full text " +
+    "pass, identical output; version-misaligned tables are refused") {
+    import graft.batch.{Curation, Dedup, SplitLedger}
+    val root = Files.createTempDirectory("vbump_sigs").toString
+    val all = Tables.spread(docs)
+    val ev = all.filter(pmod(col("doc_id"), lit(10)) === 7)
+      .select(col("doc_id"), col("text"))
+    val corpusAll = all.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+    val v1 = corpusAll.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val new1 = corpusAll.filter(pmod(col("doc_id"), lit(3)) === 1)
+    val new2 = corpusAll.filter(pmod(col("doc_id"), lit(3)) === 2)
+    val store = s"$root/sigs"
+    // two independent, identically-driven pipelines: A recomputes
+    // prior signatures each bump, B persists them through the store
+    def drive(tag: String, sigStore: Option[String],
+        tick: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+      val p = Curation.Params(splitLedgerDir = Some(s"$root/ledger_$tag"))
+      Curation.curateToShards(v1, ev, s"$root/${tag}_v1", NShards, p)
+      Curation.versionBump(v1, new1, ev, s"$root/${tag}_v2", NShards, p, sigStore)
+      // merged corpus after bump 1, reconstructed through the same
+      // public machinery (deterministic — identical to the bump's own)
+      val sigs = Dedup.minhashSigsOf(v1).withColumn("is_new", lit(false))
+        .unionByName(Dedup.minhashSigsOf(new1).withColumn("is_new", lit(true)))
+        .localCheckpoint()
+      val dup1 = Dedup.crossCorpusNearDup(sigs, col("is_new"), Dedup.CellCap)
+        .select(col("doc_id"))
+      val merged1 = v1.unionByName(new1.join(dup1, Seq("doc_id"), "left_anti"))
+        .localCheckpoint()
+      val rep = Curation.versionBump(merged1.filter(tick(lit(true))), new2, ev,
+        s"$root/${tag}_v3", NShards, p, sigStore)
+        .collect().head
+      (rep, merged1.count())
+    }
+    val passesA = spark.sparkContext.longAccumulator("vbump_a")
+    val passesB = spark.sparkContext.longAccumulator("vbump_b")
+    val tickA = udf((b: Boolean) => { passesA.add(1); b }).asNondeterministic()
+    val tickB = udf((b: Boolean) => { passesB.add(1); b }).asNondeterministic()
+    val (repA, nPrior) = drive("a", None, c => tickA(c))
+    val (repB, _) = drive("b", Some(store), c => tickB(c))
+    assert(repA == repB, s"store mode diverged: $repA vs $repB")
+    // the store saved exactly the prior-side pass: B's second bump
+    // evaluated the prior corpus one full pass fewer than A's
+    assert(passesA.value - passesB.value == nPrior,
+      s"expected exactly one fewer prior pass: A=${passesA.value} " +
+        s"B=${passesB.value} nPrior=$nPrior")
+    // version alignment: the CURRENT ledger version's table loads;
+    // versions never saved (v1 pre-dates the store; v4 is the future)
+    // must not resolve — a mismatch means the fallback recompute runs
+    val verB = SplitLedger.currentVersion(spark, s"$root/ledger_b")
+    assert(verB == 3L)
+    assert(Dedup.loadSigs(spark, store, verB).isDefined)
+    assert(Dedup.loadSigs(spark, store, 1L).isEmpty,
+      "a never-saved version must not resolve")
+    assert(Dedup.loadSigs(spark, store, verB + 1).isEmpty,
+      "an uncommitted future version must never resolve")
+    // the saved table describes the merged corpus: its ids ⊆ merged
+    // ids, and every SIGNED new1-admitted doc is present
+    val shardB = spark.read.parquet(s"$root/b_v3/shards")
+      .select("doc_id").distinct()
+    val sigIds = Dedup.loadSigs(spark, store, verB).get.select("doc_id")
+    assert(shardB.join(sigIds, Seq("doc_id"), "left_anti").isEmpty,
+      "a sharded doc is missing from the persisted signature table")
+  }
+
   test("readEpochSplit opens ONE split's shards (pruned read, epoch-permuted); " +
     "the unsplit reader refuses a split layout loudly") {
     import graft.batch.Curation
