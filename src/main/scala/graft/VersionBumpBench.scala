@@ -44,8 +44,22 @@ object VersionBumpBench {
     val rep = graft.batch.Curation
       .versionBump(prior, newSlice, ev, s"$root/v2", 4, p).head()
     val bumpSecs = (System.nanoTime() - t1) / 1e9
+    // the sigStore arm: identical bump, but the prior side reads its
+    // persisted signature table instead of re-minhashing — the
+    // recurring pipeline's steady state
+    val p2 = graft.batch.Curation.Params(splitLedgerDir = Some(s"$root/ledger2"))
+    graft.batch.Curation.curateToShards(prior, ev, s"$root/v1b", 4, p2)
+    graft.batch.Dedup.saveSigs(spark, s"$root/sigs", 1L,
+      graft.batch.Dedup.minhashSigsOf(prior))
+    val t2 = System.nanoTime()
+    val rep2 = graft.batch.Curation.versionBump(prior, newSlice, ev,
+      s"$root/v2b", 4, p2, Some(s"$root/sigs")).head()
+    val storedSecs = (System.nanoTime() - t2) / 1e9
+    require(rep2.getLong(2) == rep.getLong(2),
+      "stored-signature bump must reject the identical set")
     println(s"""{"metric":"version_bump_secs","value":${d3(bumpSecs)},""" +
       s""""unit":"sec","sf":"$sfDir","v1_secs":${d3(v1Secs)},""" +
+      s""""bump_stored_sigs_secs":${d3(storedSecs)},""" +
       s""""ledger_version":${rep.getLong(0)},"n_new":${rep.getLong(1)},""" +
       s""""n_rejected":${rep.getLong(2)},"n_admitted":${rep.getLong(3)},""" +
       s""""n_recrawl":${recrawl.count()}}""")
