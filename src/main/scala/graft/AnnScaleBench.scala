@@ -312,6 +312,47 @@ object AnnScaleBench {
           s""""search_rebuilt_sec":${d3(tRe)}}"""
       }
 
+      // ---- `semsweep` arm (round-16: the semantic-decontam eval-side
+      // fan-out, rung-measured — CellNearDupSpec pins the fixture
+      // curve): plant one ε = 0.25 twin per eval doc (cos ≈ 0.970,
+      // every twin IS paraphrase contamination) into the rung corpus
+      // and sweep qd21's eval-side probe count. p is the cheap recall
+      // lever by construction — it scales the BROADCAST side's
+      // fan-out, never the corpus's single assignment — so the sweep
+      // prices recall per p at corpus density, where the fixture can't.
+      if (armsWanted("semsweep") && n == scales.last) {
+        val emb0 = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+        val twinOffS = plantOffset * 100
+        val twins = withNrm(emb0.filter(pmod(col("vec_id"), lit(25)) === 0))
+          .select((col("vec_id") + lit(twinOffS)).as("vec_id"),
+            array((0 until Dim).map { j =>
+              (element_at(col("embedding"), j + 1) +
+                (pmod(hash(col("vec_id"), lit(j)), lit(2)) * 2 - 1).cast("float") *
+                  lit(0.25f) * (col("nrm") / lit(math.sqrt(Dim.toDouble))).cast("float"))
+                .cast("float")
+            }: _*).as("embedding"))
+        val enm2 = withNrm(emb0.unionByName(twins)).localCheckpoint()
+        val scents = enm2.filter(pmod(col("vec_id"), lit(100)) === 7)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+            col("nrm").as("cn"))
+        val isEvalS = pmod(col("vec_id"), lit(25)) === 0 &&
+          col("vec_id") < twinOffS
+        val nTwinS = twins.count()
+        val sweep = Seq(1, 3, Dedup.ProbeCells, 10).distinct.map { pp =>
+          var hits = -1L
+          val ts = (1 to math.max(1, reps)).map { _ =>
+            time {
+              hits = graft.batch.Dedup.semanticPairs(enm2, isEvalS, scents, pp)
+                .filter(col("vec_id") >= twinOffS &&
+                  col("eid") === col("vec_id") - twinOffS)
+                .count()
+            }._1
+          }
+          s""""p$pp":{"planted_hits":$hits,"steady":${d3(ts.min)}}"""
+        }
+        extraArms ++= s""","semsweep":{"n_twins":$nTwinS,${sweep.mkString(",")}}"""
+      }
+
       // ---- `filtered` arm: qs9's recall story, measured — planted
       // twins whose BASES all satisfy the predicate (label = 3, ~10%
       // selective), searched over the attr-carrying q=2 index WITH the
