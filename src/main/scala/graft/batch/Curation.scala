@@ -99,6 +99,13 @@ object Curation {
       // re-read covers only the clean survivors (qc9's scan-budget
       // argument).
       lmModelDir: Option[String] = None,
+      // the gate's reference-domain exemption (qc9's isRef rule,
+      // source-keyed — the production shape when the model was trained
+      // on one of the corpus's own sources): docs from this source ARE
+      // the reference distribution and pass the gate by definition,
+      // and their text is not even scored (one fewer slice through the
+      // bigram join).
+      lmRefSource: Option[String] = None,
       // qd20's sticky ledger threaded into the shard output (round-14
       // verdict #3): when set, [[curateToShards]] records this corpus
       // version's dup-cluster membership in the [[SplitLedger]] at
@@ -312,9 +319,12 @@ object Curation {
     p.lmModelDir match {
       case None => clean
       case Some(dir) =>
+        val candidates = p.lmRefSource
+          .foldLeft(docs.select(col("doc_id"), col("source"), col("text"))) {
+            (d, ref) => d.filter(col("source") =!= ref)
+          }
         val lowLm = T.lmScoreDocs(
-            docs.select(col("doc_id"), col("source"), col("text"))
-              .join(clean.select(col("doc_id")), Seq("doc_id")),
+            candidates.join(clean.select(col("doc_id")), Seq("doc_id")),
             T.loadLm(docs.sparkSession, dir))
           .filter(col("score") < lit(2) * col("n_bg"))
           .select(col("doc_id"))

@@ -322,6 +322,23 @@ class CurationSpec extends SparkSpec {
         clean.join(lowLm, Seq("doc_id"), "left_anti"), Curation.Params())
       .select("doc_id").as[Long].collect().toSet
     assert(gated == byHand)
+    // the source-keyed reference exemption (lmRefSource): exempted
+    // docs pass the gate by definition — every open-admitted doc of
+    // that source survives, and non-exempt docs gate exactly as before
+    val refSource = corpus.select("source").orderBy("source").head().getString(0)
+    val exempted = Curation.admitted(corpus, ev,
+        Curation.Params(lmModelDir = Some(dir), lmRefSource = Some(refSource)))
+      .select(col("doc_id"), col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val openSrc = Curation.admitted(corpus, ev, Curation.Params())
+      .select(col("doc_id"), col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val openRef = openSrc.filter(_._2 == refSource).keySet
+    assert(openRef.subsetOf(exempted.map(_._1).toSet),
+      "an exempted-source doc must never be gated out")
+    assert(exempted.filter(_._2 != refSource).map(_._1).toSet ==
+      gated.filter(id => openSrc.get(id).exists(_ != refSource)),
+      "non-exempt docs must gate exactly as without the exemption")
   }
 
   test("curate admission is deterministic across runs") {
